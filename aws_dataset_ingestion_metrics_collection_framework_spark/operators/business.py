@@ -1,0 +1,87 @@
+"""Business-metric runner — scheduled Spark SQL whose scalar results become
+metric datapoints.
+
+Parity with the reference's only Spark program (ref:glue/business_metrics.py):
+select a metric set (F2), keep BusinessMetrics (F3), register each distinct
+reference dataset once (F4), run ``spark.sql(query)`` (S1/J4/A4 — full
+Catalyst surface), take ``collect()[0][0]`` as the scalar, and publish
+(S7) — here an append to the engine's ``metric_datapoints`` table instead of
+CloudWatch put_metric_data (ref::46-57). Null scalars are skipped (F7 —
+ref::46).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import METRIC_DATAPOINTS_SCHEMA
+from ..dsl.metric import BusinessMetric
+
+
+def register_reference_datasets(
+    spark: SparkSession, metrics: list[BusinessMetric], resolve_path
+) -> list[str]:
+    """F4 — register each distinct dataset once, preserving first-seen order
+    (ref:glue/business_metrics.py:30-37). ``resolve_path(dataset) -> str``
+    maps a Dataset to a parquet path (lake layout adapter)."""
+    seen: list = []
+    for metric in metrics:
+        for ds in getattr(metric, "reference_datasets", []) or []:
+            key = (ds.database, ds.table, ds.alias)
+            if key in seen:
+                continue
+            seen.append(key)
+            spark.read.parquet(resolve_path(ds)).createOrReplaceTempView(ds.alias)
+    return [k[2] for k in seen]
+
+
+def run_business_metrics(
+    spark: SparkSession,
+    metrics: list[BusinessMetric],
+    metric_set_name: str | None = None,
+    *,
+    now: _dt.datetime | None = None,
+) -> DataFrame:
+    """Execute every BusinessMetric (optionally filtered to one set — F2) and
+    return the resulting ``metric_datapoints`` rows.
+
+    Each query's scalar is ``collect()[0][0]`` (A4 contract —
+    ref:glue/business_metrics.py:39-40). The driver-side loop is over
+    *definitions* (small); each query itself runs fully distributed.
+    """
+    now = now or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    rows = []
+    for metric in metrics:
+        if metric_set_name is not None and metric.metric_set.name != metric_set_name:
+            continue  # F2
+        if not isinstance(metric, BusinessMetric):
+            continue  # F3
+        result = spark.sql(metric.query).collect()
+        scalar = result[0][0] if result else None
+        if scalar is None:
+            continue  # F7 null-result guard
+        dims = (
+            json.dumps({d.name: d.value for d in metric.dimensions})
+            if metric.dimensions
+            else None
+        )
+        rows.append((metric.namespace, metric.name, dims, now, float(scalar)))
+    return spark.createDataFrame(rows, METRIC_DATAPOINTS_SCHEMA)
+
+
+def business_metrics_distributed(
+    spark: SparkSession, queries: dict[str, str]
+) -> DataFrame:
+    """Scale path for *many* business metrics: UNION ALL the scalar queries
+    into one job so Catalyst shares scans of common tables and the scheduler
+    overlaps stages, instead of N sequential collect() round-trips.
+
+    ``queries``: name → SQL text, each producing one scalar.
+    """
+    selects = [
+        f"SELECT '{name}' AS name, CAST(({q}) AS DOUBLE) AS value" for name, q in queries.items()
+    ]
+    return spark.sql(" UNION ALL ".join(selects))

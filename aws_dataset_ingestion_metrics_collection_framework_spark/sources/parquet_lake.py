@@ -1,0 +1,69 @@
+"""Partitioned Parquet lake writer/reader — replaces Kinesis→Firehose→S3 +
+add_partition (S4/S5/S6, ref:cdk_constructs/kinesis_construct.py:107-153,
+ref:lambda/add_partition.py:8-71).
+
+Spark writes Hive-style partition paths (``region=.../year=.../...``) that
+``spark.read.parquet`` discovers natively — the entire event-driven partition
+registration lambda disappears (SURVEY §1.2). Partition layout matches the
+reference's 5-level scheme (region/year/month/day/hour —
+ref:cdk_constructs/glue_catalog_construct.py:52-67) giving the same pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+PARTITION_KEYS = ("region", "year", "month", "day", "hour")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "append",
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Write a §1.3-shaped table partitioned by the 5 lake keys.
+
+    ``maxRecordsPerFile`` bounds file size (the Firehose 64 MB buffer analog);
+    at 100 TB, AQE coalescing keeps per-partition file counts sane.
+    """
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*PARTITION_KEYS)
+        .parquet(path)
+    )
+
+
+def read_lake_table(spark: SparkSession, path: str) -> DataFrame:
+    """Scan with partition discovery; predicate pushdown on partition keys
+    gives the same pruning as Glue partition filtering."""
+    return spark.read.parquet(path)
+
+
+def split_corrupt_json(spark: SparkSession, raw: DataFrame, value_col: str, schema) -> tuple[DataFrame, DataFrame]:
+    """JSON → typed split: good rows parse against the fixed schema, bad rows
+    route to an error output — the Firehose ``errorOutputPrefix`` analog
+    (ref:stacks/metrics_streamer.py:91)."""
+    parsed = raw.withColumn("_parsed", F.from_json(F.col(value_col), schema))
+    good = parsed.filter(F.col("_parsed").isNotNull()).select("_parsed.*")
+    bad = parsed.filter(F.col("_parsed").isNull()).select(F.col(value_col).alias("raw"))
+    return good, bad
+
+
+def apply_retention(
+    spark: SparkSession, path: str, *, max_age_days: int, today=None
+) -> DataFrame:
+    """Retention tiering (minute=2d / hour=30d / day=90d —
+    ref:stacks/centralized_resources.py:47-65) as a partition-pruned
+    anti-filter: returns the surviving rows; callers overwrite or use
+    dynamic partition overwrite. Partition pruning means only the doomed
+    partitions' metadata is touched on the read side."""
+    df = spark.read.parquet(path)
+    today_expr = F.lit(today).cast("date") if today is not None else F.current_date()
+    cutoff = F.date_sub(today_expr, max_age_days)
+    return df.filter(
+        F.make_date(F.col("year").cast("int"), F.col("month").cast("int"), F.col("day").cast("int"))
+        >= cutoff
+    )
