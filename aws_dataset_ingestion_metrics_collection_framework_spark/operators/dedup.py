@@ -1,0 +1,362 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond reference parity (BASELINE.json north star): exact dedup,
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard — all expressed with
+built-in JVM-side functions (no Python UDFs anywhere):
+
+- **exact**: hash-groupBy — one shuffle keyed on the content hash; at
+  100 TB shuffle only (id, hash) pairs, not the payloads.
+- **MinHash+LSH**: shingle → xxhash64 once per shingle → 64 universal-hash
+  permutations via literal (a,b) parameter arrays and higher-order
+  ``transform``/``array_min`` (O(shingles) hash work, not O(shingles×perms)
+  hashing) → banding → explode (band, bucket) → self-join within buckets →
+  exact-Jaccard verification of candidates only. Shuffle volume is
+  O(docs × bands), independent of document length.
+- **SimHash**: 64-bit signature via per-bit voting with ``zip_with``
+  accumulation; near-dups = signatures within Hamming distance d, found by
+  banding the signature (pigeonhole: d ≤ 3 → 4 bands of 16 bits, at least
+  one band equal).
+- **n-gram Jaccard**: exact pairwise similarity over word shingles via
+  shingle-inverted-index self-join (the verification primitive; also usable
+  standalone at moderate scale / with prefix filtering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Mersenne prime 2^31-1 for universal hashing: with a,b,h < 2^31 the product
+# a*h stays < 2^62, safe under ANSI-mode 64-bit arithmetic (no overflow).
+_PRIME = (1 << 31) - 1
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization (consistent with the DuckDB oracle's
+    string_split — no empty trailing tokens)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def word_shingles(tokens: Column, k: int) -> Column:
+    """Distinct k-word shingles as strings; documents shorter than k words
+    yield their full token string as a single shingle."""
+    joined = F.array_join(tokens, " ")
+    shingled = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(tokens, i, k), " "),
+    )
+    return F.array_distinct(F.when(F.size(tokens) >= k, shingled).otherwise(F.array(joined)))
+
+
+# ----------------------------- exact dedup -----------------------------
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one representative (min id) per identical content.
+
+    Shuffles on a 64-bit content hash (plus keeps the content only for the
+    within-group min — at scale, pre-project to (id, hash) and re-join
+    winners if payloads are wide).
+    """
+    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    return (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(
+            F.min(F.col(id_col)).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("_h")
+    )
+
+
+def exact_dedup_stats(df: DataFrame, content_cols: list[str]) -> DataFrame:
+    """Corpus-level dedup summary (total / distinct / duplicate-group counts)."""
+    h = F.xxhash64(*[F.col(c) for c in content_cols])
+    per_group = df.select(h.alias("_h")).groupBy("_h").agg(F.count(F.lit(1)).alias("n"))
+    return per_group.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long").alias("n_dup_groups"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)).cast("long").alias("n_removable"),
+    )
+
+
+# --------------------------- MinHash + LSH ---------------------------
+
+
+def _hash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic universal-hash parameters (a odd, b) — plain Python
+    LCG so signatures are reproducible across runs/clusters."""
+    params = []
+    state = seed
+    for _ in range(num_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state | 1) % _PRIME
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _PRIME
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(shingles: Column, num_perm: int = 64, seed: int = 42) -> Column:
+    """MinHash signature (array<bigint>, length num_perm) from a shingle
+    array. One xxhash64 per shingle; permutations are arithmetic only.
+    pmod keeps values non-negative."""
+    params = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in _hash_params(num_perm, seed)]
+    )
+    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
+    return F.transform(
+        params,
+        lambda p: F.array_min(
+            F.transform(hashes, lambda h: F.pmod(p["a"] * h + p["b"], F.lit(_PRIME)))
+        ),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b): documents sharing ≥1 MinHash band.
+
+    rows-per-band = num_perm // bands; candidate probability for Jaccard s is
+    1-(1-s^r)^b. Shuffle = docs × bands rows of (band_idx, band_hash).
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signature(word_shingles(tokenize(F.col(text_col)), k), num_perm, seed)
+    banded = (
+        df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+        .select(
+            "doc",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs only (the cheap
+    post-LSH verification — candidates ≪ all pairs)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(tokenize(F.col(text_col)), k).alias("sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = (
+        candidates.join(a, candidates["id_a"] == F.col("a.doc"))
+        .join(b, candidates["id_b"] == F.col("b.doc"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("a.sh", "b.sh")).alias("inter"),
+            F.size("a.sh").alias("na"),
+            F.size("b.sh").alias("nb"),
+        )
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return joined.withColumn("jaccard", jac).filter(jac >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates → exact verification."""
+    cands = minhash_candidates(
+        df, id_col, text_col, k=k, num_perm=num_perm, bands=bands, seed=seed
+    )
+    return jaccard_verify(df, cands, id_col, text_col, k=k, threshold=threshold)
+
+
+# ------------------------------ SimHash ------------------------------
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash of a token array, entirely JVM-side.
+
+    Per-bit vote: each token hash contributes +1/-1 per bit (``getbit``); the
+    signature sets bits with positive vote sums. The 64 bit positions are
+    compile-time constants, so this unrolls into 64 ``aggregate`` expressions
+    over the (hashed-once) token array — wide but codegen-friendly.
+    """
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def _vote(bit: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.getbit(h, F.lit(bit)).cast("long") * 2 - 1),
+        )
+
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        vote = _vote(i)
+        bit_val = (1 << i) if i < 63 else -(1 << 63)  # sign bit of a signed long
+        sig = sig.bitwiseOR(
+            F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ d between SimHashes.
+
+    Pigeonhole banding: split the 64-bit signature into d+1 blocks; any pair
+    within distance d agrees exactly on ≥1 block → join on (block_idx,
+    block_value), verify Hamming via bit_count(xor).
+    """
+    blocks = max_hamming + 1
+    width = 64 // blocks
+    sigs = df.select(
+        F.col(id_col).alias("doc"), simhash64(tokenize(F.col(text_col))).alias("sig")
+    )
+    block_structs = [
+        F.struct(
+            F.lit(b).alias("block"),
+            F.shiftright(F.col("sig"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bval"),
+        )
+        for b in range(blocks)
+    ]
+    banded = sigs.select(
+        "doc", "sig", F.explode(F.array(*block_structs)).alias("bb")
+    ).select("doc", "sig", F.col("bb.block").alias("block"), F.col("bb.bval").alias("bval"))
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ----------------------- n-gram Jaccard (exact) -----------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All-pairs exact Jaccard ≥ threshold via shingle inverted index.
+
+    Cost is Σ_shingle |posting|² join rows — fine at moderate scale or after
+    frequency-capping hot shingles; prefer MinHash-LSH at 100 TB (this is
+    its verification oracle).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(tokenize(F.col(text_col)), k).alias("sh"),
+    )
+    sizes = sh.select("doc", F.size("sh").alias("n"))
+    inv = sh.select("doc", F.explode("sh").alias("s"))
+    l, r = inv.alias("l"), inv.alias("r")
+    common = (
+        l.join(r, (F.col("l.s") == F.col("r.s")) & (F.col("l.doc") < F.col("r.doc")))
+        .groupBy(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -------------------- embedding cosine near-dup --------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, *, threshold: float = 0.95, n_planes: int = 8, seed: int = 7
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Scale path: random-hyperplane LSH bucket join (bucket = sign bits of
+    n_planes projections → expected pair reduction 2^n_planes for random
+    data) then exact cosine verification inside buckets. High thresholds
+    keep recall high (collision prob per plane = 1 - θ/π).
+    """
+    from .similarity import cosine_similarity, random_hyperplane_bucket
+
+    bucketed = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("v"),
+        random_hyperplane_bucket(F.col(vec_col), n_planes=n_planes, seed=seed).alias("bucket"),
+    )
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    pairs = l.join(
+        r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.doc") < F.col("r.doc"))
+    ).select(
+        F.col("l.doc").alias("id_a"),
+        F.col("r.doc").alias("id_b"),
+        cosine_similarity(F.col("l.v"), F.col("r.v")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

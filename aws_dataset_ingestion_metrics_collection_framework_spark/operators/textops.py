@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines: token statistics,
+quality scoring, language identification, document fingerprinting.
+
+All built-in-function compositions (split/filter/aggregate/regexp) — zero
+Python UDFs, so every operator stays inside whole-stage codegen and scales
+linearly with input bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import tokenize
+
+# Minimal per-language stopword lists for the n-gram/stopword-overlap
+# language heuristic. Deliberately tiny & deterministic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"],
+    "es": ["el", "la", "de", "y", "es", "un", "una", "que", "en", "los"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "que", "dans", "les"],
+}
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token statistics: counts, distinct ratio, mean token
+    length, stopword ratio (en), punctuation density."""
+    toks = tokenize(F.col(text_col))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_tokens = F.size(toks)
+    stats = df.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        (
+            F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+            / F.greatest(n_tokens, F.lit(1))
+        ).alias("avg_token_len"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(en_stop, F.lower(t))))
+            / F.greatest(n_tokens, F.lit(1)).cast("double")
+        ).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+            / F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("double")
+        ).alias("punct_ratio"),
+    )
+    return stats
+
+
+def quality_score(stats: DataFrame) -> DataFrame:
+    """Heuristic quality score in [0,1]: favors mid-length docs, lexical
+    diversity, low punctuation noise (Gopher/C4-style rule-of-thumb filters
+    re-expressed as a scalar)."""
+    length_ok = F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 1.0).otherwise(0.3)
+    diversity = F.least(
+        F.col("n_distinct_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)) * 2.0, F.lit(1.0)
+    )
+    punct_ok = F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.4)
+    avg_len_ok = F.when((F.col("avg_token_len") >= 2.0) & (F.col("avg_token_len") <= 12.0), 1.0).otherwise(
+        0.5
+    )
+    return stats.withColumn(
+        "quality", (length_ok * 0.3 + diversity * 0.3 + punct_ok * 0.2 + avg_len_ok * 0.2)
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-overlap language ID: argmax over per-language stopword hit
+    counts; 'und' (undetermined) when nothing matches. Deterministic
+    tie-break by language code order."""
+    toks = F.transform(tokenize(F.col(text_col)), lambda t: F.lower(t))
+    scores = []
+    for lang in sorted(STOPWORDS):
+        stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("predicted_lang"),
+        best["hits"].alias("stopword_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit document fingerprint: xxhash64 of the token stream (content-
+    defined, whitespace-insensitive), plus a winnowing-style min-hash over
+    5-gram rolling windows for robust partial-overlap detection."""
+    toks = tokenize(F.col(text_col))
+    from .dedup import word_shingles
+
+    grams = word_shingles(toks, 5)
+    return df.select(
+        F.col(id_col),
+        F.xxhash64(F.array_join(toks, " ")).alias("content_hash"),
+        F.array_min(F.transform(grams, lambda g: F.xxhash64(g))).alias("min_gram_hash"),
+    )

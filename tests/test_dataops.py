@@ -1,0 +1,191 @@
+"""Tests for the training-data-pipeline operators: dedup, similarity, text."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    exact_dedup_stats,
+    minhash_dedup_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dup_pairs,
+    tokenize,
+    word_shingles,
+)
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_ann_topk,
+)
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (3, "completely different text about spark engines and data"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (5, "der hund ist ein guter hund und die katze"),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_tokenize_and_shingles(spark):
+    df = spark.createDataFrame([("  a  b c  ",), ("ab",)], "t string")
+    rows = df.select(
+        tokenize(F.col("t")).alias("toks"),
+        word_shingles(tokenize(F.col("t")), 2).alias("sh"),
+    ).collect()
+    assert rows[0]["toks"] == ["a", "b", "c"]
+    assert rows[0]["sh"] == ["a b", "b c"]
+    assert rows[1]["sh"] == ["ab"]  # shorter than k → whole text
+
+
+def test_exact_dedup(spark):
+    kept = exact_dedup(docs_df(spark), ["text"], "doc_id").orderBy("doc_id").collect()
+    ids = [r["doc_id"] for r in kept]
+    assert ids == [1, 2, 3, 5]  # doc 4 deduped into group of 1
+    counts = {r["doc_id"]: r["dup_count"] for r in kept}
+    assert counts[1] == 2
+    stats = exact_dedup_stats(docs_df(spark), ["text"]).collect()[0]
+    assert stats["n_total"] == 5
+    assert stats["n_distinct"] == 4
+    assert stats["n_dup_groups"] == 1
+    assert stats["n_removable"] == 1
+
+
+def test_minhash_signature_properties(spark):
+    df = docs_df(spark)
+    sigs = df.select(
+        "doc_id", minhash_signature(word_shingles(tokenize(F.col("text")), 3), 32).alias("sig")
+    ).collect()
+    by_id = {r["doc_id"]: r["sig"] for r in sigs}
+    assert len(by_id[1]) == 32
+    assert by_id[1] == by_id[4]  # identical docs → identical signatures
+    # near-dups share most minhashes; different docs share few
+    agree_12 = sum(a == b for a, b in zip(by_id[1], by_id[2]))
+    agree_13 = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    assert agree_12 > agree_13
+
+
+def test_minhash_dedup_pipeline(spark):
+    pairs = minhash_dedup_pairs(
+        docs_df(spark), "doc_id", "text", num_perm=64, bands=16, threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 4) in got  # exact dup always found
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert jac[(1, 4)] == 1.0
+
+
+def test_ngram_jaccard(spark):
+    pairs = ngram_jaccard_pairs(docs_df(spark), "doc_id", "text", threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 4)] == 1.0
+    assert (1, 2) in got  # 7 words shared of 9 windows → jaccard 5/9≈0.56... verify >0.5
+    assert (1, 3) not in got
+
+
+def test_simhash(spark):
+    sigs = {r["doc_id"]: r["h"] for r in docs_df(spark).select(
+        "doc_id", simhash64(tokenize(F.col("text"))).alias("h")).collect()}
+    assert sigs[1] == sigs[4]
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+    pairs = simhash_near_dup_pairs(docs_df(spark), "doc_id", "text", max_hamming=16).collect()
+    assert (1, 4) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+
+def test_brute_force_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(queries, emb, k=5).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        sims = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0001 <= s <= 1.0001 for s in sims)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(queries, emb, k=1).collect()
+    approx = lsh_ann_topk(queries, emb, k=1, n_planes=4, n_tables=6).collect()
+    exact_nn = {r["query_id"]: r["neighbor_id"] for r in exact}
+    approx_nn = {r["query_id"]: r["neighbor_id"] for r in approx}
+    hits = sum(1 for q, n in exact_nn.items() if approx_nn.get(q) == n)
+    assert hits / len(exact_nn) >= 0.5  # recall@1 with a single table, 4 planes
+
+
+def test_embedding_near_dup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label").limit(5)
+    with_dups = emb.unionByName(dup)
+    pairs = embedding_near_dup_pairs(with_dups, "vec_id", "embedding", threshold=0.999).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {(i, i + 10000) for i in range(5)}
+    assert planted <= found  # identical vectors always collide in every bucket
+
+
+def test_token_stats_and_quality(spark):
+    stats = token_stats(docs_df(spark), "doc_id", "text")
+    rows = {r["doc_id"]: r for r in stats.collect()}
+    assert rows[1]["n_tokens"] == 9
+    assert rows[1]["n_distinct_tokens"] == 8  # 'the' twice
+    assert rows[1]["stopword_ratio"] == 2 / 9
+    q = quality_score(stats).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in q)
+
+
+def test_language_id(spark):
+    out = {r["doc_id"]: r["predicted_lang"] for r in language_id(docs_df(spark), "doc_id", "text").collect()}
+    assert out[1] == "en"
+    assert out[5] == "de"
+
+
+def test_fingerprint(spark):
+    fp = {r["doc_id"]: r for r in fingerprint(docs_df(spark), "doc_id", "text").collect()}
+    assert fp[1]["content_hash"] == fp[4]["content_hash"]
+    assert fp[1]["content_hash"] != fp[3]["content_hash"]
+    df2 = spark.createDataFrame([(1, "the   quick brown\tfox jumps over the lazy dog")], "doc_id long, text string")
+    fp2 = fingerprint(df2, "doc_id", "text").collect()[0]
+    assert fp2["content_hash"] == fp[1]["content_hash"]  # whitespace-insensitive
+
+
+def test_multimodal_stub(spark):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+        sample_frames,
+    )
+
+    rows = [
+        (1, "image", bytearray(b"x" * 100), "image/png", None),
+        (2, "image", bytearray(b"y" * 37), "image/jpeg", None),
+        (3, "video", None, "video/mp4", '{"n_frames": 95}'),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_image_features(df, fake=True).collect()}
+    assert feats[1]["n_bytes"] == 100
+    assert feats[1]["width"] == 64 + 100 % 512
+    frames = sample_frames(df, every_nth=30).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 30, 60, 90]
+    import pytest
+
+    with pytest.raises(Exception):
+        extract_image_features(df, fake=False).collect()
