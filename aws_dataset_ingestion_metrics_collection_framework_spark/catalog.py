@@ -167,9 +167,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     for c in nanos_cols:
         if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(
-                c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long"))
-            )
+            # integer division — double division would lose precision above
+            # 2^53 ns (~mid-1970!) and drift timestamps by ±1µs
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -92,6 +92,7 @@ def scrape_metrics(
     start: str | None = None,
     end: str | None = None,
     approx_percentiles: bool = False,
+    value_cast: str = "float",
 ) -> DataFrame:
     """Full scrape job for one frequency → rows in the ``metrics_{frequency}``
     schema (§1.3).
@@ -143,7 +144,7 @@ def scrape_metrics(
             F.lit(account_id).alias("accountid"),
             iso8601(F.col("window_start")).alias("metrictimestamp"),
             pick_statistic(F.col("stats"), F.col("statistic"), pcts or None)
-            .cast("float")
+            .cast(value_cast)  # 'float' for §1.3 storage parity; 'double' for oracle-exact math
             .alias("metricvalue"),
             F.col("id"),
             F.col("d_name").alias("label"),

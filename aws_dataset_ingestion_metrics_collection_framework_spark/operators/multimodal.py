@@ -44,11 +44,12 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     """Deterministic stand-in for a real image decode: derives stable
-    pseudo-dimensions and luminance from the payload bytes."""
+    pseudo-dimensions and luminance from the payload length (length-only so
+    an external SQL oracle can replicate it exactly)."""
     n = len(payload)
     width = 64 + (n % 512)
     height = 64 + ((n // 7) % 512)
-    mean_luma = (sum(payload[:64]) % 256) / 255.0 if n else 0.0
+    mean_luma = ((n * 7) % 256) / 255.0
     return width, height, mean_luma
 
 

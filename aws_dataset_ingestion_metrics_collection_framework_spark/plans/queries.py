@@ -1,0 +1,936 @@
+"""Query registry: every implemented operator exposed as a (spark, sf_dir) →
+DataFrame callable plus (where SQL-expressible) an equivalent DuckDB oracle.
+
+This is the correctness surface of the engine (SURVEY §2 inventory + the
+training-data-pipeline extensions). Numeric determinism rules used
+throughout so Spark and DuckDB hash-match bit-for-bit:
+
+- money sums go through DECIMAL with *explicit* scales at every step (both
+  engines compute exact decimals, final CAST AS DOUBLE is deterministic);
+- double sums/averages of 2-decimal inputs are ROUND(x, 6) — the true value
+  is a multiple of 10^-2 (or a rational with non-decimal denominator), never
+  at a rounding boundary, so both engines round identically;
+- top-k orderings always carry a unique tie-break key;
+- timestamps stay native (UTC session) or are formatted with identical
+  patterns on both sides.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import METRIC_DEFS_SCHEMA, load_table, register_tables
+from ..dsl.loader import DefinitionSet, definitions_to_dataframes
+from ..functions.keys import (
+    alarm_name_col,
+    alarm_unique_id_col,
+    parse_alarm_name,
+    unique_id_col,
+    widget_title_col,
+)
+from ..operators import dedup as D
+from ..operators import metrics as M
+from ..operators import sessions as SS
+from ..operators import similarity as SIM
+from ..operators import sla_eval as SLA
+from ..operators import textops as TX
+from ..operators.business import business_metrics_distributed
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# --------------------------------------------------------------------------
+# Shared SQL texts (run verbatim on Spark AND DuckDB — the reference's
+# BusinessMetric surface is arbitrary SQL, ref:glue/business_metrics.py:39)
+# --------------------------------------------------------------------------
+
+_DISC_PRICE = (
+    "CAST((CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "CAST(1 - CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(12,2))) AS DECIMAL(18,4))"
+)
+_CHARGE = (
+    f"CAST(({_DISC_PRICE} * CAST(1 + CAST(l_tax AS DECIMAL(12,2)) AS DECIMAL(12,2))) "
+    "AS DECIMAL(22,6))"
+)
+
+Q01_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({_CHARGE}) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+Q03_SQL = f"""
+SELECT
+  l_orderkey,
+  CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+Q05_SQL = f"""
+SELECT
+  n_name,
+  CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+Q06_SQL = """
+SELECT
+  CAST(SUM(CAST((CAST(l_extendedprice AS DECIMAL(12,2)) *
+       CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+Q10_SQL = f"""
+SELECT
+  c_custkey,
+  c_name,
+  CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+  c_acctbal,
+  n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND c_nationkey = n_nationkey
+  AND l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+# Business-metric scalar corpus (A4 contract: each subquery → one scalar).
+_BUSINESS_SCALARS = {
+    "lineitem_count": "SELECT COUNT(*) FROM lineitem",
+    "active_customers": "SELECT COUNT(DISTINCT o_custkey) FROM orders",
+    "max_order_price": "SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) FROM orders",
+    "total_quantity": "SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) FROM lineitem",
+    "event_rows": "SELECT COUNT(*) FROM events",
+}
+
+BUSINESS_SCALARS_SQL = " UNION ALL ".join(
+    f"SELECT '{name}' AS name, CAST(({q}) AS DOUBLE) AS value"
+    for name, q in _BUSINESS_SCALARS.items()
+)
+
+
+def _sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_tables(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+# --------------------------------------------------------------------------
+# Statistic engine queries (A1/W1/J1/A3/C1 — DataFrame implementations)
+# --------------------------------------------------------------------------
+
+_DAY_DEFS = [
+    ("click", "Sum"),
+    ("view", "Average"),
+    ("purchase", "Maximum"),
+    ("error", "SampleCount"),
+    ("signup", "Minimum"),
+]
+
+
+def _events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        F.lit("App/Events").alias("namespace"),
+        F.col("event_type").alias("name"),
+        F.lit(None).cast("string").alias("dimensions"),
+        "ts",
+        "value",
+    )
+
+
+def _day_defs_df(spark: SparkSession, stats=None) -> DataFrame:
+    stats = stats or _DAY_DEFS
+    rows = [
+        (
+            "App/Events", et, "day", 86400, stat, None, None,
+            "events", None, "dash", "123412341234", None, None, None,
+        )
+        for et, stat in stats
+    ]
+    return spark.createDataFrame(rows, METRIC_DEFS_SCHEMA)
+
+
+def q_metrics_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = M.scrape_metrics(
+        _events_raw(spark, sf_dir),
+        _day_defs_df(spark),
+        "day",
+        account_id="123412341234",
+        region="us-east-1",
+        collection_time=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+        value_cast="double",
+    )
+    return out.select(
+        "collectiontime", "namespace", "name", "period", "frequency", "statistic",
+        "accountid", "metrictimestamp",
+        F.round("metricvalue", 6).alias("metricvalue"),
+        "id", "label", "region", "year", "month", "day", "hour",
+    )
+
+
+METRICS_DAY_ORACLE = """
+WITH defs(name, statistic) AS (
+  VALUES ('click','Sum'),('view','Average'),('purchase','Maximum'),
+         ('error','SampleCount'),('signup','Minimum')
+),
+agg AS (
+  SELECT event_type AS name, date_trunc('day', ts) AS ws,
+         SUM(value) AS s, AVG(value) AS a, MIN(value) AS mn, MAX(value) AS mx,
+         CAST(COUNT(value) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT
+  '2026-01-01T00:00:00+00:00' AS collectiontime,
+  'App/Events' AS namespace,
+  agg.name AS name,
+  86400 AS period,
+  'day' AS frequency,
+  d.statistic AS statistic,
+  '123412341234' AS accountid,
+  strftime(agg.ws, '%Y-%m-%dT%H:%M:%S+00:00') AS metrictimestamp,
+  ROUND(CASE d.statistic WHEN 'Sum' THEN s WHEN 'Average' THEN a
+        WHEN 'Maximum' THEN mx WHEN 'Minimum' THEN mn
+        WHEN 'SampleCount' THEN c END, 6) AS metricvalue,
+  lower(regexp_replace('App/Events' || agg.name || 'day', '\\W+', '', 'g')) AS id,
+  agg.name AS label,
+  'us-east-1' AS region,
+  CAST(year(agg.ws) AS SMALLINT) AS year,
+  CAST(month(agg.ws) AS SMALLINT) AS month,
+  CAST(day(agg.ws) AS SMALLINT) AS day,
+  CAST(hour(agg.ws) AS SMALLINT) AS hour
+FROM agg JOIN defs d ON d.name = agg.name
+"""
+
+
+def q_metrics_day_p50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = M.scrape_metrics(
+        _events_raw(spark, sf_dir),
+        _day_defs_df(spark, [("purchase", "p50")]),
+        "day",
+        collection_time=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+        value_cast="double",
+    )
+    return out.select(
+        "name", "statistic", "metrictimestamp", F.round("metricvalue", 6).alias("metricvalue")
+    )
+
+
+METRICS_DAY_P50_ORACLE = """
+SELECT 'purchase' AS name, 'p50' AS statistic,
+       strftime(date_trunc('day', ts), '%Y-%m-%dT%H:%M:%S+00:00') AS metrictimestamp,
+       ROUND(quantile_cont(value, 0.5), 6) AS metricvalue
+FROM events WHERE event_type = 'purchase' GROUP BY date_trunc('day', ts)
+"""
+
+
+def _events_raw_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        F.lit("App/Events").alias("namespace"),
+        F.col("event_type").alias("name"),
+        F.to_json(
+            F.struct((F.col("user_id") % 3).cast("string").alias("UserShard"))
+        ).alias("dimensions"),
+        "ts",
+        "value",
+    )
+
+
+def _hour_dims_defs_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (
+            "App/Events", et, "hour", 3600, "Sum", None,
+            json.dumps({"UserShard": str(s)}),
+            "events", None, "dash", "123412341234", None, None, None,
+        )
+        for et, _ in _DAY_DEFS
+        for s in range(3)
+    ]
+    return spark.createDataFrame(rows, METRIC_DEFS_SCHEMA)
+
+
+def q_metrics_hour_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 with dimensions: raw events carry to_json dims; defs carry
+    json.dumps dims (different spacing) — the canonical unique_id matches
+    them anyway (C1)."""
+    out = M.scrape_metrics(
+        _events_raw_dims(spark, sf_dir),
+        _hour_dims_defs_df(spark),
+        "hour",
+        collection_time=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+        value_cast="double",
+    )
+    return out.select(
+        "name", "dimensions", "statistic", "metrictimestamp",
+        F.round("metricvalue", 6).alias("metricvalue"), "id",
+    )
+
+
+METRICS_HOUR_DIMS_ORACLE = """
+SELECT
+  event_type AS name,
+  '{"UserShard": "' || CAST(user_id % 3 AS VARCHAR) || '"}' AS dimensions,
+  'Sum' AS statistic,
+  strftime(date_trunc('hour', ts), '%Y-%m-%dT%H:%M:%S+00:00') AS metrictimestamp,
+  ROUND(SUM(value), 6) AS metricvalue,
+  lower(regexp_replace('App/Events' || event_type || 'hour' || 'UserShard' ||
+        CAST(user_id % 3 AS VARCHAR), '\\W+', '', 'g')) AS id
+FROM events
+GROUP BY event_type, user_id % 3, date_trunc('hour', ts)
+"""
+
+
+def q_metrics_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = q_metrics_day(spark, sf_dir)
+    return M.latest_datapoint(day)
+
+
+METRICS_LATEST_ORACLE = """
+WITH m AS ({day})
+SELECT id,
+       arg_max(metricvalue, metrictimestamp) AS metricvalue,
+       max(metrictimestamp) AS metrictimestamp
+FROM m GROUP BY id
+""".format(day=METRICS_DAY_ORACLE)
+
+# --------------------------------------------------------------------------
+# SLA evaluation queries (W3/W4/C13/A6)
+# --------------------------------------------------------------------------
+
+_SLA_SCHEMA = (
+    "sla_id string, series_id string, threshold double, comparison_operator string, "
+    "datapoints_to_alarm int, evaluation_periods int, treat_missing_data string, period int"
+)
+
+
+def _daily_click_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return ev.groupBy(F.window("ts", "86400 seconds").alias("w")).agg(
+        F.sum("value").alias("value")
+    ).select(F.lit("clicks_day").alias("series_id"), F.col("w.start").alias("ws"), "value")
+
+
+def q_sla_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = _daily_click_series(spark, sf_dir)
+    slas = spark.createDataFrame(
+        [("sla_clicks", "clicks_day", 6000.005, "GREATER_THAN_THRESHOLD", 2, 3,
+          "NOT_BREACHING", 86400)],
+        _SLA_SCHEMA,
+    )
+    out = SLA.evaluate_slas(series, slas)
+    return out.select(
+        "sla_id", "ws", F.round("value", 6).alias("value"), "breach", "statevalue"
+    )
+
+
+SLA_DAILY_ORACLE = """
+WITH s AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, SUM(value) AS v
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+b AS (
+  SELECT ws, v, (v > 6000.005) AS breach FROM s
+)
+SELECT 'sla_clicks' AS sla_id, ws, ROUND(v, 6) AS value, breach,
+       CASE WHEN SUM(CASE WHEN breach THEN 1 ELSE 0 END)
+                 OVER (ORDER BY ws ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2
+            THEN 'ALARM' ELSE 'OK' END AS statevalue
+FROM b
+"""
+
+
+def q_sla_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = _daily_click_series(spark, sf_dir)
+    slas = spark.createDataFrame(
+        [("sla_clicks", "clicks_day", 6000.005, "GREATER_THAN_THRESHOLD", 2, 3,
+          "NOT_BREACHING", 86400)],
+        _SLA_SCHEMA,
+    )
+    out = SLA.state_transitions(SLA.evaluate_slas(series, slas))
+    return out.select("sla_id", "ws", "prev_state", "statevalue")
+
+
+SLA_TRANSITIONS_ORACLE = """
+WITH states AS ({daily}),
+lagged AS (
+  SELECT sla_id, ws, lag(statevalue) OVER (ORDER BY ws) AS prev_state, statevalue
+  FROM states
+)
+SELECT * FROM lagged WHERE prev_state IS NULL OR prev_state <> statevalue
+""".format(daily=SLA_DAILY_ORACLE)
+
+
+def q_sla_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute-level signup sums on one day — real gaps exercise
+    treat_missing_data=NOT_BREACHING grid synthesis (W3/W5)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "signup")
+            & (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-06 00:00:00").cast("timestamp"))
+        )
+    )
+    series = ev.groupBy(F.window("ts", "60 seconds").alias("w")).agg(
+        F.sum("value").alias("value")
+    ).select(F.lit("signup_min").alias("series_id"), F.col("w.start").alias("ws"), "value")
+    slas = spark.createDataFrame(
+        [("sla_gap", "signup_min", 150.005, "GREATER_THAN_THRESHOLD", 1, 1,
+          "NOT_BREACHING", 60)],
+        _SLA_SCHEMA,
+    )
+    out = SLA.evaluate_slas(series, slas)
+    return out.select("sla_id", "ws", F.round("value", 6).alias("value"), "statevalue")
+
+
+SLA_GAP_FILL_ORACLE = """
+WITH s AS (
+  SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS ws, SUM(value) AS v
+  FROM events
+  WHERE event_type = 'signup'
+    AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-06 00:00:00'
+  GROUP BY 1
+),
+bounds AS (SELECT min(ws) AS lo, max(ws) AS hi FROM s),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS ws FROM bounds
+)
+SELECT 'sla_gap' AS sla_id, g.ws AS ws, ROUND(s.v, 6) AS value,
+       CASE WHEN s.v > 150.005 THEN 'ALARM' ELSE 'OK' END AS statevalue
+FROM grid g LEFT JOIN s ON s.ws = g.ws
+"""
+
+# --------------------------------------------------------------------------
+# Derived keys (C1-C4) + alarm-name round trip (J2/J3 parsing)
+# --------------------------------------------------------------------------
+
+
+def q_derived_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    types = (
+        load_table(spark, sf_dir, "events").select(F.col("event_type").alias("name")).distinct()
+    )
+    dims = F.array(F.struct(F.lit("EventType").alias("name"), F.col("name").alias("value")))
+    ns, freq = F.lit("App/Events"), F.lit("hour")
+    aid = alarm_unique_id_col(ns, F.col("name"), freq, dims)
+    return types.select(
+        "name",
+        unique_id_col(ns, F.col("name"), freq, dims).alias("unique_id"),
+        aid.alias("alarm_unique_id"),
+        widget_title_col(F.col("name"), freq, dims).alias("widget_title"),
+        alarm_name_col(aid, F.lit("us-east-1")).alias("alarm_name"),
+    )
+
+
+DERIVED_KEYS_ORACLE = """
+WITH t AS (SELECT DISTINCT event_type AS name FROM events),
+k AS (
+  SELECT name,
+    lower(regexp_replace('App/Events' || name || 'hour' || 'EventType' || name,
+          '\\W+', '', 'g')) AS unique_id,
+    lower(replace('App/Events' || '-' || name || '-' || 'hour' || '-' ||
+          'EventType' || '-' || name || '-', '/', '')) AS alarm_unique_id,
+    lower(replace(name || ' per hour-' || name, '/', '')) AS widget_title
+  FROM t
+)
+SELECT name, unique_id, alarm_unique_id, widget_title,
+       'data-gov-' || alarm_unique_id || 'SLA-Alarm-us-east-1' AS alarm_name
+FROM k
+"""
+
+
+def q_alarm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = q_derived_keys(spark, sf_dir).select("alarm_name")
+    parts = parse_alarm_name(F.col("alarm_name"))
+    return names.select(
+        "alarm_name",
+        parts["metric_name"].alias("metric_name"),
+        parts["frequency"].alias("frequency"),
+        parts["dimension_value"].alias("dimension_value"),
+        parts["alarm_key"].alias("alarm_key"),
+    )
+
+
+ALARM_ROUNDTRIP_ORACLE = """
+WITH k AS ({keys}),
+p AS (
+  SELECT alarm_name, string_split(split_part(alarm_name, '-SLA', 1), '-') AS parts
+  FROM k
+)
+SELECT alarm_name,
+       parts[4] AS metric_name,
+       parts[5] AS frequency,
+       array_to_string(parts[7:], '-') AS dimension_value,
+       array_to_string(parts[3:], '-') AS alarm_key
+FROM p
+""".format(keys=DERIVED_KEYS_ORACLE)
+
+# --------------------------------------------------------------------------
+# Definitions flattening (S9/S11 — loader output vs literal golden row)
+# --------------------------------------------------------------------------
+
+
+def _defs(spark: SparkSession):
+    ds = DefinitionSet(accounts=["123412341234"], root=os.path.join(REPO_ROOT, "definitions"))
+    return definitions_to_dataframes(spark, ds)
+
+
+def q_metric_defs_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _defs(spark)[0]
+
+
+METRIC_DEFS_FLAT_ORACLE = """
+SELECT
+  'AWS/Lambda' AS namespace, 'Invocations' AS name, 'day' AS frequency,
+  86400 AS period, 'Sum' AS statistic,
+  '{"Thing": "foobar"}' AS metadata,
+  '{"FunctionName": "hello_world"}' AS dimensions,
+  'test_category' AS metric_set, CAST(NULL AS VARCHAR) AS sla_set,
+  'test_dashboard_category' AS dashboard, '123412341234' AS account,
+  CAST(NULL AS VARCHAR) AS dataset, CAST(NULL AS VARCHAR) AS reference_datasets,
+  CAST(NULL AS VARCHAR) AS query
+"""
+
+
+def q_sla_defs_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _defs(spark)[1]
+
+
+SLA_DEFS_FLAT_ORACLE = """
+SELECT
+  CAST(NULL AS VARCHAR) AS ticket, 1 AS threshold,
+  'LESS_THAN_OR_EQUAL_TO_THRESHOLD' AS comparison_operator,
+  1 AS datapoints_to_alarm, 1 AS evaluation_periods,
+  'NOT_BREACHING' AS treat_missing_data, 'SEV 5' AS severity,
+  'test_sla' AS short_description, 'test_sla' AS details,
+  'AWS/Lambda' AS metric_namespace, 'Invocations' AS metric_name,
+  'test_category' AS metric_set,
+  '{"Thing": "foobar"}' AS metric_metadata,
+  '{"FunctionName": "hello_world"}' AS metric_dimensions,
+  '123412341234' AS account
+"""
+
+# --------------------------------------------------------------------------
+# Dedup / text / similarity / session / multimodal queries
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_stats(load_table(spark, sf_dir, "documents"), ["text"])
+
+
+DEDUP_EXACT_STATS_ORACLE = """
+WITH g AS (SELECT text, COUNT(*) AS n FROM documents GROUP BY text)
+SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+       CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_removable
+FROM g
+"""
+
+
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+DEDUP_EXACT_KEEP_ORACLE = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents GROUP BY text
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.8
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+NGRAM_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+),
+e AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+  FROM e a
+  JOIN e b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN e c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = TX.token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "n_chars",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+    )
+
+
+TOKEN_STATS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  ROUND(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+        / greatest(len(t), 1), 6) AS avg_token_len,
+  ROUND(CAST(len(list_filter(t, x -> list_contains(
+        ['the','a','of','and','to','in','is','that','it','for'], lower(x))))
+        AS DOUBLE) / greatest(len(t), 1), 6) AS stopword_ratio,
+  ROUND(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1), 6) AS punct_ratio
+FROM toks
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = TX.token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return TX.quality_score(stats).select("doc_id", F.round("quality", 6).alias("quality"))
+
+
+TEXT_QUALITY_ORACLE = """
+WITH s AS ({stats})
+SELECT doc_id, ROUND(
+    (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.3 END) * 0.3
+  + least(CAST(n_distinct_tokens AS DOUBLE) / greatest(n_tokens, 1) * 2.0, 1.0) * 0.3
+  + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.4 END) * 0.2
+  + (CASE WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2
+, 6) AS quality
+FROM s
+""".format(stats="""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+  len(t) AS n_tokens,
+  len(list_distinct(t)) AS n_distinct_tokens,
+  CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / greatest(len(t), 1)
+    AS avg_token_len,
+  CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+    / greatest(length(text), 1) AS punct_ratio
+FROM toks
+""")
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.language_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+LANGUAGE_ID_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                       x -> x <> ''), x -> lower(x)) AS t
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+    len(list_filter(t, x -> list_contains(['der','die','das','und','ist','ein','eine','zu','mit','von'], x))) AS h_de,
+    len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS h_en,
+    len(list_filter(t, x -> list_contains(['el','la','de','y','es','un','una','que','en','los'], x))) AS h_es,
+    len(list_filter(t, x -> list_contains(['le','la','de','et','est','un','une','que','dans','les'], x))) AS h_fr
+  FROM toks
+),
+best AS (
+  SELECT doc_id,
+    CASE
+      WHEN (h_fr, 'fr') >= (h_es, 'es') AND (h_fr, 'fr') >= (h_en, 'en')
+           AND (h_fr, 'fr') >= (h_de, 'de') THEN h_fr
+      WHEN (h_es, 'es') >= (h_en, 'en') AND (h_es, 'es') >= (h_de, 'de') THEN h_es
+      WHEN (h_en, 'en') >= (h_de, 'de') THEN h_en
+      ELSE h_de END AS hits,
+    CASE
+      WHEN (h_fr, 'fr') >= (h_es, 'es') AND (h_fr, 'fr') >= (h_en, 'en')
+           AND (h_fr, 'fr') >= (h_de, 'de') THEN 'fr'
+      WHEN (h_es, 'es') >= (h_en, 'en') AND (h_es, 'es') >= (h_de, 'de') THEN 'es'
+      WHEN (h_en, 'en') >= (h_de, 'de') THEN 'en'
+      ELSE 'de' END AS lang
+  FROM hits
+)
+SELECT doc_id,
+       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS predicted_lang,
+       CAST(hits AS INTEGER) AS stopword_hits
+FROM best
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+COSINE_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos_raw
+  FROM q, c WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = SIM.cosine_similarity(F.col("va"), F.col("vb"))
+    return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
+        F.col("cosine") >= 0.5
+    )
+
+
+COSINE_PAIRS_ORACLE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+         AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.e, b.e) /
+      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.5
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = SS.session_stats(ev, gap_seconds=1800)
+    return out.select(
+        "user_id", "session_id", "session_start", "session_end", "n_events",
+        F.round("value_sum", 6).alias("value_sum"),
+    )
+
+
+SESSIONIZE_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+           AS session_id
+  FROM e
+)
+SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS value_sum
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing over real data: encode document text as the
+    binary payload, run the (stubbed-deterministic) feature extractor."""
+    from ..operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    out = extract_image_features(docs, fake=True)
+    return out.select(
+        "media_id", "width", "height", "n_bytes", F.round("mean_luma", 6).alias("mean_luma")
+    )
+
+
+MULTIMODAL_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(64 + length(text) % 512 AS INTEGER) AS width,
+       CAST(64 + (length(text) // 7) % 512 AS INTEGER) AS height,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       ROUND(CAST((length(text) * 7) % 256 AS DOUBLE) / 255.0, 6) AS mean_luma
+FROM documents
+"""
+
+
+# ---- rows-only queries (no SQL-expressible oracle: sketching/LSH internals)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.lsh_ann_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_planes=4, n_tables=6
+    )
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # business SQL corpus (S1/A4/J4)
+    "q01_pricing_summary": _sql_query(Q01_SQL),
+    "q03_shipping_priority": _sql_query(Q03_SQL),
+    "q05_local_supplier": _sql_query(Q05_SQL),
+    "q06_forecast_revenue": _sql_query(Q06_SQL),
+    "q10_returned_items": _sql_query(Q10_SQL),
+    "business_scalars": lambda spark, sf: (
+        register_tables(spark, sf) and None
+    ) or business_metrics_distributed(spark, _BUSINESS_SCALARS),
+    # statistic engine (A1/W1/W2/J1/A3/C1)
+    "metrics_day": q_metrics_day,
+    "metrics_day_p50": q_metrics_day_p50,
+    "metrics_hour_dims": q_metrics_hour_dims,
+    "metrics_latest": q_metrics_latest,
+    # SLA engine (C13/W3/W4/A6)
+    "sla_daily": q_sla_daily,
+    "sla_transitions": q_sla_transitions,
+    "sla_gap_fill": q_sla_gap_fill,
+    # key derivations (C1-C4)
+    "derived_keys": q_derived_keys,
+    "alarm_roundtrip": q_alarm_roundtrip,
+    # definitions flattening (S9/S11)
+    "metric_defs_flat": q_metric_defs_flat,
+    "sla_defs_flat": q_sla_defs_flat,
+    # dedup / text / similarity / sessions / multimodal
+    "dedup_exact_stats": q_dedup_exact_stats,
+    "dedup_exact_keep": q_dedup_exact_keep,
+    "ngram_jaccard": q_ngram_jaccard,
+    "token_stats": q_token_stats,
+    "text_quality": q_text_quality,
+    "language_id": q_language_id,
+    "cosine_topk": q_cosine_topk,
+    "cosine_pairs": q_cosine_pairs,
+    "sessionize": q_sessionize,
+    "multimodal_features": q_multimodal_features,
+    # rows-only (sketch/LSH internals not SQL-expressible)
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "fingerprint": q_fingerprint,
+    "lsh_ann": q_lsh_ann,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": Q01_SQL,
+    "q03_shipping_priority": Q03_SQL,
+    "q05_local_supplier": Q05_SQL,
+    "q06_forecast_revenue": Q06_SQL,
+    "q10_returned_items": Q10_SQL,
+    "business_scalars": BUSINESS_SCALARS_SQL,
+    "metrics_day": METRICS_DAY_ORACLE,
+    "metrics_day_p50": METRICS_DAY_P50_ORACLE,
+    "metrics_hour_dims": METRICS_HOUR_DIMS_ORACLE,
+    "metrics_latest": METRICS_LATEST_ORACLE,
+    "sla_daily": SLA_DAILY_ORACLE,
+    "sla_transitions": SLA_TRANSITIONS_ORACLE,
+    "sla_gap_fill": SLA_GAP_FILL_ORACLE,
+    "derived_keys": DERIVED_KEYS_ORACLE,
+    "alarm_roundtrip": ALARM_ROUNDTRIP_ORACLE,
+    "metric_defs_flat": METRIC_DEFS_FLAT_ORACLE,
+    "sla_defs_flat": SLA_DEFS_FLAT_ORACLE,
+    "dedup_exact_stats": DEDUP_EXACT_STATS_ORACLE,
+    "dedup_exact_keep": DEDUP_EXACT_KEEP_ORACLE,
+    "ngram_jaccard": NGRAM_JACCARD_ORACLE,
+    "token_stats": TOKEN_STATS_ORACLE,
+    "text_quality": TEXT_QUALITY_ORACLE,
+    "language_id": LANGUAGE_ID_ORACLE,
+    "cosine_topk": COSINE_TOPK_ORACLE,
+    "cosine_pairs": COSINE_PAIRS_ORACLE,
+    "sessionize": SESSIONIZE_ORACLE,
+    "multimodal_features": MULTIMODAL_ORACLE,
+}
