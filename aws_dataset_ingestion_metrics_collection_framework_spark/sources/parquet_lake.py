@@ -45,10 +45,28 @@ def read_lake_table(spark: SparkSession, path: str) -> DataFrame:
 def split_corrupt_json(spark: SparkSession, raw: DataFrame, value_col: str, schema) -> tuple[DataFrame, DataFrame]:
     """JSON → typed split: good rows parse against the fixed schema, bad rows
     route to an error output — the Firehose ``errorOutputPrefix`` analog
-    (ref:stacks/metrics_streamer.py:91)."""
-    parsed = raw.withColumn("_parsed", F.from_json(F.col(value_col), schema))
-    good = parsed.filter(F.col("_parsed").isNotNull()).select("_parsed.*")
-    bad = parsed.filter(F.col("_parsed").isNull()).select(F.col(value_col).alias("raw"))
+    (ref:stacks/metrics_streamer.py:91).
+
+    PERMISSIVE ``from_json`` yields an all-NULL struct (not NULL) for
+    malformed input, so detection needs an explicit ``_corrupt_record``
+    column appended to the parse schema; empty/whitespace rows come back as
+    a NULL struct and are dropped (Firehose likewise ignores empty records).
+    """
+    from pyspark.sql import types as T
+
+    parse_schema = T.StructType(list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())])
+    parsed = raw.withColumn(
+        "_parsed",
+        F.from_json(F.col(value_col), parse_schema, {"columnNameOfCorruptRecord": "_corrupt_record"}),
+    )
+    good = (
+        parsed.filter(F.col("_parsed").isNotNull() & F.col("_parsed._corrupt_record").isNull())
+        .select("_parsed.*")
+        .drop("_corrupt_record")
+    )
+    bad = parsed.filter(F.col("_parsed._corrupt_record").isNotNull()).select(
+        F.col(value_col).alias("raw")
+    )
     return good, bad
 
 

@@ -1,2 +1,21 @@
-"""Structured Streaming variants of the ingest pipeline (S5) and stateful
-alarm evaluation (W4)."""
+"""Structured Streaming variants of the engine's pipelines (SURVEY §7 step 7):
+
+- ``ingest``      — JSON→partitioned-Parquet converting sink (S5 replacement)
+- ``stats``       — watermarked windowed statistic engine (A1/W1 streaming)
+- ``alarm_state`` — stateful alarm state machine via applyInPandasWithState (W4)
+
+All three share the batch modules' Column expressions; batch mode is the
+reference implementation and tests diff streaming output against it.
+"""
+
+from .alarm_state import evaluate_slots, streaming_alarm_states
+from .ingest import read_json_lines_stream, start_ingest
+from .stats import streaming_metric_windows
+
+__all__ = [
+    "evaluate_slots",
+    "streaming_alarm_states",
+    "read_json_lines_stream",
+    "start_ingest",
+    "streaming_metric_windows",
+]

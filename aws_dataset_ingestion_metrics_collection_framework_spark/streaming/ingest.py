@@ -1,0 +1,81 @@
+"""Streaming ingest — the Structured Streaming replacement for the
+Kinesis → Firehose JSON→Parquet path (S4/S5, SURVEY §2.1;
+ref:cdk_constructs/kinesis_construct.py:107-153).
+
+The reference buffers 60 s / 64 MB in Firehose, converts OpenX-JSON to
+Parquet against the Glue schema, writes time-partitioned prefixes, and
+routes bad records to ``errorOutputPrefix`` (ref:stacks/metrics_streamer.py:90-91).
+Here that whole managed chain is ONE streaming query:
+
+    readStream(text/json lines) ──from_json(fixed schema)──►
+    good/bad split ──foreachBatch──► partitioned parquet lake + errors path
+
+``foreachBatch`` is used (rather than a direct file sink) because the split
+has two sinks — the lake and the error route — and the reference's Firehose
+semantics are per-buffer-flush atomic, which maps to per-micro-batch writes.
+The 60 s buffering hint maps to ``trigger(processingTime="60 seconds")``;
+tests use ``availableNow`` for determinism.
+
+Scale: the stream is embarrassingly parallel (no shuffle — parse, derive
+partition columns, write); throughput is bounded by parquet encode + object
+store writes, which Spark scales linearly with executors. ``maxFilesPerTrigger``
+bounds micro-batch size for backpressure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..sources.parquet_lake import PARTITION_KEYS, split_corrupt_json, write_partitioned
+
+
+def read_json_lines_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based JSON-lines stream (the Kinesis-channel stand-in — any
+    Spark streaming source with a string ``value`` column slots in here)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def start_ingest(
+    raw: DataFrame,
+    schema: StructType,
+    lake_path: str,
+    errors_path: str,
+    checkpoint_dir: str,
+    *,
+    value_col: str = "value",
+    trigger_seconds: int | None = 60,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Start the JSON→partitioned-Parquet converting sink (S5).
+
+    Good rows (parse fully against ``schema``) land Hive-partitioned under
+    ``lake_path``; unparseable rows land as text under ``errors_path``
+    (the ``errorOutputPrefix`` analog).
+    """
+    spark = raw.sparkSession
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        good, bad = split_corrupt_json(spark, batch_df, value_col, schema)
+        if set(PARTITION_KEYS) <= set(good.columns):
+            write_partitioned(good, lake_path)
+        else:
+            good.write.mode("append").parquet(lake_path)
+        bad.write.mode("append").text(errors_path)
+
+    writer = (
+        raw.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

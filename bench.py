@@ -1,0 +1,77 @@
+"""Benchmark: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with a full collect (the driver contract measures
+end-to-end materialization, not lazy plan construction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_dataset_ingestion_metrics_collection_framework_spark import get_spark
+from aws_dataset_ingestion_metrics_collection_framework_spark.plans.queries import QUERIES
+
+# Headline set: every engine subsystem, weighted toward the big-table paths.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier",
+    "q10_returned_items",
+    "business_scalars",
+    "metrics_day",
+    "metrics_hour_dims",
+    "metrics_latest",
+    "sla_daily",
+    "sla_gap_fill",
+    "dedup_exact_stats",
+    "minhash_pairs",
+    "ngram_jaccard",
+    "token_stats",
+    "language_id",
+    "cosine_topk",
+    "sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on a trivial job so q1 doesn't pay session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    verbose = os.environ.get("BENCH_VERBOSE") == "1"
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        if verbose:
+            print(f"# {name}: {timings[name]}s ({len(rows)} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""Streaming-mode tests (SURVEY §7 step 7): batch is the reference
+implementation; every streaming path is diffed against it.
+
+- ingest: JSON lines (incl. corrupt) → partitioned parquet lake + error route
+- stats: watermarked windowed aggregation ≡ batch compute_metric_windows
+- alarm state: incremental applyInPandasWithState across micro-batch splits
+  ≡ batch evaluate_slas on the union of the data
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_dataset_ingestion_metrics_collection_framework_spark.catalog import METRICS_SCHEMA
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators.metrics import compute_metric_windows
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators.sla_eval import evaluate_slas
+from aws_dataset_ingestion_metrics_collection_framework_spark.streaming import (
+    read_json_lines_stream,
+    start_ingest,
+    streaming_alarm_states,
+    streaming_metric_windows,
+)
+
+UTC = dt.timezone.utc
+T0 = dt.datetime(2026, 1, 1, tzinfo=UTC)
+T0_EPOCH = int(T0.timestamp())
+PERIOD = 60
+
+
+def _await(query, timeout=120):
+    query.awaitTermination(timeout)
+    assert not query.isActive
+
+
+# ------------------------------- ingest (S5) -------------------------------
+
+def test_ingest_stream_good_and_corrupt_rows(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    good = {
+        "collectiontime": "2026-01-01T00:00:00+00:00",
+        "namespace": "data-gov",
+        "name": "row_count",
+        "period": 86400,
+        "frequency": "day",
+        "statistic": "Sum",
+        "metadata": "{}",
+        "dimensions": "{}",
+        "accountid": "123412341234",
+        "metrictimestamp": "2026-01-01T00:00:00+00:00",
+        "metricvalue": 42.0,
+        "id": "datagovrowcountday",
+        "label": "row_count",
+        "region": "us-east-1",
+        "year": 2026,
+        "month": 1,
+        "day": 1,
+        "hour": 0,
+    }
+    lines = [json.dumps(good), json.dumps({**good, "day": 2, "metricvalue": 7.0}),
+             "{definitely not json", ""]
+    (src / "batch0.json").write_text("\n".join(lines))
+
+    raw = read_json_lines_stream(spark, str(src))
+    q = start_ingest(
+        raw,
+        METRICS_SCHEMA,
+        lake_path=str(tmp_path / "lake"),
+        errors_path=str(tmp_path / "errors"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    _await(q)
+
+    lake = spark.read.parquet(str(tmp_path / "lake"))
+    rows = lake.orderBy("day").collect()
+    assert [r["metricvalue"] for r in rows] == [42.0, 7.0]
+    # Hive-style partition layout on disk (the add_partition lambda replacement)
+    assert os.path.isdir(tmp_path / "lake" / "region=us-east-1" / "year=2026" / "month=1" / "day=1" / "hour=0")
+    errors = spark.read.text(str(tmp_path / "errors")).collect()
+    assert len(errors) == 1 and errors[0]["value"].startswith("{definitely")
+
+
+# --------------------------- streaming stats (A1) ---------------------------
+
+def test_streaming_stats_match_batch(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = []
+    for i in range(240):
+        rows.append({
+            "namespace": "ns", "name": "m1", "dimensions": "{}",
+            "ts": (T0 + dt.timedelta(seconds=7 * i)).strftime("%Y-%m-%d %H:%M:%S"),
+            "value": float(i % 13),
+        })
+    (src / "events.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "namespace string, name string, dimensions string, ts timestamp, value double"
+
+    stream = (
+        spark.readStream.schema(schema).json(str(src))
+    )
+    agg = streaming_metric_windows(stream, PERIOD)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_stats")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+
+    got = {
+        (r["window_start"], r["stats"]["Sum"], r["stats"]["SampleCount"], r["stats"]["Maximum"])
+        for r in spark.table("stream_stats").collect()
+    }
+    batch = spark.read.schema(schema).json(str(src))
+    want = {
+        (r["window_start"], r["stats"]["Sum"], r["stats"]["SampleCount"], r["stats"]["Maximum"])
+        for r in compute_metric_windows(batch, PERIOD).collect()
+    }
+    assert got == want and len(want) > 10
+
+
+# ------------------------ stateful alarm machine (W4) ------------------------
+
+SLA_PARAMS = dict(
+    threshold=5.0,
+    comparison_operator="GREATER_THAN_THRESHOLD",
+    datapoints_to_alarm=2,
+    evaluation_periods=3,
+    treat_missing_data="NOT_BREACHING",
+    period=PERIOD,
+)
+
+
+def _dp(slot: int, value: float) -> dict:
+    return {"sla_id": "sla1", "ws": T0_EPOCH + slot * PERIOD, "value": value, **SLA_PARAMS}
+
+
+@pytest.mark.parametrize("policy", ["NOT_BREACHING", "BREACHING", "IGNORE", "MISSING"])
+def test_alarm_state_incremental_matches_batch(spark, tmp_path, policy):
+    # slots with gaps: 0,1,2, (3,4 missing), 5,6 — split across two micro-batches
+    batch1 = [(0, 9.0), (1, 9.0), (2, 1.0)]
+    batch2 = [(5, 9.0), (6, 9.0)]
+    params = {**SLA_PARAMS, "treat_missing_data": policy}
+
+    src = tmp_path / "dp"
+    src.mkdir()
+    schema = (
+        "sla_id string, ws long, value double, threshold double, "
+        "comparison_operator string, datapoints_to_alarm int, "
+        "evaluation_periods int, treat_missing_data string, period int"
+    )
+
+    def run_inc(points, fname):
+        rows = [{**_dp(s, v), "treat_missing_data": policy} for s, v in points]
+        (src / fname).write_text("\n".join(json.dumps(r) for r in rows))
+        stream = spark.readStream.schema(schema).json(str(src))
+        out = streaming_alarm_states(stream)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    run_inc(batch1, "b1.json")
+    run_inc(batch2, "b2.json")
+
+    got = {
+        (r["ws"], r["statevalue"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+
+    # batch reference on the union
+    series = spark.createDataFrame(
+        [("s1", dt.datetime.utcfromtimestamp(T0_EPOCH + s * PERIOD), float(v)) for s, v in batch1 + batch2],
+        "series_id string, ws timestamp, value double",
+    )
+    slas = spark.createDataFrame(
+        [(
+            "sla1", "s1", params["threshold"], params["comparison_operator"],
+            params["datapoints_to_alarm"], params["evaluation_periods"],
+            params["treat_missing_data"], PERIOD,
+        )],
+        "sla_id string, series_id string, threshold double, comparison_operator string, "
+        "datapoints_to_alarm int, evaluation_periods int, treat_missing_data string, period int",
+    )
+    want = {
+        (int(r["ws"].replace(tzinfo=UTC).timestamp()), r["statevalue"])
+        for r in evaluate_slas(series, slas).collect()
+    }
+    assert got == want
+    # transitions are flagged exactly when state changes
+    ordered = sorted(
+        spark.read.parquet(str(tmp_path / "out")).collect(), key=lambda r: r["ws"]
+    )
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert cur["transition"] == (cur["statevalue"] != prev["statevalue"])
