@@ -32,6 +32,7 @@ from ..functions.keys import (
     unique_id_col,
     widget_title_col,
 )
+from ..operators import dashboards as DB
 from ..operators import dedup as D
 from ..operators import metrics as M
 from ..operators import sessions as SS
@@ -859,6 +860,65 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Dashboard report generation (step 8 — F5 dedup, C1/C3 derivations)
+# --------------------------------------------------------------------------
+
+
+def _dash_defs_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        ("App/Events", et, "day", 86400, "Sum", None,
+         json.dumps({"FunctionName": f"fn_{et}", "S3Bucket": "ignored"}),
+         "events", None, dash, "123412341234", None, None, None)
+        for et, dash in [
+            ("click", "ops_dash"), ("view", "ops_dash"), ("purchase", "rev_dash"),
+            ("error", "ops_dash"), ("signup", "rev_dash"),
+        ]
+    ]
+    return spark.createDataFrame(rows, METRIC_DEFS_SCHEMA)
+
+
+def q_dashboard_widgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Widget synthesis per dashboard (ref:stacks/metrics_streamer.py:340-370):
+    metric_id = 'data-gov-'+unique_id (C1), title = widget_title (C3), with
+    'Bucket'-suffixed dimensions excluded (F6)."""
+    return DB.dashboard_widgets(_dash_defs_df(spark)).orderBy("dashboard", "metric_id")
+
+
+DASHBOARD_WIDGETS_ORACLE = """
+WITH defs(name, dash) AS (
+  VALUES ('click','ops_dash'),('view','ops_dash'),('purchase','rev_dash'),
+         ('error','ops_dash'),('signup','rev_dash')
+)
+SELECT dash AS dashboard,
+       dash || '-us-east-1' AS dashboard_name,
+       'data-gov-' || lower(regexp_replace(
+           'App/Events' || name || 'day' || 'FunctionName' || 'fn_' || name,
+           '\\W+', '', 'g')) AS metric_id,
+       lower(replace(name || ' per day-fn_' || name, '/', '')) AS title,
+       10 AS width
+FROM defs
+"""
+
+
+def q_dashboard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dashboard rollup — widget_count per dashboard (the array column is
+    exercised in tests; the oracle checks the grouped counts)."""
+    rep = DB.dashboard_report(_dash_defs_df(spark))
+    return rep.select("dashboard", "dashboard_name", "widget_count")
+
+
+DASHBOARD_REPORT_ORACLE = """
+WITH defs(name, dash) AS (
+  VALUES ('click','ops_dash'),('view','ops_dash'),('purchase','rev_dash'),
+         ('error','ops_dash'),('signup','rev_dash')
+)
+SELECT dash AS dashboard, dash || '-us-east-1' AS dashboard_name,
+       COUNT(*) AS widget_count
+FROM defs GROUP BY dash
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -887,6 +947,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # definitions flattening (S9/S11)
     "metric_defs_flat": q_metric_defs_flat,
     "sla_defs_flat": q_sla_defs_flat,
+    # dashboard report generation (F5/C1/C3)
+    "dashboard_widgets": q_dashboard_widgets,
+    "dashboard_report": q_dashboard_report,
     # dedup / text / similarity / sessions / multimodal
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_exact_keep": q_dedup_exact_keep,
@@ -923,6 +986,8 @@ ORACLES: dict[str, str] = {
     "alarm_roundtrip": ALARM_ROUNDTRIP_ORACLE,
     "metric_defs_flat": METRIC_DEFS_FLAT_ORACLE,
     "sla_defs_flat": SLA_DEFS_FLAT_ORACLE,
+    "dashboard_widgets": DASHBOARD_WIDGETS_ORACLE,
+    "dashboard_report": DASHBOARD_REPORT_ORACLE,
     "dedup_exact_stats": DEDUP_EXACT_STATS_ORACLE,
     "dedup_exact_keep": DEDUP_EXACT_KEEP_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,

@@ -1,0 +1,66 @@
+"""Dashboard/report generation (SURVEY §7 step 8 —
+ref:stacks/metrics_streamer.py:290-415 semantics over metric_defs)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from aws_dataset_ingestion_metrics_collection_framework_spark.catalog import METRIC_DEFS_SCHEMA
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dashboards import (
+    category_report,
+    dashboard_report,
+    dashboard_widgets,
+)
+
+
+def defs_df(spark):
+    rows = [
+        ("AWS/Lambda", "Invocations", "day", 86400, "Sum", None,
+         json.dumps({"FunctionName": "hello_world", "LogBucket": "skipme"}),
+         "s", None, "dash_a", "1", None, None, None),
+        ("AWS/Lambda", "Errors", "hour", 3600, "Sum", None, None,
+         "s", None, "dash_a", "1", None, None, None),
+        ("App", "rows", "day", 86400, "Sum", None, None,
+         "s", None, "dash_b", "1", None, None, None),
+        ("App", "hidden", "day", 86400, "Sum", None, None,
+         "s", None, None, "1", None, None, None),  # no dashboard → excluded
+    ]
+    return spark.createDataFrame(rows, METRIC_DEFS_SCHEMA)
+
+
+def test_widget_derivations_match_reference_semantics(spark):
+    w = {r["metric_id"]: r for r in dashboard_widgets(defs_df(spark)).collect()}
+    # C1 unique_id: \W+ stripped, lowercase; Bucket-suffixed dim excluded (F6)
+    assert "data-gov-awslambdainvocationsdayfunctionnamehello_world" in w
+    row = w["data-gov-awslambdainvocationsdayfunctionnamehello_world"]
+    # C3 widget_title: '/' removed, lowercase, dim *values* only
+    assert row["title"] == "invocations per day-hello_world"
+    assert row["dashboard_name"] == "dash_a-us-east-1"
+    assert row["width"] == 10
+    # dim-less metric
+    assert w["data-gov-awslambdaerrorshour"]["title"] == "errors per hour-"
+    # the no-dashboard metric is excluded
+    assert len(w) == 3
+
+
+def test_dashboard_report_groups_and_sorts(spark):
+    rep = {r["dashboard"]: r for r in dashboard_report(defs_df(spark)).collect()}
+    assert set(rep) == {"dash_a", "dash_b"}
+    assert rep["dash_a"]["widget_count"] == 2
+    ids = [x["metric_id"] for x in rep["dash_a"]["widgets"]]
+    assert ids == sorted(ids)
+
+
+def test_category_report_dedups_dashboards(spark):
+    cats = spark.createDataFrame(
+        [("dash_a", "cat1"), ("dash_b", "cat1")], "dashboard string, dashboard_category string"
+    )
+    rows = category_report(defs_df(spark), cats).orderBy("dashboard").collect()
+    # one row per distinct (category, dashboard) — dash_a has 2 metrics but 1 row
+    assert [(r["dashboard_category"], r["dashboard"]) for r in rows] == [
+        ("cat1", "dash_a"), ("cat1", "dash_b"),
+    ]
+    assert rows[0]["category_dashboard_name"] == "cat1-us-east-1"
+    assert "dash_a-us-east-1" in rows[0]["markdown"]
