@@ -444,6 +444,93 @@ SELECT 'sla_gap' AS sla_id, g.ws AS ws, ROUND(s.v, 6) AS value,
 FROM grid g LEFT JOIN s ON s.ws = g.ws
 """
 
+def q_sla_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full S3/J2/F9 scrape: per-event-type daily SLAs evaluated over events,
+    latest state per alarm, name-derived J2 join back to metric defs for
+    metadata, §1.3 slas-row projection."""
+    from ..operators import sla_table as ST
+
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        ev.groupBy(F.col("event_type"), F.window("ts", "86400 seconds").alias("w"))
+        .agg(F.sum("value").alias("value"))
+        .select(F.col("event_type").alias("series_id"), F.col("w.start").alias("ws"), "value")
+    )
+    types = [et for (et, _) in _DAY_DEFS]
+    slas = spark.createDataFrame(
+        [(f"sla_{et}", et, 1200.005, "GREATER_THAN_THRESHOLD", 1, 1, "NOT_BREACHING", 86400)
+         for et in types],
+        _SLA_SCHEMA,
+    )
+    evaluated = SLA.evaluate_slas(series, slas)
+    latest = evaluated.groupBy("sla_id").agg(
+        F.max_by("statevalue", "ws").alias("statevalue"),
+        F.max("ws").alias("ws"),
+    )
+
+    defs = spark.createDataFrame(
+        [("App/Events", et, "day", 86400, "Sum", json.dumps({"team": "data"}),
+          json.dumps({"EventType": et}),
+          "events", None, "dash", "123412341234", None, None, None)
+         for et in types],
+        METRIC_DEFS_SCHEMA,
+    )
+    sla_meta = defs.select(
+        "namespace", "name", "frequency", "period", "statistic", "dimensions", "account",
+        F.lit(1200.005).alias("threshold"),
+        F.lit("GREATER_THAN_THRESHOLD").alias("comparison_operator"),
+        F.lit("NOT_BREACHING").alias("treat_missing_data"),
+        F.concat(F.lit("sla_"), F.col("name")).alias("sla_id"),
+    )
+    alarms = ST.build_alarm_registry(sla_meta).join(latest, "sla_id").withColumn(
+        "statereason", F.concat(F.lit("Threshold Crossed: state is "), F.col("statevalue"))
+    )
+    return ST.scrape_sla_table(
+        alarms,
+        defs,
+        account_id="123412341234",
+        collection_time=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+    )
+
+
+SLA_TABLE_ORACLE = """
+WITH s AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, SUM(value) AS v
+  FROM events GROUP BY 1, 2
+),
+latest AS (
+  SELECT event_type,
+         arg_max(CASE WHEN v > 1200.005 THEN 'ALARM' ELSE 'OK' END, ws) AS statevalue
+  FROM s GROUP BY 1
+),
+named AS (
+  SELECT event_type, statevalue,
+         lower(replace('App/Events-' || event_type || '-day-EventType-' || event_type || '-', '/', '')) AS aid
+  FROM latest
+)
+SELECT
+  'arn:aws:cloudwatch:us-east-1:123412341234:alarm:data-gov-' || aid || 'SLA-Alarm-us-east-1' AS alarmarn,
+  'data-gov-' || aid || 'SLA-Alarm-us-east-1' AS alarmname,
+  'App/Events' AS metricnamespace,
+  event_type AS metricname,
+  86400 AS metricperiod,
+  'day' AS metricfrequency,
+  'Sum' AS metricstatistic,
+  CAST(1200.005 AS FLOAT) AS threshold,
+  'GREATER_THAN_THRESHOLD' AS "comparisonOperator",
+  'NOT_BREACHING' AS treatmissingdata,
+  statevalue,
+  'Threshold Crossed: state is ' || statevalue AS statereason,
+  '123412341234' AS accountid,
+  '{"team": "data"}' AS metadata,
+  'us-east-1' AS region,
+  CAST(2026 AS SMALLINT) AS year, CAST(1 AS SMALLINT) AS month,
+  CAST(1 AS SMALLINT) AS day, CAST(0 AS SMALLINT) AS hour,
+  '2026-01-01T00:00:00+00:00' AS collectiontime
+FROM named
+"""
+
+
 # --------------------------------------------------------------------------
 # Derived keys (C1-C4) + alarm-name round trip (J2/J3 parsing)
 # --------------------------------------------------------------------------
@@ -941,6 +1028,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sla_daily": q_sla_daily,
     "sla_transitions": q_sla_transitions,
     "sla_gap_fill": q_sla_gap_fill,
+    "sla_table": q_sla_table,
     # key derivations (C1-C4)
     "derived_keys": q_derived_keys,
     "alarm_roundtrip": q_alarm_roundtrip,
@@ -982,6 +1070,7 @@ ORACLES: dict[str, str] = {
     "sla_daily": SLA_DAILY_ORACLE,
     "sla_transitions": SLA_TRANSITIONS_ORACLE,
     "sla_gap_fill": SLA_GAP_FILL_ORACLE,
+    "sla_table": SLA_TABLE_ORACLE,
     "derived_keys": DERIVED_KEYS_ORACLE,
     "alarm_roundtrip": ALARM_ROUNDTRIP_ORACLE,
     "metric_defs_flat": METRIC_DEFS_FLAT_ORACLE,
