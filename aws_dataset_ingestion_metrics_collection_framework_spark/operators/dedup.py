@@ -100,17 +100,64 @@ def _hash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def minhash_signature(shingles: Column, num_perm: int = 64, seed: int = 42) -> Column:
     """MinHash signature (array<bigint>, length num_perm) from a shingle
-    array. One xxhash64 per shingle; permutations are arithmetic only.
-    pmod keeps values non-negative."""
-    params = F.array(
-        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in _hash_params(num_perm, seed)]
-    )
+    array, as a single Column expression.
+
+    NOTE: hashes the shingle array once into a materialized intermediate via
+    nested ``transform``; Catalyst evaluates a HOF's *argument* expression on
+    every evaluation of the HOF node, so the hash step must not sit inside
+    the per-permutation lambda (it would re-hash all shingles once per
+    permutation — a measured 60× slowdown). Here the per-perm lambda only
+    does arithmetic over the pre-hashed array. For bulk signatures prefer
+    ``minhash_signatures_df`` (explode + map-side min aggregation), which
+    additionally parallelizes long documents across rows.
+    """
+    params = _hash_params(num_perm, seed)
     hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
-    return F.transform(
-        params,
-        lambda p: F.array_min(
-            F.transform(hashes, lambda h: F.pmod(p["a"] * h + p["b"], F.lit(_PRIME)))
-        ),
+
+    def sig_from(hs: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(hs, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_PRIME)))
+                )
+                for a, b in params
+            ]
+        )
+
+    # single-element outer transform = evaluate `hashes` exactly once per row
+    return F.transform(F.array(F.struct(hashes.alias("h"))), lambda x: sig_from(x["h"]))[0]
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_perm: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc, sig) signatures via explode + grouped min — the bulk/scale path.
+
+    One xxhash64 per (doc, shingle) row, then ``num_perm`` arithmetic
+    permutations per row and ``num_perm`` map-side-combinable ``min``
+    aggregates. Shuffle volume is one partial-aggregate row per doc per
+    partition — independent of document length — and long documents spread
+    across tasks instead of serializing inside one row's expression tree.
+    """
+    params = _hash_params(num_perm, seed)
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(tokenize(F.col(text_col)), k)).alias("s"),
+    ).select("doc", F.pmod(F.xxhash64("s"), F.lit(_PRIME)).alias("h"))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_PRIME))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return (
+        exploded.groupBy("doc")
+        .agg(*aggs)
+        .select("doc", F.array(*[F.col(f"_m{i}") for i in range(num_perm)]).alias("sig"))
     )
 
 
@@ -130,10 +177,11 @@ def minhash_candidates(
     1-(1-s^r)^b. Shuffle = docs × bands rows of (band_idx, band_hash).
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signature(word_shingles(tokenize(F.col(text_col)), k), num_perm, seed)
+    sigs = minhash_signatures_df(
+        df, id_col, text_col, k=k, num_perm=num_perm, seed=seed
+    )
     banded = (
-        df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
-        .select(
+        sigs.select(
             "doc",
             F.explode(
                 F.transform(
@@ -234,21 +282,48 @@ def simhash64(tokens: Column) -> Column:
     """
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
 
-    def _vote(bit: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.getbit(h, F.lit(bit)).cast("long") * 2 - 1),
-        )
+    def _sig_from(hs: Column) -> Column:
+        sig = F.lit(0).cast("long")
+        for i in range(64):
+            vote = F.aggregate(
+                hs,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + (F.getbit(h, F.lit(i)).cast("long") * 2 - 1),
+            )
+            bit_val = (1 << i) if i < 63 else -(1 << 63)  # sign bit of a signed long
+            sig = sig.bitwiseOR(
+                F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+            )
+        return sig
 
+    # hash once per row: HOF argument expressions re-evaluate per HOF node,
+    # so the 64 per-bit aggregates must reference a lambda variable, not the
+    # token-hashing transform itself (same pitfall as minhash_signature).
+    return F.transform(F.array(F.struct(hashes.alias("h"))), lambda x: _sig_from(x["h"]))[0]
+
+
+def simhash_signatures_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, sig) SimHash signatures via explode + grouped per-bit votes —
+    the bulk/scale path (one xxhash64 per token row; 64 map-side-combinable
+    SUM aggregates; shuffle independent of document length)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokenize(F.col(text_col))).alias("t")
+    ).select("doc", F.xxhash64("t").alias("h"))
+    votes = toks.groupBy("doc").agg(
+        *[
+            F.sum(F.getbit(F.col("h"), F.lit(i)).cast("long") * 2 - 1).alias(f"_v{i}")
+            for i in range(64)
+        ]
+    )
     sig = F.lit(0).cast("long")
     for i in range(64):
-        vote = _vote(i)
-        bit_val = (1 << i) if i < 63 else -(1 << 63)  # sign bit of a signed long
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
         sig = sig.bitwiseOR(
-            F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"_v{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-    return sig
+    return votes.select("doc", sig.alias("sig"))
 
 
 def simhash_near_dup_pairs(
@@ -262,9 +337,7 @@ def simhash_near_dup_pairs(
     """
     blocks = max_hamming + 1
     width = 64 // blocks
-    sigs = df.select(
-        F.col(id_col).alias("doc"), simhash64(tokenize(F.col(text_col))).alias("sig")
-    )
+    sigs = simhash_signatures_df(df, id_col, text_col)
     block_structs = [
         F.struct(
             F.lit(b).alias("block"),
@@ -312,7 +385,12 @@ def ngram_jaccard_pairs(
         word_shingles(tokenize(F.col(text_col)), k).alias("sh"),
     )
     sizes = sh.select("doc", F.size("sh").alias("n"))
-    inv = sh.select("doc", F.explode("sh").alias("s"))
+    # join on the 64-bit shingle hash, not the string: the posting-list
+    # shuffle/sort moves 8-byte keys instead of full shingles (collision
+    # odds ~|shingles|²/2⁶⁴ — immaterial vs the shuffle-volume win)
+    inv = sh.select("doc", F.explode("sh").alias("s")).select(
+        "doc", F.xxhash64("s").alias("s")
+    )
     l, r = inv.alias("l"), inv.alias("r")
     common = (
         l.join(r, (F.col("l.s") == F.col("r.s")) & (F.col("l.doc") < F.col("r.doc")))
