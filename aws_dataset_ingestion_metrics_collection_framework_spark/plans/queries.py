@@ -444,6 +444,48 @@ SELECT 'sla_gap' AS sla_id, g.ws AS ws, ROUND(s.v, 6) AS value,
 FROM grid g LEFT JOIN s ON s.ws = g.ws
 """
 
+def q_sla_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/S8 — alert payloads for ALARM-entering transitions of the daily
+    click SLA (m=1/n=1 so states flip and produce several alerts)."""
+    series = _daily_click_series(spark, sf_dir)
+    slas = spark.createDataFrame(
+        [("sla_clicks", "clicks_day", 3300.005, "GREATER_THAN_THRESHOLD", 1, 1,
+          "NOT_BREACHING", 86400)],
+        _SLA_SCHEMA,
+    )
+    trans = SLA.state_transitions(SLA.evaluate_slas(series, slas))
+    meta = spark.createDataFrame(
+        [("sla_clicks", "click sla", "clicks moved", "SEV 3", True,
+          "click", "day", "web", "ref-1")],
+        "sla_id string, details string, short_description string, severity string, "
+        "sns_enabled boolean, metric_name string, frequency string, "
+        "dimension_value string, reference_id string",
+    )
+    return SLA.build_alerts(trans, meta)
+
+
+SLA_ALERTS_ORACLE = """
+WITH s AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, SUM(value) AS v
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+st AS (
+  SELECT ws, CASE WHEN v > 3300.005 THEN 'ALARM' ELSE 'OK' END AS statevalue FROM s
+),
+tr AS (
+  SELECT ws, statevalue, lag(statevalue) OVER (ORDER BY ws) AS prev_state FROM st
+)
+SELECT 'sla_clicks' AS sla_id, ws, statevalue, TRUE AS sns_enabled,
+       '{"details":"click sla","short_description":"clicks moved caused by CloudWatch Alarm in '
+       || statevalue ||
+       ' state","impact":"SEV 3","unique_id":"web-click-day","alarm_origin":"Data Governance","reference_id":"ref-1"}'
+       AS payload
+FROM tr
+WHERE (prev_state IS NULL OR prev_state <> statevalue)
+  AND statevalue IN ('ALARM', 'INSUFFICIENT_DATA')
+"""
+
+
 def q_sla_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full S3/J2/F9 scrape: per-event-type daily SLAs evaluated over events,
     latest state per alarm, name-derived J2 join back to metric defs for
@@ -1029,6 +1071,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sla_transitions": q_sla_transitions,
     "sla_gap_fill": q_sla_gap_fill,
     "sla_table": q_sla_table,
+    "sla_alerts": q_sla_alerts,
     # key derivations (C1-C4)
     "derived_keys": q_derived_keys,
     "alarm_roundtrip": q_alarm_roundtrip,
@@ -1071,6 +1114,7 @@ ORACLES: dict[str, str] = {
     "sla_transitions": SLA_TRANSITIONS_ORACLE,
     "sla_gap_fill": SLA_GAP_FILL_ORACLE,
     "sla_table": SLA_TABLE_ORACLE,
+    "sla_alerts": SLA_ALERTS_ORACLE,
     "derived_keys": DERIVED_KEYS_ORACLE,
     "alarm_roundtrip": ALARM_ROUNDTRIP_ORACLE,
     "metric_defs_flat": METRIC_DEFS_FLAT_ORACLE,
