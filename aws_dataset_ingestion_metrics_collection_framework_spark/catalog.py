@@ -173,17 +173,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# (application_id, tables) → (sf_dir, DataFrames). Registration costs ~1 s of
+# driver-side parquet footer reads for the 10 test tables; queries call
+# register_tables freely, so memoize. Keyed WITHOUT sf_dir: views are global
+# per session, so switching directories must re-register (not hit a stale
+# entry for a directory whose views were since overwritten).
+_REGISTERED: dict[tuple[str, tuple[str, ...]], tuple[str, dict[str, DataFrame]]] = {}
+
+
 def register_tables(
-    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TESTDATA_TABLES,
+    *,
+    force: bool = False,
 ) -> dict[str, DataFrame]:
     """Register the driver's test tables as temp views (SQL-reachable).
 
     Equivalent of the reference registering Glue tables for ``spark.sql``
     over BusinessMetric reference_datasets (ref:glue/business_metrics.py:34-39).
+    Memoized per (session, sf_dir); ``force=True`` re-reads (e.g. after
+    overwriting the parquet files).
     """
+    key = (spark.sparkContext.applicationId, tuple(tables))
+    cached = _REGISTERED.get(key)
+    if not force and cached is not None and cached[0] == sf_dir.rstrip("/"):
+        return cached[1]
     out = {}
     for name in tables:
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
+    _REGISTERED[key] = (sf_dir.rstrip("/"), out)
     return out

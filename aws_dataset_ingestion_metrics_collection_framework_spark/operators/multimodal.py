@@ -80,6 +80,52 @@ def extract_image_features(df: DataFrame, *, fake: bool = False) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def _fake_decode_audio(payload: bytes) -> tuple[int, float, float]:
+    """Deterministic stand-in for an audio decode (length-only so an external
+    SQL oracle can replicate it): fixed 16 kHz mono s16, RMS derived from the
+    byte length."""
+    n = len(payload)
+    sample_rate = 16000
+    duration_s = n / (2.0 * sample_rate)  # s16 mono
+    rms = ((n * 13) % 1000) / 1000.0
+    return sample_rate, duration_s, rms
+
+
+def extract_audio_features(df: DataFrame, *, fake: bool = False) -> DataFrame:
+    """Map-only audio feature extraction over binary payloads — same
+    plumbing contract as ``extract_image_features`` (real deployments swap
+    the decode body for soundfile/ffmpeg)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decoding requires an audio library not present in this "
+                    "environment; pass fake=True for the deterministic stub"
+                )
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                sr, dur, rms = _fake_decode_audio(payload)
+                rows.append((media_id, sr, dur, len(payload), rms))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "sample_rate", "duration_s", "n_bytes", "rms"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(df: DataFrame, *, every_nth: int = 30) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits (media_id,
     frame_idx) rows; the decode remains stubbed like images. Demonstrates

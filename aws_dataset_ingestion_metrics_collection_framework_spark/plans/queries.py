@@ -960,6 +960,52 @@ FROM documents
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing over real data: text bytes as payload through the
+    (stubbed-deterministic) audio extractor."""
+    from ..operators.multimodal import extract_audio_features
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    out = extract_audio_features(docs, fake=True)
+    return out.select(
+        "media_id", "sample_rate", F.round("duration_s", 6).alias("duration_s"),
+        "n_bytes", F.round("rms", 6).alias("rms"),
+    )
+
+
+AUDIO_FEATURES_ORACLE = """
+SELECT doc_id AS media_id,
+       16000 AS sample_rate,
+       ROUND(CAST(length(text) AS DOUBLE) / 32000.0, 6) AS duration_s,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       ROUND(CAST((length(text) * 13) % 1000 AS DOUBLE) / 1000.0, 6) AS rms
+FROM documents
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out: synthetic media rows (n_frames from doc
+    length) exploded every 30th frame — one→many without payload shuffle."""
+    from ..operators.multimodal import sample_frames
+
+    media = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.to_json(F.struct((F.length("text") % 1000).alias("n_frames"))).alias("meta"),
+    )
+    return sample_frames(media, every_nth=30)
+
+
+FRAME_SAMPLE_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(unnest(generate_series(0, greatest(length(text) % 1000 - 1, 0), 30)) AS INTEGER)
+         AS frame_idx
+FROM documents
+"""
+
+
 # ---- rows-only queries (no SQL-expressible oracle: sketching/LSH internals)
 
 
@@ -1092,6 +1138,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_pairs": q_cosine_pairs,
     "sessionize": q_sessionize,
     "multimodal_features": q_multimodal_features,
+    "audio_features": q_audio_features,
+    "frame_sample": q_frame_sample,
     # rows-only (sketch/LSH internals not SQL-expressible)
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -1131,4 +1179,6 @@ ORACLES: dict[str, str] = {
     "cosine_pairs": COSINE_PAIRS_ORACLE,
     "sessionize": SESSIONIZE_ORACLE,
     "multimodal_features": MULTIMODAL_ORACLE,
+    "audio_features": AUDIO_FEATURES_ORACLE,
+    "frame_sample": FRAME_SAMPLE_ORACLE,
 }

@@ -46,8 +46,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on a trivial job so q1 doesn't pay session startup
+    # JVM/codegen warmup on a trivial job so q1 doesn't pay session startup,
+    # and table registration (parquet footer reads) outside the timed region —
+    # the DuckDB baseline likewise creates its views before timing queries.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from aws_dataset_ingestion_metrics_collection_framework_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir)
 
     verbose = os.environ.get("BENCH_VERBOSE") == "1"
     timings: dict[str, float] = {}

@@ -189,3 +189,21 @@ def test_multimodal_stub(spark):
 
     with pytest.raises(Exception):
         extract_image_features(df, fake=False).collect()
+
+
+def test_audio_stub(spark):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    rows = [(1, "audio", bytearray(b"x" * 32000), "audio/wav", None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feat = extract_audio_features(df, fake=True).collect()[0]
+    assert feat["sample_rate"] == 16000
+    assert feat["duration_s"] == 1.0  # 32000 bytes of s16 mono @ 16 kHz
+    assert feat["n_bytes"] == 32000
+    import pytest
+
+    with pytest.raises(Exception):
+        extract_audio_features(df, fake=False).collect()
