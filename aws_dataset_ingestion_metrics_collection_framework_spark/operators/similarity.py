@@ -86,6 +86,141 @@ def random_hyperplane_bucket(vec: Column, *, n_planes: int = 8, seed: int = 7, d
     return F.concat(*bits)
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    kmeans_iters: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF (inverted-file) index: partition the corpus into ``n_lists``
+    Voronoi cells around centroids; ANN then probes only the nearest cells.
+
+    Returns ``(centroids, assignments)``:
+    - centroids   : (list_id int, centroid array<double>)
+    - assignments : (corpus_id, vec, list_id)
+
+    Centroid seeding is deterministic (the ``n_lists`` corpus vectors with the
+    smallest ``xxhash64(id)`` — a uniform pseudo-random sample with no data-
+    dependent ordering), refined by ``kmeans_iters`` Lloyd steps implemented
+    entirely as DataFrame ops: assign = argmax cosine against broadcast
+    centroids (one map-side pass over the corpus); update = per-(list,
+    position) mean via ``posexplode`` + groupBy — shuffle volume is
+    O(corpus × dim) numbers, the classic distributed k-means shape.
+    """
+    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).cast("array<double>").alias("v"))
+    seeds = (
+        c.withColumn("_h", F.xxhash64(F.col("cid")))
+        .orderBy("_h")
+        .limit(n_lists)
+        .withColumn("list_id", (F.row_number().over(Window.orderBy("_h")) - 1).cast("int"))
+        .select("list_id", F.col("v").alias("centroid"))
+    )
+    centroids = seeds
+
+    def assign(cents: DataFrame) -> DataFrame:
+        rows = cents.orderBy("list_id").collect()
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    cosine_similarity(
+                        F.col("v"), F.array(*[F.lit(float(x)) for x in r["centroid"]])
+                    ).alias("cos"),
+                    F.lit(int(r["list_id"])).alias("list_id"),
+                )
+                for r in rows
+            ]
+        )
+        return c.withColumn("_best", F.array_max(cent_arr)).select(
+            "cid", "v", F.col("_best.list_id").alias("list_id")
+        )
+
+    assignments = assign(centroids)
+    for _ in range(kmeans_iters):
+        updated = (
+            assignments.select("list_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+        )
+        centroids = updated
+        assignments = assign(centroids)
+    return centroids, assignments.select(
+        F.col("cid").alias(corpus_id), F.col("v").alias(vec_col), "list_id"
+    )
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 1,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` nearest inverted lists
+    per query, exact cosine within the probed lists only.
+
+    Expected cost ≈ (n_probe / n_lists) of brute force; recall rises with
+    n_probe (n_probe = n_lists degenerates to exact search). The list join is
+    a shuffle-partitioned equi-join on list_id — no cross join — and the
+    centroid table is collected to literals (n_lists × dim doubles, tiny).
+    """
+    centroids, assignments = build_ivf_index(
+        corpus, corpus_id=corpus_id, vec_col=vec_col, n_lists=n_lists, kmeans_iters=kmeans_iters
+    )
+    rows = centroids.orderBy("list_id").collect()
+    cent_arr = F.array(
+        *[
+            F.struct(
+                cosine_similarity(
+                    F.col("qv"), F.array(*[F.lit(float(x)) for x in r["centroid"]])
+                ).alias("cos"),
+                F.lit(int(r["list_id"])).alias("list_id"),
+            )
+            for r in rows
+        ]
+    )
+    probes = (
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+        )
+        .withColumn(
+            "list_id",
+            F.explode(
+                F.transform(
+                    F.slice(F.sort_array(cent_arr, asc=False), 1, n_probe), lambda s: s["list_id"]
+                )
+            ),
+        )
+    )
+    cand = probes.join(
+        assignments.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"
+        ),
+        "list_id",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1097,6 +1097,16 @@ FROM defs GROUP BY dash
 # Registry
 # --------------------------------------------------------------------------
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic-seeded k-means lists, probe-limited exact
+    cosine (rows-only: the clustering isn't SQL-expressible)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.ivf_ann_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_lists=8, n_probe=3
+    )
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # business SQL corpus (S1/A4/J4)
     "q01_pricing_summary": _sql_query(Q01_SQL),
@@ -1145,6 +1155,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "fingerprint": q_fingerprint,
     "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
 }
 
 ORACLES: dict[str, str] = {

@@ -132,6 +132,25 @@ def test_lsh_ann_recall(spark, sf_dir):
     assert hits / len(exact_nn) >= 0.5  # recall@1 with a single table, 4 planes
 
 
+def test_ivf_ann_recall_and_exact_degeneration(spark, sf_dir):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(queries, emb, k=1).collect()
+    exact_nn = {r["query_id"]: r["neighbor_id"] for r in exact}
+
+    approx = ivf_ann_topk(queries, emb, k=1, n_lists=8, n_probe=3).collect()
+    approx_nn = {r["query_id"]: r["neighbor_id"] for r in approx}
+    hits = sum(1 for q, n in exact_nn.items() if approx_nn.get(q) == n)
+    assert hits / len(exact_nn) >= 0.5  # probing 3/8 lists
+
+    # n_probe == n_lists degenerates to exact search
+    full = ivf_ann_topk(queries, emb, k=1, n_lists=4, n_probe=4).collect()
+    full_nn = {r["query_id"]: r["neighbor_id"] for r in full}
+    assert full_nn == exact_nn
+
+
 def test_embedding_near_dup(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dup = emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label").limit(5)
