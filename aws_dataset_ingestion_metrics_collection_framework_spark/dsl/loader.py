@@ -80,8 +80,10 @@ class DefinitionSet:
     def __init__(self, accounts: List[str], root: str | None = None):
         self.metric_sets: List[dict] = []
         self.sla_sets: List[dict] = []
+        self.definitions: List[Definition] = []
         for acc in accounts:
             definition = Definition(account=acc, root=root)
+            self.definitions.append(definition)
             for metric_set in definition.metric_sets:
                 for metric in metric_set.metrics:
                     self.metric_sets.append(self._flatten_metric(metric, acc))
@@ -159,6 +161,28 @@ def definitions_to_dataframes(
 
 def _row_for(d: dict, schema) -> tuple:
     return tuple(d.get(f.name) for f in schema.fields)
+
+
+def dashboard_category_map(spark: SparkSession, definition_set: DefinitionSet) -> DataFrame:
+    """(dashboard, dashboard_category) map for category dashboards.
+
+    The §1.3 ``metric_defs`` storage schema keeps only ``dashboard`` (the
+    reference's defs JSON drops the category too —
+    ref:definitions/definition.py:97-106); category synthesis walks the live
+    Widget objects instead (ref:stacks/metrics_streamer.py:299-305). Feed
+    this to ``operators.dashboards.category_report``.
+    """
+    seen: dict[str, str | None] = {}
+    for definition in definition_set.definitions:
+        for metric_set in definition.metric_sets:
+            for metric in metric_set.metrics:
+                w = metric.dashboard
+                if w is not None and w.dashboard_name not in seen:
+                    seen[w.dashboard_name] = getattr(w, "dashboard_category", None)
+    return spark.createDataFrame(
+        [(k, v) for k, v in seen.items()],
+        "dashboard string, dashboard_category string",
+    )
 
 
 def write_defs_json(definition_set: DefinitionSet, out_dir: str) -> None:

@@ -184,6 +184,25 @@ def minhash_signatures_df(
     )
 
 
+def cap_bucket_size(banded: DataFrame, keys: list[str], max_bucket_size: int | None) -> DataFrame:
+    """Skew guard for LSH bucket self-joins: drop buckets with more than
+    ``max_bucket_size`` members.
+
+    A degenerate bucket (boilerplate shingles, near-constant signatures)
+    turns the self-join quadratic in that bucket's size — one hot key can
+    dominate the whole job at corpus scale. Members of a capped bucket still
+    pair up through their other bands/tables, so recall degrades gracefully
+    rather than the job skewing. ``None`` disables (exact candidate
+    semantics).
+    """
+    if max_bucket_size is None:
+        return banded
+    counts = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        banded.join(F.broadcast(counts.filter(F.col("_n") > max_bucket_size)), keys, "left_anti")
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -193,11 +212,13 @@ def minhash_candidates(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b): documents sharing ≥1 MinHash band.
 
     rows-per-band = num_perm // bands; candidate probability for Jaccard s is
     1-(1-s^r)^b. Shuffle = docs × bands rows of (band_idx, band_hash).
+    ``max_bucket_size`` bounds per-bucket join blowup (cap_bucket_size).
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures_df(
@@ -226,6 +247,7 @@ def minhash_candidates(
         )
         .select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
+    banded = cap_bucket_size(banded, ["band", "bucket"], max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -284,10 +306,12 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates → exact verification."""
     cands = minhash_candidates(
-        df, id_col, text_col, k=k, num_perm=num_perm, bands=bands, seed=seed
+        df, id_col, text_col, k=k, num_perm=num_perm, bands=bands, seed=seed,
+        max_bucket_size=max_bucket_size,
     )
     return jaccard_verify(df, cands, id_col, text_col, k=k, threshold=threshold)
 
@@ -350,7 +374,12 @@ def simhash_signatures_df(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ d between SimHashes.
 
@@ -373,6 +402,7 @@ def simhash_near_dup_pairs(
     banded = sigs.select(
         "doc", "sig", F.explode(F.array(*block_structs)).alias("bb")
     ).select("doc", "sig", F.col("bb.block").alias("block"), F.col("bb.bval").alias("bval"))
+    banded = cap_bucket_size(banded, ["block", "bval"], max_bucket_size)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(

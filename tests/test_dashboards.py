@@ -64,3 +64,14 @@ def test_category_report_dedups_dashboards(spark):
     ]
     assert rows[0]["category_dashboard_name"] == "cat1-us-east-1"
     assert "dash_a-us-east-1" in rows[0]["markdown"]
+
+
+def test_dashboard_category_map_from_dsl(spark):
+    import os
+    from aws_dataset_ingestion_metrics_collection_framework_spark.dsl.loader import DefinitionSet, dashboard_category_map
+
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "definitions")
+    ds = DefinitionSet(accounts=["123412341234"], root=root)
+    cmap = {r["dashboard"]: r["dashboard_category"] for r in dashboard_category_map(spark, ds).collect()}
+    # the example definition declares one widget (see definitions/account_*/)
+    assert len(cmap) >= 1

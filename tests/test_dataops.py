@@ -132,6 +132,21 @@ def test_lsh_ann_recall(spark, sf_dir):
     assert hits / len(exact_nn) >= 0.5  # recall@1 with a single table, 4 planes
 
 
+def test_bucket_size_cap_drops_hot_buckets(spark):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dedup import minhash_candidates
+
+    # 30 identical docs form one hot bucket per band; 2 distinct near-dups
+    rows = [(i, "common boilerplate text repeated everywhere always") for i in range(30)]
+    rows += [(100, "a unique document about spark engines"),
+             (101, "a unique document about spark engines today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_candidates(df, "doc_id", "text").collect()
+    capped = minhash_candidates(df, "doc_id", "text", max_bucket_size=10).collect()
+    # hot-bucket pairs (30*29/2=435) vanish; the small bucket's pair survives
+    assert len(uncapped) > 400
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+
+
 def test_ivf_ann_recall_and_exact_degeneration(spark, sf_dir):
     from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import ivf_ann_topk
 
