@@ -10,6 +10,7 @@ reference implementation and tests diff streaming output against it.
 
 from .alarm_state import evaluate_slots, streaming_alarm_states
 from .ingest import read_json_lines_stream, start_ingest
+from .pipeline import streaming_scrape, streaming_sla_pipeline
 from .stats import streaming_metric_windows
 
 __all__ = [
@@ -18,4 +19,6 @@ __all__ = [
     "read_json_lines_stream",
     "start_ingest",
     "streaming_metric_windows",
+    "streaming_scrape",
+    "streaming_sla_pipeline",
 ]

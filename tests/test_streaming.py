@@ -206,3 +206,139 @@ def test_alarm_state_incremental_matches_batch(spark, tmp_path, policy):
     )
     for prev, cur in zip(ordered, ordered[1:]):
         assert cur["transition"] == (cur["statevalue"] != prev["statevalue"])
+
+
+# ---------------- end-to-end streaming compositions (§3.2/§3.3) ----------------
+
+def _write_events(src, n=240):
+    rows = []
+    for i in range(n):
+        rows.append({
+            "namespace": "App/Events", "name": "click", "dimensions": "{}",
+            "ts": (T0 + dt.timedelta(seconds=7 * i)).strftime("%Y-%m-%d %H:%M:%S"),
+            "value": float(i % 13),
+        })
+    (src / "events.json").write_text("\n".join(json.dumps(r) for r in rows))
+    return "namespace string, name string, dimensions string, ts timestamp, value double"
+
+
+def test_streaming_scrape_end_to_end(spark, tmp_path):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.catalog import METRIC_DEFS_SCHEMA
+    from aws_dataset_ingestion_metrics_collection_framework_spark.streaming import streaming_scrape
+
+    src = tmp_path / "ev"; src.mkdir()
+    schema = _write_events(src)
+    defs = spark.createDataFrame(
+        [("App/Events", "click", "minute", 60, "Sum", None, "{}",
+          "events", None, None, "1", None, None, None)],
+        METRIC_DEFS_SCHEMA,
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = streaming_scrape(
+        stream, defs, "minute", period_seconds=60, watermark_delay="0 seconds",
+        collection_time=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "metrics"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _await(q)
+    got = {
+        (r["metrictimestamp"], r["metricvalue"]): r
+        for r in spark.read.parquet(str(tmp_path / "metrics")).collect()
+    }
+    # batch reference: same scrape over the bounded table, minus windows the
+    # watermark hadn't closed (window_end > max event time)
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.metrics import scrape_metrics
+    batch = spark.read.schema(schema).json(str(src))
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    want = {
+        (r["metrictimestamp"], r["metricvalue"]): r
+        for r in scrape_metrics(
+            batch, defs, "minute",
+            collection_time=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+            value_cast="double",
+        ).collect()
+        if dt.datetime.fromisoformat(r["metrictimestamp"]).replace(tzinfo=None)
+           + dt.timedelta(seconds=60) <= max_ts
+    }
+    assert set(want) <= set(got)
+    assert len(got) >= len(want) > 20
+    sample = next(iter(got.values()))
+    assert sample["frequency"] == "minute" and sample["statistic"] == "Sum"
+    assert {"region", "year", "month", "day", "hour"} <= set(sample.asDict())
+
+
+def test_streaming_sla_pipeline_end_to_end(spark, tmp_path):
+    """Two chained streaming queries, the reference's own topology:
+    scrape → metrics lake → SLA evaluation (SURVEY §3.2 → §3.3)."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.catalog import METRIC_DEFS_SCHEMA
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.sla_eval import evaluate_slas
+    from aws_dataset_ingestion_metrics_collection_framework_spark.streaming import (
+        streaming_scrape,
+        streaming_sla_pipeline,
+    )
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.metrics import compute_metric_windows
+
+    src = tmp_path / "ev"; src.mkdir()
+    schema = _write_events(src)
+    sid = "appeventsclickminute"  # C1 unique_id of (App/Events, click, minute, {})
+    # stage 1: scrape to the metrics lake
+    defs = spark.createDataFrame(
+        [("App/Events", "click", "minute", 60, "Sum", None, "{}",
+          "events", None, None, "1", None, None, None)],
+        METRIC_DEFS_SCHEMA,
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    metrics = streaming_scrape(
+        stream, defs, "minute", period_seconds=60, watermark_delay="0 seconds",
+        collection_time=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+    )
+    q1 = (
+        metrics.writeStream.format("parquet")
+        .option("path", str(tmp_path / "mlake"))
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _await(q1)
+
+    # stage 2: SLA machine over the published lake
+    slas = spark.createDataFrame(
+        [("sla1", sid, 300.0, "GREATER_THAN_THRESHOLD", 2, 3, "NOT_BREACHING", 60)],
+        "sla_id string, series_id string, threshold double, comparison_operator string, "
+        "datapoints_to_alarm int, evaluation_periods int, treat_missing_data string, period int",
+    )
+    lake_schema = spark.read.parquet(str(tmp_path / "mlake")).schema
+    mstream = spark.readStream.schema(lake_schema).parquet(str(tmp_path / "mlake"))
+    out = streaming_sla_pipeline(mstream, slas)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "states"))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _await(q)
+    got = {
+        (r["ws"], r["statevalue"]) for r in spark.read.parquet(str(tmp_path / "states")).collect()
+    }
+    assert len(got) > 20
+
+    # batch reference over the same emitted windows
+    batch = spark.read.schema(schema).json(str(src))
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    series = (
+        compute_metric_windows(batch.withColumn("dimensions", F.lit("{}")), 60)
+        .filter(F.col("window_end") <= F.lit(max_ts))
+        .select(
+            F.lit(sid).alias("series_id"),
+            F.col("window_start").alias("ws"),
+            F.col("stats")["Sum"].alias("value"),
+        )
+    )
+    want = {
+        (int(r["ws"].replace(tzinfo=UTC).timestamp()), r["statevalue"])
+        for r in evaluate_slas(series, slas).collect()
+    }
+    assert want <= got
