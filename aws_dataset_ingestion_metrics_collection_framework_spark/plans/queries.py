@@ -137,6 +137,51 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
 
+# TPC-H-shaped queries adapted to the driver's slimmed columns; chosen for
+# their distinct relational shapes: EXISTS semi-join (q04), NOT IN anti-join
+# + COUNT DISTINCT (q16), scalar subquery + NOT EXISTS anti-join (q22).
+Q04_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (9, 14, 19, 23, 36, 45, 49, 3)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE CAST(s_acctbal AS DECIMAL(12,2)) < 0.00
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 20
+"""
+
+Q22_SQL = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) > (
+    SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(16,6))
+    FROM customer WHERE CAST(c_acctbal AS DECIMAL(12,2)) > 0.00
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+  )
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
 # Business-metric scalar corpus (A4 contract: each subquery → one scalar).
 _BUSINESS_SCALARS = {
     "lineitem_count": "SELECT COUNT(*) FROM lineitem",
@@ -1114,6 +1159,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q05_local_supplier": _sql_query(Q05_SQL),
     "q06_forecast_revenue": _sql_query(Q06_SQL),
     "q10_returned_items": _sql_query(Q10_SQL),
+    "q04_order_priority": _sql_query(Q04_SQL),
+    "q16_parts_suppliers": _sql_query(Q16_SQL),
+    "q22_global_sales": _sql_query(Q22_SQL),
     "business_scalars": lambda spark, sf: (
         register_tables(spark, sf) and None
     ) or business_metrics_distributed(spark, _BUSINESS_SCALARS),
@@ -1164,6 +1212,9 @@ ORACLES: dict[str, str] = {
     "q05_local_supplier": Q05_SQL,
     "q06_forecast_revenue": Q06_SQL,
     "q10_returned_items": Q10_SQL,
+    "q04_order_priority": Q04_SQL,
+    "q16_parts_suppliers": Q16_SQL,
+    "q22_global_sales": Q22_SQL,
     "business_scalars": BUSINESS_SCALARS_SQL,
     "metrics_day": METRICS_DAY_ORACLE,
     "metrics_day_p50": METRICS_DAY_P50_ORACLE,
