@@ -313,6 +313,45 @@ FROM events WHERE event_type = 'purchase' GROUP BY date_trunc('day', ts)
 """
 
 
+def q_metrics_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute-frequency scrape (the third reference cadence) over one day of
+    purchase events — W1 tumbling minute windows + F1/J1 on period=60."""
+    raw = _events_raw(spark, sf_dir).filter(
+        (F.col("ts") >= F.lit("2024-01-03 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp"))
+    )
+    defs = spark.createDataFrame(
+        [("App/Events", "purchase", "minute", 60, "Sum", None, None,
+          "events", None, "dash", "123412341234", None, None, None)],
+        METRIC_DEFS_SCHEMA,
+    )
+    out = M.scrape_metrics(
+        raw, defs, "minute",
+        collection_time=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+        value_cast="double",
+    )
+    return out.select(
+        "name", "period", "frequency", "metrictimestamp",
+        F.round("metricvalue", 6).alias("metricvalue"), "id",
+        "year", "month", "day", "hour",
+    )
+
+
+METRICS_MINUTE_ORACLE = """
+SELECT 'purchase' AS name, 60 AS period, 'minute' AS frequency,
+       strftime(date_trunc('minute', ts), '%Y-%m-%dT%H:%M:%S+00:00') AS metrictimestamp,
+       ROUND(SUM(value), 6) AS metricvalue,
+       'appeventspurchaseminute' AS id,
+       CAST(2024 AS SMALLINT) AS year, CAST(1 AS SMALLINT) AS month,
+       CAST(3 AS SMALLINT) AS day,
+       CAST(hour(date_trunc('minute', ts)) AS SMALLINT) AS hour
+FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '2024-01-04 00:00:00'
+GROUP BY date_trunc('minute', ts)
+"""
+
+
 def _events_raw_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events").select(
         F.lit("App/Events").alias("namespace"),
@@ -1169,6 +1208,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "metrics_day": q_metrics_day,
     "metrics_day_p50": q_metrics_day_p50,
     "metrics_hour_dims": q_metrics_hour_dims,
+    "metrics_minute": q_metrics_minute,
     "metrics_latest": q_metrics_latest,
     # SLA engine (C13/W3/W4/A6)
     "sla_daily": q_sla_daily,
@@ -1219,6 +1259,7 @@ ORACLES: dict[str, str] = {
     "metrics_day": METRICS_DAY_ORACLE,
     "metrics_day_p50": METRICS_DAY_P50_ORACLE,
     "metrics_hour_dims": METRICS_HOUR_DIMS_ORACLE,
+    "metrics_minute": METRICS_MINUTE_ORACLE,
     "metrics_latest": METRICS_LATEST_ORACLE,
     "sla_daily": SLA_DAILY_ORACLE,
     "sla_transitions": SLA_TRANSITIONS_ORACLE,
