@@ -102,9 +102,11 @@ def scrape_metrics(
     down to parquet); omitted means "all history" (backfill).
     """
     defs_f = metric_defs.filter(F.col("frequency") == frequency)  # F1
-    periods = [r["period"] for r in defs_f.select("period").distinct().collect()]  # A2
-    stats_list = [r["statistic"] for r in defs_f.select("statistic").distinct().collect()]
-    pcts = percentiles_in_defs(stats_list)
+    # one driver-side pass over the (small) defs for both A2 period grouping
+    # and the percentile inventory — not two separate jobs
+    pairs = defs_f.select("period", "statistic").distinct().collect()
+    periods = sorted({r["period"] for r in pairs})
+    pcts = percentiles_in_defs([r["statistic"] for r in pairs])
 
     events = raw_events
     if start:
