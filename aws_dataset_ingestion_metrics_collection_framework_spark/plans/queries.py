@@ -182,6 +182,20 @@ GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
 
+# ROLLUP reachable through the user-SQL surface (SURVEY §2.4 note: grouping
+# sets/cube/rollup come via A4 user SQL, Catalyst-native). GROUPING() guards
+# distinguish the rollup NULLs from data NULLs for the hash compare.
+ROLLUP_SQL = """
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
 # Business-metric scalar corpus (A4 contract: each subquery → one scalar).
 _BUSINESS_SCALARS = {
     "lineitem_count": "SELECT COUNT(*) FROM lineitem",
@@ -989,6 +1003,49 @@ WHERE ROUND(list_dot_product(a.e, b.e) /
 """
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native ``session_window`` aggregation (gap-close semantics:
+    a session ends ``gap`` after its LAST event) — the built-in counterpart
+    of the lag+cumsum sessionizer, and the one that runs identically under
+    Structured Streaming with a watermark."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "1800 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("value_sum"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+SESSION_WINDOW_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events WHERE user_id < 200
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS value_sum
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = SS.session_stats(ev, gap_seconds=1800)
@@ -1201,6 +1258,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q04_order_priority": _sql_query(Q04_SQL),
     "q16_parts_suppliers": _sql_query(Q16_SQL),
     "q22_global_sales": _sql_query(Q22_SQL),
+    "rollup_lineitem": _sql_query(ROLLUP_SQL),
     "business_scalars": lambda spark, sf: (
         register_tables(spark, sf) and None
     ) or business_metrics_distributed(spark, _BUSINESS_SCALARS),
@@ -1235,6 +1293,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "cosine_pairs": q_cosine_pairs,
     "sessionize": q_sessionize,
+    "session_window": q_session_window,
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,
@@ -1255,6 +1314,7 @@ ORACLES: dict[str, str] = {
     "q04_order_priority": Q04_SQL,
     "q16_parts_suppliers": Q16_SQL,
     "q22_global_sales": Q22_SQL,
+    "rollup_lineitem": ROLLUP_SQL,
     "business_scalars": BUSINESS_SCALARS_SQL,
     "metrics_day": METRICS_DAY_ORACLE,
     "metrics_day_p50": METRICS_DAY_P50_ORACLE,
@@ -1281,6 +1341,7 @@ ORACLES: dict[str, str] = {
     "cosine_topk": COSINE_TOPK_ORACLE,
     "cosine_pairs": COSINE_PAIRS_ORACLE,
     "sessionize": SESSIONIZE_ORACLE,
+    "session_window": SESSION_WINDOW_ORACLE,
     "multimodal_features": MULTIMODAL_ORACLE,
     "audio_features": AUDIO_FEATURES_ORACLE,
     "frame_sample": FRAME_SAMPLE_ORACLE,
