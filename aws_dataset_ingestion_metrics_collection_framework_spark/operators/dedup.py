@@ -23,7 +23,7 @@ built-in JVM-side functions (no Python UDFs anywhere):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Mersenne prime 2^31-1 for universal hashing: with a,b,h < 2^31 the product
 # a*h stays < 2^62, safe under ANSI-mode 64-bit arithmetic (no overflow).
@@ -460,6 +460,56 @@ def ngram_jaccard_pairs(
         .filter(jac >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All-pairs exact Jaccard ≥ threshold with **prefix filtering** — the
+    scale path for exact similarity joins (AllPairs/PPJoin family).
+
+    Under any global total order of shingles, two sets with Jaccard ≥ t must
+    share a shingle within each other's first ``n - ceil(t·n) + 1`` shingles
+    (pigeonhole on the required overlap ≥ t·max(nx,ny)); ordering by
+    ascending global frequency puts the *rarest* shingles in the prefix, so
+    posting lists in the index are short where it matters. Candidates are
+    then verified with the exact intersection — results are IDENTICAL to
+    ``ngram_jaccard_pairs``, only the join volume changes (Σ|posting|² over
+    prefix postings instead of all postings).
+
+    Costs one extra shuffle (global shingle frequencies) + a per-doc
+    rank — worth it when posting lists are long; the plain inverted-index
+    join wins on small corpora.
+    """
+    import math
+
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(tokenize(F.col(text_col)), k).alias("sh"),
+    )
+    sizes = sh.select("doc", F.size("sh").alias("n"))
+    inv = sh.select("doc", F.explode("sh").alias("s")).select(
+        "doc", F.xxhash64("s").alias("s")
+    )
+    freq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+    ranked = (
+        inv.join(freq, "s")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc").orderBy("f", "s")),
+        )
+        .join(sizes, "doc")
+        # prefix length = n - ceil(t·n) + 1
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        .select("doc", "s")
+    )
+    l, r = ranked.alias("l"), ranked.alias("r")
+    candidates = (
+        l.join(r, (F.col("l.s") == F.col("r.s")) & (F.col("l.doc") < F.col("r.doc")))
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .distinct()
+    )
+    return jaccard_verify(df, candidates, id_col, text_col, k=k, threshold=threshold)
 
 
 # -------------------- embedding cosine near-dup --------------------

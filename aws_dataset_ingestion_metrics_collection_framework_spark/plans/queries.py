@@ -815,6 +815,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact all-pairs (AllPairs/PPJoin family) — identical
+    results to ngram_jaccard, scale-path join volume; same oracle."""
+    out = D.ngram_jaccard_pairs_prefix(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.8
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 NGRAM_JACCARD_ORACLE = """
 WITH toks AS (
   SELECT doc_id,
@@ -1287,6 +1296,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_exact_keep": q_dedup_exact_keep,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
     "language_id": q_language_id,
@@ -1335,6 +1345,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_stats": DEDUP_EXACT_STATS_ORACLE,
     "dedup_exact_keep": DEDUP_EXACT_KEEP_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,
+    "ngram_jaccard_prefix": NGRAM_JACCARD_ORACLE,
     "token_stats": TOKEN_STATS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "language_id": LANGUAGE_ID_ORACLE,

@@ -241,3 +241,25 @@ def test_audio_stub(spark):
 
     with pytest.raises(Exception):
         extract_audio_features(df, fake=False).collect()
+
+
+def test_ngram_prefix_filter_matches_plain(spark):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "spark engines process completely different content"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        plain = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                 for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold=t).collect()}
+        pref = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in ngram_jaccard_pairs_prefix(df, "doc_id", "text", threshold=t).collect()}
+        assert plain == pref and plain
