@@ -50,8 +50,10 @@ def statistic_agg(statistic: str, col: Column, *, approx: bool = False) -> Colum
     raise ValueError(f"unsupported statistic: {statistic!r}")
 
 
-def all_statistics_struct(col: Column, percentiles: list[float] | None = None) -> Column:
-    """One-pass computation of every base statistic (plus optional exact
+def all_statistics_struct(
+    col: Column, percentiles: list[float] | None = None, *, approx: bool = False
+) -> Column:
+    """One-pass computation of every base statistic (plus optional
     percentiles) as a struct.
 
     This is the scale pattern: instead of one shuffle per distinct statistic,
@@ -59,6 +61,10 @@ def all_statistics_struct(col: Column, percentiles: list[float] | None = None) -
     base stats map-side-combinable, then select the declared statistic with a
     CASE against the (broadcast) defs table. See
     ``operators.metrics.compute_metric_windows``.
+
+    ``approx=True`` computes percentiles with the ``percentile_approx``
+    sketch — constant memory per group, and the only percentile form legal
+    inside a streaming aggregation (exact percentile buffers unboundedly).
     """
     fields = [
         F.sum(col).alias("Sum"),
@@ -68,7 +74,13 @@ def all_statistics_struct(col: Column, percentiles: list[float] | None = None) -
         F.count(col).cast("double").alias("SampleCount"),
     ]
     if percentiles:
-        fields.append(F.percentile(col, F.array(*[F.lit(p) for p in percentiles])).alias("Percentiles"))
+        pct_arr = F.array(*[F.lit(p) for p in percentiles])
+        pct = (
+            F.percentile_approx(col, pct_arr).cast("array<double>")
+            if approx
+            else F.percentile(col, pct_arr)
+        )
+        fields.append(pct.alias("Percentiles"))
     return F.struct(*fields)
 
 

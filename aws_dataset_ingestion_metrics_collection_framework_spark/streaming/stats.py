@@ -37,16 +37,15 @@ def streaming_metric_windows(
             ``compute_metric_windows`` so downstream enrichment (J1) and the
             lake writer are shared verbatim.
 
-    Note: exact percentiles are not streamable (unbounded per-group buffers);
-    percentile stats in streaming mode use the sketch path implicitly via
-    the base-stats struct only — callers needing pNN in streaming should
-    aggregate micro-batch output in a follow-up batch pass.
+    Percentiles stream via the ``percentile_approx`` sketch (mergeable,
+    constant memory per open window — exact percentile would buffer
+    unboundedly); batch mode keeps the exact form where an oracle demands it.
     """
     w = F.window("ts", f"{period_seconds} seconds")
     return (
         raw_stream.withWatermark("ts", watermark_delay)
         .groupBy(w.alias("w"), "namespace", "name", "dimensions")
-        .agg(all_statistics_struct(F.col("value"), percentiles).alias("stats"))
+        .agg(all_statistics_struct(F.col("value"), percentiles, approx=True).alias("stats"))
         .select(
             "namespace",
             "name",

@@ -342,3 +342,33 @@ def test_streaming_sla_pipeline_end_to_end(spark, tmp_path):
         for r in evaluate_slas(series, slas).collect()
     }
     assert want <= got
+
+
+def test_streaming_percentiles_via_sketch(spark, tmp_path):
+    """pNN in streaming mode uses the mergeable percentile_approx sketch and
+    matches the batch approx path exactly (same sketch, same accuracy)."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.functions.stats import all_statistics_struct
+
+    src = tmp_path / "ev"; src.mkdir()
+    schema = _write_events(src)
+    stream = spark.readStream.schema(schema).json(str(src))
+    agg = streaming_metric_windows(stream, PERIOD, percentiles=[0.5, 0.9])
+    q = (
+        agg.writeStream.format("memory").queryName("pstats")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    _await(q)
+    got = {
+        r["window_start"]: list(r["stats"]["Percentiles"])
+        for r in spark.table("pstats").collect()
+    }
+    batch = spark.read.schema(schema).json(str(src))
+    want = {
+        r["w"]["start"]: list(r["stats"]["Percentiles"])
+        for r in batch.groupBy(F.window("ts", f"{PERIOD} seconds").alias("w"))
+        .agg(all_statistics_struct(F.col("value"), [0.5, 0.9], approx=True).alias("stats"))
+        .collect()
+    }
+    assert got == want and len(got) > 10
