@@ -75,9 +75,14 @@ def scrape_sla_table(
     alarms = alarms.withColumn("_k", parse_alarm_name(F.col("alarmname"))["alarm_key"])
     d_dims = dims_json_to_array(F.col("dimensions"))
     d_aid = alarm_unique_id_col(F.col("namespace"), F.col("name"), F.col("frequency"), d_dims)
-    defs_k = metric_defs.select(
-        d_aid.alias("_aid"), F.col("metadata").alias("_d_metadata")
-    ).select(F.expr("substring(_aid, 1, length(_aid) - 1)").alias("_k"), "_d_metadata")
+    defs_k = (
+        metric_defs.select(d_aid.alias("_aid"), F.col("metadata").alias("_d_metadata"))
+        .select(F.expr("substring(_aid, 1, length(_aid) - 1)").alias("_k"), "_d_metadata")
+        # one record per alarm even if several defs derive the same key (the
+        # reference's loop overwrites metadata; we keep one deterministic row)
+        .groupBy("_k")
+        .agg(F.max("_d_metadata").alias("_d_metadata"))
+    )
 
     joined = alarms.join(F.broadcast(defs_k), "_k", "left")
 
