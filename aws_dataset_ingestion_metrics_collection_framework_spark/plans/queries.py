@@ -1076,7 +1076,8 @@ WITH e AS (
 ),
 s AS (
   SELECT user_id, ts, value,
-         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+         CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
            AS session_id
   FROM e
 )
