@@ -114,7 +114,17 @@ def evaluate_slas(series: DataFrame, sla_defs: DataFrame, **gap_kwargs) -> DataF
         F.greatest(F.lit(1), F.size("hist") - n + 1),
         F.least(n, F.size("hist")),
     )
-    observed = F.filter(F.col("hist"), lambda x: x["value"].isNotNull())
+    # The window frame above is sized by the GLOBAL max(evaluation_periods);
+    # each SLA's IGNORE/MISSING lookback is its own n × LOOKBACK_FACTOR. The
+    # grid is dense per sla_id, so slicing the per-SLA tail of hist by slot
+    # count matches the oracle's hist[-lookback:] exactly.
+    per_sla_lb = F.greatest(n * F.lit(LOOKBACK_FACTOR), F.lit(1))
+    hist_sla = F.slice(
+        F.col("hist"),
+        F.greatest(F.lit(1), F.size("hist") - per_sla_lb + 1),
+        F.least(per_sla_lb, F.size("hist")),
+    )
+    observed = F.filter(hist_sla, lambda x: x["value"].isNotNull())
     last_n_obs = F.slice(
         observed,
         F.greatest(F.lit(1), F.size(observed) - n + 1),

@@ -128,8 +128,14 @@ def _alarm_state_fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Ite
     # through the newest arrival; emit only slots newer than last_ws (late
     # rows for already-emitted slots update history but are not re-emitted —
     # the reference likewise never retracts a published alarm state).
-    max_ws = max(max(observed, default=0), int(rows["ws"].max()))
-    min_ws = min(observed, default=max_ws)
+    # Bounds must include last_ws (a late-only batch must not shrink the
+    # watermark and re-open already-published slots) and the batch's own row
+    # timestamps (null-value rows mark grid slots without entering observed).
+    batch_min, batch_max = int(rows["ws"].min()), int(rows["ws"].max())
+    max_ws = max(batch_max, *observed.keys()) if observed else batch_max
+    if last_ws is not None:
+        max_ws = max(max_ws, int(last_ws))
+    min_ws = min(batch_min, *observed.keys()) if observed else batch_min
     slots = list(range(min_ws, max_ws + 1, period))
     states = evaluate_slots(
         observed,

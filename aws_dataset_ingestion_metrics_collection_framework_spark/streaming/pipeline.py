@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..functions.stats import pick_statistic
+from ..functions.stats import percentiles_in_defs, pick_statistic
 from ..functions.timeutil import iso8601, partition_cols
 from ..operators.metrics import series_unique_id
 from .alarm_state import streaming_alarm_states
@@ -42,15 +42,23 @@ def streaming_scrape(
     Output schema matches batch ``operators.metrics.scrape_metrics`` so the
     same lake writer and downstream consumers apply.
     """
+    defs_filtered = metric_defs.filter(
+        (F.col("frequency") == frequency) & (F.col("period") == period_seconds)
+    )
+    # Defs are bounded and tiny (broadcast below); resolve the declared pNN
+    # statistics driver-side at query-build time so the windowed aggregation
+    # carries the matching percentile_approx sketches (without this, pNN defs
+    # would silently select NULL from the stats struct).
+    pcts = percentiles_in_defs(
+        [r["statistic"] for r in defs_filtered.select("statistic").distinct().collect()]
+    )
     agg = streaming_metric_windows(
-        raw_stream, period_seconds, watermark_delay=watermark_delay
+        raw_stream, period_seconds, watermark_delay=watermark_delay, percentiles=pcts or None
     ).withColumn(
         "id",
         series_unique_id(F.col("namespace"), F.col("name"), F.lit(frequency), F.col("dimensions")),
     )
-    defs_f = metric_defs.filter(
-        (F.col("frequency") == frequency) & (F.col("period") == period_seconds)
-    ).select(
+    defs_f = defs_filtered.select(
         F.col("namespace").alias("d_namespace"),
         F.col("name").alias("d_name"),
         "period",
@@ -74,7 +82,9 @@ def streaming_scrape(
         F.col("d_dimensions").alias("dimensions"),
         F.lit(account_id).alias("accountid"),
         iso8601(F.col("window_start")).alias("metrictimestamp"),
-        pick_statistic(F.col("stats"), F.col("statistic")).cast("double").alias("metricvalue"),
+        pick_statistic(F.col("stats"), F.col("statistic"), pcts or None)
+        .cast("double")
+        .alias("metricvalue"),
         F.col("id"),
         F.col("d_name").alias("label"),
         F.lit(region).alias("region"),

@@ -155,6 +155,35 @@ def test_build_alerts(spark):
     assert "ALARM state" in payload["short_description"]
 
 
+def test_mixed_n_per_sla_lookback(spark):
+    """Two SLAs with different evaluation_periods must each use their OWN
+    n × LOOKBACK_FACTOR window for IGNORE/MISSING — not the global max.
+
+    SLA a (n=1, lookback 4) sees no observation after slot 4 and must go
+    INSUFFICIENT_DATA; a global-max window (n=3 → 12 slots) would keep the
+    slot-0 observation visible through slot 11 and wrongly carry ALARM."""
+    series = series_df(spark, [(0, 9.0), (11, 1.0)])
+    slas = spark.createDataFrame(
+        [
+            ("a", "s1", 5.0, "GREATER_THAN_THRESHOLD", 1, 1, "MISSING", PERIOD),
+            ("b", "s1", 5.0, "GREATER_THAN_THRESHOLD", 2, 3, "MISSING", PERIOD),
+        ],
+        SLA_SCHEMA,
+    )
+    out = evaluate_slas(series, slas)
+    got = {
+        sla: [r["statevalue"] for r in rows]
+        for sla, rows in (
+            (sla, sorted((r for r in out.collect() if r["sla_id"] == sla), key=lambda r: r["ws"]))
+            for sla in ("a", "b")
+        )
+    }
+    data = {0: 9.0, 11: 1.0}
+    for sla, (m, n) in (("a", (1, 1)), ("b", (2, 3))):
+        expected = oracle(data, 12, 5.0, "GREATER_THAN_THRESHOLD", m, n, "MISSING")
+        assert got[sla] == expected, (sla, got[sla], expected)
+
+
 # ----------------------------- property testing -----------------------------
 
 @settings(max_examples=15, deadline=None)

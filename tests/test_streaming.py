@@ -208,6 +208,47 @@ def test_alarm_state_incremental_matches_batch(spark, tmp_path, policy):
         assert cur["transition"] == (cur["statevalue"] != prev["statevalue"])
 
 
+def test_alarm_state_late_only_batch_no_duplicates(spark, tmp_path):
+    """A micro-batch of ONLY late rows must not shrink the emission watermark:
+    once a slot's state is published, later batches never re-emit it, and a
+    null-value row still marks its grid slot (BREACHING evaluates it)."""
+    src = tmp_path / "dp"
+    src.mkdir()
+    schema = (
+        "sla_id string, ws long, value double, threshold double, "
+        "comparison_operator string, datapoints_to_alarm int, "
+        "evaluation_periods int, treat_missing_data string, period int"
+    )
+    params = {**SLA_PARAMS, "datapoints_to_alarm": 1, "evaluation_periods": 1}
+
+    def run_inc(points, fname):
+        rows = [
+            {**_dp(s, v), **{k: params[k] for k in ("datapoints_to_alarm", "evaluation_periods")}}
+            for s, v in points
+        ]
+        (src / fname).write_text("\n".join(json.dumps(r) for r in rows))
+        stream = spark.readStream.schema(schema).json(str(src))
+        out = streaming_alarm_states(stream)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    run_inc([(0, 9.0), (1, 9.0)], "b1.json")       # emits slots 0,1
+    run_inc([(5, None)], "b2.json")                # null-value row → slots 2..5 emitted
+    run_inc([(2, 9.0)], "b3.json")                 # LATE: already-published slot
+    run_inc([(6, 9.0)], "b4.json")                 # must emit ONLY slot 6
+
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    ws_list = sorted((r["ws"] - T0_EPOCH) // PERIOD for r in rows)
+    assert ws_list == [0, 1, 2, 3, 4, 5, 6], ws_list  # each slot exactly once
+
+
 # ---------------- end-to-end streaming compositions (§3.2/§3.3) ----------------
 
 def _write_events(src, n=240):
@@ -269,6 +310,47 @@ def test_streaming_scrape_end_to_end(spark, tmp_path):
     sample = next(iter(got.values()))
     assert sample["frequency"] == "minute" and sample["statistic"] == "Sum"
     assert {"region", "year", "month", "day", "hour"} <= set(sample.asDict())
+
+
+def test_streaming_scrape_pnn_defs(spark, tmp_path):
+    """A metric def declaring a pNN statistic must flow through the streaming
+    scrape as a percentile_approx sketch — not silently emit NULLs."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.catalog import METRIC_DEFS_SCHEMA
+    from aws_dataset_ingestion_metrics_collection_framework_spark.streaming import streaming_scrape
+
+    src = tmp_path / "ev"; src.mkdir()
+    schema = _write_events(src)
+    defs = spark.createDataFrame(
+        [("App/Events", "click", "minute", 60, "p90", None, "{}",
+          "events", None, None, "1", None, None, None)],
+        METRIC_DEFS_SCHEMA,
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = streaming_scrape(
+        stream, defs, "minute", period_seconds=60, watermark_delay="0 seconds",
+        collection_time=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "metrics"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _await(q)
+    rows = spark.read.parquet(str(tmp_path / "metrics")).collect()
+    assert len(rows) > 10
+    assert all(r["metricvalue"] is not None for r in rows)
+    # values agree with the batch percentile_approx sketch per window
+    batch = spark.read.schema(schema).json(str(src))
+    want = {
+        r["w"]["start"].replace(tzinfo=UTC).strftime("%Y-%m-%dT%H:%M:%SZ"): r["p90"]
+        for r in batch.groupBy(F.window("ts", "60 seconds").alias("w"))
+        .agg(F.percentile_approx("value", 0.9).cast("double").alias("p90"))
+        .collect()
+    }
+    for r in rows:
+        ts = dt.datetime.fromisoformat(r["metrictimestamp"]).strftime("%Y-%m-%dT%H:%M:%SZ")
+        assert r["metricvalue"] == want[ts], (ts, r["metricvalue"], want[ts])
 
 
 def test_streaming_sla_pipeline_end_to_end(spark, tmp_path):
