@@ -30,6 +30,17 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 _PRIME = (1 << 31) - 1
 
 
+def md5_60bit(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT.
+
+    Cross-engine-reproducible hash: DuckDB computes the identical value as
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``, which makes operators built
+    on it fully oracle-checkable (xxhash64 has no DuckDB counterpart). 15 hex
+    digits = 60 bits < 2^63, so the cast never overflows. Slower than
+    xxhash64 — prefer the xx variants where no oracle is required."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def tokenize(text: Column) -> Column:
     """Whitespace tokenization (consistent with the DuckDB oracle's
     string_split — no empty trailing tokens)."""
@@ -349,21 +360,29 @@ def simhash64(tokens: Column) -> Column:
     return F.transform(F.array(F.struct(hashes.alias("h"))), lambda x: _sig_from(x["h"]))[0]
 
 
-def simhash_signatures_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_signatures_df(
+    df: DataFrame, id_col: str, text_col: str, *, hash_fn: str = "xx"
+) -> DataFrame:
     """(doc, sig) SimHash signatures via explode + grouped per-bit votes —
-    the bulk/scale path (one xxhash64 per token row; 64 map-side-combinable
-    SUM aggregates; shuffle independent of document length)."""
+    the bulk/scale path (one hash per token row; nbits map-side-combinable
+    SUM aggregates; shuffle independent of document length).
+
+    ``hash_fn='xx'`` → 64-bit xxhash64 signature (fastest). ``'md5'`` → a
+    60-bit signature from md5_60bit, bit-for-bit reproducible in DuckDB SQL,
+    which is what makes ``simhash_pairs`` a fully oracled query."""
+    nbits = 64 if hash_fn == "xx" else 60
+    token_hash = F.xxhash64("t") if hash_fn == "xx" else md5_60bit(F.col("t"))
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(tokenize(F.col(text_col))).alias("t")
-    ).select("doc", F.xxhash64("t").alias("h"))
+    ).select("doc", token_hash.alias("h"))
     votes = toks.groupBy("doc").agg(
         *[
             F.sum(F.getbit(F.col("h"), F.lit(i)).cast("long") * 2 - 1).alias(f"_v{i}")
-            for i in range(64)
+            for i in range(nbits)
         ]
     )
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(nbits):
         bit_val = (1 << i) if i < 63 else -(1 << 63)
         sig = sig.bitwiseOR(
             F.when(F.col(f"_v{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
@@ -380,16 +399,20 @@ def simhash_near_dup_pairs(
     *,
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ d between SimHashes.
 
-    Pigeonhole banding: split the 64-bit signature into d+1 blocks; any pair
+    Pigeonhole banding: split the signature into d+1 blocks; any pair
     within distance d agrees exactly on ≥1 block → join on (block_idx,
-    block_value), verify Hamming via bit_count(xor).
+    block_value), verify Hamming via bit_count(xor). (The pigeonhole holds
+    even when nbits isn't divisible by d+1: the blocks are disjoint, so ≤ d
+    differing bits leave at least one block untouched.)
     """
+    nbits = 64 if hash_fn == "xx" else 60
     blocks = max_hamming + 1
-    width = 64 // blocks
-    sigs = simhash_signatures_df(df, id_col, text_col)
+    width = max(nbits // blocks, 1)
+    sigs = simhash_signatures_df(df, id_col, text_col, hash_fn=hash_fn)
     block_structs = [
         F.struct(
             F.lit(b).alias("block"),
@@ -516,28 +539,58 @@ def ngram_jaccard_pairs_prefix(
 
 
 def embedding_near_dup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, *, threshold: float = 0.95, n_planes: int = 8, seed: int = 7
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    seed: int = 7,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
     Scale path: random-hyperplane LSH bucket join (bucket = sign bits of
     n_planes projections → expected pair reduction 2^n_planes for random
-    data) then exact cosine verification inside buckets. High thresholds
-    keep recall high (collision prob per plane = 1 - θ/π).
+    data per table) then exact cosine verification inside buckets. Recall
+    per pair is 1-(1-p^n_planes)^n_tables with p = 1-θ/π: high thresholds
+    need few planes/tables; moderate thresholds (θ near π/3) want fewer
+    planes and more independent tables. Candidate generation cost is linear
+    in n_tables; verification is deduped across tables.
     """
     from .similarity import cosine_similarity, random_hyperplane_bucket
 
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                random_hyperplane_bucket(
+                    F.col(vec_col), n_planes=n_planes, seed=seed + 1000 * t
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
     bucketed = df.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("v"),
-        random_hyperplane_bucket(F.col(vec_col), n_planes=n_planes, seed=seed).alias("bucket"),
-    )
+        F.explode(tables).alias("tb"),
+    ).select("doc", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     l, r = bucketed.alias("l"), bucketed.alias("r")
-    pairs = l.join(
-        r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.doc") < F.col("r.doc"))
-    ).select(
-        F.col("l.doc").alias("id_a"),
-        F.col("r.doc").alias("id_b"),
-        cosine_similarity(F.col("l.v"), F.col("r.v")).alias("cosine"),
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"))
     )
     return pairs.filter(F.col("cosine") >= threshold)

@@ -88,16 +88,21 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit document fingerprint: xxhash64 of the token stream (content-
-    defined, whitespace-insensitive), plus a winnowing-style min-hash over
-    5-gram rolling windows for robust partial-overlap detection."""
-    toks = tokenize(F.col(text_col))
-    from .dedup import word_shingles
+def fingerprint(df: DataFrame, id_col: str, text_col: str, *, hash_fn: str = "xx") -> DataFrame:
+    """Document fingerprint: hash of the token stream (content-defined,
+    whitespace-insensitive), plus a winnowing-style min-hash over 5-gram
+    rolling windows for robust partial-overlap detection.
 
+    ``hash_fn='xx'`` → xxhash64 (fastest, 64-bit). ``'md5'`` → md5_60bit,
+    reproducible in DuckDB SQL so the declared ``fingerprint`` query is
+    fully oracled (same values, independent engine)."""
+    from .dedup import md5_60bit, word_shingles
+
+    h = F.xxhash64 if hash_fn == "xx" else md5_60bit
+    toks = tokenize(F.col(text_col))
     grams = word_shingles(toks, 5)
     return df.select(
         F.col(id_col),
-        F.xxhash64(F.array_join(toks, " ")).alias("content_hash"),
-        F.array_min(F.transform(grams, lambda g: F.xxhash64(g))).alias("min_gram_hash"),
+        h(F.array_join(toks, " ")).alias("content_hash"),
+        F.array_min(F.transform(grams, lambda g: h(g))).alias("min_gram_hash"),
     )
