@@ -154,7 +154,46 @@ def evaluate_slas(series: DataFrame, sla_defs: DataFrame, **gap_kwargs) -> DataF
         .when(in_alarm, F.lit("ALARM"))
         .otherwise(F.lit("OK"))
     )
-    return df.withColumn("statevalue", state).drop("hist")
+    # statereason — CloudWatch composes a human-readable reason stored in the
+    # slas table (ref:cdk_constructs/glue_catalog_construct.py:186-191,
+    # scraped verbatim at ref:lambda/sla_stream_producer.py:61-88). The
+    # evaluator synthesizes the same shape from the decision internals.
+    breaches = (
+        F.when(policy == "NOT_BREACHING", breaches_grid)
+        .when(policy == "BREACHING", breaches_grid_or_missing)
+        .otherwise(breaches_obs)
+    )
+    n_eval = (
+        F.when(policy.isin("IGNORE", "MISSING"), n_obs).otherwise(F.size(last_n_grid))
+    )
+    phrase = (
+        F.when(F.col("comparison_operator") == "GREATER_THAN_THRESHOLD", F.lit("greater than"))
+        .when(
+            F.col("comparison_operator") == "GREATER_THAN_OR_EQUAL_TO_THRESHOLD",
+            F.lit("greater than or equal to"),
+        )
+        .when(F.col("comparison_operator") == "LESS_THAN_THRESHOLD", F.lit("less than"))
+        .otherwise(F.lit("less than or equal to"))
+    )
+    reason = F.when(
+        insufficient,
+        F.format_string("Insufficient Data: %d datapoints were unknown", n),
+    ).otherwise(
+        F.format_string(
+            "Threshold Crossed: %d out of the last %d datapoints were %s the "
+            "threshold (%s) (%d datapoints for ALARM)",
+            breaches,
+            n_eval,
+            phrase,
+            F.col("threshold"),
+            m,
+        )
+    )
+    return (
+        df.withColumn("statevalue", state)
+        .withColumn("statereason", reason)
+        .drop("hist")
+    )
 
 
 def state_transitions(evaluated: DataFrame) -> DataFrame:

@@ -605,6 +605,7 @@ def q_sla_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated = SLA.evaluate_slas(series, slas)
     latest = evaluated.groupBy("sla_id").agg(
         F.max_by("statevalue", "ws").alias("statevalue"),
+        F.max_by("statereason", "ws").alias("statereason"),
         F.max("ws").alias("ws"),
     )
 
@@ -622,9 +623,7 @@ def q_sla_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("NOT_BREACHING").alias("treat_missing_data"),
         F.concat(F.lit("sla_"), F.col("name")).alias("sla_id"),
     )
-    alarms = ST.build_alarm_registry(sla_meta).join(latest, "sla_id").withColumn(
-        "statereason", F.concat(F.lit("Threshold Crossed: state is "), F.col("statevalue"))
-    )
+    alarms = ST.build_alarm_registry(sla_meta).join(latest, "sla_id")
     return ST.scrape_sla_table(
         alarms,
         defs,
@@ -640,11 +639,15 @@ WITH s AS (
 ),
 latest AS (
   SELECT event_type,
-         arg_max(CASE WHEN v > 1200.005 THEN 'ALARM' ELSE 'OK' END, ws) AS statevalue
+         arg_max(CASE WHEN v > 1200.005 THEN 'ALARM' ELSE 'OK' END, ws) AS statevalue,
+         arg_max(CASE WHEN v > 1200.005 THEN 1 ELSE 0 END, ws) AS breaches
   FROM s GROUP BY 1
 ),
 named AS (
   SELECT event_type, statevalue,
+         'Threshold Crossed: ' || breaches ||
+         ' out of the last 1 datapoints were greater than the threshold (1200.005) (1 datapoints for ALARM)'
+           AS statereason,
          lower(replace('App/Events-' || event_type || '-day-EventType-' || event_type || '-', '/', '')) AS aid
   FROM latest
 )
@@ -660,7 +663,7 @@ SELECT
   'GREATER_THAN_THRESHOLD' AS "comparisonOperator",
   'NOT_BREACHING' AS treatmissingdata,
   statevalue,
-  'Threshold Crossed: state is ' || statevalue AS statereason,
+  statereason,
   '123412341234' AS accountid,
   '{"team": "data"}' AS metadata,
   'us-east-1' AS region,
@@ -764,6 +767,37 @@ SELECT
 
 def q_sla_defs_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _defs(spark)[1]
+
+
+def q_metric_defs_multi_account(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-account landscape (VERDICT r1 missing #1): the account registry
+    (accounts_config.json, ref:accounts/accounts.py shape) drives flattening
+    of EVERY streamer account's definitions into one defs table with an
+    ``account`` column, joined (broadcast) back to the registry for the
+    governance ``central`` column — no per-account jobs."""
+    from ..dsl.accounts import AccountRegistry
+
+    reg = AccountRegistry(path=os.path.join(REPO_ROOT, "definitions", "accounts_config.json"))
+    ds = DefinitionSet(accounts=reg.all_streamers(), root=os.path.join(REPO_ROOT, "definitions"))
+    defs, _ = definitions_to_dataframes(spark, ds)
+    return defs.join(F.broadcast(reg.to_dataframe(spark)), "account").select(
+        "central", "account", "namespace", "name", "frequency",
+        F.col("period").cast("int").alias("period"), "statistic",
+        "metadata", "dimensions", "metric_set", "dashboard",
+    )
+
+
+METRIC_DEFS_MULTI_ACCOUNT_ORACLE = """
+SELECT * FROM (VALUES
+  ('123412341234', '123412341234', 'AWS/Lambda', 'Invocations', 'day', 86400,
+   'Sum', '{"Thing": "foobar"}', '{"FunctionName": "hello_world"}',
+   'test_category', 'test_dashboard_category'),
+  ('123412341234', '567856785678', 'AWS/Lambda', 'Errors', 'hour', 3600,
+   'Sum', '{"Team": "member"}', '{"FunctionName": "member_fn"}',
+   'member_category', 'member_dashboard')
+) AS t(central, account, namespace, name, frequency, period, statistic,
+       metadata, dimensions, metric_set, dashboard)
+"""
 
 
 SLA_DEFS_FLAT_ORACLE = """
@@ -1421,6 +1455,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # definitions flattening (S9/S11)
     "metric_defs_flat": q_metric_defs_flat,
     "sla_defs_flat": q_sla_defs_flat,
+    "metric_defs_multi_account": q_metric_defs_multi_account,
     # dashboard report generation (F5/C1/C3)
     "dashboard_widgets": q_dashboard_widgets,
     "dashboard_report": q_dashboard_report,
@@ -1474,6 +1509,7 @@ ORACLES: dict[str, str] = {
     "alarm_roundtrip": ALARM_ROUNDTRIP_ORACLE,
     "metric_defs_flat": METRIC_DEFS_FLAT_ORACLE,
     "sla_defs_flat": SLA_DEFS_FLAT_ORACLE,
+    "metric_defs_multi_account": METRIC_DEFS_MULTI_ACCOUNT_ORACLE,
     "dashboard_widgets": DASHBOARD_WIDGETS_ORACLE,
     "dashboard_report": DASHBOARD_REPORT_ORACLE,
     "dedup_exact_stats": DEDUP_EXACT_STATS_ORACLE,

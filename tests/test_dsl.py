@@ -187,3 +187,37 @@ def test_business_metric():
     row = DefinitionSet._flatten_metric(bm, "1234")
     assert row["query"] == "SELECT count(*) FROM lineitem"
     assert json.loads(row["dataset"])["table"] == "lineitem"
+
+
+def test_account_registry():
+    from aws_dataset_ingestion_metrics_collection_framework_spark.dsl.accounts import AccountRegistry
+
+    cfg = [
+        {"central": "c1", "streamers": ["a1", "a2"], "catalogs": ["a1"]},
+        {"central": "c2", "streamers": ["b1"], "catalogs": ["b1", "b9"]},
+    ]
+    reg = AccountRegistry(config=cfg)
+    # reference-API lookups (ref:accounts/accounts.py semantics)
+    assert reg.fetch_account_central("a2") == "c1"
+    assert reg.fetch_account_central("b1") == "c2"
+    assert reg.fetch_account_central("zz") is None
+    assert reg.fetch_account_streamers("a1") == ["a1", "a2"]
+    assert reg.fetch_account_catalogs("b1") == ["b1", "b9"]
+    assert reg.all_streamers() == ["a1", "a2", "b1"]
+
+
+def test_multi_account_flattening(spark):
+    import os
+    from aws_dataset_ingestion_metrics_collection_framework_spark.dsl.accounts import AccountRegistry
+    from aws_dataset_ingestion_metrics_collection_framework_spark.dsl.loader import (
+        DefinitionSet,
+        definitions_to_dataframes,
+    )
+
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "definitions")
+    reg = AccountRegistry(path=os.path.join(root, "accounts_config.json"))
+    ds = DefinitionSet(accounts=reg.all_streamers(), root=root)
+    defs, slas = definitions_to_dataframes(spark, ds)
+    accounts = {r["account"] for r in defs.select("account").distinct().collect()}
+    assert accounts == {"123412341234", "567856785678"}
+    assert {r["account"] for r in slas.select("account").distinct().collect()} == accounts
