@@ -44,23 +44,43 @@ def run_business_metrics(
     metric_set_name: str | None = None,
     *,
     now: _dt.datetime | None = None,
+    mode: str = "distributed",
 ) -> DataFrame:
     """Execute every BusinessMetric (optionally filtered to one set — F2) and
     return the resulting ``metric_datapoints`` rows.
 
-    Each query's scalar is ``collect()[0][0]`` (A4 contract —
-    ref:glue/business_metrics.py:39-40). The driver-side loop is over
-    *definitions* (small); each query itself runs fully distributed.
+    ``mode='distributed'`` (default, the scale path): all scalar queries are
+    UNION-ALLed into ONE Spark job — Catalyst shares scans of common tables,
+    the scheduler overlaps stages, and the driver does a single collect of
+    #metrics rows. ``mode='sequential'`` is the reference-faithful compat
+    loop — one blocking ``spark.sql(q).collect()[0][0]`` round-trip per
+    metric (A4 contract, ref:glue/business_metrics.py:39-40); use it for
+    queries that are not scalar-subquery-expressible (multi-row results
+    where only the first cell counts).
     """
     now = now or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    selected = [
+        m
+        for m in metrics
+        if (metric_set_name is None or m.metric_set.name == metric_set_name)  # F2
+        and isinstance(m, BusinessMetric)  # F3
+    ]
+    if mode == "distributed":
+        scalars_by_idx = {}
+        if selected:
+            union = business_metrics_distributed(
+                spark, {str(i): m.query for i, m in enumerate(selected)}
+            )
+            scalars_by_idx = {r["name"]: r["value"] for r in union.collect()}
+        results = [(m, scalars_by_idx.get(str(i))) for i, m in enumerate(selected)]
+    else:
+        results = []
+        for metric in selected:
+            result = spark.sql(metric.query).collect()
+            results.append((metric, result[0][0] if result else None))
+
     rows = []
-    for metric in metrics:
-        if metric_set_name is not None and metric.metric_set.name != metric_set_name:
-            continue  # F2
-        if not isinstance(metric, BusinessMetric):
-            continue  # F3
-        result = spark.sql(metric.query).collect()
-        scalar = result[0][0] if result else None
+    for metric, scalar in results:
         if scalar is None:
             continue  # F7 null-result guard
         dims = (
@@ -79,9 +99,15 @@ def business_metrics_distributed(
     into one job so Catalyst shares scans of common tables and the scheduler
     overlaps stages, instead of N sequential collect() round-trips.
 
-    ``queries``: name → SQL text, each producing one scalar.
+    ``queries``: name → SQL text, each producing one scalar. Names are
+    embedded as SQL string literals, so quotes are escaped defensively
+    (names come from internal definitions, not user input — but a name like
+    ``orders' count`` must not break or inject into the generated SQL).
     """
     selects = [
-        f"SELECT '{name}' AS name, CAST(({q}) AS DOUBLE) AS value" for name, q in queries.items()
+        "SELECT '{n}' AS name, CAST(({q}) AS DOUBLE) AS value".format(
+            n=name.replace("'", "''"), q=q
+        )
+        for name, q in queries.items()
     ]
     return spark.sql(" UNION ALL ".join(selects))

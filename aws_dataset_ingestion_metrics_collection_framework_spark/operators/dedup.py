@@ -87,31 +87,72 @@ def word_shingles(tokens: Column, k: int) -> Column:
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: one representative (min id) per identical content.
 
-    Shuffles on a 64-bit content hash (plus keeps the content only for the
-    within-group min — at scale, pre-project to (id, hash) and re-join
-    winners if payloads are wide).
+    Two-phase, so the big shuffle moves only (id, 64-bit hash) — never the
+    payload — while staying EXACT under hash collisions (at billions of docs
+    a 64-bit collision is probable, so hash-only grouping would silently
+    merge distinct documents):
+
+    1. Group (id, hash): hashes seen once are unique by necessity (equal
+       content ⇒ equal hash) and resolve with zero content movement.
+    2. Hashes seen more than once — the duplicate-candidate sliver — are
+       broadcast back against the corpus; only those rows' content shuffles,
+       grouped by (hash, content) for exact equality. The hash stays the
+       shuffle key; content is the equality witness.
     """
     h = F.xxhash64(*[F.col(c) for c in content_cols])
-    return (
+    slim = df.select(F.col(id_col), h.alias("_h"))
+    by_hash = slim.groupBy("_h").agg(
+        F.min(F.col(id_col)).alias(id_col),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    singles = by_hash.filter(F.col("dup_count") == 1).select(id_col, "dup_count")
+    multi_hashes = by_hash.filter(F.col("dup_count") > 1).select("_h")
+    resolved = (
         df.withColumn("_h", h)
-        .groupBy("_h")
+        .join(F.broadcast(multi_hashes), "_h", "left_semi")
+        .groupBy("_h", *content_cols)
         .agg(
             F.min(F.col(id_col)).alias(id_col),
             F.count(F.lit(1)).alias("dup_count"),
         )
-        .drop("_h")
+        .select(id_col, "dup_count")
     )
+    return singles.unionByName(resolved)
 
 
 def exact_dedup_stats(df: DataFrame, content_cols: list[str]) -> DataFrame:
-    """Corpus-level dedup summary (total / distinct / duplicate-group counts)."""
+    """Corpus-level dedup summary (total / distinct / duplicate-group counts).
+
+    Same two-phase shape as ``exact_dedup``: hash-only counts settle the
+    hashes seen once; the duplicate-candidate sliver is re-grouped by
+    (hash, content) so collisions cannot inflate the duplicate counts."""
     h = F.xxhash64(*[F.col(c) for c in content_cols])
-    per_group = df.select(h.alias("_h")).groupBy("_h").agg(F.count(F.lit(1)).alias("n"))
-    return per_group.agg(
-        F.sum("n").cast("long").alias("n_total"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct"),
-        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long").alias("n_dup_groups"),
-        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)).cast("long").alias("n_removable"),
+    counts = df.select(h.alias("_h")).groupBy("_h").agg(F.count(F.lit(1)).alias("n"))
+    single = counts.filter(F.col("n") == 1).agg(
+        F.count(F.lit(1)).cast("long").alias("s_distinct")
+    )
+    multi_hashes = counts.filter(F.col("n") > 1).select("_h")
+    multi_groups = (
+        df.withColumn("_h", h)
+        .join(F.broadcast(multi_hashes), "_h", "left_semi")
+        .groupBy("_h", *content_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    multi = multi_groups.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("m_total"),
+        F.count(F.lit(1)).cast("long").alias("m_distinct"),
+        F.coalesce(F.sum(F.when(F.col("n") > 1, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("m_dup_groups"),
+        F.coalesce(F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("m_removable"),
+    )
+    return single.crossJoin(multi).select(
+        (F.col("s_distinct") + F.col("m_total")).alias("n_total"),
+        (F.col("s_distinct") + F.col("m_distinct")).alias("n_distinct"),
+        F.col("m_dup_groups").alias("n_dup_groups"),
+        F.col("m_removable").alias("n_removable"),
     )
 
 
