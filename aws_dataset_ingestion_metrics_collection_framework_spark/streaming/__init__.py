@@ -9,13 +9,14 @@ reference implementation and tests diff streaming output against it.
 """
 
 from .alarm_state import evaluate_slots, streaming_alarm_states
-from .ingest import read_json_lines_stream, start_ingest
+from .ingest import open_stream_channel, read_json_lines_stream, start_ingest
 from .pipeline import streaming_scrape, streaming_sla_pipeline
 from .stats import streaming_metric_windows
 
 __all__ = [
     "evaluate_slots",
     "streaming_alarm_states",
+    "open_stream_channel",
     "read_json_lines_stream",
     "start_ingest",
     "streaming_metric_windows",

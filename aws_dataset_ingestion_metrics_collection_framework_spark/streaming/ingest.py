@@ -42,6 +42,54 @@ def read_json_lines_stream(
     return reader.load(path)
 
 
+def open_stream_channel(spark: SparkSession, source: str, **options) -> DataFrame:
+    """S4 source-adapter seam: every ingest channel normalizes to a stream
+    with ONE string ``value`` column (a JSON record per row — the shape
+    Kinesis put_records delivers, ref:lambda/metric_stream_producer.py), so
+    the converting sink (``start_ingest``) is source-agnostic.
+
+    Adapters:
+    - ``file``   — JSON-lines directory (default test/dev channel);
+      options: ``path``, ``max_files_per_trigger``.
+    - ``socket`` — Spark's built-in TCP source (already one string ``value``
+      per line); options: ``host``, ``port``.
+    - ``kafka``  — the standard Kafka connector (value bytes → string);
+      options: ``bootstrap_servers``, ``topic``, plus any ``kafka.*``
+      passthroughs. Requires the spark-sql-kafka package on the classpath —
+      a deploy-time concern, the plan shape is identical. A Kinesis channel
+      deploys the same way via the spark-sql-kinesis connector with
+      ``streamName``/``region`` options.
+
+    New adapters are one ``elif``: produce a streaming DataFrame with a
+    string ``value`` column and everything downstream (corrupt-row split,
+    partitioned lake, scrape pipelines) applies unchanged.
+    """
+    if source == "file":
+        return read_json_lines_stream(
+            spark,
+            options["path"],
+            max_files_per_trigger=options.get("max_files_per_trigger"),
+        )
+    if source == "socket":
+        return (
+            spark.readStream.format("socket")
+            .option("host", options.get("host", "localhost"))
+            .option("port", options["port"])
+            .load()
+        )
+    if source == "kafka":
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", options["bootstrap_servers"])
+            .option("subscribe", options["topic"])
+        )
+        for k, v in options.items():
+            if k.startswith("kafka."):
+                reader = reader.option(k, v)
+        return reader.load().select(F.col("value").cast("string").alias("value"))
+    raise ValueError(f"unknown stream source: {source!r} (file|socket|kafka)")
+
+
 def start_ingest(
     raw: DataFrame,
     schema: StructType,

@@ -20,7 +20,7 @@ from aws_dataset_ingestion_metrics_collection_framework_spark.catalog import MET
 from aws_dataset_ingestion_metrics_collection_framework_spark.operators.metrics import compute_metric_windows
 from aws_dataset_ingestion_metrics_collection_framework_spark.operators.sla_eval import evaluate_slas
 from aws_dataset_ingestion_metrics_collection_framework_spark.streaming import (
-    read_json_lines_stream,
+    open_stream_channel,
     start_ingest,
     streaming_alarm_states,
     streaming_metric_windows,
@@ -66,7 +66,7 @@ def test_ingest_stream_good_and_corrupt_rows(spark, tmp_path):
              "{definitely not json", ""]
     (src / "batch0.json").write_text("\n".join(lines))
 
-    raw = read_json_lines_stream(spark, str(src))
+    raw = open_stream_channel(spark, "file", path=str(src))
     q = start_ingest(
         raw,
         METRICS_SCHEMA,
