@@ -37,6 +37,10 @@ HEADLINE = [
     "language_id",
     "cosine_topk",
     "sessionize",
+    # round-2 additions: oracled sketch paths + multi-table LSH
+    "simhash_pairs",
+    "cosine_pairs_lsh",
+    "fingerprint",
 ]
 
 
