@@ -1,0 +1,55 @@
+"""User-SQL corpus sanity (S1/A4/J4 surface, ref:glue/business_metrics.py:39).
+
+The value-level correctness gate for every corpus query is the DuckDB oracle
+compare (tools/compare_oracle.py, run by the driver at sf0.01). These tests
+pin the *contract*: every declared query has an oracle, the SQL texts run on
+Spark, and the relational shapes the reference's arbitrary-SQL surface must
+support (correlated subqueries, EXISTS/NOT EXISTS, CTE reuse, outer-join
+distributions, conditional aggregation) all execute and return sane rows.
+"""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from aws_dataset_ingestion_metrics_collection_framework_spark.plans import queries as Q
+
+# Queries added in r2 to complete the 22 TPC-H relational shapes.
+R2_SQL = {
+    "q02_min_cost_supplier": Q.Q02_SQL,
+    "q07_volume_shipping": Q.Q07_SQL,
+    "q08_market_share": Q.Q08_SQL,
+    "q09_product_profit": Q.Q09_SQL,
+    "q11_important_balance": Q.Q11_SQL,
+    "q12_priority_lines": Q.Q12_SQL,
+    "q13_order_distribution": Q.Q13_SQL,
+    "q14_promo_effect": Q.Q14_SQL,
+    "q15_top_supplier": Q.Q15_SQL,
+    "q17_small_qty_revenue": Q.Q17_SQL,
+    "q18_large_volume": Q.Q18_SQL,
+    "q19_discount_revenue": Q.Q19_SQL,
+    "q20_part_promotion": Q.Q20_SQL,
+    "q21_waiting_supplier": Q.Q21_SQL,
+}
+
+# Scalar-result queries may legitimately return a single NULL-bearing row at
+# tiny scale factors (empty filter ranges); everything else must emit rows.
+_SCALAR = {"q14_promo_effect", "q17_small_qty_revenue", "q19_discount_revenue"}
+
+
+def test_every_query_is_oracled():
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    missing = sorted(set(qs) - set(oracles))
+    assert missing == [], f"rows-only queries reappeared: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(R2_SQL))
+def test_r2_sql_runs_on_spark(spark, sf_dir, name):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    rows = spark.sql(R2_SQL[name]).collect()
+    if name in _SCALAR:
+        assert len(rows) == 1
+    else:
+        assert rows, f"{name} returned no rows at {sf_dir}"
