@@ -34,6 +34,7 @@ from ..functions.keys import (
 )
 from ..operators import dashboards as DB
 from ..operators import dedup as D
+from ..operators import graph as G
 from ..operators import metrics as M
 from ..operators import sessions as SS
 from ..operators import similarity as SIM
@@ -1073,6 +1074,22 @@ def q_ngram_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP assignment: PPJoin pairs closed into connected
+    components (hash-to-min DataFrame loop, operators/graph.py), every doc
+    mapped to its cluster's min doc_id. Oracled against a DuckDB recursive
+    CTE over the identical edge set — the transitive closure itself is
+    checked, not just the pair list."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs_prefix(docs, "doc_id", "text", k=3, threshold=0.8)
+    comp = G.connected_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_rep")
+    )
+
+
 NGRAM_JACCARD_ORACLE = """
 WITH toks AS (
   SELECT doc_id,
@@ -1101,6 +1118,50 @@ FROM common
 JOIN sizes na ON na.doc_id = id_a
 JOIN sizes nb ON nb.doc_id = id_b
 WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8
+"""
+
+# Transitive closure of the exact-Jaccard pairs: same shingle/pair CTEs as
+# NGRAM_JACCARD_ORACLE, then a recursive reachability fixpoint (UNION dedup
+# terminates on cycles) — min reachable id == component representative.
+DEDUP_CLUSTERS_ORACLE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+),
+e AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+  FROM e a
+  JOIN e b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN e c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT edges.dst, reach.r FROM edges JOIN reach ON reach.id = edges.src
+)
+SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id
 """
 
 
@@ -1689,6 +1750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_keep": q_dedup_exact_keep,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_allpairs": q_ngram_jaccard_allpairs,
+    "dedup_clusters": q_dedup_clusters,
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
     "language_id": q_language_id,
@@ -1755,6 +1817,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact_keep": DEDUP_EXACT_KEEP_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,
     "ngram_jaccard_allpairs": NGRAM_JACCARD_ORACLE,
+    "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
     "token_stats": TOKEN_STATS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "language_id": LANGUAGE_ID_ORACLE,

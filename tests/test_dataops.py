@@ -263,3 +263,39 @@ def test_ngram_prefix_filter_matches_plain(spark):
         pref = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
                 for r in ngram_jaccard_pairs_prefix(df, "doc_id", "text", threshold=t).collect()}
         assert plain == pref and plain
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.graph import (
+        connected_components,
+        dedup_keep_per_cluster,
+    )
+
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
+    # singleton 20
+    vertices = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(vertices, edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in [1, 2, 3, 4, 10, 11, 20]], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_keep_per_cluster(
+            docs, connected_components(vertices, edges), "doc_id"
+        ).collect()
+    )
+    assert kept == [1, 10, 20]
+
+
+def test_connected_components_no_edges(spark):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.graph import connected_components
+
+    vertices = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    comp = {r["id"]: r["component"] for r in connected_components(vertices, edges).collect()}
+    assert comp == {i: i for i in range(5)}
