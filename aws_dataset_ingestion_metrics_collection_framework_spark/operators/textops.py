@@ -106,3 +106,38 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, *, hash_fn: str = "xx
         h(F.array_join(toks, " ")).alias("content_hash"),
         F.array_min(F.transform(grams, lambda g: h(g))).alias("min_gram_hash"),
     )
+
+
+def tf_idf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 5
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1)) + 1).
+
+    Shape for scale: one shuffle to (doc, term) counts with map-side partial
+    aggregation, one slim shuffle on term for document frequency (8-byte key
+    + count), corpus size as a broadcast one-row join — no driver collect.
+    The per-doc top-k window re-uses the (doc, term) partitioning. Ranking
+    orders on the ROUNDED score (6 dp) with a term tie-break so the order is
+    reproducible across engines and runs.
+    """
+    from pyspark.sql.window import Window
+
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    ).select("doc_id", F.lower("term").alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    tfidf = F.round(
+        F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )

@@ -1165,6 +1165,40 @@ SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — distributed tf/df aggregation with
+    broadcast corpus size; ranking on rounded scores for cross-engine
+    determinism."""
+    return TX.tf_idf_top_terms(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=5
+    )
+
+
+TFIDF_TOP_TERMS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+),
+terms AS (SELECT doc_id, lower(unnest(t)) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term AS term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = TX.token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
     return out.select(
@@ -1752,6 +1786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_allpairs": q_ngram_jaccard_allpairs,
     "dedup_clusters": q_dedup_clusters,
     "token_stats": q_token_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "text_quality": q_text_quality,
     "language_id": q_language_id,
     "cosine_topk": q_cosine_topk,
@@ -1819,6 +1854,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_allpairs": NGRAM_JACCARD_ORACLE,
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
     "token_stats": TOKEN_STATS_ORACLE,
+    "tfidf_top_terms": TFIDF_TOP_TERMS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "language_id": LANGUAGE_ID_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,

@@ -299,3 +299,27 @@ def test_connected_components_no_edges(spark):
     edges = spark.createDataFrame([], "id_a long, id_b long")
     comp = {r["id"]: r["component"] for r in connected_components(vertices, edges).collect()}
     assert comp == {i: i for i in range(5)}
+
+
+def test_tfidf_top_terms(spark):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import tf_idf_top_terms
+
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry cherry date"),
+        (3, "apple apple apple apple"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tf_idf_top_terms(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc gets ≤k rows, ranks start at 1, rare terms outrank common ones
+    assert all(len(v) <= 2 for v in by_doc.values())
+    assert all(sorted(r["rank"] for r in v) == list(range(1, len(v) + 1)) for v in by_doc.values())
+    top1 = {d: v[0]["term"] for d, v in ((d, sorted(v, key=lambda r: r["rank"])) for d, v in by_doc.items())}
+    assert top1[2] == "cherry"   # tf=2 and rarer than banana for doc 2
+    assert top1[3] == "apple"    # only term
+    # df column is corpus-wide document frequency
+    apple = next(r for r in out if r["doc_id"] == 3 and r["term"] == "apple")
+    assert apple["df"] == 2 and apple["tf"] == 4
