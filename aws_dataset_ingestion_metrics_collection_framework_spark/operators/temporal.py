@@ -1,0 +1,102 @@
+"""Temporal joins the built-in DataFrame surface lacks: as-of (most recent
+prior observation) and range/bucket assignment.
+
+Both are expressed as compositions of existing operators (the brief's
+preferred strategy for custom operators), picked for their 100 TB plans:
+
+- ``as_of_join``: the naive formulation is a range join (l.ts >= r.ts →
+  max) whose join volume explodes with per-key history length. This one is
+  the union+window formulation: tag both sides, union, one shuffle on the
+  key, and a running ``last(value, ignorenulls)`` carries each right-side
+  observation forward to the left rows that follow it. Cost is a single
+  sort-shuffle of |L|+|R| rows — linear, skew handled by AQE, no
+  backward-looking join at all.
+- ``range_bucket_join``: non-equi containment against a SMALL boundary
+  table — forced broadcast so Catalyst picks BroadcastNestedLoopJoin
+  (each row scans B boundaries map-side) instead of a shuffled cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For every left row, attach the most recent right observation with
+    ``right.ts <= left.ts`` for the same ``on`` key (inclusive, like DuckDB
+    ASOF JOIN); ``asof_ts`` carries the matched observation time and the
+    value columns come back suffixed ``_asof`` (NULL when no prior
+    observation, or when older than ``tolerance_seconds``).
+
+    Determinism contract: ``right`` must be unique per (key, ts) —
+    pre-aggregate duplicates (e.g. MAX per key+ts) before calling, exactly
+    as an ASOF JOIN oracle requires.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    tagged_r = right.select(
+        F.col(on),
+        F.col(right_ts).alias(left_ts),
+        F.col(right_ts).alias("_asof_ts"),
+        *[F.col(c).alias(f"{c}_asof") for c in value_cols],
+    ).withColumn("_is_left", F.lit(0))
+    tagged_l = left.withColumn("_is_left", F.lit(1))
+    u = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+
+    # right rows sort before left rows at the same timestamp → inclusive
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(left_ts).asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [F.last(f"{c}_asof", ignorenulls=True).over(w).alias(f"{c}_asof") for c in value_cols]
+    asof_ts = F.last("_asof_ts", ignorenulls=True).over(w).alias("asof_ts")
+    out = (
+        u.select(*left.columns, "_is_left", asof_ts, *carried)
+        .filter(F.col("_is_left") == 1)
+        .drop("_is_left")
+    )
+    if tolerance_seconds is not None:
+        stale = (
+            F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("asof_ts"))
+        ) > tolerance_seconds * 1_000_000
+        out = out.select(
+            *left.columns,
+            F.when(stale, F.lit(None)).otherwise(F.col("asof_ts")).alias("asof_ts"),
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(f"{c}_asof")).alias(f"{c}_asof")
+                for c in value_cols
+            ],
+        )
+    return out
+
+
+def range_bucket_join(
+    df: DataFrame,
+    buckets: DataFrame,
+    *,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Assign each row the bucket whose [lo, hi) contains ``value_col``.
+
+    ``buckets`` must be small (boundary tables are); it is explicitly
+    broadcast so the non-equi condition executes as a map-side
+    BroadcastNestedLoopJoin — the scalable physical plan for containment
+    joins against a dimension of boundaries. Rows outside every bucket are
+    kept with NULL bucket columns (left join).
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return df.join(F.broadcast(buckets), cond, "left")

@@ -39,6 +39,7 @@ from ..operators import metrics as M
 from ..operators import sessions as SS
 from ..operators import similarity as SIM
 from ..operators import sla_eval as SLA
+from ..operators import temporal as T
 from ..operators import textops as TX
 from ..operators.business import business_metrics_distributed
 
@@ -1431,6 +1432,74 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the most recent prior (inclusive)
+    purchase value for the same user. Union+window formulation — one
+    sort-shuffle of |L|+|R| rows, no range-join explosion — checked against
+    DuckDB's native ASOF LEFT JOIN. Right side pre-aggregated to unique
+    (user, ts) per the determinism contract."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = T.as_of_join(clicks, purchases, on="user_id", value_cols=["purchase_value"])
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("purchase_value_asof", 6).alias("purchase_value"),
+        "asof_ts",
+    )
+
+
+ASOF_JOIN_ORACLE = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.ts,
+       ROUND(r.purchase_value, 6) AS purchase_value,
+       r.ts AS asof_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/containment join: event values histogrammed against a boundary
+    dimension via value >= lo AND value < hi. The boundary side is forced
+    broadcast → map-side BroadcastNestedLoopJoin (the scalable containment
+    plan), then a rollup per bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1000000.0)],
+        "bucket string, lo double, hi double",
+    )
+    joined = T.range_bucket_join(ev, buckets, value_col="value")
+    return (
+        joined.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("value_sum"),
+        )
+        .select("bucket", "n", "value_sum")
+    )
+
+
+RANGE_BUCKET_ORACLE = """
+WITH buckets(bucket, lo, hi) AS (
+  VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1000000.0)
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+FROM events LEFT JOIN buckets ON value >= lo AND value < hi
+GROUP BY bucket
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing over real data: encode document text as the
     binary payload, run the (stubbed-deterministic) feature extractor."""
@@ -1794,6 +1863,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_pairs_lsh": q_cosine_pairs_lsh,
     "sessionize": q_sessionize,
     "session_window": q_session_window,
+    "asof_join": q_asof_join,
+    "range_bucket": q_range_bucket,
     "multimodal_features": q_multimodal_features,
     "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,
@@ -1866,6 +1937,8 @@ ORACLES: dict[str, str] = {
     "lsh_ann": LSH_ANN_ORACLE,
     "ivf_ann": IVF_ANN_ORACLE,
     "sessionize": SESSIONIZE_ORACLE,
+    "asof_join": ASOF_JOIN_ORACLE,
+    "range_bucket": RANGE_BUCKET_ORACLE,
     "session_window": SESSION_WINDOW_ORACLE,
     "multimodal_features": MULTIMODAL_ORACLE,
     "audio_features": AUDIO_FEATURES_ORACLE,

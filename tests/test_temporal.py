@@ -1,0 +1,72 @@
+"""As-of and range/bucket join semantics + physical-plan checks."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators.temporal import (
+    as_of_join,
+    range_bucket_join,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_inclusive_and_ordering(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 7, _ts("2026-01-01T10:00:00")),  # exact tie with right → inclusive
+            (2, 7, _ts("2026-01-01T11:00:00")),  # after both rights → latest wins
+            (3, 7, _ts("2026-01-01T08:00:00")),  # before any right → NULL
+            (4, 9, _ts("2026-01-01T12:00:00")),  # key with no rights → NULL
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, _ts("2026-01-01T09:00:00"), 1.0),
+            (7, _ts("2026-01-01T10:00:00"), 2.0),
+        ],
+        "user_id long, ts timestamp, v double",
+    )
+    out = {r["event_id"]: r for r in as_of_join(left, right, on="user_id").collect()}
+    assert out[1]["v_asof"] == 2.0 and out[1]["asof_ts"] == _ts("2026-01-01T10:00:00")
+    assert out[2]["v_asof"] == 2.0
+    assert out[3]["v_asof"] is None and out[3]["asof_ts"] is None
+    assert out[4]["v_asof"] is None
+    assert len(out) == 4  # left rows preserved exactly
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _ts("2026-01-01T10:00:00")), (2, 7, _ts("2026-01-01T10:59:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, _ts("2026-01-01T09:59:00"), 5.0)], "user_id long, ts timestamp, v double"
+    )
+    out = {
+        r["event_id"]: r
+        for r in as_of_join(
+            left, right, on="user_id", tolerance_seconds=600
+        ).collect()
+    }
+    assert out[1]["v_asof"] == 5.0          # 1 min old — within tolerance
+    assert out[2]["v_asof"] is None         # 60 min old — stale, nulled
+    assert out[2]["asof_ts"] is None
+
+
+def test_range_bucket_join_plan_and_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, 149.9), (4, -1.0)], "id long, value double"
+    )
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0)], "bucket string, lo double, hi double"
+    )
+    out = range_bucket_join(df, buckets, value_col="value")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    got = {r["id"]: r["bucket"] for r in out.collect()}
+    assert got == {1: "low", 2: "mid", 3: "mid", 4: None}  # lo inclusive, hi exclusive

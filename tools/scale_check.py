@@ -18,6 +18,7 @@ from aws_dataset_ingestion_metrics_collection_framework_spark.plans.queries impo
 PROBES = [
     "q01_pricing_summary", "metrics_day", "sla_daily", "dedup_exact_stats",
     "minhash_pairs", "ngram_jaccard", "token_stats", "cosine_topk", "sessionize",
+    "dedup_clusters", "tfidf_top_terms",
 ]
 
 
