@@ -454,3 +454,77 @@ def test_streaming_percentiles_via_sketch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 10
+
+
+# --------------------------- streaming dedup ---------------------------
+
+def test_streaming_dedup_within_and_across_batches(spark, tmp_path):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.streaming.dedup import dedup_stream
+
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+
+    def row(doc_id, text, minute):
+        return json.dumps(
+            {"doc_id": doc_id, "text": text, "ts": f"2026-01-01T00:{minute:02d}:00Z"}
+        )
+
+    # batch0: A, B, dup-of-A (within-batch dup)
+    (src / "b0.json").write_text(
+        "\n".join([row(1, "alpha", 0), row(2, "beta", 1), row(3, "alpha", 2)])
+    )
+    # batch1 (separate micro-batch): dup-of-B within watermark + new C
+    (src / "b1.json").write_text("\n".join([row(4, "beta", 3), row(5, "gamma", 4)]))
+    # the file source orders micro-batches by modification time — pin it
+    os.utime(src / "b0.json", (1_700_000_000, 1_700_000_000))
+    os.utime(src / "b1.json", (1_700_000_100, 1_700_000_100))
+
+    schema = "doc_id long, text string, ts timestamp"
+    raw = open_stream_channel(spark, "file", path=str(src), max_files_per_trigger=1)
+    parsed = raw.select(F.from_json("value", schema).alias("r")).select("r.*")
+    deduped = dedup_stream(parsed, ["text"], event_time_col="ts", watermark="1 hour")
+
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    out = spark.sql("SELECT * FROM dedup_sink").collect()
+    # one survivor per distinct text, first arrival wins
+    assert sorted(r["text"] for r in out) == ["alpha", "beta", "gamma"]
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 5]
+
+
+def test_streaming_dedup_hash_only_matches_exact(spark, tmp_path):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.streaming.dedup import dedup_stream
+
+    src = tmp_path / "dedup_in2"
+    src.mkdir()
+    rows = [
+        json.dumps({"doc_id": i, "text": t, "ts": f"2026-01-01T00:0{i}:00Z"})
+        for i, t in enumerate(["x", "y", "x", "z", "y"])
+    ]
+    (src / "b0.json").write_text("\n".join(rows))
+
+    schema = "doc_id long, text string, ts timestamp"
+    raw = open_stream_channel(spark, "file", path=str(src))
+    parsed = raw.select(F.from_json("value", schema).alias("r")).select("r.*")
+    deduped = dedup_stream(
+        parsed, ["text"], event_time_col="ts", watermark="1 hour", hash_only=True
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    out = spark.sql("SELECT * FROM dedup_sink2").collect()
+    assert sorted(r["text"] for r in out) == ["x", "y", "z"]
+    assert "_content_hash" not in spark.sql("SELECT * FROM dedup_sink2").columns
