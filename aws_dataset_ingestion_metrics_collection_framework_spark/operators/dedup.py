@@ -636,26 +636,30 @@ def embedding_near_dup_pairs(
             for t in range(n_tables)
         ]
     )
+    # The bucket join and candidate dedup move ONLY (doc, tbl, bucket) —
+    # 24-byte rows — never the vectors: with n_tables tables each vector
+    # would otherwise ride the shuffle n_tables times. Vectors re-attach
+    # once per side after the candidate set is deduped across tables.
     bucketed = df.select(
         F.col(id_col).alias("doc"),
-        F.col(vec_col).alias("v"),
         F.explode(tables).alias("tb"),
-    ).select("doc", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    ).select("doc", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     l, r = bucketed.alias("l"), bucketed.alias("r")
-    pairs = (
+    cands = (
         l.join(
             r,
             (F.col("l.tbl") == F.col("r.tbl"))
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.doc") < F.col("r.doc")),
         )
-        .select(
-            F.col("l.doc").alias("id_a"),
-            F.col("r.doc").alias("id_b"),
-            F.col("l.v").alias("va"),
-            F.col("r.v").alias("vb"),
-        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"))
     )
     return pairs.filter(F.col("cosine") >= threshold)
