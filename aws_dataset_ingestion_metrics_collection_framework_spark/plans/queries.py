@@ -395,6 +395,43 @@ ORDER BY numwait DESC, s_name
 LIMIT 100
 """
 
+# Analytic-window corpus (§2.6): ROW_NUMBER top-n, frame-bounded moving
+# average + LAG delta, DENSE_RANK within groups — all verbatim on both
+# engines. The moving-average window is a single global sort, but over the
+# per-day AGGREGATE (thousands of rows at any corpus size), never raw facts.
+WINDOW_TOPN_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+  FROM orders
+) ranked WHERE rn <= 3
+"""
+
+WINDOW_MOVING_AVG_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY o_orderdate
+)
+SELECT d, rev,
+       ROUND(AVG(rev) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rev_ma7,
+       ROUND(rev - COALESCE(LAG(rev, 1) OVER (ORDER BY d), rev), 6) AS rev_delta
+FROM daily
+"""
+
+WINDOW_RANK_SQL = """
+SELECT n_name, r_name, total_bal,
+       CAST(DENSE_RANK() OVER (
+         PARTITION BY r_name ORDER BY total_bal DESC, n_name) AS INTEGER) AS rnk
+FROM (
+  SELECT n_name, r_name, CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  GROUP BY n_name, r_name
+) t
+"""
+
 # ROLLUP reachable through the user-SQL surface (SURVEY §2.4 note: grouping
 # sets/cube/rollup come via A4 user SQL, Catalyst-native). GROUPING() guards
 # distinguish the rollup NULLs from data NULLs for the hash compare.
@@ -1073,6 +1110,52 @@ def q_ngram_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.8
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ cardinality sketch contract: approx_count_distinct must land
+    within 5% of the exact distinct count (it is configured at 2% rsd).
+    Same recall-style oracle pattern as lsh_ann/ivf_ann: the checkable
+    scalar is exact, the sketch is gated, both hashed."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    ).select(
+        "exact_users",
+        (
+            (F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users"))
+            <= 0.05
+        ).alias("within_5pct"),
+    )
+
+
+APPROX_DISTINCT_ORACLE = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, TRUE AS within_5pct
+FROM events
+"""
+
+
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-style quantile sketch contract: percentile_approx (mergeable,
+    the streaming percentile path) within 1% relative error of the exact
+    interpolated median, which itself cross-checks DuckDB's quantile_cont."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("approx_p50"),
+    ).select(
+        "exact_p50",
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50")) / F.col("exact_p50") <= 0.01
+        ).alias("within_1pct"),
+    )
+
+
+APPROX_QUANTILE_ORACLE = """
+SELECT ROUND(quantile_cont(value, 0.5), 6) AS exact_p50, TRUE AS within_1pct
+FROM events
+"""
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1822,6 +1905,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_discount_revenue": _sql_query(Q19_SQL),
     "q20_part_promotion": _sql_query(Q20_SQL),
     "q21_waiting_supplier": _sql_query(Q21_SQL),
+    "window_topn": _sql_query(WINDOW_TOPN_SQL),
+    "window_moving_avg": _sql_query(WINDOW_MOVING_AVG_SQL),
+    "window_rank": _sql_query(WINDOW_RANK_SQL),
     "rollup_lineitem": _sql_query(ROLLUP_SQL),
     "business_scalars": lambda spark, sf: (
         register_tables(spark, sf) and None
@@ -1854,6 +1940,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_allpairs": q_ngram_jaccard_allpairs,
     "dedup_clusters": q_dedup_clusters,
+    "approx_distinct": q_approx_distinct,
+    "approx_quantile": q_approx_quantile,
     "token_stats": q_token_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "text_quality": q_text_quality,
@@ -1900,6 +1988,9 @@ ORACLES: dict[str, str] = {
     "q19_discount_revenue": Q19_SQL,
     "q20_part_promotion": Q20_SQL,
     "q21_waiting_supplier": Q21_SQL,
+    "window_topn": WINDOW_TOPN_SQL,
+    "window_moving_avg": WINDOW_MOVING_AVG_SQL,
+    "window_rank": WINDOW_RANK_SQL,
     "rollup_lineitem": ROLLUP_SQL,
     "business_scalars": BUSINESS_SCALARS_SQL,
     "metrics_day": METRICS_DAY_ORACLE,
@@ -1924,6 +2015,8 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,
     "ngram_jaccard_allpairs": NGRAM_JACCARD_ORACLE,
     "dedup_clusters": DEDUP_CLUSTERS_ORACLE,
+    "approx_distinct": APPROX_DISTINCT_ORACLE,
+    "approx_quantile": APPROX_QUANTILE_ORACLE,
     "token_stats": TOKEN_STATS_ORACLE,
     "tfidf_top_terms": TFIDF_TOP_TERMS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
