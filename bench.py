@@ -37,10 +37,16 @@ HEADLINE = [
     "language_id",
     "cosine_topk",
     "sessionize",
-    # round-2 additions: oracled sketch paths + multi-table LSH
+    # round-2 additions: oracled sketch paths. (cosine_pairs_lsh is NOT
+    # benched: its declared params form the full-equality contract — 16
+    # tables at threshold 0.5 deliberately do ~4x the crossJoin work to
+    # prove the bucket machinery exact; the correctness gate covers it.)
     "simhash_pairs",
-    "cosine_pairs_lsh",
     "fingerprint",
+    # round-2 flagship ops: component closure, temporal join, TF-IDF
+    "dedup_clusters",
+    "asof_join",
+    "tfidf_top_terms",
 ]
 
 

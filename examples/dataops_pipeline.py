@@ -1,0 +1,87 @@
+"""Training-data curation lifecycle — the LLM-pipeline operators chained
+the way a corpus build actually runs, in one script:
+
+  documents → exact dedup → near-dup pairs (PPJoin) → connected components
+  → keep one per cluster → quality/language filters → TF-IDF top terms
+  → token budget accounting; embeddings → ANN neighbor shortlist.
+
+Every stage is the declared operator from plans/queries.py — this is the
+composition story, not new code paths.
+
+Usage: python examples/dataops_pipeline.py [out_dir] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from aws_dataset_ingestion_metrics_collection_framework_spark import get_spark
+from aws_dataset_ingestion_metrics_collection_framework_spark.catalog import load_table
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators import dedup as D
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators import graph as G
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators import similarity as SIM
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators import textops as TX
+
+
+def main(out_dir: str, sf_dir: str = "/root/testdata/sf0.001") -> dict:
+    spark = get_spark(app_name="dataops-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents")
+    summary: dict = {"input_docs": docs.count()}
+
+    # 1. exact dedup (collision-safe two-phase, slim shuffle) — winners are
+    # (doc_id, dup_count); semi-join recovers the surviving rows
+    winners = D.exact_dedup(docs, ["text"], "doc_id").select("doc_id")
+    exact = docs.join(winners, "doc_id", "left_semi")
+    summary["after_exact_dedup"] = exact.count()
+
+    # 2. near-dup closure: PPJoin pairs → components → one survivor each
+    pairs = D.ngram_jaccard_pairs_prefix(exact, "doc_id", "text", k=3, threshold=0.8)
+    comps = G.connected_components(
+        exact.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    unique_docs = G.dedup_keep_per_cluster(exact, comps, "doc_id")
+    summary["after_near_dedup"] = unique_docs.count()
+
+    # 3. quality + language gates (Gopher/C4-style heuristics)
+    stats = TX.quality_score(TX.token_stats(unique_docs, "doc_id", "text"))
+    lang = TX.language_id(unique_docs, "doc_id", "text")
+    curated = (
+        unique_docs.join(stats.select("doc_id", "quality"), "doc_id")
+        .join(lang.select("doc_id", "predicted_lang"), "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("predicted_lang") != "und"))
+    )
+    summary["after_quality_gate"] = curated.count()
+
+    # 4. corpus descriptors: token budget + top TF-IDF terms
+    budget = curated.join(
+        TX.token_stats(curated, "doc_id", "text").select("doc_id", "n_tokens"), "doc_id"
+    ).agg(F.sum("n_tokens").alias("total_tokens"))
+    summary["total_tokens"] = budget.collect()[0]["total_tokens"]
+    top_terms = TX.tf_idf_top_terms(curated, "doc_id", "text", k=3)
+    top_terms.write.mode("overwrite").parquet(os.path.join(out_dir, "top_terms"))
+
+    # 5. embedding-space neighbor shortlist (LSH ANN over the scale path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    shortlist = SIM.lsh_ann_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=3, n_planes=4, n_tables=4
+    )
+    shortlist.write.mode("overwrite").parquet(os.path.join(out_dir, "ann_shortlist"))
+    summary["ann_rows"] = spark.read.parquet(os.path.join(out_dir, "ann_shortlist")).count()
+
+    curated.select("doc_id", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "curated_docs"))
+    return summary
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/dataops_out"
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+    print(json.dumps(main(out, sf)))

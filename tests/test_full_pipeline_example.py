@@ -16,3 +16,21 @@ def test_full_pipeline_example(spark, sf_dir, tmp_path):
     assert set(summary["sla_states"]) <= {"OK", "ALARM", "INSUFFICIENT_DATA"}
     assert summary["slas_rows"] == 5
     assert summary["dashboards"] == 1
+
+
+def test_dataops_pipeline_example(spark, sf_dir, tmp_path):
+    import dataops_pipeline
+
+    summary = dataops_pipeline.main(str(tmp_path), sf_dir)
+    assert summary["input_docs"] > 0
+    # each gate only ever shrinks the corpus
+    assert (
+        summary["input_docs"]
+        >= summary["after_exact_dedup"]
+        >= summary["after_near_dedup"]
+        >= summary["after_quality_gate"]
+        > 0
+    )
+    assert summary["total_tokens"] > 0
+    assert summary["ann_rows"] > 0
+    assert os.path.isdir(os.path.join(str(tmp_path), "curated_docs"))
