@@ -323,3 +323,36 @@ def test_tfidf_top_terms(spark):
     # df column is corpus-wide document frequency
     apple = next(r for r in out if r["doc_id"] == 3 and r["term"] == "apple")
     assert apple["df"] == 2 and apple["tf"] == 4
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.graph import connected_components
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(5, 50))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        # plain union-find oracle
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
+
+        vdf = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edf = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+        got = {r["id"]: r["component"] for r in connected_components(vdf, edf).collect()}
+        assert got == expected, f"trial {trial} mismatch"

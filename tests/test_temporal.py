@@ -70,3 +70,57 @@ def test_range_bucket_join_plan_and_semantics(spark):
     assert "BroadcastNestedLoopJoin" in plan
     got = {r["id"]: r["bucket"] for r in out.collect()}
     assert got == {1: "low", 2: "mid", 3: "mid", 4: None}  # lo inclusive, hi exclusive
+
+
+# ------------------------- property tests (oracles) -------------------------
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 50), st.integers(0, 100)),
+        min_size=1, max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 50)),
+        min_size=1, max_size=25, unique=True,
+    ),
+)
+def test_asof_matches_pandas_merge_asof(spark, right_rows, left_rows):
+    base = 1_700_000_000
+    # unique (key, ts) on the right per the determinism contract
+    rdict = {}
+    for key, toff, val in right_rows:
+        rdict[(key, toff)] = val
+    right_pd = pd.DataFrame(
+        [
+            {"k": k, "ts": pd.Timestamp(base + toff, unit="s", tz="UTC"), "v": float(val)}
+            for (k, toff), val in rdict.items()
+        ]
+    )
+    left_pd = pd.DataFrame(
+        [
+            {"lid": i, "k": k, "ts": pd.Timestamp(base + toff, unit="s", tz="UTC")}
+            for i, (k, toff) in enumerate(left_rows)
+        ]
+    )
+    expected = pd.merge_asof(
+        left_pd.sort_values(["ts", "lid"]),
+        right_pd.sort_values("ts"),
+        on="ts", by="k", direction="backward", allow_exact_matches=True,
+    ).set_index("lid")["v"]
+
+    left = spark.createDataFrame(left_pd, "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(right_pd, "k long, ts timestamp, v double")
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.temporal import as_of_join
+
+    got = {
+        r["lid"]: r["v_asof"]
+        for r in as_of_join(left, right, on="k").collect()
+    }
+    for lid, exp in expected.items():
+        g = got[lid]
+        assert (pd.isna(exp) and g is None) or (g is not None and g == exp)
