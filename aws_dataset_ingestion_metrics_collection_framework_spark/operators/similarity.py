@@ -120,20 +120,26 @@ def build_ivf_index(
     centroids = seeds
 
     def assign(cents: DataFrame) -> DataFrame:
-        rows = cents.orderBy("list_id").collect()
-        cent_arr = F.array(
-            *[
-                F.struct(
-                    cosine_similarity(
-                        F.col("v"), F.array(*[F.lit(float(x)) for x in r["centroid"]])
-                    ).alias("cos"),
-                    F.lit(int(r["list_id"])).alias("list_id"),
-                )
-                for r in rows
-            ]
+        # Centroids travel as DATA in a broadcast one-row array, not as plan
+        # literals: n_lists × dim no longer inflates the query plan (the r1
+        # review's plan-size risk), and the argmax stays a map-side pass —
+        # no per-row centroid duplication, no shuffle.
+        cent_arr_df = cents.agg(
+            F.array_sort(F.collect_list(F.struct("list_id", "centroid"))).alias("_cents")
         )
-        return c.withColumn("_best", F.array_max(cent_arr)).select(
-            "cid", "v", F.col("_best.list_id").alias("list_id")
+        best = F.array_max(
+            F.transform(
+                F.col("_cents"),
+                lambda s: F.struct(
+                    cosine_similarity(F.col("v"), s["centroid"]).alias("cos"),
+                    s["list_id"].alias("list_id"),
+                ),
+            )
+        )
+        return (
+            c.crossJoin(F.broadcast(cent_arr_df))
+            .withColumn("_best", best)
+            .select("cid", "v", F.col("_best.list_id").alias("list_id"))
         )
 
     assignments = assign(centroids)
@@ -174,35 +180,37 @@ def ivf_ann_topk(
     Expected cost ≈ (n_probe / n_lists) of brute force; recall rises with
     n_probe (n_probe = n_lists degenerates to exact search). The list join is
     a shuffle-partitioned equi-join on list_id — no cross join — and the
-    centroid table is collected to literals (n_lists × dim doubles, tiny).
+    centroid table rides a broadcast one-row array (plan size stays O(1)
+    however large n_lists × dim grows).
     """
     centroids, assignments = build_ivf_index(
         corpus, corpus_id=corpus_id, vec_col=vec_col, n_lists=n_lists, kmeans_iters=kmeans_iters
     )
-    rows = centroids.orderBy("list_id").collect()
-    cent_arr = F.array(
-        *[
-            F.struct(
-                cosine_similarity(
-                    F.col("qv"), F.array(*[F.lit(float(x)) for x in r["centroid"]])
-                ).alias("cos"),
-                F.lit(int(r["list_id"])).alias("list_id"),
-            )
-            for r in rows
-        ]
+    cent_arr_df = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("list_id", "centroid"))).alias("_cents")
+    )
+    scored_cents = F.transform(
+        F.col("_cents"),
+        lambda s: F.struct(
+            cosine_similarity(F.col("qv"), s["centroid"]).alias("cos"),
+            s["list_id"].alias("list_id"),
+        ),
     )
     probes = (
         queries.select(
             F.col(query_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
         )
+        .crossJoin(F.broadcast(cent_arr_df))
         .withColumn(
             "list_id",
             F.explode(
                 F.transform(
-                    F.slice(F.sort_array(cent_arr, asc=False), 1, n_probe), lambda s: s["list_id"]
+                    F.slice(F.sort_array(scored_cents, asc=False), 1, n_probe),
+                    lambda s: s["list_id"],
                 )
             ),
         )
+        .drop("_cents")
     )
     cand = probes.join(
         assignments.select(
