@@ -528,3 +528,54 @@ def test_streaming_dedup_hash_only_matches_exact(spark, tmp_path):
     out = spark.sql("SELECT * FROM dedup_sink2").collect()
     assert sorted(r["text"] for r in out) == ["x", "y", "z"]
     assert "_content_hash" not in spark.sql("SELECT * FROM dedup_sink2").columns
+
+
+# ----------------------- S4 socket adapter (seam) -----------------------
+
+def test_socket_channel_delivers_value_rows(spark, tmp_path):
+    """The socket adapter of open_stream_channel yields the same one-string-
+    ``value``-column shape as the file channel — the S4 seam contract —
+    against a real TCP server."""
+    import socket
+    import threading
+    import time
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    payload = [json.dumps({"doc_id": i, "text": f"t{i}"}) for i in range(3)]
+    conns = []
+
+    def serve():
+        conn, _ = server.accept()
+        conns.append(conn)
+        conn.sendall(("\n".join(payload) + "\n").encode())
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    raw = open_stream_channel(spark, "socket", host="127.0.0.1", port=port)
+    assert raw.columns == ["value"]
+    q = (
+        raw.writeStream.format("memory")
+        .queryName("socket_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "socket_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) FROM socket_sink").collect()[0][0] >= 3:
+                break
+            time.sleep(0.5)
+        rows = sorted(r["value"] for r in spark.sql("SELECT * FROM socket_sink").collect())
+        assert rows == sorted(payload)
+    finally:
+        q.stop()
+        for c in conns:
+            c.close()
+        server.close()
