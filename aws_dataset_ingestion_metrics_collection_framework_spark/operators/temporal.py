@@ -100,3 +100,32 @@ def range_bucket_join(
     """
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return df.join(F.broadcast(buckets), cond, "left")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    salt_source: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with manual key salting for pathologically skewed keys.
+
+    AQE's skew-join split handles most imbalance at runtime; this is the
+    explicit variant for keys so hot that even split partitions overwhelm a
+    task (the classic power-law join key). The big side spreads each key
+    over ``n_salts`` sub-keys via a DETERMINISTIC salt — ``pmod(xxhash64(
+    salt_source), n)`` of a caller-named column, never a random() that
+    breaks task-retry idempotence — and the small side replicates each row
+    n_salts times, so every (key, salt) pair finds its match. Output equals
+    the plain join exactly; shuffle skew drops by ~n_salts.
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts)).cast("int")
+    big_s = big.withColumn("_salt", salt)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = big_s.join(small_s, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -124,3 +124,26 @@ def test_asof_matches_pandas_merge_asof(spark, right_rows, left_rows):
     for lid, exp in expected.items():
         g = got[lid]
         assert (pd.isna(exp) and g is None) or (g is not None and g == exp)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.temporal import salted_join
+
+    # one pathologically hot key (90% of rows) + a long tail
+    big = spark.createDataFrame(
+        [(i, 1 if i % 10 else 2, f"p{i}") for i in range(1000)],
+        "row_id long, k long, payload string",
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unmatched")], "k long, label string")
+
+    plain = {(r["row_id"], r["label"]) for r in big.join(small, "k").collect()}
+    salted = {
+        (r["row_id"], r["label"])
+        for r in salted_join(big, small, "k", salt_source="row_id", n_salts=8).collect()
+    }
+    assert salted == plain and len(plain) == 1000
+
+    # left join keeps unmatched big rows exactly once
+    lp = big.join(small, "k", "left").count()
+    ls = salted_join(big, small, "k", salt_source="row_id", how="left").count()
+    assert lp == ls == 1000
