@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted for sketch/LSH internals →
-    driver records rows-only checks for those)."""
+    """DuckDB-equivalent SQL per query — every declared query is oracled:
+    exact SQL where expressible, semantic contracts (equality vs exact
+    baselines, recall/error gates) for sketch/LSH internals."""
     return dict(ORACLES)
