@@ -446,6 +446,17 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY returnflag, linestatus
 """
 
+CUBE_SQL = """
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
 # Business-metric scalar corpus (A4 contract: each subquery → one scalar).
 _BUSINESS_SCALARS = {
     "lineitem_count": "SELECT COUNT(*) FROM lineitem",
@@ -1909,6 +1920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_moving_avg": _sql_query(WINDOW_MOVING_AVG_SQL),
     "window_rank": _sql_query(WINDOW_RANK_SQL),
     "rollup_lineitem": _sql_query(ROLLUP_SQL),
+    "cube_lineitem": _sql_query(CUBE_SQL),
     "business_scalars": lambda spark, sf: (
         register_tables(spark, sf) and None
     ) or business_metrics_distributed(spark, _BUSINESS_SCALARS),
@@ -1992,6 +2004,7 @@ ORACLES: dict[str, str] = {
     "window_moving_avg": WINDOW_MOVING_AVG_SQL,
     "window_rank": WINDOW_RANK_SQL,
     "rollup_lineitem": ROLLUP_SQL,
+    "cube_lineitem": CUBE_SQL,
     "business_scalars": BUSINESS_SCALARS_SQL,
     "metrics_day": METRICS_DAY_ORACLE,
     "metrics_day_p50": METRICS_DAY_P50_ORACLE,

@@ -579,3 +579,63 @@ def test_socket_channel_delivers_value_rows(spark, tmp_path):
         for c in conns:
             c.close()
         server.close()
+
+
+# ------------------- streaming sessionization (session_window) -------------------
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """session_window under readStream+watermark produces exactly the batch
+    sessions once the watermark passes (the docstring claim on
+    q_session_window, pinned)."""
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    # two sessions per user: events at 0/10/20 min, then a 90-min gap
+    lines = [
+        json.dumps({"user_id": uid,
+                    "ts": (T0 + dt.timedelta(minutes=m)).strftime("%Y-%m-%d %H:%M:%S"),
+                    "value": 1.5})
+        for uid in (1, 2)
+        for m in (0, 10, 20, 110, 115)
+    ]
+    # a final late-horizon event pushes the watermark past every session
+    lines.append(json.dumps({"user_id": 99,
+                             "ts": (T0 + dt.timedelta(hours=12)).strftime("%Y-%m-%d %H:%M:%S"),
+                             "value": 0.0}))
+    (src / "all.json").write_text("\n".join(lines))
+    schema = "user_id long, ts timestamp, value double"
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    agg = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy("user_id", F.session_window("ts", "1800 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("value_sum"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"),
+                "n_events", "value_sum")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        (r["user_id"], r["s"], r["e"], r["n_events"], r["value_sum"])
+        for r in spark.sql("SELECT * FROM sess_sink").collect()
+    }
+    batch = spark.read.schema(schema).json(str(src))
+    want = {
+        (r["user_id"], r["s"], r["e"], r["n_events"], r["value_sum"])
+        for r in batch.groupBy("user_id", F.session_window("ts", "1800 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("value_sum"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"),
+                "n_events", "value_sum")
+        .collect()
+    }
+    # streaming emits only watermark-closed sessions; the sentinel's own
+    # session may be withheld — every batch session for users 1/2 must appear
+    want_12 = {t for t in want if t[0] in (1, 2)}
+    got_12 = {t for t in got if t[0] in (1, 2)}
+    assert got_12 == want_12 and len(want_12) == 4
