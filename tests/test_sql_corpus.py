@@ -53,3 +53,27 @@ def test_r2_sql_runs_on_spark(spark, sf_dir, name):
         assert len(rows) == 1
     else:
         assert rows, f"{name} returned no rows at {sf_dir}"
+
+
+def test_no_cartesian_product_in_sql_corpus_plans(spark, sf_dir):
+    """Planning guard: every SQL-corpus query must resolve its joins to
+    hash/broadcast/sort-merge strategies — a CartesianProduct appearing in
+    any of these plans means a join condition was lost."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.catalog import register_tables
+    from aws_dataset_ingestion_metrics_collection_framework_spark.plans import queries as Q
+
+    register_tables(spark, sf_dir)
+    corpus = {
+        name: sql
+        for name, sql in Q.ORACLES.items()
+        if name.startswith(("q", "window_", "rollup", "cube"))
+        and name in Q.QUERIES
+        and Q.QUERIES[name].__name__ == "run"  # _sql_query-wrapped → same text
+    }
+    assert len(corpus) >= 25
+    offenders = []
+    for name, sql in corpus.items():
+        plan = spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []
