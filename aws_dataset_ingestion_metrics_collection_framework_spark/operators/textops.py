@@ -141,3 +141,45 @@ def tf_idf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (context-window
+    prep: chunk k covers tokens [k*step, k*step + chunk_tokens) with
+    step = chunk_tokens - overlap; the tail chunk is short, empty docs emit
+    no chunks).
+
+    Map-only: tokenize → explode the start offsets → slice. No shuffle at
+    all — chunking 100 TB is a pure scan whose output partitioning follows
+    the input, which is exactly what the downstream embed/tokenize stage
+    wants.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokenize(F.col(text_col))
+    exploded = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select(
+            F.col(id_col),
+            "_t",
+            F.explode(
+                F.sequence(F.lit(0), F.size("_t") - 1, F.lit(step))
+            ).alias("_s"),
+        )
+    )
+    chunk = F.slice(F.col("_t"), F.col("_s") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        (F.col("_s") / step).cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

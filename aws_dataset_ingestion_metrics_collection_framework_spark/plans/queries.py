@@ -1294,6 +1294,34 @@ SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token chunks, 8-token overlap — map-only
+    (tokenize → explode starts → slice), zero shuffle at any corpus size."""
+    return TX.chunk_documents(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_tokens=32, overlap=8,
+    )
+
+
+CHUNK_DOCUMENTS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS s
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(s / 24 AS INTEGER) AS chunk_id,
+       CAST(len(list_slice(t, s + 1, s + 32)) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text
+FROM starts
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = TX.token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
     return out.select(
@@ -1956,6 +1984,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_quantile": q_approx_quantile,
     "token_stats": q_token_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "chunk_documents": q_chunk_documents,
     "text_quality": q_text_quality,
     "language_id": q_language_id,
     "cosine_topk": q_cosine_topk,
@@ -2032,6 +2061,7 @@ ORACLES: dict[str, str] = {
     "approx_quantile": APPROX_QUANTILE_ORACLE,
     "token_stats": TOKEN_STATS_ORACLE,
     "tfidf_top_terms": TFIDF_TOP_TERMS_ORACLE,
+    "chunk_documents": CHUNK_DOCUMENTS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "language_id": LANGUAGE_ID_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,

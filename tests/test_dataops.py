@@ -356,3 +356,28 @@ def test_connected_components_matches_union_find(spark):
         edf = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
         got = {r["id"]: r["component"] for r in connected_components(vdf, edf).collect()}
         assert got == expected, f"trial {trial} mismatch"
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "solo"), (3, "  ")], "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc1: step 3 → starts 0,3,6,9 → chunks of 4,4,4,1 tokens
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4, 1]
+    assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert c1[1]["chunk_text"] == "w3 w4 w5 w6"  # 1-token overlap
+    assert c1[3]["chunk_text"] == "w9"
+    # single-token doc → one chunk; whitespace-only doc → no chunks
+    assert [r["chunk_text"] for r in by_doc[2]] == ["solo"]
+    assert 3 not in by_doc
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
