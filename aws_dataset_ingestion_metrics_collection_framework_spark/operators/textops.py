@@ -183,3 +183,38 @@ def chunk_documents(
         F.size(chunk).cast("int").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repetition metrics per document (the Gopher-style duplicate-n-gram
+    filters): 2-gram count, distinct ratio, and the fraction held by the
+    single most repeated 2-gram. Low distinct ratio / high top fraction
+    flags boilerplate and degenerate repetition.
+
+    Explode + two-level aggregation (map-side combine on (doc, gram), then
+    per-doc rollup) — the scalable shape for per-group top counts; docs
+    with fewer than two tokens have no 2-grams and emit no row.
+    """
+    from .dedup import bind_once
+
+    def raw_2grams(toks: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        )
+        return F.when(F.size(toks) >= 2, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(bind_once(tokenize(F.col(text_col)), raw_2grams)).alias("g"),
+    )
+    counts = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt")
+    return counts.groupBy(id_col).agg(
+        total.cast("long").alias("n_2grams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_2grams"),
+        F.round(F.count(F.lit(1)) / total.cast("double"), 6).alias("distinct_ratio"),
+        F.round(F.max("cnt") / total.cast("double"), 6).alias("top_2gram_frac"),
+    )

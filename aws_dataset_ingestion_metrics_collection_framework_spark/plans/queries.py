@@ -1322,6 +1322,37 @@ FROM starts
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics: duplicate-2-gram ratios per doc."""
+    return TX.repetition_stats(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+REPETITION_STATS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+),
+e AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+),
+g AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS g
+  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_2grams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_2grams,
+       ROUND(COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 6) AS distinct_ratio,
+       ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_2gram_frac
+FROM c GROUP BY doc_id
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = TX.token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
     return out.select(
@@ -1985,6 +2016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "chunk_documents": q_chunk_documents,
+    "repetition_stats": q_repetition_stats,
     "text_quality": q_text_quality,
     "language_id": q_language_id,
     "cosine_topk": q_cosine_topk,
@@ -2062,6 +2094,7 @@ ORACLES: dict[str, str] = {
     "token_stats": TOKEN_STATS_ORACLE,
     "tfidf_top_terms": TFIDF_TOP_TERMS_ORACLE,
     "chunk_documents": CHUNK_DOCUMENTS_ORACLE,
+    "repetition_stats": REPETITION_STATS_ORACLE,
     "text_quality": TEXT_QUALITY_ORACLE,
     "language_id": LANGUAGE_ID_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,

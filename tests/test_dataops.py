@@ -381,3 +381,23 @@ def test_chunk_documents_overlap_and_tail(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_repetition_stats(spark):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),       # grams: ab,ba,ab,ba,ab → top 'a b' 3/5
+            (2, "all distinct words here"),
+            (3, "solo"),               # <2 tokens → no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert 3 not in out
+    r1 = out[1]
+    assert r1["n_2grams"] == 5 and r1["n_distinct_2grams"] == 2
+    assert r1["top_2gram_frac"] == 0.6
+    r2 = out[2]
+    assert r2["n_2grams"] == 3 and r2["distinct_ratio"] == 1.0
