@@ -1,21 +1,39 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step itself is STUBBED (image/audio libraries are not in this
-container): ``decode_image_batch`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder produces stable
-feature rows — the Spark-side plumbing (schema, batch iteration, partition
-pass-through, column pruning before the UDF) is real and tested.
+The decode step is REAL for public container formats parseable with the
+stdlib alone (no PIL/libvips/soundfile in this container):
 
-Scale notes: binary payloads never shuffle — metadata extraction happens in
-a map-only stage; downstream joins/aggregations use only the extracted
-columns. ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch
-memory for large blobs.
+* **PNG** — full decode for 8-bit grayscale (color type 0) and 8-bit RGB
+  (color type 2): IHDR parsing, zlib-inflated IDAT, scanline unfiltering
+  (all five PNG filter types), BT.601 luma for RGB.
+* **BMP** — full decode for uncompressed 24-bit (BI_RGB): BITMAPINFOHEADER
+  parsing, bottom-up padded-row pixel walk, BT.601 luma.
+* **GIF** — header decode (logical screen width/height); pixel decode would
+  need LZW so ``mean_luma`` is null for GIFs.
+* **WAV** — full decode for PCM: RIFF chunk walk, ``fmt `` (sample rate /
+  channels / bit depth), ``data`` samples, duration and RMS over samples
+  normalized to [-1, 1].
+
+``fake=True`` keeps the earlier length-only deterministic stub for
+backward-compatible plumbing tests.
+
+Mirrors the multimodal gap in the reference (it stores only opaque S3
+objects; no media handling exists in /root/reference — this is an
+extension component required by the build brief).
+
+Scale notes: binary payloads never shuffle — feature extraction happens in
+a map-only stage pruned to (id, payload) before the Python boundary;
+downstream joins/aggregations use only the extracted columns.
+``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory for
+large blobs.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import struct
+import zlib
+from typing import Iterator, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -42,10 +60,142 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# Real decoders (stdlib-only, public formats)
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filtering (spec §9, filter types 0-4)."""
+    stride = width * bpp
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        off = y * stride
+        prev_off = off - stride
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            if y > 0:
+                for i in range(stride):
+                    line[i] = (line[i] + out[prev_off + i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = out[prev_off + i] if y > 0 else 0
+                line[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = out[prev_off + i] if y > 0 else 0
+                c = out[prev_off + i - bpp] if (y > 0 and i >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[off : off + stride] = line
+    return out
+
+
+def decode_png(data: bytes) -> Tuple[int, int, Optional[float]]:
+    """Parse a PNG: returns (width, height, mean_luma in [0,1]).
+
+    Supports bit depth 8, color types 0 (grayscale) and 2 (RGB,
+    BT.601 luma). Other color types return header dims with luma=None.
+    """
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = bitd = ctype = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            width, height, bitd, ctype = struct.unpack(">IIBB", body[:10])
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bitd != 8 or ctype not in (0, 2):
+        return int(width), int(height), None
+    bpp = 1 if ctype == 0 else 3
+    pixels = _png_unfilter(zlib.decompress(bytes(idat)), width, height, bpp)
+    if ctype == 0:
+        total = sum(pixels)
+        mean = total / (width * height)
+    else:
+        # BT.601 integer-free luma: 0.299 R + 0.587 G + 0.114 B
+        r = sum(pixels[0::3])
+        g = sum(pixels[1::3])
+        b = sum(pixels[2::3])
+        mean = (0.299 * r + 0.587 * g + 0.114 * b) / (width * height)
+    return int(width), int(height), mean / 255.0
+
+
+def decode_bmp(data: bytes) -> Tuple[int, int, Optional[float]]:
+    """Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pix_off,) = struct.unpack("<I", data[10:14])
+    width, height = struct.unpack("<ii", data[18:26])
+    (bpp,) = struct.unpack("<H", data[28:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    height_abs = abs(height)
+    if bpp != 24 or compression != 0:
+        return int(width), int(height_abs), None
+    stride = (width * 3 + 3) & ~3  # rows padded to 4-byte boundary
+    acc = 0.0
+    for row in range(height_abs):
+        off = pix_off + row * stride
+        line = data[off : off + width * 3]
+        b = sum(line[0::3])
+        g = sum(line[1::3])
+        r = sum(line[2::3])
+        acc += 0.299 * r + 0.587 * g + 0.114 * b
+    return int(width), int(height_abs), acc / (width * height_abs) / 255.0
+
+
+def decode_gif(data: bytes) -> Tuple[int, int, Optional[float]]:
+    """Parse GIF87a/89a logical screen descriptor (header-only; pixel
+    decode needs LZW, out of scope → luma None)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width, height = struct.unpack("<HH", data[6:10])
+    return int(width), int(height), None
+
+
+def decode_image(data: bytes) -> Tuple[Optional[int], Optional[int], Optional[float]]:
+    """Sniff magic bytes and dispatch to the matching stdlib decoder.
+    Unknown formats yield (None, None, None) rather than failing the batch."""
+    if data[:8] == _PNG_MAGIC:
+        return decode_png(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
+    return None, None, None
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
-    """Deterministic stand-in for a real image decode: derives stable
-    pseudo-dimensions and luminance from the payload length (length-only so
-    an external SQL oracle can replicate it exactly)."""
+    """Deterministic length-only stand-in kept for plumbing tests (the
+    original r1/r2 stub contract — an external SQL oracle can replicate
+    it from the byte length alone)."""
     n = len(payload)
     width = 64 + (n % 512)
     height = 64 + ((n // 7) % 512)
@@ -56,21 +206,19 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
 def extract_image_features(df: DataFrame, *, fake: bool = False) -> DataFrame:
     """Map-only feature extraction over binary image payloads.
 
-    Real deployments replace the body of ``decode`` with PIL/libvips; the
-    batch shape, schema, and partitioning are production-ready as-is.
+    ``fake=False`` (default) runs the real stdlib decode (PNG/BMP/GIF via
+    ``decode_image``); ``fake=True`` keeps the legacy length-only stub.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decoding requires an image library not present in this "
-                    "environment; pass fake=True for the deterministic stub"
-                )
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
-                w, h, luma = _fake_decode(payload)
+                if fake:
+                    w, h, luma = _fake_decode(payload)
+                else:
+                    w, h, luma = decode_image(payload)
                 rows.append((media_id, w, h, len(payload), luma))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "n_bytes", "mean_luma"]
@@ -91,10 +239,56 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def decode_wav(data: bytes) -> Tuple[int, float, Optional[float]]:
+    """Parse a RIFF/WAVE file: returns (sample_rate, duration_s, rms).
+
+    Walks RIFF chunks; supports PCM (format 1) at 16-bit (s16le) and 8-bit
+    (u8). RMS is over samples normalized to [-1, 1]. Non-PCM or other bit
+    depths return header-derived duration with rms=None.
+    """
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt_code = channels = rate = bits = None
+    pcm = b""
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt_code, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+        elif tag == b"data":
+            pcm = body
+    if rate is None:
+        raise ValueError("WAV missing fmt chunk")
+    bytes_per_sample = (bits or 0) // 8
+    n_frames = len(pcm) // (bytes_per_sample * channels) if bytes_per_sample else 0
+    duration = n_frames / rate if rate else 0.0
+    if fmt_code != 1 or bits not in (8, 16):
+        return int(rate), duration, None
+    n = n_frames * channels
+    if n == 0:
+        return int(rate), duration, 0.0
+    if bits == 16:
+        samples = struct.unpack("<%dh" % n, pcm[: 2 * n])
+        # integer sum of squares is exact (< 2**53) → bit-reproducible RMS
+        sumsq = 0
+        for s in samples:
+            sumsq += s * s
+        rms = (sumsq / n) ** 0.5 / 32768.0
+    else:  # u8: offset-binary around 128
+        sumsq = 0
+        for s in pcm[:n]:
+            d = s - 128
+            sumsq += d * d
+        rms = (sumsq / n) ** 0.5 / 128.0
+    return int(rate), duration, rms
+
+
 def _fake_decode_audio(payload: bytes) -> tuple[int, float, float]:
-    """Deterministic stand-in for an audio decode (length-only so an external
-    SQL oracle can replicate it): fixed 16 kHz mono s16, RMS derived from the
-    byte length."""
+    """Deterministic length-only stand-in kept for plumbing tests."""
     n = len(payload)
     sample_rate = 16000
     duration_s = n / (2.0 * sample_rate)  # s16 mono
@@ -104,20 +298,18 @@ def _fake_decode_audio(payload: bytes) -> tuple[int, float, float]:
 
 def extract_audio_features(df: DataFrame, *, fake: bool = False) -> DataFrame:
     """Map-only audio feature extraction over binary payloads — same
-    plumbing contract as ``extract_image_features`` (real deployments swap
-    the decode body for soundfile/ffmpeg)."""
+    plumbing contract as ``extract_image_features``. ``fake=False``
+    (default) runs the real RIFF/WAVE PCM decode (``decode_wav``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "audio decoding requires an audio library not present in this "
-                    "environment; pass fake=True for the deterministic stub"
-                )
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
-                sr, dur, rms = _fake_decode_audio(payload)
+                if fake:
+                    sr, dur, rms = _fake_decode_audio(payload)
+                else:
+                    sr, dur, rms = decode_wav(payload)
                 rows.append((media_id, sr, dur, len(payload), rms))
             yield pd.DataFrame(
                 rows, columns=["media_id", "sample_rate", "duration_s", "n_bytes", "rms"]
@@ -126,10 +318,113 @@ def extract_audio_features(df: DataFrame, *, fake: bool = False) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Deterministic synthetic encoders (test-payload generation)
+#
+# These produce REAL container bytes (valid PNG / WAV files) whose pixel /
+# sample values follow a closed-form formula of (media_id), so an external
+# SQL oracle can recompute the decoded features exactly: the decoder must
+# invert the encoder bit-for-bit for the oracle to match.
+# ---------------------------------------------------------------------------
+
+
+def synth_png_bytes(media_id: int) -> bytes:
+    """A real 8-bit grayscale PNG: width = 4 + id%13, height = 3 + id%7,
+    pixel(x,y) = (id + 31*x + 17*y) % 256, filter type 0 scanlines."""
+    w = 4 + media_id % 13
+    h = 3 + media_id % 7
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        for x in range(w):
+            raw.append((media_id + 31 * x + 17 * y) % 256)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_wav_bytes(media_id: int, n_samples: int, rate: int = 16000) -> bytes:
+    """A real 44-byte-header PCM s16le mono WAV with
+    sample[i] = (media_id*31 + i*7) % 2001 - 1000."""
+    samples = [(media_id * 31 + i * 7) % 2001 - 1000 for i in range(n_samples)]
+    pcm = struct.pack("<%dh" % n_samples, *samples)
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+    )
+    return hdr + pcm
+
+
+def synthesize_media(df: DataFrame, *, kind: str) -> DataFrame:
+    """Attach a deterministic real-container payload per row.
+
+    ``df`` needs ``media_id`` (long); for ``kind='audio'`` also
+    ``n_samples`` (int). Runs in a map-only ``mapInPandas`` stage.
+    """
+    if kind == "image":
+        schema = T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "payload": [synth_png_bytes(int(i)) for i in pdf["media_id"]],
+                    }
+                )
+
+        return df.select("media_id").mapInPandas(run, schema)
+    if kind == "audio":
+        schema = T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "payload": [
+                            synth_wav_bytes(int(i), int(n))
+                            for i, n in zip(pdf["media_id"], pdf["n_samples"])
+                        ],
+                    }
+                )
+
+        return df.select("media_id", "n_samples").mapInPandas(run, schema)
+    raise ValueError(f"unknown media kind {kind!r}")
+
+
 def sample_frames(df: DataFrame, *, every_nth: int = 30) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits (media_id,
-    frame_idx) rows; the decode remains stubbed like images. Demonstrates
-    fan-out (one row → many) without shuffling payloads."""
+    frame_idx) rows; the video decode remains out of scope (no codec libs).
+    Demonstrates fan-out (one row → many) without shuffling payloads."""
     meta_frames = F.coalesce(
         F.get_json_object(F.col("meta"), "$.n_frames").cast("int"), F.lit(0)
     )

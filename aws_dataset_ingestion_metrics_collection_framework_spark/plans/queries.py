@@ -1654,38 +1654,57 @@ GROUP BY bucket
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing over real data: encode document text as the
-    binary payload, run the (stubbed-deterministic) feature extractor."""
-    from ..operators.multimodal import extract_image_features
+    """REAL image decode over real container bytes: synthesize a valid 8-bit
+    grayscale PNG per document (pixel values a closed-form formula of
+    doc_id), then run the stdlib PNG decoder (IHDR + zlib-inflate IDAT +
+    scanline unfilter) inside Arrow ``mapInPandas``. The oracle recomputes
+    width/height/mean-luma from the generation formula — so the decode must
+    invert the encode bit-for-bit to match. n_bytes is excluded from the
+    projection because zlib stream length is not SQL-predictable."""
+    from ..operators.multimodal import extract_image_features, synthesize_media
 
     docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+        F.col("doc_id").alias("media_id")
     )
-    out = extract_image_features(docs, fake=True)
+    media = synthesize_media(docs, kind="image")
+    out = extract_image_features(media)  # fake=False: real PNG decode
     return out.select(
-        "media_id", "width", "height", "n_bytes", F.round("mean_luma", 6).alias("mean_luma")
+        "media_id", "width", "height", F.round("mean_luma", 6).alias("mean_luma")
     )
 
 
 MULTIMODAL_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents
+), xs AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w-1)) AS x FROM dims
+), xy AS (
+  SELECT doc_id, w, h, x, unnest(generate_series(0, h-1)) AS y FROM xs
+)
 SELECT doc_id AS media_id,
-       CAST(64 + length(text) % 512 AS INTEGER) AS width,
-       CAST(64 + (length(text) // 7) % 512 AS INTEGER) AS height,
-       CAST(length(text) AS BIGINT) AS n_bytes,
-       ROUND(CAST((length(text) * 7) % 256 AS DOUBLE) / 255.0, 6) AS mean_luma
-FROM documents
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       ROUND(AVG(CAST((doc_id + 31*x + 17*y) % 256 AS DOUBLE)) / 255.0, 6) AS mean_luma
+FROM xy GROUP BY doc_id, w, h
 """
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio plumbing over real data: text bytes as payload through the
-    (stubbed-deterministic) audio extractor."""
-    from ..operators.multimodal import extract_audio_features
+    """REAL audio decode over real container bytes: synthesize a valid PCM
+    s16le mono WAV per document (sample count from text length, sample
+    values a closed-form formula of doc_id), then run the stdlib RIFF/WAVE
+    decoder (chunk walk, fmt parse, int16 RMS) inside Arrow ``mapInPandas``.
+    The oracle recomputes rate/duration/size/RMS from the generation
+    formula; integer sum-of-squares stays < 2^53 so the RMS is
+    bit-reproducible across engines."""
+    from ..operators.multimodal import extract_audio_features, synthesize_media
 
     docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+        F.col("doc_id").alias("media_id"),
+        (F.length("text") % 500 + 10).cast("int").alias("n_samples"),
     )
-    out = extract_audio_features(docs, fake=True)
+    media = synthesize_media(docs, kind="audio")
+    out = extract_audio_features(media)  # fake=False: real WAV decode
     return out.select(
         "media_id", "sample_rate", F.round("duration_s", 6).alias("duration_s"),
         "n_bytes", F.round("rms", 6).alias("rms"),
@@ -1693,12 +1712,18 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AUDIO_FEATURES_ORACLE = """
+WITH s AS (
+  SELECT doc_id, length(text) % 500 + 10 AS n FROM documents
+), samp AS (
+  SELECT doc_id, n, unnest(generate_series(0, n-1)) AS i FROM s
+)
 SELECT doc_id AS media_id,
-       16000 AS sample_rate,
-       ROUND(CAST(length(text) AS DOUBLE) / 32000.0, 6) AS duration_s,
-       CAST(length(text) AS BIGINT) AS n_bytes,
-       ROUND(CAST((length(text) * 13) % 1000 AS DOUBLE) / 1000.0, 6) AS rms
-FROM documents
+       CAST(16000 AS INTEGER) AS sample_rate,
+       ROUND(CAST(n AS DOUBLE) / 16000.0, 6) AS duration_s,
+       CAST(44 + 2*n AS BIGINT) AS n_bytes,
+       ROUND(sqrt(SUM(POW(CAST((doc_id*31 + i*7) % 2001 - 1000 AS DOUBLE), 2)) / n)
+             / 32768.0, 6) AS rms
+FROM samp GROUP BY doc_id, n
 """
 
 

@@ -219,10 +219,10 @@ def test_multimodal_stub(spark):
     assert feats[1]["width"] == 64 + 100 % 512
     frames = sample_frames(df, every_nth=30).collect()
     assert [r["frame_idx"] for r in frames] == [0, 30, 60, 90]
-    import pytest
-
-    with pytest.raises(Exception):
-        extract_image_features(df, fake=False).collect()
+    # real path: unrecognized container bytes yield null features, not a crash
+    real = {r["media_id"]: r for r in extract_image_features(df, fake=False).collect()}
+    assert real[1]["width"] is None and real[1]["mean_luma"] is None
+    assert real[1]["n_bytes"] == 100
 
 
 def test_audio_stub(spark):
@@ -239,6 +239,7 @@ def test_audio_stub(spark):
     assert feat["n_bytes"] == 32000
     import pytest
 
+    # real path: non-RIFF bytes raise (audio has no null-feature fallback)
     with pytest.raises(Exception):
         extract_audio_features(df, fake=False).collect()
 
