@@ -71,7 +71,18 @@ def run_business_metrics(
             union = business_metrics_distributed(
                 spark, {str(i): m.query for i, m in enumerate(selected)}
             )
-            scalars_by_idx = {r["name"]: r["value"] for r in union.collect()}
+            for r in union.collect():
+                if r["value"] is None and not r["raw_null"]:
+                    # The query produced a real (non-NULL) scalar that the
+                    # DOUBLE cast destroyed — silently dropping it via the
+                    # F7 guard would mask a definition bug, so fail loudly.
+                    bad = selected[int(r["name"])]
+                    raise ValueError(
+                        f"business metric {bad.name!r} returned a non-numeric "
+                        f"scalar that CAST(... AS DOUBLE) nulled; fix the query "
+                        f"or run mode='sequential': {bad.query!r}"
+                    )
+                scalars_by_idx[r["name"]] = r["value"]
         results = [(m, scalars_by_idx.get(str(i))) for i, m in enumerate(selected)]
     else:
         results = []
@@ -103,9 +114,15 @@ def business_metrics_distributed(
     embedded as SQL string literals, so quotes are escaped defensively
     (names come from internal definitions, not user input — but a name like
     ``orders' count`` must not break or inject into the generated SQL).
+
+    Each branch also emits ``raw_null`` — whether the scalar was NULL
+    *before* the DOUBLE cast — so callers can tell a genuinely-NULL result
+    (F7: skip) from a non-numeric one the cast nulled (definition bug:
+    ``run_business_metrics`` raises).
     """
     selects = [
-        "SELECT '{n}' AS name, CAST(({q}) AS DOUBLE) AS value".format(
+        "SELECT '{n}' AS name, CAST(raw AS DOUBLE) AS value, "
+        "(raw IS NULL) AS raw_null FROM (SELECT ({q}) AS raw)".format(
             n=name.replace("'", "''"), q=q
         )
         for name, q in queries.items()

@@ -95,9 +95,15 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     1. Group (id, hash): hashes seen once are unique by necessity (equal
        content ⇒ equal hash) and resolve with zero content movement.
     2. Hashes seen more than once — the duplicate-candidate sliver — are
-       broadcast back against the corpus; only those rows' content shuffles,
-       grouped by (hash, content) for exact equality. The hash stays the
-       shuffle key; content is the equality witness.
+       semi-joined back against the corpus; only those rows' content
+       shuffles, grouped by (hash, content) for exact equality. The hash
+       stays the shuffle key; content is the equality witness.
+
+    The semi join carries NO broadcast hint on purpose: the duplicate-hash
+    set is data-dependent and unbounded (web-crawl corpora commonly run
+    30-50% duplicates, far past the broadcast ceiling at 100 TB), so the
+    strategy is left to AQE, which broadcasts iff the built side measures
+    small at runtime.
     """
     h = F.xxhash64(*[F.col(c) for c in content_cols])
     slim = df.select(F.col(id_col), h.alias("_h"))
@@ -109,7 +115,7 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     multi_hashes = by_hash.filter(F.col("dup_count") > 1).select("_h")
     resolved = (
         df.withColumn("_h", h)
-        .join(F.broadcast(multi_hashes), "_h", "left_semi")
+        .join(multi_hashes, "_h", "left_semi")
         .groupBy("_h", *content_cols)
         .agg(
             F.min(F.col(id_col)).alias(id_col),
@@ -125,7 +131,10 @@ def exact_dedup_stats(df: DataFrame, content_cols: list[str]) -> DataFrame:
 
     Same two-phase shape as ``exact_dedup``: hash-only counts settle the
     hashes seen once; the duplicate-candidate sliver is re-grouped by
-    (hash, content) so collisions cannot inflate the duplicate counts."""
+    (hash, content) so collisions cannot inflate the duplicate counts.
+    As in ``exact_dedup``, the semi join is unhinted — the duplicate-hash
+    side is unbounded, so AQE picks broadcast only when it is measured
+    small at runtime."""
     h = F.xxhash64(*[F.col(c) for c in content_cols])
     counts = df.select(h.alias("_h")).groupBy("_h").agg(F.count(F.lit(1)).alias("n"))
     single = counts.filter(F.col("n") == 1).agg(
@@ -134,7 +143,7 @@ def exact_dedup_stats(df: DataFrame, content_cols: list[str]) -> DataFrame:
     multi_hashes = counts.filter(F.col("n") > 1).select("_h")
     multi_groups = (
         df.withColumn("_h", h)
-        .join(F.broadcast(multi_hashes), "_h", "left_semi")
+        .join(multi_hashes, "_h", "left_semi")
         .groupBy("_h", *content_cols)
         .agg(F.count(F.lit(1)).alias("n"))
     )

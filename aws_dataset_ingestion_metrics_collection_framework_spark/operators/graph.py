@@ -7,22 +7,33 @@ pairs must be closed into components (A~B, B~C ⇒ {A,B,C} even when A~C was
 never emitted). This module assigns every vertex the minimum id of its
 component — the conventional "cluster representative" contract.
 
-Algorithm: hash-to-min label propagation expressed as a DataFrame loop —
-each round is one shuffle (explode edges → groupBy min), so Catalyst/AQE
-handle skew and partial aggregation. Rounds = graph diameter. Near-dup
-graphs are dense small-diameter clusters (quasi-cliques), so 2-3 rounds
-converge in practice; ``max_iter`` bounds adversarial chains. Lineage is
-truncated per round with ``localCheckpoint`` — without it the iterative plan
-doubles every round and the driver dies re-optimizing it long before the
-executors break a sweat. For graphs with genuinely long chains at 100 TB
-scale, swap the body for alternating large-star/small-star contraction
-(O(log n) rounds, same per-round DataFrame shape); the surface here does not
-change.
+Two algorithms, one surface:
+
+- ``hash_to_min`` (default): label propagation as a DataFrame loop — each
+  round is one shuffle (edge join → groupBy min). Rounds = graph diameter.
+  Near-dup graphs are dense small-diameter clusters (quasi-cliques), so 2-3
+  rounds converge in practice; ``max_iter`` bounds adversarial chains and
+  exhaustion RAISES (never a silent partial assignment — a partial label
+  would make ``dedup_keep_per_cluster`` keep >1 doc per true group).
+- ``star``: alternating large-star/small-star edge contraction (the
+  public MapReduce connected-components construction of Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14): O(log n)
+  rounds regardless of diameter — the scale path for graphs with genuinely
+  long chains, where hash-to-min would need diameter rounds.
+
+Lineage is truncated per round with ``localCheckpoint`` — without it the
+iterative plan doubles every round and the driver dies re-optimizing it
+long before the executors break a sweat.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+class ConvergenceError(RuntimeError):
+    """Raised when an iterative graph algorithm exhausts ``max_iter`` before
+    reaching a fixpoint; the partial result is never returned silently."""
 
 
 def connected_components(
@@ -33,6 +44,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "hash_to_min",
 ) -> DataFrame:
     """Return ``(id, component)`` where ``component`` is the min vertex id
     reachable from ``id`` over undirected ``edges``.
@@ -40,7 +52,21 @@ def connected_components(
     ``vertices`` rows absent from every edge come out as singletons
     (``component = id``), so the result is a total assignment over the
     corpus — directly joinable back to keep/drop documents per group.
+
+    ``algorithm='hash_to_min'`` converges in diameter rounds (right for the
+    quasi-clique graphs near-dup pairs form); ``'star'`` converges in
+    O(log n) rounds independent of diameter (right for long chains). Both
+    RAISE :class:`ConvergenceError` if ``max_iter`` rounds pass without a
+    fixpoint rather than returning partial labels.
     """
+    if algorithm == "star":
+        return _connected_components_star(
+            vertices, edges, id_col=id_col, src_col=src_col, dst_col=dst_col,
+            max_iter=max_iter,
+        )
+    if algorithm != "hash_to_min":
+        raise ValueError(f"unknown algorithm {algorithm!r}: use 'hash_to_min' or 'star'")
+
     comp = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -67,8 +93,91 @@ def connected_components(
         )
         comp = new_comp
         if changed == 0:
+            return comp
+    raise ConvergenceError(
+        f"hash_to_min did not converge in {max_iter} rounds (graph diameter "
+        f"exceeds max_iter); raise max_iter or use algorithm='star' "
+        f"(O(log n) rounds, diameter-independent)"
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: every node connects its strictly-larger neighbors to the
+    minimum of its neighborhood (incl. itself). One shuffle (groupBy min) +
+    one slim join; edges stay (long, long) pairs throughout."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: direct every edge from its larger to its smaller endpoint,
+    then attach each node and its smaller neighbors to the neighborhood min."""
+    directed = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        directed.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iter: int,
+) -> DataFrame:
+    """Alternating large-star/small-star contraction. At the fixpoint the
+    edge set is a forest of stars, each centered at its component's minimum
+    id — so the final edges ARE the (id, component) assignment for non-root
+    vertices; roots and edge-less vertices label themselves."""
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
             break
-    return comp
+        e_new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        n_new = e_new.count()
+        # Both sides are distinct sets: equal count + empty difference ⇔ equal.
+        if n_new == n_edges and e_new.exceptAll(e).limit(1).count() == 0:
+            e = e_new
+            break
+        e, n_edges = e_new, n_new
+    else:
+        raise ConvergenceError(
+            f"star contraction did not converge in {max_iter} rounds — "
+            f"theoretically O(log n); raise max_iter"
+        )
+    # Fixpoint edges point child → component root (the min id).
+    assign = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(assign, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
 
 
 def dedup_keep_per_cluster(

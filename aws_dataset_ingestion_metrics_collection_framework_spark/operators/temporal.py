@@ -121,7 +121,18 @@ def salted_join(
     breaks task-retry idempotence — and the small side replicates each row
     n_salts times, so every (key, salt) pair finds its match. Output equals
     the plain join exactly; shuffle skew drops by ~n_salts.
+
+    Only ``inner``/``left``/``left_semi`` are accepted: the small side is
+    replicated n_salts times, so join types that emit unmatched small-side
+    rows (right/full outer, left_anti reversed) would emit each such row
+    n_salts times — a silent correctness break, hence a loud ValueError.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left'/'left_semi' only, got "
+            f"{how!r}: replicated small-side rows would duplicate unmatched "
+            f"output under right/full join types"
+        )
     salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts)).cast("int")
     big_s = big.withColumn("_salt", salt)
     small_s = small.withColumn(

@@ -2007,7 +2007,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_lineitem": _sql_query(CUBE_SQL),
     "business_scalars": lambda spark, sf: (
         register_tables(spark, sf) and None
-    ) or business_metrics_distributed(spark, _BUSINESS_SCALARS),
+    ) or business_metrics_distributed(spark, _BUSINESS_SCALARS).select(
+        "name", "value"
+    ),
     # statistic engine (A1/W1/W2/J1/A3/C1)
     "metrics_day": q_metrics_day,
     "metrics_day_p50": q_metrics_day_p50,

@@ -42,8 +42,20 @@ def _field_matches(field: str, value: int, lo: int) -> bool:
         if "/" in part:
             start_s, step_s = part.split("/", 1)
             step = int(step_s)
-            start = lo if start_s in ("*", "?") else int(start_s.split("-")[0])
-            if value >= start and (value - start) % step == 0:
+            if start_s in ("*", "?"):
+                start, hi = lo, None
+            elif "-" in start_s:
+                # 'a-b/s': step through the range only — the upper bound
+                # caps the match ('1-5/2' hits 1,3,5 but never 7).
+                a_s, b_s = start_s.split("-", 1)
+                start, hi = int(a_s), int(b_s)
+            else:
+                start, hi = int(start_s), None
+            if (
+                value >= start
+                and (hi is None or value <= hi)
+                and (value - start) % step == 0
+            ):
                 return True
             continue
         if "-" in part:

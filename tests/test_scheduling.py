@@ -39,6 +39,12 @@ def test_cron_fields():
     assert cron_matches("0 0 * * 0", dt.datetime(2026, 1, 4, 0, 0))
     with pytest.raises(ValueError):
         cron_matches("cron(0 0 * *)", dt.datetime(2026, 1, 1))
+    # range-with-step: '1-5/2' matches 1,3,5 and NOTHING past the range end
+    for minute, ok in [(1, True), (3, True), (5, True), (2, False), (7, False), (9, False)]:
+        assert cron_matches("1-5/2 * * * *", dt.datetime(2026, 3, 2, 11, minute)) is ok
+    # plain start/step still open-ended ('30/15' → 30, 45)
+    assert cron_matches("30/15 * * * *", dt.datetime(2026, 3, 2, 11, 45))
+    assert not cron_matches("30/15 * * * *", dt.datetime(2026, 3, 2, 11, 40))
 
 
 def test_next_fire():

@@ -147,3 +147,11 @@ def test_salted_join_matches_plain_join(spark):
     lp = big.join(small, "k", "left").count()
     ls = salted_join(big, small, "k", salt_source="row_id", how="left").count()
     assert lp == ls == 1000
+
+    # outer join types would duplicate unmatched small-side rows n_salts
+    # times — refused loudly instead of silently wrong
+    import pytest
+
+    for bad in ("right", "full", "outer", "left_anti"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, "k", salt_source="row_id", how=bad)
