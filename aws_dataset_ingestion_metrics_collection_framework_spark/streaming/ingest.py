@@ -78,16 +78,27 @@ def open_stream_channel(spark: SparkSession, source: str, **options) -> DataFram
             .load()
         )
     if source == "kafka":
-        reader = (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", options["bootstrap_servers"])
-            .option("subscribe", options["topic"])
-        )
-        for k, v in options.items():
-            if k.startswith("kafka."):
-                reader = reader.option(k, v)
+        reader = spark.readStream.format("kafka")
+        for k, v in kafka_channel_options(options).items():
+            reader = reader.option(k, v)
         return reader.load().select(F.col("value").cast("string").alias("value"))
     raise ValueError(f"unknown stream source: {source!r} (file|socket|kafka)")
+
+
+def kafka_channel_options(options: dict) -> dict[str, str]:
+    """The exact option map the kafka adapter hands the connector — split
+    out so the adapter contract is testable without spark-sql-kafka on the
+    classpath: ``bootstrap_servers``/``topic`` map to the connector's
+    ``kafka.bootstrap.servers``/``subscribe``, and any ``kafka.``-prefixed
+    key passes through verbatim (auth, TLS, consumer tuning)."""
+    out = {
+        "kafka.bootstrap.servers": options["bootstrap_servers"],
+        "subscribe": options["topic"],
+    }
+    for k, v in options.items():
+        if k.startswith("kafka."):
+            out[k] = v
+    return out
 
 
 def start_ingest(

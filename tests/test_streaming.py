@@ -581,6 +581,48 @@ def test_socket_channel_delivers_value_rows(spark, tmp_path):
         server.close()
 
 
+# ----------------------- S4 kafka adapter (contract) -----------------------
+
+def test_kafka_channel_option_contract(spark):
+    """The kafka adapter's option wiring — the part that is OUR contract, as
+    opposed to the connector's — is pinned without the connector package:
+    bootstrap_servers/topic map to the connector option names and kafka.*
+    keys pass through verbatim. If spark-sql-kafka IS on the classpath, the
+    adapter must also build a streaming plan with the one-string-value shape;
+    absent the package (this container), that half is skipped — the deploy
+    story is documented on open_stream_channel."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.streaming.ingest import kafka_channel_options
+
+    opts = kafka_channel_options(
+        {
+            "bootstrap_servers": "b-1:9092,b-2:9092",
+            "topic": "metric-events",
+            "kafka.security.protocol": "SASL_SSL",
+            "kafka.group.id": "engine",
+            "ignored_other": "x",
+        }
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b-1:9092,b-2:9092",
+        "subscribe": "metric-events",
+        "kafka.security.protocol": "SASL_SSL",
+        "kafka.group.id": "engine",
+    }
+
+    try:
+        raw = open_stream_channel(
+            spark, "kafka", bootstrap_servers="localhost:9092", topic="t"
+        )
+    except Exception as e:  # connector jar absent in this container
+        msg = str(e)
+        assert "kafka" in msg.lower() and (
+            "Failed to find data source" in msg or "DATA_SOURCE_NOT_FOUND" in msg
+        ), f"unexpected kafka adapter failure: {msg}"
+        pytest.skip("spark-sql-kafka connector not on classpath (documented)")
+    assert raw.isStreaming and raw.columns == ["value"]
+    assert raw.schema["value"].dataType.simpleString() == "string"
+
+
 # ------------------- streaming sessionization (session_window) -------------------
 
 def test_streaming_session_window_matches_batch(spark, tmp_path):
