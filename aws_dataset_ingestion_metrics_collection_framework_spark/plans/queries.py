@@ -1906,6 +1906,51 @@ FROM defs
 """
 
 
+def q_dashboard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positioned dashboard geometry (ref:stacks/metrics_streamer.py:362-370
+    CDK layout semantics: one widget per add_widgets call ⇒ one grid row
+    each — x=0, y=i*6, width=10, height=6) plus the CloudWatch metric
+    series path [namespace, name, dim_name, dim_value, ...] with ALL
+    dimensions (Bucket exclusion is an id/title rule only). The rendered
+    PutDashboard JSON body built from these rows is golden-pinned in
+    tests/test_dashboards.py."""
+    w = DB.positioned_widgets(_dash_defs_df(spark))
+    return w.select(
+        "dashboard",
+        "dashboard_name",
+        "metric_id",
+        "title",
+        F.array_join("series", "|").alias("series_path"),
+        "x",
+        "y",
+        "width",
+        "height",
+    )
+
+
+DASHBOARD_LAYOUT_ORACLE = """
+WITH defs(name, dash) AS (
+  VALUES ('click','ops_dash'),('view','ops_dash'),('purchase','rev_dash'),
+         ('error','ops_dash'),('signup','rev_dash')
+), w AS (
+  SELECT dash AS dashboard,
+         dash || '-us-east-1' AS dashboard_name,
+         'data-gov-' || lower(regexp_replace(
+             'App/Events' || name || 'day' || 'FunctionName' || 'fn_' || name,
+             '\\W+', '', 'g')) AS metric_id,
+         lower(replace(name || ' per day-fn_' || name, '/', '')) AS title,
+         'App/Events|' || name || '|FunctionName|fn_' || name || '|S3Bucket|ignored'
+             AS series_path
+  FROM defs
+)
+SELECT dashboard, dashboard_name, metric_id, title, series_path,
+       0 AS x,
+       (ROW_NUMBER() OVER (PARTITION BY dashboard ORDER BY metric_id, title) - 1) * 6 AS y,
+       10 AS width, 6 AS height
+FROM w
+"""
+
+
 def q_dashboard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dashboard rollup — widget_count per dashboard (the array column is
     exercised in tests; the oracle checks the grouped counts)."""
@@ -2032,6 +2077,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dashboard report generation (F5/C1/C3)
     "dashboard_widgets": q_dashboard_widgets,
     "dashboard_report": q_dashboard_report,
+    "dashboard_layout": q_dashboard_layout,
     # dedup / text / similarity / sessions / multimodal
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_exact_keep": q_dedup_exact_keep,
@@ -2111,6 +2157,7 @@ ORACLES: dict[str, str] = {
     "metric_defs_multi_account": METRIC_DEFS_MULTI_ACCOUNT_ORACLE,
     "dashboard_widgets": DASHBOARD_WIDGETS_ORACLE,
     "dashboard_report": DASHBOARD_REPORT_ORACLE,
+    "dashboard_layout": DASHBOARD_LAYOUT_ORACLE,
     "dedup_exact_stats": DEDUP_EXACT_STATS_ORACLE,
     "dedup_exact_keep": DEDUP_EXACT_KEEP_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,
