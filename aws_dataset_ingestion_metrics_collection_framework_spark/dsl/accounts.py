@@ -71,6 +71,14 @@ class AccountRegistry:
                     out.append(acc)
         return out
 
+    def lake_roots(self, account: str, base_path: str) -> List[str]:
+        """One lake root per catalog account in ``account``'s group — the
+        mirror targets for ``sources.parquet_lake.write_partitioned_mirrored``
+        (the engine-native analog of the reference's N-catalog partition
+        fan-out, ref:lambda/add_partition.py:56-71)."""
+        catalogs = self.fetch_account_catalogs(account) or []
+        return [os.path.join(base_path, acc) for acc in catalogs]
+
     def to_dataframe(self, spark):
         """(central, account, is_catalog) rows — joinable/broadcastable form
         of the registry for queries that group or filter by account."""

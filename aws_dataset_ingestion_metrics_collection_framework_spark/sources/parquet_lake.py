@@ -36,6 +36,39 @@ def write_partitioned(
     )
 
 
+def write_partitioned_mirrored(
+    df: DataFrame,
+    roots: list[str],
+    *,
+    mode: str = "append",
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Mirror the partitioned write to every catalog lake root.
+
+    The reference fans each new partition out to N Glue *catalog* accounts
+    (ref:lambda/add_partition.py:56-71, ref:stacks/centralized_resources.py:
+    118-140) — N metadata registrations over one S3 location. An
+    engine-native lake has no shared object store to alias, so the analog is
+    N data mirrors: the input is materialized ONCE (persist to memory/disk)
+    and the upstream plan — potentially a 100 TB scrape — is never
+    recomputed per root; each mirror write is then a map-only re-encode of
+    the cached partitions.
+    """
+    if not roots:
+        raise ValueError("write_partitioned_mirrored needs at least one root")
+    if len(roots) == 1:
+        write_partitioned(df, roots[0], mode=mode, max_records_per_file=max_records_per_file)
+        return
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for root in roots:
+            write_partitioned(df, root, mode=mode, max_records_per_file=max_records_per_file)
+    finally:
+        df.unpersist()
+
+
 def read_lake_table(spark: SparkSession, path: str) -> DataFrame:
     """Scan with partition discovery; predicate pushdown on partition keys
     gives the same pruning as Glue partition filtering."""

@@ -89,3 +89,43 @@ def test_write_partitioned_and_retention(spark, tmp_path):
     assert back.count() == 10
     kept = apply_retention(spark, str(tmp_path / "t"), max_age_days=5, today="2026-01-10")
     assert kept.count() == 6  # days 5..10 survive a 5-day retention at 2026-01-10
+
+
+def test_mirror_write_to_catalog_roots(spark, tmp_path):
+    """Multi-catalog fan-out (ref:lambda/add_partition.py:56-71): the same
+    partitioned output lands in every catalog account's lake root —
+    identical partition directory trees and identical data (parquet file
+    NAMES embed job UUIDs, so identity is at the partition/data level)."""
+    import os
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.dsl.accounts import AccountRegistry
+    from aws_dataset_ingestion_metrics_collection_framework_spark.sources.parquet_lake import write_partitioned_mirrored
+
+    reg = AccountRegistry(
+        config=[{"central": "999", "streamers": ["111"], "catalogs": ["555", "666"]}]
+    )
+    roots = reg.lake_roots("111", str(tmp_path))
+    assert [os.path.basename(r) for r in roots] == ["555", "666"]
+
+    df = spark.createDataFrame(
+        [("us-east-1", 2026, 1, d % 3 + 1, 0, float(d)) for d in range(20)],
+        "region string, year int, month int, day int, hour int, v double",
+    )
+    write_partitioned_mirrored(df, roots, mode="overwrite")
+
+    def partition_dirs(root):
+        out = set()
+        for cur, _dirs, files in os.walk(root):
+            if any(f.endswith(".parquet") for f in files):
+                out.add(os.path.relpath(cur, root))
+        return out
+
+    assert partition_dirs(roots[0]) == partition_dirs(roots[1]) != set()
+    a = sorted(tuple(r) for r in spark.read.parquet(roots[0]).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(roots[1]).collect())
+    assert a == b and len(a) == 20
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_partitioned_mirrored(df, [])
