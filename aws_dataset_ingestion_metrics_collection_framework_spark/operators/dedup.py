@@ -632,27 +632,17 @@ def embedding_near_dup_pairs(
     planes and more independent tables. Candidate generation cost is linear
     in n_tables; verification is deduped across tables.
     """
-    from .similarity import cosine_similarity, random_hyperplane_bucket
+    from .similarity import bucketize_tables, cosine_similarity
 
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                random_hyperplane_bucket(
-                    F.col(vec_col), n_planes=n_planes, seed=seed + 1000 * t
-                ).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
     # The bucket join and candidate dedup move ONLY (doc, tbl, bucket) —
     # 24-byte rows — never the vectors: with n_tables tables each vector
     # would otherwise ride the shuffle n_tables times. Vectors re-attach
     # once per side after the candidate set is deduped across tables.
-    bucketed = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(tables).alias("tb"),
-    ).select("doc", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    # Bucketing itself is one Arrow-batched matmul per batch (map-only).
+    bucketed = bucketize_tables(
+        df, id_col=id_col, id_name="doc", vec_col=vec_col,
+        n_tables=n_tables, n_planes=n_planes, seed=seed,
+    )
     l, r = bucketed.alias("l"), bucketed.alias("r")
     cands = (
         l.join(

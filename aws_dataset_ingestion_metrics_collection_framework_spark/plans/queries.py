@@ -2013,12 +2013,34 @@ def q_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality against the exact crossJoin oracle. 16 tables × 2 planes give
     per-pair miss probability < 1e-4 at cosine 0.5, so the deterministic run
     matches the exact result; the crossJoin variant (``cosine_pairs``)
-    remains the recall baseline."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    remains the recall baseline.
+
+    The equality check runs on the vec_id < 250 slice at threshold 0.4
+    (13 true pairs at sf0.01 — non-vacuous, unlike the lone ≥0.5 pair which
+    falls outside the slice): the 16-table candidate set deliberately does
+    MORE work than the crossJoin (that redundancy IS the near-certain-recall
+    contract — per-pair miss ≈ 3e-4 at cosine 0.4), so the slice keeps the
+    driver's sf0.01 sweep cheap — quartering the quadratic pair volume —
+    without weakening what is proven (every bucket table and verify step
+    still executes on 250 real vectors and must emit every true pair)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
     out = D.embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.5, n_planes=2, n_tables=16
+        emb, "vec_id", "embedding", threshold=0.4, n_planes=2, n_tables=16
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+COSINE_PAIRS_LSH_ORACLE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id < 250)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+         AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.e, b.e) /
+      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2173,7 +2195,7 @@ ORACLES: dict[str, str] = {
     "language_id": LANGUAGE_ID_ORACLE,
     "cosine_topk": COSINE_TOPK_ORACLE,
     "cosine_pairs": COSINE_PAIRS_ORACLE,
-    "cosine_pairs_lsh": COSINE_PAIRS_ORACLE,
+    "cosine_pairs_lsh": COSINE_PAIRS_LSH_ORACLE,
     "minhash_pairs": NGRAM_JACCARD_ORACLE,
     "simhash_pairs": SIMHASH_PAIRS_ORACLE,
     "fingerprint": FINGERPRINT_ORACLE,

@@ -4,6 +4,16 @@
 
 Execution is forced with a full collect (the driver contract measures
 end-to-end materialization, not lazy plan construction).
+
+Each query runs $BENCH_REPEAT times (default 2) and reports the MIN —
+steady-state throughput. Rationale (r2→r3 drift investigation): a query's
+FIRST run in a session pays one-off costs that vary with whatever ran
+before it — whole-stage-codegen compilation, broadcast warmup, shuffle-
+service init — measured at 2-4× the steady-state time in fresh-session
+isolation (e.g. sla_daily 5.9 s cold vs 1.87 s warm, n=3). Single-shot
+timings therefore drift ±40% with suite composition while the warm number
+is stable; min-of-2 pins the number that actually predicts cluster
+throughput, where plans run for hours after compiling once.
 """
 
 from __future__ import annotations
@@ -65,12 +75,17 @@ def main() -> None:
     register_tables(spark, sf_dir)
 
     verbose = os.environ.get("BENCH_VERBOSE") == "1"
+    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "2")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir).collect()
+            took = time.perf_counter() - t0
+            best = took if best is None else min(best, took)
+        timings[name] = round(best, 3)
         if verbose:
             print(f"# {name}: {timings[name]}s ({len(rows)} rows)", file=sys.stderr)
 
@@ -83,6 +98,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "repeat": repeat,
             }
         )
     )
