@@ -662,3 +662,51 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"))
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+# ----------------------- benchmark decontamination -----------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Flag training documents that share ≥1 word ``n``-gram with any
+    benchmark document — the standard eval-set decontamination step of
+    LLM training pipelines (exact n-gram collision, the GPT-3/PaLM recipe).
+
+    Shape: explode each side to DISTINCT n-gram strings (map-side), inner
+    semi-join train-grams against the benchmark-gram set, and mark the
+    surviving doc ids. The join moves (doc, gram) strings only — never the
+    documents; the benchmark side is usually small enough that AQE
+    broadcasts it, but no hint is forced (a 10k-task eval suite still
+    beats a broadcast ceiling comfortably, and a huge one must shuffle).
+    Returns (id, contaminated) for every train row.
+    """
+    bench_text = bench_text_col or text_col
+    t_grams = train.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(tokenize(F.col(text_col)), n)).alias("gram"),
+    )
+    b_grams = benchmark.select(
+        F.explode(word_shingles(tokenize(F.col(bench_text)), n)).alias("gram")
+    ).distinct()
+    hits = (
+        t_grams.join(b_grams, "gram", "left_semi")
+        .select("doc")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        train.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )

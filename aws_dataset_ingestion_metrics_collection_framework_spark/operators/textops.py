@@ -218,3 +218,70 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(F.count(F.lit(1)) / total.cast("double"), 6).alias("distinct_ratio"),
         F.round(F.max("cnt") / total.cast("double"), 6).alias("top_2gram_frac"),
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    block_tokens: int = 20,
+) -> DataFrame:
+    """Corpus-wide block-level dedup (the CCNet/RefinedWeb line-dedup recipe
+    adapted to token blocks): split every document into non-overlapping
+    ``block_tokens``-token blocks, drop each block's repeat occurrences
+    corpus-wide (first occurrence by (doc_id, block_idx) order wins), and
+    reassemble the surviving text per document.
+
+    Boilerplate (headers, navigation, license blurbs) repeats across
+    documents verbatim while full documents differ — block-level dedup
+    removes it where document-level dedup cannot. Shape: one explode
+    (map-side), ONE shuffle keyed by block text for the first-occurrence
+    window, one groupBy doc to reassemble. Block text itself is the shuffle
+    key only once; at 100 TB swap the key for xxhash64(block) + verify,
+    the same slim-shuffle trade exact_dedup makes.
+
+    Returns (id, text, n_blocks, n_kept): text is the deduped document
+    (empty string when every block was a repeat).
+    """
+    from pyspark.sql import Window
+
+    toks = tokenize(F.col(text_col))
+    blocks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        (F.size(toks) + block_tokens - 1) / block_tokens - 1, F.lit(0)
+                    ).cast("int"),
+                ),
+                lambda b: F.array_join(
+                    F.slice(toks, b * block_tokens + 1, block_tokens), " "
+                ),
+            )
+        ).alias("idx", "block"),
+    ).filter(F.col("block") != "")
+    w = Window.partitionBy("block").orderBy("doc", "idx")
+    kept = blocks.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    rebuilt = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "block"))),
+                lambda s: s["block"],
+            ),
+            " ",
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = blocks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_blocks"))
+    return (
+        totals.join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("_text", F.lit("")).alias(text_col),
+            "n_blocks",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -1865,6 +1865,83 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (the GPT-3/PaLM exact n-gram recipe): flag
+    training documents sharing ≥1 word n-gram with any benchmark document.
+    The 1% doc_id%100==0 slice plays the benchmark; n=4 because this
+    corpus's 31-word synthetic vocabulary makes longer exact runs
+    vanishingly rare (real pipelines use 8-13; the parameter is free) —
+    at sf0.01 it flags 11 of 495 train docs, a non-vacuous check of the
+    gram explode + semi-join + re-attach shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 100 != 0)
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    return D.decontaminate(train, bench, id_col="doc_id", text_col="text", n=4)
+
+
+DECONTAMINATE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 4 THEN array_to_string(list_slice(ts, i, i+3), ' ')
+              ELSE array_to_string(ts, ' ') END AS gram
+  FROM tok, UNNEST(range(1, greatest(len(ts)-2, 2))) r(i)
+),
+hits AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT * FROM grams WHERE doc_id % 100 <> 0) t
+  JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 100 = 0) b USING (gram)
+)
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide block-level dedup (CCNet/RefinedWeb line-dedup adapted to
+    20-token blocks): repeats of a block anywhere in the corpus are dropped
+    (first occurrence by (doc_id, idx) wins) and documents reassembled.
+    Text column is excluded from the projection only to keep the compare
+    hash small — n_blocks/n_kept pin the drop decisions, and the pytest
+    golden checks rebuilt text verbatim."""
+    out = TX.dedup_paragraphs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", block_tokens=20
+    )
+    return out.select("doc_id", "n_blocks", "n_kept")
+
+
+PARAGRAPH_DEDUP_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id, i AS idx, array_to_string(list_slice(ts, i*20+1, i*20+20), ' ') AS block
+  FROM tok, UNNEST(range(0, CAST(ceil(len(ts)/20.0) AS BIGINT))) r(i)
+  WHERE array_to_string(list_slice(ts, i*20+1, i*20+20), ' ') <> ''
+),
+kept AS (
+  SELECT doc_id, idx,
+         ROW_NUMBER() OVER (PARTITION BY block ORDER BY doc_id, idx) AS rn
+  FROM blocks
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_blocks,
+       COALESCE(SUM(CASE WHEN k.rn = 1 THEN 1 ELSE 0 END), 0) AS n_kept
+FROM blocks b
+LEFT JOIN kept k ON b.doc_id = k.doc_id AND b.idx = k.idx
+GROUP BY b.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Dashboard report generation (step 8 — F5 dedup, C1/C3 derivations)
 # --------------------------------------------------------------------------
@@ -2100,6 +2177,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dashboard_widgets": q_dashboard_widgets,
     "dashboard_report": q_dashboard_report,
     "dashboard_layout": q_dashboard_layout,
+    "decontaminate": q_decontaminate,
+    "paragraph_dedup": q_paragraph_dedup,
     # dedup / text / similarity / sessions / multimodal
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_exact_keep": q_dedup_exact_keep,
@@ -2180,6 +2259,8 @@ ORACLES: dict[str, str] = {
     "dashboard_widgets": DASHBOARD_WIDGETS_ORACLE,
     "dashboard_report": DASHBOARD_REPORT_ORACLE,
     "dashboard_layout": DASHBOARD_LAYOUT_ORACLE,
+    "decontaminate": DECONTAMINATE_ORACLE,
+    "paragraph_dedup": PARAGRAPH_DEDUP_ORACLE,
     "dedup_exact_stats": DEDUP_EXACT_STATS_ORACLE,
     "dedup_exact_keep": DEDUP_EXACT_KEEP_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,

@@ -437,3 +437,48 @@ def test_repetition_stats(spark):
     assert r1["top_2gram_frac"] == 0.6
     r2 = out[2]
     assert r2["n_2grams"] == 3 and r2["distinct_ratio"] == 1.0
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "he saw the quick brown fox run away"),        # shares 4-gram
+            (2, "completely unrelated words appear here now"),  # clean
+            (3, "quick brown fox jumps"),                       # shares 4-gram
+            (4, "dog lazy the over"),                           # same words, wrong order
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["contaminated"] for r in
+           decontaminate(train, bench, id_col="doc_id", text_col="text", n=4).collect()}
+    assert out == {1: True, 2: False, 3: True, 4: False}
+
+
+def test_paragraph_dedup_drops_repeated_blocks(spark):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import dedup_paragraphs
+
+    boiler = " ".join(f"b{i}" for i in range(5))      # 5-token boilerplate block
+    uniq_a = " ".join(f"a{i}" for i in range(5))
+    uniq_c = " ".join(f"c{i}" for i in range(5))
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " " + uniq_a),   # blocks: [boiler, uniq_a]
+            (2, boiler + " " + uniq_c),   # boiler repeats -> dropped
+            (3, boiler),                  # entire doc is a repeat -> empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup_paragraphs(df, "doc_id", "text", block_tokens=5).collect()}
+    assert (out[1]["n_blocks"], out[1]["n_kept"]) == (2, 2)
+    assert out[1]["text"] == boiler + " " + uniq_a     # first occurrence kept verbatim
+    assert (out[2]["n_blocks"], out[2]["n_kept"]) == (2, 1)
+    assert out[2]["text"] == uniq_c                    # boilerplate stripped
+    assert (out[3]["n_blocks"], out[3]["n_kept"]) == (1, 0)
+    assert out[3]["text"] == ""                        # fully-duplicate doc empties
