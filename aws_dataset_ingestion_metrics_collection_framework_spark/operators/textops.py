@@ -285,3 +285,91 @@ def dedup_paragraphs(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def train_val_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    val_fraction: float = 0.01,
+    seed: int = 42,
+    buckets: int = 10_000,
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Deterministic train/validation assignment by key hash — the split
+    every training pipeline needs to be reproducible across reruns, engines
+    and partitionings (``rand()`` is none of those: it changes under task
+    retry and repartitioning).
+
+    ``pmod(hash(id, seed), buckets) < val_fraction*buckets`` → val.
+    Map-only (zero shuffle), stable under any execution plan, and the same
+    expression is one line of SQL for downstream systems to replicate.
+    ``hash_fn='xx'`` (default) uses xxhash64 — the scale path; ``'md5'``
+    uses the md5-derived 60-bit hash both Spark and DuckDB compute
+    identically (the cross-engine-oracle variant, same trick as
+    simhash/fingerprint). Adds a ``split`` column ('train' | 'val').
+    """
+    from .dedup import md5_60bit
+
+    cut = int(val_fraction * buckets)
+    if hash_fn == "xx":
+        h = F.xxhash64(F.col(id_col), F.lit(seed))
+    else:
+        h = md5_60bit(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}")))
+    bucket = F.pmod(h, F.lit(buckets))
+    return df.withColumn(
+        "split", F.when(bucket < cut, F.lit("val")).otherwise(F.lit("train"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    budget: int = 2048,
+    shards: int = 64,
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs (sequence
+    packing): documents are sharded by id hash, ordered within their shard,
+    and cut into packs at budget-aligned prefix-sum offsets — the
+    streaming-concat packing used to fill LM context windows, without
+    cross-document shuffles.
+
+    Packing rule (offset-bucket, a pure window expression): a document
+    belongs to pack ``floor(preceding_cumsum / budget)`` of its shard, so
+    every pack's START offset is budget-aligned and a pack overflows by at
+    most its last document (the straddling doc — downstream tokenizers
+    truncate or roll it, standard practice). True reset-after-cut greedy
+    needs sequential accumulation and is deliberately not used: it is not
+    expressible as a window and would force per-shard iteration.
+
+    Shape: token counts are map-side; the only shuffle is the per-shard
+    window sort (shards bound partition width, so sort memory per task is
+    corpus/shards — pick shards ≈ cluster cores at scale). Returns (id,
+    shard, n_tokens, pack_id, pack_pos).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import md5_60bit
+
+    shard_hash = (
+        F.xxhash64(F.col(id_col))
+        if hash_fn == "xx"
+        else md5_60bit(F.col(id_col).cast("string"))
+    )
+    n_tokens = F.size(tokenize(F.col(text_col)))
+    sharded = df.select(
+        F.col(id_col),
+        F.pmod(shard_hash, F.lit(shards)).cast("int").alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum = F.sum("n_tokens").over(w)
+    pack_in_shard = F.floor((cum - F.col("n_tokens")) / budget)
+    wp = Window.partitionBy("shard", "pack_id").orderBy(id_col)
+    return (
+        sharded.withColumn("pack_id", pack_in_shard.cast("long"))
+        .withColumn("pack_pos", F.row_number().over(wp) - 1)
+    )

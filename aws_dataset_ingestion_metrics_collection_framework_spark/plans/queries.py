@@ -1942,6 +1942,64 @@ GROUP BY b.doc_id
 """
 
 
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2% validation split over the documents table (md5
+    cross-engine hash variant so DuckDB reproduces every assignment; the
+    xxhash64 variant is the scale default). Counts per split are oracled
+    alongside every per-doc assignment."""
+    out = TX.train_val_split(
+        load_table(spark, sf_dir, "documents"), "doc_id",
+        val_fraction=0.02, seed=42, hash_fn="md5",
+    )
+    return out.select("doc_id", "split")
+
+
+TRAIN_VAL_SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 15))::BIGINT
+                 % 10000 < 200
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LM training: shard documents by id hash, order
+    within shard, cut packs at 512-token budget-aligned prefix offsets.
+    Offset-bucket packing is a pure window expression (see
+    operators/textops.pack_sequences for why reset-after-cut greedy is
+    deliberately not used); md5 shard hash so DuckDB replays the identical
+    shard assignment."""
+    out = TX.pack_sequences(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        budget=512, shards=8, hash_fn="md5",
+    )
+    return out.select("doc_id", "shard", "n_tokens", "pack_id", "pack_pos")
+
+
+PACK_SEQUENCES_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+              AS INTEGER) AS shard,
+         len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS c
+  FROM base
+)
+SELECT doc_id, shard, n_tokens,
+       CAST((c - n_tokens) // 512 AS BIGINT) AS pack_id,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY shard, (c - n_tokens) // 512
+           ORDER BY doc_id) - 1 AS INTEGER) AS pack_pos
+FROM cum
+"""
+
+
 # --------------------------------------------------------------------------
 # Dashboard report generation (step 8 — F5 dedup, C1/C3 derivations)
 # --------------------------------------------------------------------------
@@ -2179,6 +2237,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dashboard_layout": q_dashboard_layout,
     "decontaminate": q_decontaminate,
     "paragraph_dedup": q_paragraph_dedup,
+    "train_val_split": q_train_val_split,
+    "pack_sequences": q_pack_sequences,
     # dedup / text / similarity / sessions / multimodal
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_exact_keep": q_dedup_exact_keep,
@@ -2261,6 +2321,8 @@ ORACLES: dict[str, str] = {
     "dashboard_layout": DASHBOARD_LAYOUT_ORACLE,
     "decontaminate": DECONTAMINATE_ORACLE,
     "paragraph_dedup": PARAGRAPH_DEDUP_ORACLE,
+    "train_val_split": TRAIN_VAL_SPLIT_ORACLE,
+    "pack_sequences": PACK_SEQUENCES_ORACLE,
     "dedup_exact_stats": DEDUP_EXACT_STATS_ORACLE,
     "dedup_exact_keep": DEDUP_EXACT_KEEP_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,

@@ -482,3 +482,37 @@ def test_paragraph_dedup_drops_repeated_blocks(spark):
     assert out[2]["text"] == uniq_c                    # boilerplate stripped
     assert (out[3]["n_blocks"], out[3]["n_kept"]) == (1, 0)
     assert out[3]["text"] == ""                        # fully-duplicate doc empties
+
+
+def test_train_val_split_deterministic_fraction(spark):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import train_val_split
+
+    df = spark.createDataFrame([(i,) for i in range(10_000)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in train_val_split(df, "doc_id", val_fraction=0.1).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         train_val_split(df.repartition(7), "doc_id", val_fraction=0.1).collect()}
+    assert a == b  # stable under repartitioning (rand() would not be)
+    frac = sum(1 for v in a.values() if v == "val") / len(a)
+    assert 0.08 < frac < 0.12
+    # different seed -> different assignment
+    c = {r["doc_id"]: r["split"] for r in
+         train_val_split(df, "doc_id", val_fraction=0.1, seed=7).collect()}
+    assert a != c
+
+
+def test_pack_sequences_budget_alignment(spark):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import pack_sequences
+
+    # one shard so the packing order is the doc_id order
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([30, 30, 30, 90, 10, 200])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        pack_sequences(df, "doc_id", "text", budget=100, shards=1).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # prefix sums: 0,30,60,90,180,190 -> packs 0,0,0,0,1,1
+    assert [r["pack_id"] for r in out] == [0, 0, 0, 0, 1, 1]
+    assert [r["pack_pos"] for r in out] == [0, 1, 2, 3, 0, 1]
+    assert all(r["shard"] == 0 for r in out)
+    # every pack STARTS within budget of its boundary; only the straddling
+    # doc (id=3, preceding total 90 < 100) overflows pack 0
