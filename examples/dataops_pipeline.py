@@ -2,8 +2,9 @@
 the way a corpus build actually runs, in one script:
 
   documents → exact dedup → near-dup pairs (PPJoin) → connected components
-  → keep one per cluster → quality/language filters → TF-IDF top terms
-  → token budget accounting; embeddings → ANN neighbor shortlist.
+  → keep one per cluster → block-level (paragraph) dedup → quality/language
+  filters → benchmark decontamination → train/val split → sequence packing
+  → TF-IDF top terms → token budget accounting; embeddings → ANN shortlist.
 
 Every stage is the declared operator from plans/queries.py — this is the
 composition story, not new code paths.
@@ -58,6 +59,25 @@ def main(out_dir: str, sf_dir: str = "/root/testdata/sf0.001") -> dict:
         .filter((F.col("quality") >= 0.5) & (F.col("predicted_lang") != "und"))
     )
     summary["after_quality_gate"] = curated.count()
+
+    # 3b. block-level dedup strips cross-document boilerplate the doc-level
+    # passes cannot see (r3)
+    curated = TX.dedup_paragraphs(curated.select("doc_id", "text"), "doc_id", "text").join(
+        curated.drop("text"), "doc_id"
+    ).filter(F.col("text") != "")
+    summary["after_block_dedup"] = curated.count()
+
+    # 3c. decontaminate against a held-out "benchmark" slice, then assign
+    # deterministic train/val splits and pack into token-budget sequences (r3)
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    curated = curated.filter(F.col("doc_id") % 100 != 0)  # bench never trains
+    flags = D.decontaminate(curated, bench, id_col="doc_id", text_col="text", n=4)
+    curated = curated.join(flags.filter(~F.col("contaminated")), "doc_id", "left_semi")
+    summary["after_decontamination"] = curated.count()
+    split = TX.train_val_split(curated, "doc_id", val_fraction=0.02)
+    summary["val_docs"] = split.filter(F.col("split") == "val").count()
+    packs = TX.pack_sequences(curated, "doc_id", "text", budget=2048, shards=8)
+    summary["n_packs"] = packs.select("shard", "pack_id").distinct().count()
 
     # 4. corpus descriptors: token budget + top TF-IDF terms
     budget = curated.join(

@@ -77,3 +77,24 @@ def test_no_cartesian_product_in_sql_corpus_plans(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == []
+
+
+def test_no_cartesian_product_in_any_declared_query_plan(spark, sf_dir):
+    """Planning guard over the FULL declared-query surface (not just the
+    SQL corpus): building every queries() entry at sf0.001 and checking the
+    executed plan for CartesianProduct nodes. Catches a lost join condition
+    in any operator path the moment it is declared — the r2/r3 manual plan
+    audits, made permanent."""
+    import __spark_entry__ as entry_mod
+
+    offenders, errors = [], []
+    for name, fn in entry_mod.queries().items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # a query that cannot even plan is a failure
+            errors.append(f"{name}: {e}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert errors == []
+    assert offenders == []
