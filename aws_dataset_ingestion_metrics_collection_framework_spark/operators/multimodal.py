@@ -148,6 +148,52 @@ def decode_png(data: bytes) -> Tuple[int, int, Optional[float]]:
     return int(width), int(height), mean / 255.0
 
 
+def decode_png_gray_pixels(data: bytes) -> Tuple[int, int, Optional[bytes]]:
+    """Like :func:`decode_png` but returns the full luma plane:
+    (width, height, gray_bytes row-major) — 8-bit grayscale directly, 8-bit
+    RGB via rounded BT.601 luma; other color types yield pixels=None."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = bitd = ctype = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, bitd, ctype = struct.unpack(">IIBB", body[:10])
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bitd != 8 or ctype not in (0, 2):
+        return int(width), int(height), None
+    bpp = 1 if ctype == 0 else 3
+    px = _png_unfilter(zlib.decompress(bytes(idat)), width, height, bpp)
+    if ctype == 0:
+        return int(width), int(height), bytes(px)
+    gray = bytearray(width * height)
+    for i in range(width * height):
+        r, g, b = px[3 * i], px[3 * i + 1], px[3 * i + 2]
+        gray[i] = int(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    return int(width), int(height), bytes(gray)
+
+
+def resize_nearest(gray: bytes, w: int, h: int, size: int) -> list[int]:
+    """Nearest-neighbor downsample of a row-major luma plane to size×size:
+    output cell (x, y) samples source pixel (x*w//size, y*h//size) — the
+    integer-exact mapping an external SQL oracle can replay verbatim."""
+    return [
+        gray[(y * h // size) * w + (x * w // size)]
+        for y in range(size)
+        for x in range(size)
+    ]
+
+
 def decode_bmp(data: bytes) -> Tuple[int, int, Optional[float]]:
     """Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB)."""
     if data[:2] != b"BM":
@@ -226,6 +272,39 @@ def extract_image_features(df: DataFrame, *, fake: bool = False) -> DataFrame:
 
     # prune to the two needed columns BEFORE the python boundary
     return df.select("media_id", "payload").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+THUMBNAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("thumb", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def extract_image_thumbnails(df: DataFrame, *, size: int = 8) -> DataFrame:
+    """Decode + RESIZE in one map-only Arrow stage: PNG payloads are decoded
+    to their luma plane and nearest-neighbor-downsampled to ``size``×``size``
+    (row-major int array — the pHash/embedding-preprocessing shape). The
+    resize happens NEXT TO the decode, inside the same ``mapInPandas``
+    batch, so full-resolution pixels never leave the Python worker, let
+    alone shuffle. Non-PNG / unsupported color types yield thumb=NULL.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                thumb = None
+                if payload[:8] == _PNG_MAGIC:
+                    w, h, gray = decode_png_gray_pixels(payload)
+                    if gray is not None:
+                        thumb = resize_nearest(gray, w, h, size)
+                rows.append((media_id, thumb))
+            yield pd.DataFrame(rows, columns=["media_id", "thumb"])
+
+    return df.select("media_id", "payload").mapInPandas(run, THUMBNAIL_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(

@@ -1689,6 +1689,40 @@ FROM xy GROUP BY doc_id, w, h
 """
 
 
+def q_image_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + RESIZE through the real pipeline: synthesize a valid PNG per
+    document, decode its luma plane and nearest-neighbor-downsample to 2×2
+    inside one Arrow stage (full-res pixels never leave the worker). The
+    oracle replays the integer-exact sampling — cell (x,y) reads source
+    pixel (x*w//2, y*h//2) of the generation formula."""
+    from ..operators.multimodal import extract_image_thumbnails, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synthesize_media(docs, kind="image")
+    out = extract_image_thumbnails(media, size=2)
+    return out.select(
+        "media_id", F.posexplode("thumb").alias("cell", "luma")
+    )
+
+
+IMAGE_THUMBNAILS_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents
+), cells AS (
+  SELECT doc_id, w, h, i AS cell,
+         (i % 2) AS tx, (i // 2) AS ty
+  FROM dims, UNNEST(range(0, 4)) r(i)
+)
+SELECT doc_id AS media_id,
+       CAST(cell AS INTEGER) AS cell,
+       CAST((doc_id + 31 * ((tx * w) // 2) + 17 * ((ty * h) // 2)) % 256
+            AS INTEGER) AS luma
+FROM cells
+"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode over real container bytes: synthesize a valid PCM
     s16le mono WAV per document (sample count from text length, sample
@@ -2239,6 +2273,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "train_val_split": q_train_val_split,
     "pack_sequences": q_pack_sequences,
+    "image_thumbnails": q_image_thumbnails,
     # dedup / text / similarity / sessions / multimodal
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_exact_keep": q_dedup_exact_keep,
@@ -2323,6 +2358,7 @@ ORACLES: dict[str, str] = {
     "paragraph_dedup": PARAGRAPH_DEDUP_ORACLE,
     "train_val_split": TRAIN_VAL_SPLIT_ORACLE,
     "pack_sequences": PACK_SEQUENCES_ORACLE,
+    "image_thumbnails": IMAGE_THUMBNAILS_ORACLE,
     "dedup_exact_stats": DEDUP_EXACT_STATS_ORACLE,
     "dedup_exact_keep": DEDUP_EXACT_KEEP_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,

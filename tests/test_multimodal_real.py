@@ -224,3 +224,38 @@ def test_spark_real_decode_pipeline(spark):
         assert r["n_bytes"] == 44 + 2 * n
         sumsq = sum(((mid * 31 + i * 7) % 2001 - 1000) ** 2 for i in range(n))
         assert r["rms"] == pytest.approx((sumsq / n) ** 0.5 / 32768.0, abs=1e-15)
+
+
+def test_png_gray_pixels_and_resize():
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.multimodal import (
+        decode_png_gray_pixels,
+        resize_nearest,
+        synth_png_bytes,
+    )
+
+    # synthetic PNG: pixel(x,y) = (id + 31x + 17y) % 256
+    mid = 7
+    w, h, gray = decode_png_gray_pixels(synth_png_bytes(mid))
+    assert (w, h) == (4 + mid % 13, 3 + mid % 7) and len(gray) == w * h
+    for y in range(h):
+        for x in range(w):
+            assert gray[y * w + x] == (mid + 31 * x + 17 * y) % 256
+    # nearest-neighbor: cell (x,y) samples (x*w//s, y*h//s)
+    thumb = resize_nearest(gray, w, h, 2)
+    assert len(thumb) == 4
+    for cell, (tx, ty) in enumerate([(0, 0), (1, 0), (0, 1), (1, 1)]):
+        sx, sy = tx * w // 2, ty * h // 2
+        assert thumb[cell] == gray[sy * w + sx]
+    # RGB PNGs resolve through rounded BT.601 luma
+    rows = [[255, 0, 0, 0, 255, 0], [0, 0, 255, 255, 255, 255]]
+    w2, h2, g2 = decode_png_gray_pixels(_build_png(rows, 2, [2]))
+    assert (w2, h2) == (2, 2)
+    assert list(g2) == [76, 150, 29, 255]  # round(BT.601) of R,G,B,white
+
+
+def test_thumbnail_mapinpandas_null_for_non_png(spark):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.multimodal import extract_image_thumbnails
+
+    df = spark.createDataFrame([(1, bytearray(b"not a png"))], "media_id long, payload binary")
+    row = extract_image_thumbnails(df, size=2).collect()[0]
+    assert row["thumb"] is None
