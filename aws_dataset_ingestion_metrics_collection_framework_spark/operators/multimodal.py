@@ -9,8 +9,9 @@ stdlib alone (no PIL/libvips/soundfile in this container):
   (all five PNG filter types), BT.601 luma for RGB.
 * **BMP** — full decode for uncompressed 24-bit (BI_RGB): BITMAPINFOHEADER
   parsing, bottom-up padded-row pixel walk, BT.601 luma.
-* **GIF** — header decode (logical screen width/height); pixel decode would
-  need LZW so ``mean_luma`` is null for GIFs.
+* **GIF** — full decode of the first frame: logical screen descriptor,
+  global/local color table, variable-width LZW decompression (dictionary
+  reset, KwKwK case, 12-bit cap), BT.601 luma through the palette.
 * **WAV** — full decode for PCM: RIFF chunk walk, ``fmt `` (sample rate /
   channels / bit depth), ``data`` samples, duration and RMS over samples
   normalized to [-1, 1].
@@ -217,13 +218,150 @@ def decode_bmp(data: bytes) -> Tuple[int, int, Optional[float]]:
     return int(width), int(height_abs), acc / (width * height_abs) / 255.0
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> list:
+    """GIF-variant LZW: little-endian variable-width codes, dictionary
+    reset on CLEAR, width grows when the next code would not fit (cap 12)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    out: list = []
+    prev = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits:
+        code = 0
+        for i in range(code_size):
+            b = data[(bitpos + i) >> 3]
+            code |= ((b >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: (i,) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+        elif code == next_code:  # the KwKwK case
+            entry = prev + (prev[0],)
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if next_code >= (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+    return out
+
+
 def decode_gif(data: bytes) -> Tuple[int, int, Optional[float]]:
-    """Parse GIF87a/89a logical screen descriptor (header-only; pixel
-    decode needs LZW, out of scope → luma None)."""
+    """Full GIF87a/89a decode of the first image frame: logical screen
+    descriptor, global/local color table, LZW-decompressed indices, BT.601
+    luma through the palette. Interlacing only permutes rows, so the mean
+    is computed without deinterlacing. Frames with no resolvable palette
+    yield luma=None."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     width, height = struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            iw, ih = struct.unpack("<HH", data[pos + 5 : pos + 9])
+            ipacked = data[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = data[pos : pos + 3 * n]
+                pos += 3 * n
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            if pal is None:
+                return int(width), int(height), None
+            idx = _gif_lzw_decode(min_code, bytes(lzw))[: iw * ih]
+            if not idx:
+                return int(width), int(height), None
+            acc = 0.0
+            for i in idx:
+                off = 3 * i
+                acc += (
+                    0.299 * pal[off] + 0.587 * pal[off + 1] + 0.114 * pal[off + 2]
+                )
+            return int(width), int(height), acc / len(idx) / 255.0
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            # header-only / truncated files keep the old dims-only contract
+            break
     return int(width), int(height), None
+
+
+def synth_gif_bytes(media_id: int) -> bytes:
+    """A real GIF89a: grayscale 256-entry palette, pixel formula identical
+    to :func:`synth_png_bytes` ((id + 31x + 17y) % 256), LZW-encoded the
+    degenerate-but-valid way — CLEAR before every pixel code so the
+    dictionary never grows (9-bit codes throughout)."""
+    w = 4 + media_id % 13
+    h = 3 + media_id % 7
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    # bitstream: CLEAR, p, CLEAR, p, ..., END at 9 bits/code, LSB-first
+    codes = []
+    for y in range(h):
+        for x in range(w):
+            codes += [256, (media_id + 31 * x + 17 * y) % 256]
+    codes.append(257)
+    bits = bytearray()
+    acc = n = 0
+    for c in codes:
+        acc |= c << n
+        n += 9
+        while n >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        bits.append(acc & 0xFF)
+    sub = bytearray()
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        sub += bytes([len(chunk)]) + chunk
+    sub += b"\x00"
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT flag, 256 entries
+        + pal
+        + b"\x2C"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([8])  # LZW min code size
+        + sub
+        + b"\x3B"
+    )
 
 
 def decode_image(data: bytes) -> Tuple[Optional[int], Optional[int], Optional[float]]:

@@ -259,3 +259,50 @@ def test_thumbnail_mapinpandas_null_for_non_png(spark):
     df = spark.createDataFrame([(1, bytearray(b"not a png"))], "media_id long, payload binary")
     row = extract_image_thumbnails(df, size=2).collect()[0]
     assert row["thumb"] is None
+
+
+def test_gif_full_decode_matches_formula():
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.multimodal import (
+        decode_gif,
+        decode_image,
+        synth_gif_bytes,
+    )
+
+    for mid in (0, 5, 38, 1234):
+        w, h, luma = decode_gif(synth_gif_bytes(mid))
+        ew, eh = 4 + mid % 13, 3 + mid % 7
+        assert (w, h) == (ew, eh)
+        exp = sum(
+            (mid + 31 * x + 17 * y) % 256 for y in range(eh) for x in range(ew)
+        ) / (ew * eh) / 255.0
+        assert luma == pytest.approx(exp, abs=1e-12), mid
+        # dispatcher routes GIFs to the same decoder
+        assert decode_image(synth_gif_bytes(mid)) == (w, h, luma)
+
+
+def test_gif_lzw_growing_dictionary():
+    """A real LZW stream (dictionary growth + KwKwK case), not just the
+    degenerate CLEAR-per-pixel encoding the synthesizer emits."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.multimodal import _gif_lzw_decode
+
+    # [1,2,2,1] with min_code_size=2 (clear=4, end=5): the decoder's table
+    # reaches 8 entries after the third data code, so the LAST two codes are
+    # read at 4 bits — the encoding must track that width growth.
+    codes = [(4, 3), (1, 3), (2, 3), (2, 3), (1, 4), (5, 4)]
+    bits = bytearray(); acc = n = 0
+    for c, size in codes:
+        acc |= c << n; n += size
+        while n >= 8:
+            bits.append(acc & 0xFF); acc >>= 8; n -= 8
+    if n: bits.append(acc & 0xFF)
+    assert _gif_lzw_decode(2, bytes(bits)) == [1, 2, 2, 1]
+    # KwKwK: [3,3,3,3,3] encodes as CLEAR,3,6(=3,3 — the code being defined),
+    # 6 again, then END — at 4 bits, since the table hit 8 entries
+    codes2 = [(4, 3), (3, 3), (6, 3), (6, 3), (5, 4)]
+    bits2 = bytearray(); acc = n = 0
+    for c, size in codes2:
+        acc |= c << n; n += size
+        while n >= 8:
+            bits2.append(acc & 0xFF); acc >>= 8; n -= 8
+    if n: bits2.append(acc & 0xFF)
+    assert _gif_lzw_decode(2, bytes(bits2)) == [3, 3, 3, 3, 3]
