@@ -516,3 +516,38 @@ def test_pack_sequences_budget_alignment(spark):
     assert all(r["shard"] == 0 for r in out)
     # every pack STARTS within budget of its boundary; only the straddling
     # doc (id=3, preceding total 90 < 100) overflows pack 0
+
+
+def test_pack_sequences_property_vs_python_reference(spark):
+    """Property: for arbitrary token-length sequences, pack assignment
+    equals the pure-Python offset-bucket reference, and every pack except
+    possibly the last starts budget-aligned."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import pack_sequences
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        lens=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=40),
+        budget=st.integers(min_value=50, max_value=500),
+    )
+    def run(lens, budget):
+        rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["pack_id"], r["pack_pos"])
+            for r in pack_sequences(df, "doc_id", "text", budget=budget, shards=1).collect()
+        }
+        cum = 0
+        expected = {}
+        pos_in_pack: dict = {}
+        for i, n in enumerate(lens):
+            pack = cum // budget
+            pos = pos_in_pack.get(pack, 0)
+            expected[i] = (pack, pos)
+            pos_in_pack[pack] = pos + 1
+            cum += n
+        assert got == expected
+
+    run()
