@@ -57,6 +57,12 @@ HEADLINE = [
     "dedup_clusters",
     "asof_join",
     "tfidf_top_terms",
+    # round-3 additions: block dedup, decontamination, packing, real
+    # multimodal decode+resize (each sets its own baseline in r3)
+    "paragraph_dedup",
+    "decontaminate",
+    "pack_sequences",
+    "image_thumbnails",
 ]
 
 
