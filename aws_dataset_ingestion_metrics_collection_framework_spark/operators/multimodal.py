@@ -195,6 +195,31 @@ def resize_nearest(gray: bytes, w: int, h: int, size: int) -> list[int]:
     ]
 
 
+def decode_bmp_gray_pixels(data: bytes) -> Tuple[int, int, Optional[bytes]]:
+    """Luma plane of an uncompressed 24-bit BMP, normalized to TOP-DOWN
+    row order (BMPs store rows bottom-up unless height is negative) so the
+    resize sampling grid means the same thing as for PNG."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pix_off,) = struct.unpack("<I", data[10:14])
+    width, height = struct.unpack("<ii", data[18:26])
+    (bpp,) = struct.unpack("<H", data[28:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    height_abs = abs(height)
+    if bpp != 24 or compression != 0:
+        return int(width), int(height_abs), None
+    stride = (width * 3 + 3) & ~3
+    gray = bytearray(width * height_abs)
+    for row in range(height_abs):
+        # bottom-up storage: file row 0 is the image's LAST row
+        img_row = (height_abs - 1 - row) if height > 0 else row
+        off = pix_off + row * stride
+        for x in range(width):
+            b, g, r = data[off + 3 * x], data[off + 3 * x + 1], data[off + 3 * x + 2]
+            gray[img_row * width + x] = int(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    return int(width), int(height_abs), bytes(gray)
+
+
 def decode_bmp(data: bytes) -> Tuple[int, int, Optional[float]]:
     """Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB)."""
     if data[:2] != b"BM":
@@ -426,7 +451,8 @@ def extract_image_thumbnails(df: DataFrame, *, size: int = 8) -> DataFrame:
     (row-major int array — the pHash/embedding-preprocessing shape). The
     resize happens NEXT TO the decode, inside the same ``mapInPandas``
     batch, so full-resolution pixels never leave the Python worker, let
-    alone shuffle. Non-PNG / unsupported color types yield thumb=NULL.
+    alone shuffle. PNG (gray/RGB) and 24-bit BMP resolve; other payloads
+    yield thumb=NULL.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -437,6 +463,10 @@ def extract_image_thumbnails(df: DataFrame, *, size: int = 8) -> DataFrame:
                 thumb = None
                 if payload[:8] == _PNG_MAGIC:
                     w, h, gray = decode_png_gray_pixels(payload)
+                    if gray is not None:
+                        thumb = resize_nearest(gray, w, h, size)
+                elif payload[:2] == b"BM":
+                    w, h, gray = decode_bmp_gray_pixels(payload)
                     if gray is not None:
                         thumb = resize_nearest(gray, w, h, size)
                 rows.append((media_id, thumb))

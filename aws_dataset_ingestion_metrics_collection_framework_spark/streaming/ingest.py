@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
-from ..sources.parquet_lake import PARTITION_KEYS, split_corrupt_json, write_partitioned
+from ..sources.parquet_lake import (
+    PARTITION_KEYS,
+    split_corrupt_json,
+    write_partitioned,
+    write_partitioned_mirrored,
+)
 
 
 def read_json_lines_stream(
@@ -111,21 +116,30 @@ def start_ingest(
     value_col: str = "value",
     trigger_seconds: int | None = 60,
     available_now: bool = False,
+    mirror_roots: list[str] | None = None,
 ) -> StreamingQuery:
     """Start the JSON→partitioned-Parquet converting sink (S5).
 
     Good rows (parse fully against ``schema``) land Hive-partitioned under
     ``lake_path``; unparseable rows land as text under ``errors_path``
-    (the ``errorOutputPrefix`` analog).
+    (the ``errorOutputPrefix`` analog). ``mirror_roots`` additionally fans
+    each micro-batch out to the given catalog lake roots (the streaming
+    face of the reference's N-catalog partition registration —
+    ref:lambda/add_partition.py:56-71; pair with
+    ``AccountRegistry.lake_roots``). Mirrors share the per-micro-batch
+    atomicity of ``foreachBatch``: the batch is parsed once and re-encoded
+    per root, never recomputed from the source.
     """
     spark = raw.sparkSession
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         good, bad = split_corrupt_json(spark, batch_df, value_col, schema)
+        roots = [lake_path, *(mirror_roots or [])]
         if set(PARTITION_KEYS) <= set(good.columns):
-            write_partitioned(good, lake_path)
+            write_partitioned_mirrored(good, roots)
         else:
-            good.write.mode("append").parquet(lake_path)
+            for root in roots:
+                good.write.mode("append").parquet(root)
         bad.write.mode("append").text(errors_path)
 
     writer = (

@@ -306,3 +306,32 @@ def test_gif_lzw_growing_dictionary():
             bits2.append(acc & 0xFF); acc >>= 8; n -= 8
     if n: bits2.append(acc & 0xFF)
     assert _gif_lzw_decode(2, bytes(bits2)) == [3, 3, 3, 3, 3]
+
+
+def test_bmp_thumbnail_through_pipeline(spark):
+    """BMP payloads resolve through the fused decode+resize path too,
+    bottom-up row order normalized (top row of the image = top of thumb)."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.multimodal import (
+        decode_bmp_gray_pixels,
+        extract_image_thumbnails,
+    )
+
+    # 2x2 24-bit BMP, bottom-up: file row 0 = image BOTTOM row.
+    # image top row = (white, white), bottom row = (black, black)
+    def px(b, g, r):
+        return bytes([b, g, r])
+
+    row_bottom = px(0, 0, 0) + px(0, 0, 0) + b"\x00\x00"      # padded to 8
+    row_top = px(255, 255, 255) + px(255, 255, 255) + b"\x00\x00"
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + 16, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 0, 0, 0, 0)
+    )
+    bmp = header + row_bottom + row_top
+    w, h, gray = decode_bmp_gray_pixels(bmp)
+    assert (w, h) == (2, 2)
+    assert list(gray) == [255, 255, 0, 0]  # top row first after normalization
+
+    df = spark.createDataFrame([(9, bytearray(bmp))], "media_id long, payload binary")
+    row = extract_image_thumbnails(df, size=2).collect()[0]
+    assert row["thumb"] == [255, 255, 0, 0]

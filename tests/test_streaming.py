@@ -86,6 +86,40 @@ def test_ingest_stream_good_and_corrupt_rows(spark, tmp_path):
     assert len(errors) == 1 and errors[0]["value"].startswith("{definitely")
 
 
+def test_ingest_stream_mirrors_to_catalog_roots(spark, tmp_path):
+    """Streaming face of the multi-catalog fan-out: every micro-batch lands
+    identically in the primary lake AND each mirror root."""
+    src = tmp_path / "in"
+    src.mkdir()
+    good = {
+        "collectiontime": "2026-01-01T00:00:00+00:00", "namespace": "data-gov",
+        "name": "row_count", "period": 86400, "frequency": "day",
+        "statistic": "Sum", "metadata": "{}", "dimensions": "{}",
+        "accountid": "123412341234",
+        "metrictimestamp": "2026-01-01T00:00:00+00:00", "metricvalue": 1.0,
+        "id": "x", "label": "row_count", "region": "us-east-1",
+        "year": 2026, "month": 1, "day": 1, "hour": 0,
+    }
+    (src / "b0.json").write_text(
+        "\n".join(json.dumps({**good, "day": d}) for d in (1, 2, 3))
+    )
+    raw = open_stream_channel(spark, "file", path=str(src))
+    q = start_ingest(
+        raw, METRICS_SCHEMA,
+        lake_path=str(tmp_path / "lake"),
+        errors_path=str(tmp_path / "errors"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+        mirror_roots=[str(tmp_path / "mirror_a"), str(tmp_path / "mirror_b")],
+    )
+    _await(q)
+    primary = sorted(r["day"] for r in spark.read.parquet(str(tmp_path / "lake")).collect())
+    for m in ("mirror_a", "mirror_b"):
+        rows = sorted(r["day"] for r in spark.read.parquet(str(tmp_path / m)).collect())
+        assert rows == primary == [1, 2, 3]
+        assert os.path.isdir(tmp_path / m / "region=us-east-1" / "year=2026")
+
+
 # --------------------------- streaming stats (A1) ---------------------------
 
 def test_streaming_stats_match_batch(spark, tmp_path):
