@@ -117,8 +117,22 @@ def scrape_metrics(
     out = None
     for period in periods:  # few distinct periods (60/3600/86400) — A2 grouping
         agg = compute_metric_windows(events, period, pcts or None)
+        # The id is a function of the GROUP keys, so Catalyst would infer
+        # the inner join's isnotnull(id) constraint and push the whole
+        # (from_json + sort + render) expression below the aggregate as a
+        # per-RAW-ROW filter — at 100 TB that's the expensive derivation run
+        # per event instead of per series-window. Coalescing each side to a
+        # DISTINCT sentinel makes both keys statically non-nullable (no
+        # inferred filter) while preserving exact null-join semantics: the
+        # sentinels can never equal each other.
         agg = agg.withColumn(
-            "id", series_unique_id(F.col("namespace"), F.col("name"), F.lit(frequency), F.col("dimensions"))
+            "id",
+            F.coalesce(
+                series_unique_id(
+                    F.col("namespace"), F.col("name"), F.lit(frequency), F.col("dimensions")
+                ),
+                F.lit("\u0000agg-null"),
+            ),
         )
         defs_p = defs_f.filter(F.col("period") == period).select(
             F.col("namespace").alias("d_namespace"),
@@ -127,8 +141,11 @@ def scrape_metrics(
             "statistic",
             F.col("metadata").alias("d_metadata"),
             F.col("dimensions").alias("d_dimensions"),
-            series_unique_id(
-                F.col("namespace"), F.col("name"), F.lit(frequency), F.col("dimensions")
+            F.coalesce(
+                series_unique_id(
+                    F.col("namespace"), F.col("name"), F.lit(frequency), F.col("dimensions")
+                ),
+                F.lit("\u0000defs-null"),
             ).alias("d_id"),
         )
         # J1 — broadcast hash join on the derived key (defs are small)
