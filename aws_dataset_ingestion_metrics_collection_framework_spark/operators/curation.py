@@ -1,0 +1,228 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+PII scan/redaction, URL-domain extraction with blocklist filtering,
+deterministic stratified sampling, and character-entropy scoring.
+
+The reference framework (SURVEY.md §2) stops at metric analytics; these
+extend the engine toward the dataset-curation surface a 100 TB ingestion
+pipeline needs (the same extension family as ``textops``/``dedup``).
+
+Scale notes — every operator here is map-only (pure projection/filter,
+whole-stage-codegen-friendly, zero shuffle) except:
+
+- ``domain_report``: one aggregation whose key cardinality is #distinct
+  domains (map-side combined; the exploded URL rows never leave their
+  input partition before partial aggregation), plus an optional broadcast
+  anti-join against a (small) blocklist;
+- nothing else shuffles at all, so all of them compose with upstream scans
+  at any corpus size.
+
+Cross-engine determinism: regex patterns are restricted to the syntax
+subset Java regex (Spark) and RE2 (DuckDB) share — no backreferences, no
+lookaround — so the DuckDB oracles run the *identical* pattern strings.
+Sampling uses the md5-derived 60-bit hash (``dedup.md5_60bit``) that DuckDB
+reproduces exactly; thresholds are integer parts-per-million so no float
+boundary can disagree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import md5_60bit
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction
+# ---------------------------------------------------------------------------
+
+# name -> (pattern, placeholder). Redaction applies in THIS order: emails
+# first (an address like user@10.0.0.1 must become <EMAIL>, not a partial
+# <IP> inside an address), then phone numbers (3-3-4 with -/. separators,
+# which an IPv4 dotted-quad can never match), then bare IPv4 literals.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII hit counts over the *original* text, one column per
+    pattern class (a substring matching two classes counts in both).
+
+    Map-only; counts are ``regexp_extract_all`` sizes so the scan is a
+    single codegen'd pass per pattern."""
+    cols: list[Column] = [F.col(id_col)]
+    for name, (pat, _) in PII_PATTERNS.items():
+        cols.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+    return df.select(*cols)
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str, *, out_col: str = "redacted") -> DataFrame:
+    """Replace every PII match with its class placeholder, applying the
+    patterns in ``PII_PATTERNS`` order (see the ordering note above)."""
+    c: Column = F.col(text_col)
+    for _, (pat, placeholder) in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, placeholder)
+    return df.select(F.col(id_col), c.alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# URL / domain extraction + blocklist
+# ---------------------------------------------------------------------------
+
+# Capture group 1 = the host part of an http(s) URL.
+URL_DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_domains(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One output row per URL occurrence: (id, domain). Map-only explode —
+    rows multiply by URLs-per-doc but never shuffle."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_DOMAIN_PATTERN), F.lit(1))
+        ).alias("domain"),
+    )
+
+
+def domain_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    blocklist: DataFrame | None = None,
+) -> DataFrame:
+    """Per-domain link stats: (domain, n_urls, n_docs), excluding blocklisted
+    domains via a broadcast anti-join when ``blocklist`` (a one-column
+    ``domain`` DataFrame — always small: blocklists are curated) is given.
+
+    One shuffle keyed by domain; ``n_docs`` uses an exact count-distinct,
+    which Spark runs as a two-phase expand — at extreme domain skew prefer
+    an ``approx_count_distinct`` variant."""
+    doms = extract_domains(df, id_col, text_col)
+    if blocklist is not None:
+        doms = doms.join(F.broadcast(blocklist.select("domain")), "domain", "left_anti")
+    return doms.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates_ppm: dict[str, int],
+    *,
+    default_ppm: int = 1_000_000,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic Bernoulli sample with a per-stratum rate.
+
+    A row is kept iff ``md5_60bit(salt || ':' || id) % 1e6 < rate_ppm`` for
+    its stratum — reproducible across runs, engines (DuckDB computes the
+    same hash), and cluster sizes, unlike ``DataFrame.sample`` whose output
+    depends on partitioning. Rates are integer parts-per-million, so there
+    is no float threshold to disagree at. Map-only filter; keeps all input
+    columns."""
+    for k, v in rates_ppm.items():
+        if not (0 <= v <= 1_000_000):
+            raise ValueError(f"rate for stratum {k!r} must be in [0, 1e6] ppm, got {v}")
+    h = md5_60bit(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 1_000_000
+    rate = F.coalesce(
+        *[F.when(F.col(strata_col) == k, F.lit(v)) for k, v in rates_ppm.items()],
+        F.lit(default_ppm),
+    )
+    return df.filter(h < rate)
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy scoring
+# ---------------------------------------------------------------------------
+
+# Letters + space: the signal that separates natural language from
+# binary-ish / boilerplate text. Kept small so the count projection stays a
+# bounded number of codegen'd string scans per row.
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shannon entropy (bits) of the per-character distribution over
+    ``ENTROPY_ALPHABET`` in the lowercased text → (id, n_alpha, entropy).
+
+    Natural English prose sits around 4 bits; ``aaaa…`` scores 0; uniform
+    random letters approach log2(27). Documents with no alphabet characters
+    score 0 (by the 0·log 0 = 0 convention, total clamped to 1 to avoid
+    0/0).
+
+    Implementation: per-letter counts via the length-minus-replace trick —
+    27 codegen'd string scans per row, no explode, no shuffle, no UDF. The
+    entropy sum is built as an explicit left-associated 27-term chain in
+    *alphabet order* so the DuckDB oracle (same chain, same order) is
+    bitwise identical despite float non-associativity."""
+    s = F.lower(F.col(text_col))
+    counted = df.select(
+        F.col(id_col),
+        *[
+            (F.length(s) - F.length(F.replace(s, F.lit(ch), F.lit(""))))
+            .cast("double")
+            .alias(f"_c{i}")
+            for i in range(len(ENTROPY_ALPHABET))
+        ],
+    )
+    total: Column = F.col("_c0")
+    for i in range(1, len(ENTROPY_ALPHABET)):
+        total = total + F.col(f"_c{i}")
+    counted = counted.withColumn("_total", total)
+    t = F.greatest(F.col("_total"), F.lit(1.0))
+    ent: Column | None = None
+    for i in range(len(ENTROPY_ALPHABET)):
+        c = F.col(f"_c{i}")
+        term = F.when(c > 0, (c / t) * F.log2(c / t)).otherwise(F.lit(0.0))
+        ent = term if ent is None else ent + term
+    return counted.select(
+        F.col(id_col),
+        F.col("_total").cast("long").alias("n_alpha"),
+        (-ent).alias("entropy"),
+    )
+
+
+def char_entropy_oracle_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB SQL computing ``char_entropy`` with the identical 27-term
+    left-associated chains (generated from the same alphabet constant, so
+    the two engines cannot drift)."""
+    n = len(ENTROPY_ALPHABET)
+    counts = ",\n       ".join(
+        "CAST(length(s) - length(replace(s, '{ch}', '')) AS DOUBLE) AS c{i}".format(
+            ch=ENTROPY_ALPHABET[i], i=i
+        )
+        for i in range(n)
+    )
+    total = " + ".join(f"c{i}" for i in range(n))
+    terms = "\n     + ".join(
+        f"CASE WHEN c{i} > 0 THEN (c{i}/t)*log2(c{i}/t) ELSE 0.0 END" for i in range(n)
+    )
+    return f"""
+WITH lowered AS (SELECT {id_col}, lower({text_col}) AS s FROM {table}),
+counts AS (
+  SELECT {id_col},
+       {counts}
+  FROM lowered
+),
+with_t AS (
+  SELECT *, {total} AS total, greatest({total}, 1.0) AS t FROM counts
+)
+SELECT {id_col},
+       CAST(total AS BIGINT) AS n_alpha,
+       -({terms}) AS entropy
+FROM with_t
+"""
