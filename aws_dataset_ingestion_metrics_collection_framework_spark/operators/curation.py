@@ -35,9 +35,11 @@ from .dedup import md5_60bit
 # ---------------------------------------------------------------------------
 
 # name -> (pattern, placeholder). Redaction applies in THIS order: emails
-# first (an address like user@10.0.0.1 must become <EMAIL>, not a partial
-# <IP> inside an address), then phone numbers (3-3-4 with -/. separators,
-# which an IPv4 dotted-quad can never match), then bare IPv4 literals.
+# first (an address like user@10.0.0.1.corp.com must become one <EMAIL>,
+# not keep a partial <IP> inside the host), then phone numbers (3-3-4 with
+# -/. separators, which an IPv4 dotted-quad can never match — 4 groups),
+# then bare IPv4 literals. Note the email host needs an alphabetic TLD, so
+# a raw user@10.0.0.1 is NOT an email; its quad redacts as <IP>.
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
@@ -173,7 +175,7 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     counted = df.select(
         F.col(id_col),
         *[
-            (F.length(s) - F.length(F.replace(s, F.lit(ch), F.lit(""))))
+            (F.length(s) - F.length(F.replace(s, F.lit(ENTROPY_ALPHABET[i]), F.lit(""))))
             .cast("double")
             .alias(f"_c{i}")
             for i in range(len(ENTROPY_ALPHABET))

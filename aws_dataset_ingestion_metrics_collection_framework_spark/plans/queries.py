@@ -32,6 +32,7 @@ from ..functions.keys import (
     unique_id_col,
     widget_title_col,
 )
+from ..operators import curation as CU
 from ..operators import dashboards as DB
 from ..operators import dedup as D
 from ..operators import graph as G
@@ -1967,12 +1968,11 @@ kept AS (
          ROW_NUMBER() OVER (PARTITION BY block ORDER BY doc_id, idx) AS rn
   FROM blocks
 )
-SELECT b.doc_id,
+SELECT doc_id,
        COUNT(*) AS n_blocks,
-       COALESCE(SUM(CASE WHEN k.rn = 1 THEN 1 ELSE 0 END), 0) AS n_kept
-FROM blocks b
-LEFT JOIN kept k ON b.doc_id = k.doc_id AND b.idx = k.idx
-GROUP BY b.doc_id
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM kept
+GROUP BY doc_id
 """
 
 
@@ -2139,6 +2139,177 @@ FROM defs GROUP BY dash
 
 
 # --------------------------------------------------------------------------
+# Corpus curation (PII, domains, sampling, entropy — operators/curation.py)
+# --------------------------------------------------------------------------
+#
+# The synthetic documents corpus contains no PII or URLs, so these queries
+# deterministically AUGMENT the text with engine-identical expressions
+# (doc_id-derived emails/phones/IPs/URLs on modular slices) before running
+# the operator — the check is non-vacuous (counts 0/1/2 vary per doc) and
+# DuckDB rebuilds the identical input string.
+
+
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" reach user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" call 555-"),
+                     F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                     F.lit("-1234")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+                     F.lit(".1")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", aug.alias("text"))
+
+
+_PII_AUG_SQL = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                 ELSE '' END AS text
+  FROM documents
+"""
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII hit counts (email/phone/IPv4) over the augmented
+    corpus. Map-only regexp_extract_all scan — zero shuffle at any scale."""
+    return CU.pii_scan(_pii_augmented(load_table(spark, sf_dir, "documents")),
+                       "doc_id", "text")
+
+
+PII_SCAN_ORACLE = f"""
+WITH aug AS ({_PII_AUG_SQL})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{CU.PII_PATTERNS["email"][0]}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{CU.PII_PATTERNS["phone"][0]}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{CU.PII_PATTERNS["ipv4"][0]}')) AS BIGINT) AS n_ipv4
+FROM aug
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full redacted-text equality check: every PII match replaced by its
+    class placeholder, email→phone→ipv4 order (an address like
+    user@10.0.0.1.corp.com must become one <EMAIL>, never keep a partial
+    <IP> inside the host)."""
+    return CU.redact_pii(_pii_augmented(load_table(spark, sf_dir, "documents")),
+                         "doc_id", "text")
+
+
+PII_REDACT_ORACLE = f"""
+WITH aug AS ({_PII_AUG_SQL})
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{CU.PII_PATTERNS["email"][0]}', '<EMAIL>', 'g'),
+           '{CU.PII_PATTERNS["phone"][0]}', '<PHONE>', 'g'),
+           '{CU.PII_PATTERNS["ipv4"][0]}', '<IP>', 'g') AS redacted
+FROM aug
+"""
+
+
+def q_domain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL stats with broadcast-anti-join blocklist exclusion.
+    One shuffle keyed by domain (map-side combined explode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" see https://site"), (F.col("doc_id") % 20).cast("string"),
+                     F.lit(".example.com/page")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit(" also http://mirror.example.org/x"),
+        ).otherwise(F.lit("")),
+    )
+    blocklist = spark.createDataFrame(
+        [("site3.example.com",), ("mirror.example.org",)], ["domain"]
+    )
+    return CU.domain_report(
+        docs.select("doc_id", aug.alias("text")), "doc_id", "text",
+        blocklist=blocklist,
+    )
+
+
+DOMAIN_REPORT_ORACLE = """
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/page'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' also http://mirror.example.org/x'
+                 ELSE '' END AS text
+  FROM documents
+),
+doms AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+  FROM aug
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM doms
+WHERE domain NOT IN ('site3.example.com', 'mirror.example.org')
+GROUP BY domain
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sample (md5-60-bit ppm
+    thresholds — reproducible across engines, runs and partitionings;
+    zh rate 0 proves full-stratum exclusion). Map-only filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = CU.stratified_sample(
+        docs, "doc_id", "lang",
+        rates_ppm={"en": 250_000, "zh": 0}, default_ppm=1_000_000,
+    )
+    return out.select("doc_id", "lang")
+
+
+STRATIFIED_SAMPLE_ORACLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 1000000
+      < CASE WHEN lang = 'en' THEN 250000
+             WHEN lang = 'zh' THEN 0
+             ELSE 1000000 END
+"""
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy over the 27-char alphabet — the
+    natural-language-vs-noise curation signal. Map-only (27 codegen'd
+    string scans per row); the oracle is generated from the SAME alphabet
+    constant with the identical left-associated float chain."""
+    return CU.char_entropy(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+CHAR_ENTROPY_ORACLE = CU.char_entropy_oracle_sql("documents", "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2274,6 +2445,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_val_split": q_train_val_split,
     "pack_sequences": q_pack_sequences,
     "image_thumbnails": q_image_thumbnails,
+    # corpus curation (PII / domains / sampling / entropy)
+    "pii_scan": q_pii_scan,
+    "pii_redact": q_pii_redact,
+    "domain_report": q_domain_report,
+    "stratified_sample": q_stratified_sample,
+    "char_entropy": q_char_entropy,
     # dedup / text / similarity / sessions / multimodal
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_exact_keep": q_dedup_exact_keep,
@@ -2359,6 +2536,11 @@ ORACLES: dict[str, str] = {
     "train_val_split": TRAIN_VAL_SPLIT_ORACLE,
     "pack_sequences": PACK_SEQUENCES_ORACLE,
     "image_thumbnails": IMAGE_THUMBNAILS_ORACLE,
+    "pii_scan": PII_SCAN_ORACLE,
+    "pii_redact": PII_REDACT_ORACLE,
+    "domain_report": DOMAIN_REPORT_ORACLE,
+    "stratified_sample": STRATIFIED_SAMPLE_ORACLE,
+    "char_entropy": CHAR_ENTROPY_ORACLE,
     "dedup_exact_stats": DEDUP_EXACT_STATS_ORACLE,
     "dedup_exact_keep": DEDUP_EXACT_KEEP_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,

@@ -1,0 +1,140 @@
+"""Tests for the corpus-curation operators: PII scan/redaction, domain
+reports, deterministic stratified sampling, character entropy."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import (
+    char_entropy,
+    domain_report,
+    extract_domains,
+    pii_scan,
+    redact_pii,
+    stratified_sample,
+)
+
+
+PII_DOCS = [
+    (1, "contact alice@example.com or bob.smith+x@sub.domain.org today"),
+    (2, "call 555-867-5309 or 212.555.0134 maybe"),
+    (3, "server at 10.0.0.1 and 192.168.255.254 responded"),
+    (4, "mixed: eve@10.0.0.1.corp.com phoned 555-123-4567 from 8.8.8.8"),
+    (5, "nothing sensitive here at all"),
+]
+
+
+def pii_df(spark):
+    return spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+
+
+class TestPII:
+    def test_scan_counts(self, spark):
+        rows = {r["doc_id"]: r for r in pii_scan(pii_df(spark), "doc_id", "text").collect()}
+        assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ipv4"]) == (2, 0, 0)
+        # '212.555.0134' is dot-separated 3-3-4 → phone, and also a dotted
+        # quad prefix-shaped string — but only 3 groups, so NOT ipv4.
+        assert (rows[2]["n_email"], rows[2]["n_phone"], rows[2]["n_ipv4"]) == (0, 2, 0)
+        assert rows[3]["n_ipv4"] == 2
+        # eve@10.0.0.1.corp.com is an email (alpha TLD) whose host embeds an
+        # ipv4-shaped quad: scan counts each class independently.
+        assert rows[4]["n_email"] == 1 and rows[4]["n_phone"] == 1 and rows[4]["n_ipv4"] == 2
+        assert (rows[5]["n_email"], rows[5]["n_phone"], rows[5]["n_ipv4"]) == (0, 0, 0)
+
+    def test_redact_order_email_wins_over_ip(self, spark):
+        # user@10.0.0.1.corp.com must become one <EMAIL>, never eve@<IP>…
+        # — the email pattern applies first.
+        out = {r["doc_id"]: r["redacted"]
+               for r in redact_pii(pii_df(spark), "doc_id", "text").collect()}
+        assert out[4] == "mixed: <EMAIL> phoned <PHONE> from <IP>"
+        assert out[1] == "contact <EMAIL> or <EMAIL> today"
+        assert out[5] == "nothing sensitive here at all"
+
+    def test_redact_keeps_all_ids(self, spark):
+        assert redact_pii(pii_df(spark), "doc_id", "text").count() == len(PII_DOCS)
+
+
+URL_DOCS = [
+    (1, "see https://a.example.com/x and https://b.example.com/y"),
+    (2, "again https://a.example.com/z plus http://blocked.bad/page"),
+    (3, "no links at all"),
+]
+
+
+class TestDomains:
+    def test_extract(self, spark):
+        df = spark.createDataFrame(URL_DOCS, "doc_id long, text string")
+        got = sorted((r["doc_id"], r["domain"]) for r in
+                     extract_domains(df, "doc_id", "text").collect())
+        assert got == [(1, "a.example.com"), (1, "b.example.com"),
+                       (2, "a.example.com"), (2, "blocked.bad")]
+
+    def test_report_with_blocklist(self, spark):
+        df = spark.createDataFrame(URL_DOCS, "doc_id long, text string")
+        block = spark.createDataFrame([("blocked.bad",)], ["domain"])
+        got = {r["domain"]: (r["n_urls"], r["n_docs"]) for r in
+               domain_report(df, "doc_id", "text", blocklist=block).collect()}
+        assert got == {"a.example.com": (2, 2), "b.example.com": (1, 1)}
+
+
+class TestStratifiedSample:
+    def test_rates_and_determinism(self, spark):
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)],
+            "doc_id long, lang string",
+        )
+        out = stratified_sample(df, "doc_id", "lang",
+                                rates_ppm={"en": 500_000, "zh": 0})
+        rows = out.collect()
+        assert all(r["lang"] == "en" for r in rows)  # zh rate 0 → excluded
+        # ~50% of the 1000 en rows; md5 is uniform so ±10% is generous.
+        assert 400 <= len(rows) <= 600
+        # deterministic: same output under a different partitioning
+        again = stratified_sample(df.repartition(7), "doc_id", "lang",
+                                  rates_ppm={"en": 500_000, "zh": 0})
+        assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+            r["doc_id"] for r in rows)
+
+    def test_default_rate_keeps_unlisted_strata(self, spark):
+        df = spark.createDataFrame([(1, "fr"), (2, "fr")], "doc_id long, lang string")
+        assert stratified_sample(df, "doc_id", "lang", rates_ppm={"en": 0}).count() == 2
+
+    def test_bad_rate_raises(self, spark):
+        df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+        with pytest.raises(ValueError):
+            stratified_sample(df, "doc_id", "lang", rates_ppm={"en": 2_000_000})
+
+
+class TestCharEntropy:
+    def test_known_values(self, spark):
+        df = spark.createDataFrame(
+            [(1, "aaaaaaaa"),            # single symbol → 0 bits
+             (2, "abababab"),            # two equiprobable symbols → 1 bit
+             (3, "abcd"),                # four equiprobable → 2 bits
+             (4, "1234!!!!"),            # nothing in alphabet → 0, n_alpha 0
+             (5, "AAAA")],               # lowercased first → 'a', 0 bits
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in char_entropy(df, "doc_id", "text").collect()}
+        assert rows[1]["n_alpha"] == 8 and rows[1]["entropy"] == 0.0
+        assert rows[2]["entropy"] == pytest.approx(1.0)
+        assert rows[3]["entropy"] == pytest.approx(2.0)
+        assert rows[4]["n_alpha"] == 0 and rows[4]["entropy"] == 0.0
+        assert rows[5]["n_alpha"] == 4 and rows[5]["entropy"] == 0.0
+
+    def test_uniform_alphabet_is_max(self, spark):
+        df = spark.createDataFrame(
+            [(1, "abcdefghijklmnopqrstuvwxyz ")], "doc_id long, text string")
+        row = char_entropy(df, "doc_id", "text").collect()[0]
+        assert row["entropy"] == pytest.approx(math.log2(27))
+
+    def test_prose_beats_repetition(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "aa aa aa aa aa aa aa aa aa aa aa aa aa aa")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r["entropy"]
+                for r in char_entropy(df, "doc_id", "text").collect()}
+        assert rows[1] > 3.5 > 1.5 > rows[2]
