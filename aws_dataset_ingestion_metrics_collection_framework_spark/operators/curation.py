@@ -148,6 +148,135 @@ def stratified_sample(
 
 
 # ---------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020, §2.2 of the T5 paper)
+# ---------------------------------------------------------------------------
+
+# Terminal punctuation a retained line must end with (the C4 rule).
+C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """The C4 cleaning recipe over newline-delimited pages, entirely with
+    array higher-order functions — map-only, zero shuffle at any corpus
+    size (no explode: a page's lines never leave their row).
+
+    Line rules (a line is RETAINED iff all hold):
+      - ends with terminal punctuation (``C4_TERMINAL``);
+      - has at least ``min_words_per_line`` whitespace words;
+      - does not contain the word 'javascript' (case-insensitive).
+    Page rules (the document is DROPPED iff any holds):
+      - raw text contains 'lorem ipsum' (case-insensitive) or a '{';
+      - fewer than ``min_lines`` lines survive the line rules.
+
+    Returns (id, clean_text, n_lines, n_kept, doc_kept); ``clean_text`` is
+    the retained lines re-joined (empty string for dropped documents).
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _retained(line: Column) -> Column:
+        last = F.substring(line, -1, 1)
+        words = F.size(F.filter(F.split(F.trim(line), r"\s+"), lambda t: t != ""))
+        return (
+            last.isin(*C4_TERMINAL)
+            & (words >= min_words_per_line)
+            & ~F.lower(line).contains("javascript")
+        )
+
+    kept = F.filter(lines, _retained)
+    lower = F.lower(F.col(text_col))
+    page_bad = lower.contains("lorem ipsum") | F.col(text_col).contains("{")
+    doc_kept = ~page_bad & (F.size(kept) >= min_lines)
+    return df.select(
+        F.col(id_col),
+        F.when(doc_kept, F.array_join(kept, "\n")).otherwise(F.lit("")).alias(
+            "clean_text"
+        ),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        doc_kept.alias("doc_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-quality rules (Rae et al. 2021, table A1)
+# ---------------------------------------------------------------------------
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    stopwords: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with"),
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher quality flags — each published rule as its own
+    boolean column plus the conjunction, so downstream filters can relax
+    individual rules without recomputing. Map-only (one tokenize, array
+    HOFs; no shuffle).
+
+    Rules (Gopher appendix A1, re-expressed over whitespace words):
+      - word count within [min_words, max_words];
+      - mean word length within [min_avg_word_len, max_avg_word_len];
+      - (symbol '#' or '…' occurrences) / words ≤ max_symbol_ratio;
+      - fraction of words containing ≥1 alphabetic char ≥ min_alpha_word_ratio;
+      - at least ``min_stopword_hits`` DISTINCT stopwords present.
+    """
+    toks = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    nn = F.greatest(n, F.lit(1))
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    avg_len = total_len.cast("double") / nn
+    symbols = (
+        F.length(F.col(text_col))
+        - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+        + (
+            F.length(F.col(text_col))
+            - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+        )
+        / 3
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+    stop_hits = F.size(F.filter(stop_arr, lambda w: F.array_contains(toks, w)))
+    out = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(avg_len, 6).alias("avg_word_len"),
+        ((n >= min_words) & (n <= max_words)).alias("ok_words"),
+        ((avg_len >= min_avg_word_len) & (avg_len <= max_avg_word_len)).alias(
+            "ok_avg_len"
+        ),
+        (symbols.cast("double") / nn <= max_symbol_ratio).alias("ok_symbols"),
+        (alpha_words.cast("double") / nn >= min_alpha_word_ratio).alias("ok_alpha"),
+        (stop_hits >= min_stopword_hits).alias("ok_stopwords"),
+    )
+    return out.withColumn(
+        "pass",
+        F.col("ok_words")
+        & F.col("ok_avg_len")
+        & F.col("ok_symbols")
+        & F.col("ok_alpha")
+        & F.col("ok_stopwords"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Character-entropy scoring
 # ---------------------------------------------------------------------------
 

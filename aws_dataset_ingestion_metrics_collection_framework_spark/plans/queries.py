@@ -2306,6 +2306,133 @@ WHERE ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
 """
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (T5 paper §2.2) over a deterministically
+    synthesized newline-structured page: the corpus text is re-lined into
+    8-token lines with doc_id-derived terminal punctuation (3 in 4 lines),
+    'javascript' markers (~4% of lines), and per-doc 'lorem ipsum' / '{'
+    injections — DuckDB rebuilds the identical page, so the full
+    clean_text string equality is checked end-to-end. The operator itself
+    is pure array HOFs: map-only, zero shuffle at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = D.tokenize(F.col("text"))
+    nmax = F.greatest(
+        (F.size(toks) + 7) / 8 - 1, F.lit(0)
+    ).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nmax),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+            F.when((F.col("doc_id") + i * 31) % 23 == 0,
+                   F.lit(" javascript")).otherwise(F.lit("")),
+            F.when((F.col("doc_id") + i) % 4 == 0,
+                   F.lit("")).otherwise(F.lit(".")),
+        ),
+    )
+    page = F.concat(
+        F.array_join(lines, "\n"),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit("\nlorem ipsum dolor.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 19 == 0, F.lit(" {")).otherwise(F.lit("")),
+    )
+    return CU.c4_clean(
+        docs.select("doc_id", page.alias("text")), "doc_id", "text",
+        min_words_per_line=5, min_lines=3,
+    )
+
+
+C4_CLEAN_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(ts, i*8+1, i*8+8), ' ')
+         || CASE WHEN (doc_id + i*31) % 23 = 0 THEN ' javascript' ELSE '' END
+         || CASE WHEN (doc_id + i) % 4 = 0 THEN '' ELSE '.' END AS line
+  FROM tok, UNNEST(range(0, CAST(ceil(len(ts)/8.0) AS BIGINT))) r(i)
+),
+page AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY i)
+         || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'lorem ipsum dolor.' ELSE '' END
+         || CASE WHEN doc_id % 19 = 0 THEN ' {' ELSE '' END AS text
+  FROM lines GROUP BY doc_id
+),
+flt AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+         list_filter(string_split(text, chr(10)), l ->
+           right(l, 1) IN ('.', '!', '?', '"')
+           AND len(list_filter(string_split(regexp_replace(trim(l), '\\s+', ' ', 'g'), ' '),
+                               x -> x <> '')) >= 5
+           AND NOT contains(lower(l), 'javascript')) AS kept,
+         NOT (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS page_ok
+  FROM page
+)
+SELECT doc_id,
+       CASE WHEN page_ok AND len(kept) >= 3
+            THEN array_to_string(kept, chr(10)) ELSE '' END AS clean_text,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       (page_ok AND len(kept) >= 3) AS doc_kept
+FROM flt
+"""
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, table A1), each rule
+    its own boolean column + the conjunction. Thresholds sit inside the
+    corpus distribution (words 10-99 median 56; avg word length 3.7-5.3
+    median 4.5) so every flag splits the corpus non-vacuously. Map-only."""
+    return CU.gopher_rules(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        min_words=30, max_words=80,
+        min_avg_word_len=3.0, max_avg_word_len=4.5,
+        stopwords=("the", "a", "value", "table", "row"),
+        min_stopword_hits=2,
+    )
+
+
+GOPHER_RULES_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, ts,
+         len(ts) AS n,
+         greatest(len(ts), 1) AS nn,
+         CAST(list_sum(list_transform(ts, x -> length(x))) AS DOUBLE)
+             / greatest(len(ts), 1) AS avg_len,
+         (length(text) - length(replace(text, '#', '')))
+             + (length(text) - length(replace(text, '...', ''))) / 3 AS symbols,
+         len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+         len(list_filter(['the', 'a', 'value', 'table', 'row'],
+                         w -> list_contains(ts, w))) AS stop_hits
+  FROM t
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       ROUND(avg_len, 6) AS avg_word_len,
+       (n >= 30 AND n <= 80) AS ok_words,
+       (avg_len >= 3.0 AND avg_len <= 4.5) AS ok_avg_len,
+       (CAST(symbols AS DOUBLE) / nn <= 0.1) AS ok_symbols,
+       (CAST(alpha_words AS DOUBLE) / nn >= 0.8) AS ok_alpha,
+       (stop_hits >= 2) AS ok_stopwords,
+       ((n >= 30 AND n <= 80)
+        AND (avg_len >= 3.0 AND avg_len <= 4.5)
+        AND (CAST(symbols AS DOUBLE) / nn <= 0.1)
+        AND (CAST(alpha_words AS DOUBLE) / nn >= 0.8)
+        AND (stop_hits >= 2)) AS pass
+FROM m
+"""
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level Shannon entropy over the 27-char alphabet — the
     natural-language-vs-noise curation signal. Map-only (27 codegen'd
@@ -2459,6 +2586,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_report": q_domain_report,
     "stratified_sample": q_stratified_sample,
     "char_entropy": q_char_entropy,
+    "c4_clean": q_c4_clean,
+    "gopher_rules": q_gopher_rules,
     # dedup / text / similarity / sessions / multimodal
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_exact_keep": q_dedup_exact_keep,
@@ -2549,6 +2678,8 @@ ORACLES: dict[str, str] = {
     "domain_report": DOMAIN_REPORT_ORACLE,
     "stratified_sample": STRATIFIED_SAMPLE_ORACLE,
     "char_entropy": CHAR_ENTROPY_ORACLE,
+    "c4_clean": C4_CLEAN_ORACLE,
+    "gopher_rules": GOPHER_RULES_ORACLE,
     "dedup_exact_stats": DEDUP_EXACT_STATS_ORACLE,
     "dedup_exact_keep": DEDUP_EXACT_KEEP_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,

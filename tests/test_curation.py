@@ -7,9 +7,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import (
+    c4_clean,
     char_entropy,
     domain_report,
     extract_domains,
+    gopher_rules,
     pii_scan,
     redact_pii,
     stratified_sample,
@@ -104,6 +106,83 @@ class TestStratifiedSample:
         df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
         with pytest.raises(ValueError):
             stratified_sample(df, "doc_id", "lang", rates_ppm={"en": 2_000_000})
+
+
+GOOD_PAGE = (
+    "this is a perfectly reasonable first sentence.\n"
+    "and here is another good line of text!\n"
+    'a third line ends with a quote says "someone"\n'
+    "short one."  # < 5 words → line dropped, doc still has 3 kept lines
+)
+
+
+class TestC4Clean:
+    def test_good_page_keeps_qualifying_lines(self, spark):
+        df = spark.createDataFrame([(1, GOOD_PAGE)], "doc_id long, text string")
+        row = c4_clean(df, "doc_id", "text").collect()[0]
+        assert row["doc_kept"] is True
+        assert row["n_lines"] == 4 and row["n_kept"] == 3
+        assert row["clean_text"].split("\n") == GOOD_PAGE.split("\n")[:3]
+
+    def test_line_rules(self, spark):
+        page = (
+            "no terminal punctuation so this line goes\n"      # no punct
+            "enable javascript to view this content please.\n"  # javascript
+            "one two three four five six seven eight nine.\n"   # kept
+            "good line with plenty of words right here.\n"      # kept
+            "a third keeper so the page survives overall."      # kept
+        )
+        row = c4_clean(spark.createDataFrame([(1, page)], "doc_id long, text string"),
+                       "doc_id", "text").collect()[0]
+        assert row["n_lines"] == 5 and row["n_kept"] == 3 and row["doc_kept"] is True
+
+    def test_page_rules_drop_doc(self, spark):
+        lorem = GOOD_PAGE + "\nlorem ipsum dolor sit amet consectetur."
+        brace = GOOD_PAGE.replace("another good", "another { good")
+        few = "only one qualifying line lives in this document."
+        df = spark.createDataFrame(
+            [(1, lorem), (2, brace), (3, few)], "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in c4_clean(df, "doc_id", "text").collect()}
+        assert not rows[1]["doc_kept"] and rows[1]["clean_text"] == ""
+        assert not rows[2]["doc_kept"]
+        # doc 3 has 1 kept line < min_lines=3
+        assert rows[3]["n_kept"] == 1 and not rows[3]["doc_kept"]
+
+    def test_min_words_per_line_param(self, spark):
+        df = spark.createDataFrame([(1, "tiny line here.\n" * 4)],
+                                   "doc_id long, text string")
+        strict = c4_clean(df, "doc_id", "text", min_words_per_line=5).collect()[0]
+        loose = c4_clean(df, "doc_id", "text", min_words_per_line=3).collect()[0]
+        assert strict["n_kept"] == 0 and not strict["doc_kept"]
+        assert loose["n_kept"] == 4 and loose["doc_kept"]
+
+
+class TestGopherRules:
+    def test_rule_flags(self, spark):
+        prose = ("the cat sat on the mat and then the dog came to sit with "
+                 "the cat near the warm fire in the old house " * 3)
+        short = "too few words here"
+        longword = " ".join(["pneumonoultramicroscopic"] * 60)
+        df = spark.createDataFrame(
+            [(1, prose), (2, short), (3, longword)], "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text").collect()}
+        assert rows[1]["ok_words"] and rows[1]["ok_avg_len"] and rows[1]["ok_stopwords"]
+        assert rows[1]["pass"]
+        assert not rows[2]["ok_words"] and not rows[2]["pass"]
+        assert not rows[3]["ok_avg_len"] and not rows[3]["ok_stopwords"]
+
+    def test_symbol_and_alpha_rules(self, spark):
+        hashy = "the " + "# " * 40 + "of and that have with be to"
+        df = spark.createDataFrame([(1, hashy)], "doc_id long, text string")
+        row = gopher_rules(df, "doc_id", "text").collect()[0]
+        assert not row["ok_symbols"]      # 40 '#' over ~49 words > 0.1
+        assert not row["ok_alpha"]        # '#' words have no alphabetic char
+        assert not row["pass"]
+
+    def test_stopword_distinctness(self, spark):
+        # 'the' repeated 60 times is ONE distinct stopword — fails min 2.
+        df = spark.createDataFrame([(1, "the " * 60)], "doc_id long, text string")
+        assert not gopher_rules(df, "doc_id", "text").collect()[0]["ok_stopwords"]
 
 
 class TestCharEntropy:
