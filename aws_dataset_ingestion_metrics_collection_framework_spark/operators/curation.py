@@ -277,6 +277,54 @@ def gopher_rules(
 
 
 # ---------------------------------------------------------------------------
+# Composite curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    gopher_kwargs: dict | None = None,
+    val_fraction: float = 0.02,
+    seed: int = 42,
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """The standard pre-training curation chain as ONE composition of the
+    engine's operators: Gopher quality gate → exact dedup (min-id
+    representative per identical text) → deterministic train/val split →
+    per-doc token count. Returns one row per SURVIVING document:
+    (id, split, n_tokens, dup_count).
+
+    Stage shapes (nothing here adds a new shuffle kind): the gate is
+    map-only; dedup is the two-phase slim shuffle of ``dedup.exact_dedup``
+    (id+hash only — text never shuffles except the duplicate sliver); the
+    split and the count are map-only. The id-only semi-join back to text
+    re-reads the (columnar, pruned) source rather than carrying text
+    through the dedup shuffle — the 100 TB trade.
+    """
+    from .dedup import exact_dedup, tokenize
+    from .textops import train_val_split
+
+    flags = gopher_rules(df, id_col, text_col, **(gopher_kwargs or {}))
+    kept = df.join(
+        flags.filter(F.col("pass")).select(id_col), id_col, "left_semi"
+    )
+    reps = exact_dedup(kept, [text_col], id_col)  # (id, dup_count)
+    survivors = kept.join(reps, id_col)  # re-attach text for the token count
+    split = train_val_split(
+        survivors, id_col, val_fraction=val_fraction, seed=seed, hash_fn=hash_fn
+    )
+    return split.select(
+        F.col(id_col),
+        "split",
+        F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"),
+        "dup_count",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Character-entropy scoring
 # ---------------------------------------------------------------------------
 

@@ -2396,8 +2396,11 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-GOPHER_RULES_ORACLE = """
-WITH t AS (
+# The gopher metric CTEs and the gate condition are shared verbatim between
+# the gopher_rules oracle and the corpus_pipeline oracle — one source of
+# truth for the cross-engine gate.
+_GOPHER_CTE = """
+t AS (
   SELECT doc_id, text,
          list_filter(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
                      x -> x <> '') AS ts
@@ -2415,7 +2418,16 @@ m AS (
          len(list_filter(['the', 'a', 'value', 'table', 'row'],
                          w -> list_contains(ts, w))) AS stop_hits
   FROM t
-)
+)"""
+
+_GOPHER_PASS = """((n >= 30 AND n <= 80)
+        AND (avg_len >= 3.0 AND avg_len <= 4.5)
+        AND (CAST(symbols AS DOUBLE) / nn <= 0.1)
+        AND (CAST(alpha_words AS DOUBLE) / nn >= 0.8)
+        AND (stop_hits >= 2))"""
+
+GOPHER_RULES_ORACLE = f"""
+WITH {_GOPHER_CTE}
 SELECT doc_id,
        CAST(n AS BIGINT) AS n_words,
        ROUND(avg_len, 6) AS avg_word_len,
@@ -2424,12 +2436,48 @@ SELECT doc_id,
        (CAST(symbols AS DOUBLE) / nn <= 0.1) AS ok_symbols,
        (CAST(alpha_words AS DOUBLE) / nn >= 0.8) AS ok_alpha,
        (stop_hits >= 2) AS ok_stopwords,
-       ((n >= 30 AND n <= 80)
-        AND (avg_len >= 3.0 AND avg_len <= 4.5)
-        AND (CAST(symbols AS DOUBLE) / nn <= 0.1)
-        AND (CAST(alpha_words AS DOUBLE) / nn >= 0.8)
-        AND (stop_hits >= 2)) AS pass
+       {_GOPHER_PASS} AS pass
 FROM m
+"""
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training curation chain as one composition: Gopher
+    gate (same thresholds as ``gopher_rules``) → exact dedup (min-id
+    representative per identical text) → deterministic 2% split (md5
+    variant so DuckDB replays it) → token counts. The oracle recomposes
+    every stage in SQL, so the INTERACTION of the operators is checked,
+    not just each stage alone."""
+    return CU.curate_corpus(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        gopher_kwargs=dict(
+            min_words=30, max_words=80,
+            min_avg_word_len=3.0, max_avg_word_len=4.5,
+            stopwords=("the", "a", "value", "table", "row"),
+            min_stopword_hits=2,
+        ),
+        val_fraction=0.02, seed=42, hash_fn="md5",
+    )
+
+
+CORPUS_PIPELINE_ORACLE = f"""
+WITH {_GOPHER_CTE},
+g AS (
+  SELECT doc_id, text, ts FROM m WHERE {_GOPHER_PASS}
+),
+d AS (
+  SELECT doc_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY text) AS dup_count
+  FROM g
+)
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#42'), 1, 15))::BIGINT
+                 % 10000 < 200
+            THEN 'val' ELSE 'train' END AS split,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(dup_count AS BIGINT) AS dup_count
+FROM d WHERE rn = 1
 """
 
 
@@ -2588,6 +2636,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy": q_char_entropy,
     "c4_clean": q_c4_clean,
     "gopher_rules": q_gopher_rules,
+    "corpus_pipeline": q_corpus_pipeline,
     # dedup / text / similarity / sessions / multimodal
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_exact_keep": q_dedup_exact_keep,
@@ -2680,6 +2729,7 @@ ORACLES: dict[str, str] = {
     "char_entropy": CHAR_ENTROPY_ORACLE,
     "c4_clean": C4_CLEAN_ORACLE,
     "gopher_rules": GOPHER_RULES_ORACLE,
+    "corpus_pipeline": CORPUS_PIPELINE_ORACLE,
     "dedup_exact_stats": DEDUP_EXACT_STATS_ORACLE,
     "dedup_exact_keep": DEDUP_EXACT_KEEP_ORACLE,
     "ngram_jaccard": NGRAM_JACCARD_ORACLE,

@@ -185,6 +185,46 @@ class TestGopherRules:
         assert not gopher_rules(df, "doc_id", "text").collect()[0]["ok_stopwords"]
 
 
+class TestCuratePipeline:
+    def test_gate_dedup_split_compose(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import (
+            curate_corpus,
+        )
+        prose = ("the cat sat on the mat and then the dog came to sit with "
+                 "the cat near the warm fire in the old house eating food "
+                 "while the rain fell on the roof of the small barn outside")
+        df = spark.createDataFrame(
+            [(1, prose), (2, prose), (3, prose + " again today"),
+             (4, "too short")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in curate_corpus(
+            df, "doc_id", "text",
+            gopher_kwargs=dict(min_words=10, max_words=100),
+        ).collect()}
+        # doc 4 fails the word-count gate; docs 1/2 are exact dups → min id
+        # 1 survives with dup_count 2; doc 3 is distinct.
+        assert set(out) == {1, 3}
+        assert out[1]["dup_count"] == 2 and out[3]["dup_count"] == 1
+        assert out[1]["n_tokens"] == len(prose.split())
+        assert all(r["split"] in ("train", "val") for r in out.values())
+
+    def test_split_is_partitioning_invariant(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import (
+            curate_corpus,
+        )
+        docs = [(i, f"the a value table row filler{i} " * 8) for i in range(100)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        kw = dict(gopher_kwargs=dict(min_words=10, max_words=100,
+                                     max_avg_word_len=12.0,
+                                     stopwords=("the", "a", "value")))
+        a = {r["doc_id"]: r["split"]
+             for r in curate_corpus(df, "doc_id", "text", **kw).collect()}
+        b = {r["doc_id"]: r["split"]
+             for r in curate_corpus(df.repartition(13), "doc_id", "text", **kw).collect()}
+        assert len(a) == 100 and a == b
+
+
 class TestCharEntropy:
     def test_known_values(self, spark):
         df = spark.createDataFrame(

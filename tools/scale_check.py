@@ -46,6 +46,9 @@ PROBES = [
     "q01_pricing_summary", "metrics_day", "sla_daily", "dedup_exact_stats",
     "minhash_pairs", "ngram_jaccard", "token_stats", "cosine_topk", "sessionize",
     "dedup_clusters", "tfidf_top_terms",
+    # r4: block dedup (one block-keyed shuffle), simhash at the d=3 design
+    # point (60 map-side SUMs + 15-bit band join), C4 cleaning (map-only HOFs)
+    "paragraph_dedup", "simhash_pairs", "c4_clean",
 ]
 
 SF1_TABLES = (
@@ -208,9 +211,17 @@ def main():
         ts = {}
         for label, d in (("small", small), ("big", big)):
             QUERIES[name](spark, d).collect()          # warm (codegen + FS cache)
-            t0 = time.perf_counter()
-            QUERIES[name](spark, d).collect()
-            ts[label] = time.perf_counter() - t0
+            # MIN of 2 timed runs, same rationale as bench.py: a single
+            # post-warm-up run still drifts with whatever GC/compilation
+            # debt the preceding probes left in the shared JVM (observed:
+            # cosine_topk 4.5 s in-suite vs 0.9 s isolated at sf0.1) —
+            # the min is the number that predicts cluster throughput.
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, d).collect()
+                best = min(best, time.perf_counter() - t0)
+            ts[label] = best
         out[name] = {
             "small_s": round(ts["small"], 3),
             "big_s": round(ts["big"], 3),
