@@ -1,6 +1,8 @@
 """Corpus-curation operators for large-scale training-data pipelines:
 PII scan/redaction, URL-domain extraction with blocklist filtering,
-deterministic stratified sampling, and character-entropy scoring.
+deterministic stratified sampling, character-entropy scoring, C4
+line-level cleaning, Gopher quality rules, and the composite
+``curate_corpus`` chain.
 
 The reference framework (SURVEY.md §2) stops at metric analytics; these
 extend the engine toward the dataset-curation surface a 100 TB ingestion
@@ -13,6 +15,8 @@ whole-stage-codegen-friendly, zero shuffle) except:
   domains (map-side combined; the exploded URL rows never leave their
   input partition before partial aggregation), plus an optional broadcast
   anti-join against a (small) blocklist;
+- ``curate_corpus``: inherits exactly the two-phase slim shuffle of
+  ``dedup.exact_dedup`` for its dedup stage (ids+hashes only);
 - nothing else shuffles at all, so all of them compose with upstream scans
   at any corpus size.
 

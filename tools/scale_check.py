@@ -176,9 +176,12 @@ def generate_sf1(spark, src: str, dest: str) -> None:
 
 
 def main():
+    probes = PROBES
     if len(sys.argv) > 1 and sys.argv[1] == "--sf1":
         small = "/root/testdata/sf0.1"
         big = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+        if len(sys.argv) > 2:  # optional probe subset (resumable sweeps)
+            probes = [p for p in PROBES if p in set(sys.argv[2:])]
     else:
         small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
         big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -207,7 +210,7 @@ def main():
         spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     out = {}
-    for name in PROBES:
+    for name in probes:
         ts = {}
         for label, d in (("small", small), ("big", big)):
             QUERIES[name](spark, d).collect()          # warm (codegen + FS cache)
