@@ -47,6 +47,26 @@ def tokenize(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
+def materialize_once(df: DataFrame) -> DataFrame:
+    """Materialize a slim intermediate exactly once before a self-join.
+
+    Every sketch join in this module (MinHash buckets, SimHash bands, the
+    PPJoin prefix index) is a self-join of an expensive-to-derive but
+    slim-to-store table: without this, Catalyst plans the full upstream DAG
+    (tokenize → shingle → hash → aggregate over the whole corpus) once PER
+    SIDE — at 100 TB that is two complete corpus passes to derive the same
+    few-bytes-per-doc table. ``localCheckpoint(eager=False)`` stores the
+    partitions (memory-and-disk) at first materialization and both join
+    sides — and every later iteration — read the stored copy.
+
+    The trade (same one ``operators/graph.py`` makes for its iterative
+    loops): lineage is truncated, so losing an executor means retrying the
+    job instead of recomputing lost partitions. For signature tables of a
+    few longs per document that retry is cheap; for anything
+    payload-carrying, don't use this."""
+    return df.localCheckpoint(eager=False)
+
+
 def bind_once(col: Column, build) -> Column:
     """Evaluate ``col`` exactly once per row and pass it to ``build`` as a
     lambda variable.
@@ -308,7 +328,9 @@ def minhash_candidates(
         )
         .select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
-    banded = cap_bucket_size(banded, ["band", "bucket"], max_bucket_size)
+    banded = materialize_once(
+        cap_bucket_size(banded, ["band", "bucket"], max_bucket_size)
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -333,8 +355,21 @@ def jaccard_verify(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs only (the cheap
-    post-LSH verification — candidates ≪ all pairs)."""
-    sh = df.select(
+    post-LSH verification — candidates ≪ all pairs).
+
+    The corpus is first pruned to documents that actually appear in a
+    candidate pair (semi-join on the id union): shingling is the expensive
+    step, and candidates cover a vanishing fraction of a deduplicated
+    corpus — without the prune, verification re-shingles all 100 TB twice
+    (once per join side)."""
+    candidates = materialize_once(candidates)  # referenced twice below
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("_cid"))
+        .union(candidates.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    pruned = df.join(cand_ids, df[id_col] == cand_ids["_cid"], "left_semi")
+    sh = pruned.select(
         F.col(id_col).alias("doc"),
         word_shingles(tokenize(F.col(text_col)), k).alias("sh"),
     )
@@ -492,7 +527,7 @@ def simhash_near_dup_pairs(
     banded = sigs.select(
         "doc", "sig", F.explode(F.array(*block_structs)).alias("bb")
     ).select("doc", "sig", F.col("bb.block").alias("block"), F.col("bb.bval").alias("bval"))
-    banded = cap_bucket_size(banded, ["block", "bval"], max_bucket_size)
+    banded = materialize_once(cap_bucket_size(banded, ["block", "bval"], max_bucket_size))
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(
@@ -531,8 +566,10 @@ def ngram_jaccard_pairs(
     # join on the 64-bit shingle hash, not the string: the posting-list
     # shuffle/sort moves 8-byte keys instead of full shingles (collision
     # odds ~|shingles|²/2⁶⁴ — immaterial vs the shuffle-volume win)
-    inv = sh.select("doc", F.explode("sh").alias("s")).select(
-        "doc", F.xxhash64("s").alias("s")
+    inv = materialize_once(
+        sh.select("doc", F.explode("sh").alias("s")).select(
+            "doc", F.xxhash64("s").alias("s")
+        )
     )
     l, r = inv.alias("l"), inv.alias("r")
     common = (
@@ -584,9 +621,11 @@ def ngram_jaccard_pairs_prefix(
         word_shingles(tokenize(F.col(text_col)), k).alias("sh"),
     )
     sizes = sh.select("doc", F.size("sh").alias("n"))
-    inv = sh.select("doc", F.explode("sh").alias("s")).select(
-        "doc", F.xxhash64("s").alias("s")
-    )
+    inv = materialize_once(
+        sh.select("doc", F.explode("sh").alias("s")).select(
+            "doc", F.xxhash64("s").alias("s")
+        )
+    )  # referenced by the frequency count AND the ranked index build
     freq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
     ranked = (
         inv.join(freq, "s")
@@ -599,6 +638,7 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
         .select("doc", "s", "rn", "n")
     )
+    ranked = materialize_once(ranked)
     t = F.lit(threshold)
     # required overlap for Jaccard ≥ t given sizes na, nb
     min_overlap = F.ceil(t / (1 + t) * (F.col("l.n") + F.col("r.n")))
