@@ -32,6 +32,7 @@ from ..functions.keys import (
     unique_id_col,
     widget_title_col,
 )
+from ..operators import cdc as CDC
 from ..operators import curation as CU
 from ..operators import dashboards as DB
 from ..operators import dedup as D
@@ -42,6 +43,7 @@ from ..operators import similarity as SIM
 from ..operators import sla_eval as SLA
 from ..operators import temporal as T
 from ..operators import textops as TX
+from ..operators import weighting as WGT
 from ..operators.business import business_metrics_distributed
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -2042,6 +2044,114 @@ FROM cum
 """
 
 
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al., NeurIPS'23): score every
+    document by the hashed-bigram log-likelihood ratio toward the English
+    slice (lang='en' plays the target domain). md5-bucketed features so
+    DuckDB replays every bucket assignment; weight rounded to 6 decimals
+    (sum-order stability)."""
+    return WGT.importance_weights(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        F.col("lang") == "en", n_max=2, buckets=256, alpha=1.0, hash_fn="md5",
+    )
+
+
+IMPORTANCE_WEIGHTS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, ts[i] AS g FROM tok, UNNEST(range(1, len(ts)+1)) r(i)
+),
+bi AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+  FROM tok, UNNEST(range(1, greatest(len(ts), 1))) r(i)
+),
+feats AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS INTEGER) AS bucket
+  FROM (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi)
+),
+rc AS (SELECT bucket, COUNT(*) AS cr FROM feats GROUP BY bucket),
+tc AS (
+  SELECT bucket, COUNT(*) AS ct
+  FROM feats JOIN documents USING (doc_id) WHERE lang = 'en'
+  GROUP BY bucket
+),
+ratios AS (
+  SELECT bucket,
+         ln((ct + 1.0) / (SUM(ct) OVER () + 256.0))
+       - ln((cr + 1.0) / (SUM(cr) OVER () + 256.0)) AS log_ratio
+  FROM (
+    SELECT g.bucket, COALESCE(rc.cr, 0) AS cr, COALESCE(tc.ct, 0) AS ct
+    FROM (SELECT CAST(i AS INTEGER) AS bucket FROM range(256) r(i)) g
+    LEFT JOIN rc USING (bucket) LEFT JOIN tc USING (bucket)
+  )
+),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_grams, ROUND(SUM(log_ratio), 6) AS weight
+  FROM feats JOIN ratios USING (bucket)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_grams, 0) AS n_grams,
+       COALESCE(s.weight, 0.0) AS weight
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot over the events changelog: latest version per user by
+    (ts, event_id), 'error' rows acting as tombstones (a later non-error
+    event resurrects the user — MERGE semantics). One max_by shuffle, no
+    window sort."""
+    ev = load_table(spark, sf_dir, "events")
+    snap = CDC.upsert_latest(
+        ev, ["user_id"], ["ts", "event_id"],
+        delete_predicate=F.col("event_type") == "error",
+    )
+    return snap.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_op"),
+        F.col("value").alias("last_value"),
+    )
+
+
+UPSERT_LATEST_ORACLE = """
+WITH latest AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts AS last_ts, event_type AS last_op, value AS last_value
+FROM latest
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension view of the events changelog: per-version validity
+    intervals [valid_from, valid_to) per user, (ts, event_id) ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    out = CDC.scd2_history(ev, ["user_id"], ["ts", "event_id"])
+    return out.select("user_id", "event_id", "valid_from", "valid_to", "is_current")
+
+
+SCD2_HISTORY_ORACLE = """
+SELECT user_id, event_id,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+         AS is_current
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # Dashboard report generation (step 8 — F5 dedup, C1/C3 derivations)
 # --------------------------------------------------------------------------
@@ -2627,6 +2737,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "train_val_split": q_train_val_split,
     "pack_sequences": q_pack_sequences,
+    "importance_weights": q_importance_weights,
+    "upsert_latest": q_upsert_latest,
+    "scd2_history": q_scd2_history,
     "image_thumbnails": q_image_thumbnails,
     # corpus curation (PII / domains / sampling / entropy)
     "pii_scan": q_pii_scan,
@@ -2721,6 +2834,9 @@ ORACLES: dict[str, str] = {
     "paragraph_dedup": PARAGRAPH_DEDUP_ORACLE,
     "train_val_split": TRAIN_VAL_SPLIT_ORACLE,
     "pack_sequences": PACK_SEQUENCES_ORACLE,
+    "importance_weights": IMPORTANCE_WEIGHTS_ORACLE,
+    "upsert_latest": UPSERT_LATEST_ORACLE,
+    "scd2_history": SCD2_HISTORY_ORACLE,
     "image_thumbnails": IMAGE_THUMBNAILS_ORACLE,
     "pii_scan": PII_SCAN_ORACLE,
     "pii_redact": PII_REDACT_ORACLE,

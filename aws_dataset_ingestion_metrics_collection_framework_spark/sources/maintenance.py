@@ -1,0 +1,104 @@
+"""Lake maintenance: small-file compaction and range-sorted (cluster-key)
+layout.
+
+Streaming ingest (the engine's Firehose analog, ``streaming/ingest.py``)
+and frequent small appends leave a lake table as thousands of KB-sized
+parquet files; at 100 TB that is the classic small-file problem — task
+scheduling, footer reads and object-store requests dominate the scan.
+Compaction rewrites a table into size-targeted files; range-sorted layout
+additionally clusters rows by query keys so parquet min/max statistics
+prune entire files (the poor man's Z-order — exact for 1-D key prefixes,
+which covers the lake's dominant time-range scans).
+
+Both use only the file-source `_metadata` hidden column and plain
+DataFrame writes — no filesystem API, so they run identically against any
+Hadoop-compatible store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file (file_path, file_size_bytes, n_rows) for a parquet table —
+    the compaction decision input. Distributed: `_metadata.file_path` /
+    `file_size` come from the scan itself (no driver-side listing)."""
+    return (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.file_size").alias("file_size_bytes"),
+        )
+        .groupBy("file_path", "file_size_bytes")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def plan_compaction(
+    spark: SparkSession, path: str, *, target_file_bytes: int = 128 << 20
+) -> dict:
+    """Decide the output file count for compacting ``path``: total bytes /
+    target, min 1. Returns {"n_files", "total_bytes", "target_files"} —
+    driver-side scalars derived from one tiny metadata aggregation."""
+    row = (
+        file_stats(spark, path)
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("file_size_bytes").alias("total_bytes"),
+        )
+        .collect()[0]
+    )
+    total = row["total_bytes"] or 0
+    return {
+        "n_files": row["n_files"],
+        "total_bytes": total,
+        "target_files": max(1, -(-total // target_file_bytes)),
+    }
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+    shuffle: bool = False,
+) -> dict:
+    """Rewrite ``src_path`` into ``dest_path`` as ~``target_file_bytes``
+    files. ``shuffle=False`` (default) uses ``coalesce`` — a map-only merge
+    of input splits, no exchange, the right mode for pure file-count
+    reduction; ``shuffle=True`` uses ``repartition`` for even output sizes
+    when the input is skewed (pays one round-robin exchange).
+
+    Writes to a NEW path (atomic swap is the caller's rename/catalog
+    repoint — never compact in place: readers of ``src_path`` keep a
+    consistent view throughout). Returns the compaction plan dict.
+    """
+    plan = plan_compaction(spark, src_path, target_file_bytes=target_file_bytes)
+    n = int(plan["target_files"])
+    df = spark.read.parquet(src_path)
+    df = df.repartition(n) if shuffle else df.coalesce(n)
+    df.write.mode("error").parquet(dest_path)
+    return plan
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    *,
+    num_files: int,
+    mode: str = "error",
+) -> None:
+    """Write ``df`` range-partitioned + sorted on ``cluster_cols``: file i
+    holds a contiguous, internally-sorted key range, so parquet row-group
+    min/max statistics turn any point/range predicate on the leading key
+    into file- and row-group-level skipping. One range exchange (sampled
+    bounds) + local sort — the same cost profile as a global orderBy."""
+    (
+        df.repartitionByRange(num_files, *[F.col(c) for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -1,0 +1,64 @@
+"""Lake-maintenance tests: compaction and range-sorted layout."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_dataset_ingestion_metrics_collection_framework_spark.sources.maintenance import (
+    compact_files,
+    file_stats,
+    plan_compaction,
+    write_range_sorted,
+)
+
+
+@pytest.fixture
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="maint_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compaction_reduces_file_count_preserving_rows(spark, tmpdir):
+    src, dest = f"{tmpdir}/src", f"{tmpdir}/dest"
+    spark.range(10_000).withColumn("v", F.col("id") * 2).repartition(64).write.parquet(src)
+    assert file_stats(spark, src).count() == 64
+    plan = compact_files(spark, src, dest, target_file_bytes=1 << 30)
+    assert plan["n_files"] == 64
+    out_files = file_stats(spark, dest)
+    assert out_files.count() == 1
+    assert spark.read.parquet(dest).count() == 10_000
+    assert (
+        spark.read.parquet(dest).agg(F.sum("v")).collect()[0][0]
+        == spark.read.parquet(src).agg(F.sum("v")).collect()[0][0]
+    )
+
+
+def test_plan_compaction_targets_size(spark, tmpdir):
+    src = f"{tmpdir}/src"
+    spark.range(50_000).withColumn("pad", F.sha2(F.col("id").cast("string"), 256)) \
+        .repartition(16).write.parquet(src)
+    plan = plan_compaction(spark, src, target_file_bytes=1 << 20)
+    # ceil(total/1MiB) files, at least 1, fewer than the 16 inputs
+    assert 1 <= plan["target_files"] <= 16
+    assert plan["target_files"] == -(-plan["total_bytes"] // (1 << 20))
+
+
+def test_range_sorted_files_have_disjoint_key_ranges(spark, tmpdir):
+    path = f"{tmpdir}/sorted"
+    df = spark.range(20_000).select(
+        (F.xxhash64("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    write_range_sorted(df, path, ["k"], num_files=8)
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.col("_metadata.file_path").alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert sum(r["n"] for r in per_file) == 20_000
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # contiguous, non-overlapping key ranges
