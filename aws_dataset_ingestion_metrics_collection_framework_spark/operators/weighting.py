@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .dedup import md5_60bit, tokenize
+from .dedup import bind_once, materialize_once, md5_60bit, tokenize
 
 
 def _gram_buckets(
@@ -46,14 +46,16 @@ def _gram_buckets(
 ) -> DataFrame:
     """(doc, bucket) — one row per word n-gram instance (n = 1..n_max),
     bucket = hash(gram) mod buckets. Map-side only (explode, no shuffle)."""
-    toks = tokenize(F.col(text_col))
-
+    # The token array is bound ONCE per row (bind_once): Catalyst re-evaluates
+    # expressions referenced inside HOF lambda bodies per element, so naming
+    # `tokenize(...)` directly in the per-gram lambda would re-run the
+    # tokenization regex once per gram — measured 6× slower on this operator.
     # Guard per n: Spark's sequence(1, stop) DESCENDS when stop < 1 (it never
     # returns empty), so docs shorter than n must take the empty-array branch.
-    # The per-n closure must be a real function scope: a `lambda i, n=n:`
+    # The per-n closure must also be a real function scope: a `lambda i, n=n:`
     # two-parameter lambda would be interpreted by F.transform as its
     # (element, index) form, silently binding the array INDEX to n.
-    def _ngrams(n: int) -> Column:
+    def _ngrams(toks: Column, n: int) -> Column:
         return F.when(
             F.size(toks) >= n,
             F.transform(
@@ -62,7 +64,12 @@ def _gram_buckets(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    grams = F.flatten(F.array(*[_ngrams(n) for n in range(1, n_max + 1)]))
+    grams = bind_once(
+        tokenize(F.col(text_col)),
+        lambda toks: F.flatten(
+            F.array(*[_ngrams(toks, n) for n in range(1, n_max + 1)])
+        ),
+    )
     gram_hash: Column = (
         md5_60bit(F.col("g")) if hash_fn == "md5" else F.abs(F.xxhash64(F.col("g")))
     )
@@ -97,19 +104,21 @@ def importance_weights(
     accumulation error, so results are engine- and partitioning-stable).
     Documents with zero grams (empty text) get weight 0.
     """
-    feats = _gram_buckets(
-        raw, id_col, text_col, n_max=n_max, buckets=buckets, hash_fn=hash_fn
+    # Derive gram rows ONCE (materialize_once: they feed the raw counts, the
+    # target counts, and the final scoring join — three consumers that would
+    # otherwise each re-run the explode+hash corpus pass); target counts
+    # come from the stored rows via a slim id join instead of a second
+    # tokenization of the target slice.
+    feats = materialize_once(
+        _gram_buckets(
+            raw, id_col, text_col, n_max=n_max, buckets=buckets, hash_fn=hash_fn
+        )
     )
-    target_feats = _gram_buckets(
-        raw.filter(target_predicate),
-        id_col,
-        text_col,
-        n_max=n_max,
-        buckets=buckets,
-        hash_fn=hash_fn,
-    )
+    tgt_ids = raw.filter(target_predicate).select(F.col(id_col).alias("doc"))
     raw_counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tgt_counts = target_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    tgt_counts = (
+        feats.join(tgt_ids, "doc").groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    )
     spark = raw.sparkSession
     # Full bucket domain so never-seen buckets still get smoothed mass; the
     # totals ride a single-partition window over this `buckets`-row table —

@@ -49,6 +49,9 @@ PROBES = [
     # r4: block dedup (one block-keyed shuffle), simhash at the d=3 design
     # point (60 map-side SUMs + 15-bit band join), C4 cleaning (map-only HOFs)
     "paragraph_dedup", "simhash_pairs", "c4_clean",
+    # r4b: DSIR weighting (broadcast ratio table + one per-doc SUM shuffle),
+    # CDC snapshot (single max_by shuffle — growth should track events 1:1)
+    "importance_weights", "upsert_latest",
 ]
 
 SF1_TABLES = (
