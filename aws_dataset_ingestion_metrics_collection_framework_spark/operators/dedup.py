@@ -696,9 +696,11 @@ def embedding_near_dup_pairs(
     # would otherwise ride the shuffle n_tables times. Vectors re-attach
     # once per side after the candidate set is deduped across tables.
     # Bucketing itself is one Arrow-batched matmul per batch (map-only).
-    bucketed = bucketize_tables(
-        df, id_col=id_col, id_name="doc", vec_col=vec_col,
-        n_tables=n_tables, n_planes=n_planes, seed=seed,
+    bucketed = materialize_once(
+        bucketize_tables(
+            df, id_col=id_col, id_name="doc", vec_col=vec_col,
+            n_tables=n_tables, n_planes=n_planes, seed=seed,
+        )
     )
     l, r = bucketed.alias("l"), bucketed.alias("r")
     cands = (
@@ -719,6 +721,47 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"))
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    seed: int = 7,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Embedding-space deduplication end to end (the SemDeDup shape, Abbas
+    et al. 2023, arXiv:2303.09540): partition the embedding space cheaply,
+    score cosine only within partitions, close the ≥ threshold pairs into
+    duplicate groups, keep one representative per group.
+
+    This engine uses multi-table hyperplane LSH as the partitioner instead
+    of the paper's k-means — the same within-partition-then-verify economics
+    (no all-pairs join), with a deterministic, engine-replayable bucket
+    assignment. Returns a total assignment (id, cluster_rep, keep):
+    ``keep`` marks each group's minimum id; filter on it (or left-semi join
+    via :func:`~.graph.dedup_keep_per_cluster`) to materialize the deduped
+    corpus.
+    """
+    from .graph import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        df, id_col, vec_col,
+        threshold=threshold, n_planes=n_planes, n_tables=n_tables, seed=seed,
+    )
+    comp = connected_components(
+        df.select(F.col(id_col)), pairs.select("id_a", "id_b"),
+        id_col=id_col, max_iter=max_iter,
+    )
+    return comp.select(
+        F.col("id").alias(id_col),
+        F.col("component").alias("cluster_rep"),
+        (F.col("id") == F.col("component")).alias("keep"),
+    )
 
 
 # ----------------------- benchmark decontamination -----------------------

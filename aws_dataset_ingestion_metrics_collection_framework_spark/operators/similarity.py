@@ -107,13 +107,27 @@ def _bucket_batch_udf(n_tables: int, n_planes: int, seed: int, dim: int):
     one numpy matmul per batch (map-only, no shuffle, plan size O(1)) —
     the documented built-ins-can't-express-this exception alongside the
     multimodal decoders."""
-    planes = [_plane_literals(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
-    P = np.asarray([p for tbl in planes for p in tbl], dtype=np.float64)  # (T*np, dim)
+    # Planes are generated lazily from the OBSERVED vector dimension (and
+    # cached per dim) — deterministic for a given (seed, dim), so every
+    # batch/task/retry derives the identical matrix, and the operator works
+    # for any embedding width without a dim annotation. The `dim` argument
+    # remains the no-data default used only if a batch is empty.
+    plane_cache: dict[int, np.ndarray] = {}
+
+    def _planes_for(d: int) -> np.ndarray:
+        P = plane_cache.get(d)
+        if P is None:
+            tbls = [_plane_literals(d, n_planes, seed + 1000 * t) for t in range(n_tables)]
+            P = np.asarray([p for tbl in tbls for p in tbl], dtype=np.float64)
+            plane_cache[d] = P
+        return P
 
     @F.pandas_udf("array<string>")
     def buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
         M = np.vstack(v.to_numpy()).astype(np.float64)  # (N, dim)
-        S = (M @ P.T) >= 0.0  # (N, T*np) sign bits
+        S = (M @ _planes_for(M.shape[1]).T) >= 0.0  # (N, T*np) sign bits
         out = []
         for row in S:
             out.append(

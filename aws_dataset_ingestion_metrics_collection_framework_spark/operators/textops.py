@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .dedup import tokenize
+from .dedup import bind_once, tokenize
 
 # Minimal per-language stopword lists for the n-gram/stopword-overlap
 # language heuristic. Deliberately tiny & deterministic.
@@ -284,6 +284,49 @@ def dedup_paragraphs(
             "n_blocks",
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
+    )
+
+
+# GPT-2-style pre-tokenizer classes, portable across Java regex and RE2:
+# letter runs, digit runs, single punctuation marks. Both engines resolve
+# the alternation leftmost-first, so piece boundaries agree exactly.
+PIECE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_estimate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chars_per_subword: int = 4,
+) -> DataFrame:
+    """Tokenizer-free BPE token-count estimate — the budgeting statistic
+    every LM-training pipeline needs before a real tokenizer is in the
+    loop (sequence packing, per-doc cost caps, corpus token accounting).
+
+    Two counters per document, both map-only (zero shuffle at any scale):
+
+    - ``n_ws_tokens``: whitespace tokens (the coarse count);
+    - ``n_pieces`` / ``est_subwords``: pre-tokenizer pieces under the
+      GPT-2-ish class regex (letter runs / digit runs / punctuation), each
+      piece contributing ⌈len/chars_per_subword⌉ subwords — the ~4
+      chars-per-token heuristic published for BPE vocabularies on English
+      text, exact for short pieces, conservative for long rare words.
+    """
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(PIECE_PATTERN), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(tokenize(F.col(text_col))).cast("long").alias("n_ws_tokens"),
+        F.size(pieces).cast("long").alias("n_pieces"),
+        bind_once(
+            pieces,
+            lambda ps: F.aggregate(
+                ps,
+                F.lit(0).cast("long"),
+                lambda acc, p: acc
+                + F.ceil(F.length(p) / F.lit(float(chars_per_subword))).cast("long"),
+            ),
+        ).alias("est_subwords"),
     )
 
 

@@ -2152,6 +2152,78 @@ FROM events
 """
 
 
+def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
+    piece regex + chars-per-subword ceiling) over the PII-augmented corpus
+    — the augmentation injects emails/phones/IPs so digit runs and
+    punctuation pieces actually occur (the raw synthetic text is
+    letters-only, which would make n_pieces == n_ws_tokens vacuously)."""
+    return TX.token_estimate(
+        _pii_augmented(load_table(spark, sf_dir, "documents")), "doc_id", "text"
+    )
+
+
+def _token_estimate_oracle() -> str:
+    return f"""
+WITH aug AS ({_PII_AUG_SQL}),
+p AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS ps,
+         len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                         x -> x <> '')) AS nws
+  FROM aug
+)
+SELECT doc_id,
+       CAST(nws AS BIGINT) AS n_ws_tokens,
+       CAST(len(ps) AS BIGINT) AS n_pieces,
+       CAST(COALESCE(list_sum(list_transform(ps,
+            x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT)
+         AS est_subwords
+FROM p
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup end to end (SemDeDup shape): LSH-partitioned
+    cosine pairs → connected components → per-group representative, total
+    (vec_id, cluster_rep, keep) assignment. Same slice/parameters as
+    ``cosine_pairs_lsh`` (16 tables × 2 planes ⇒ per-pair miss ≈ 3e-4, so
+    the LSH pair set equals the exact one and the DuckDB recursive-CTE
+    closure over the exact crossJoin pairs is a true oracle of the whole
+    pipeline, not just the pair stage)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
+    return D.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.4, n_planes=2, n_tables=16
+    )
+
+
+SEMANTIC_DEDUP_ORACLE = """
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id < 250
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e) /
+        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+        >= 0.4
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT edges.dst, reach.r FROM edges JOIN reach ON reach.id = edges.src
+)
+SELECT id AS vec_id, MIN(r) AS cluster_rep, (MIN(r) = id) AS keep
+FROM reach GROUP BY id
+"""
+
+
 # --------------------------------------------------------------------------
 # Dashboard report generation (step 8 — F5 dedup, C1/C3 derivations)
 # --------------------------------------------------------------------------
@@ -2740,6 +2812,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
     "scd2_history": q_scd2_history,
+    "token_estimate": q_token_estimate,
+    "semantic_dedup": q_semantic_dedup,
     "image_thumbnails": q_image_thumbnails,
     # corpus curation (PII / domains / sampling / entropy)
     "pii_scan": q_pii_scan,
@@ -2837,6 +2911,8 @@ ORACLES: dict[str, str] = {
     "importance_weights": IMPORTANCE_WEIGHTS_ORACLE,
     "upsert_latest": UPSERT_LATEST_ORACLE,
     "scd2_history": SCD2_HISTORY_ORACLE,
+    "token_estimate": _token_estimate_oracle(),
+    "semantic_dedup": SEMANTIC_DEDUP_ORACLE,
     "image_thumbnails": IMAGE_THUMBNAILS_ORACLE,
     "pii_scan": PII_SCAN_ORACLE,
     "pii_redact": PII_REDACT_ORACLE,

@@ -1,0 +1,45 @@
+"""Tests for token_estimate (BPE-ish counting) and semantic_dedup."""
+
+from pyspark.sql import functions as F
+
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dedup import semantic_dedup
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import token_estimate
+
+
+def test_token_estimate_goldens(spark):
+    rows = [
+        (0, "hello world"),                # 2 ws tokens, 2 pieces, 2+2=... ceil(5/4)=2 each → 4
+        (1, "don't stop"),                 # pieces: don ' t stop → 4
+        (2, "x12,y"),                      # x | 12 | , | y → 4 pieces, 4 subwords
+        (3, ""),                           # empty
+        (4, "supercalifragilistic"),       # 1 piece of 20 chars → 5 subwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in token_estimate(df, "doc_id", "text").collect()}
+    assert (out[0]["n_ws_tokens"], out[0]["n_pieces"], out[0]["est_subwords"]) == (2, 2, 4)
+    assert (out[1]["n_ws_tokens"], out[1]["n_pieces"], out[1]["est_subwords"]) == (2, 4, 4)
+    assert (out[2]["n_ws_tokens"], out[2]["n_pieces"], out[2]["est_subwords"]) == (1, 4, 4)
+    assert (out[3]["n_ws_tokens"], out[3]["n_pieces"], out[3]["est_subwords"]) == (0, 0, 0)
+    assert (out[4]["n_ws_tokens"], out[4]["n_pieces"], out[4]["est_subwords"]) == (1, 1, 5)
+
+
+def test_semantic_dedup_groups_and_keeps_min(spark):
+    # 3 exact-duplicate vectors (0,1,2), one near-dup pair (10,11), singletons
+    base = [1.0] + [0.0] * 7
+    near = [0.98, 0.199, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, base), (1, base), (2, base),
+        (10, [0.0, 1.0] + [0.0] * 6), (11, [0.001, 0.9999995] + [0.0] * 6),
+        (20, [0.0] * 7 + [1.0]),
+        (21, near),  # cosine vs base = 0.98/|near| ≈ 0.98 → joins group 0 at t=0.9
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, "vec_id", "embedding",
+                         threshold=0.9, n_planes=2, n_tables=8)
+    res = {r["vec_id"]: r for r in out.collect()}
+    assert len(res) == 7  # total assignment
+    assert {res[i]["cluster_rep"] for i in (0, 1, 2, 21)} == {0}
+    assert res[10]["cluster_rep"] == res[11]["cluster_rep"] == 10
+    assert res[20]["cluster_rep"] == 20 and res[20]["keep"]
+    kept = {i for i, r in res.items() if r["keep"]}
+    assert kept == {0, 10, 20}
