@@ -1,0 +1,58 @@
+"""Distribution diagnostics: key-skew profiling for shuffle planning.
+
+Skewed join/aggregation keys are the #1 cause of straggler tasks at
+100 TB: one hot key serializes an entire stage. Before picking a
+mitigation — ``temporal.salted_join``, ``dedup.cap_bucket_size``, AQE
+skew-join — you need to SEE the skew. These operators produce that
+evidence as plain DataFrames (small enough to collect/alert on), never
+pulling raw rows to the driver: the per-key counts are one
+map-side-combinable aggregation, and the summary is an aggregation over
+the (much smaller) count table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def key_histogram(df: DataFrame, key_cols: list[str], *, top_n: int = 20) -> DataFrame:
+    """Top-``top_n`` heaviest keys with counts and share of total rows —
+    the keys a salting/capping decision targets. One count aggregation +
+    a single-partition top-N (top_n rows, not the corpus)."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_t"), 6).alias("row_share"),
+        )
+        .orderBy(F.desc("n_rows"), *key_cols)
+        .limit(top_n)
+    )
+
+
+def skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """One-row skew summary over the per-key count distribution:
+
+    - ``n_keys`` / ``n_rows``: cardinality and volume;
+    - ``max_count`` / ``avg_count`` and their ratio ``skew_factor`` — the
+      straggler multiplier a hash-partitioned shuffle on this key suffers
+      (a perfectly uniform key has skew_factor ≈ 1);
+    - ``p50_count`` / ``p99_count``: the count distribution's shape
+      (exact percentiles — the count table is one row per key, small).
+
+    Rule of thumb: skew_factor beyond the per-stage task count means the
+    hot key alone outlasts the rest of the stage combined — salt it.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_count"),
+        F.round(F.avg("n"), 6).alias("avg_count"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("skew_factor"),
+        F.expr("percentile(n, 0.5)").alias("p50_count"),
+        F.expr("percentile(n, 0.99)").alias("p99_count"),
+    )

@@ -36,6 +36,7 @@ from ..operators import cdc as CDC
 from ..operators import curation as CU
 from ..operators import dashboards as DB
 from ..operators import dedup as D
+from ..operators import diagnostics as DIAG
 from ..operators import graph as G
 from ..operators import metrics as M
 from ..operators import sessions as SS
@@ -2183,6 +2184,45 @@ FROM p
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row key-skew summary over events.user_id — the evidence a
+    salting / AQE-skew-join decision reads. Exact percentiles both sides
+    (the count table is one row per key)."""
+    return DIAG.skew_report(load_table(spark, sf_dir, "events"), ["user_id"])
+
+
+SKEW_REPORT_ORACLE = """
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT)   AS n_rows,
+       CAST(MAX(n) AS BIGINT)   AS max_count,
+       ROUND(AVG(n), 6)         AS avg_count,
+       ROUND(MAX(n) / AVG(n), 6) AS skew_factor,
+       quantile_cont(n, 0.5)    AS p50_count,
+       quantile_cont(n, 0.99)   AS p99_count
+FROM c
+"""
+
+
+def q_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest event keys with row shares (unique user_id
+    tie-break keeps the LIMIT deterministic on both engines)."""
+    return DIAG.key_histogram(
+        load_table(spark, sf_dir, "events"), ["user_id"], top_n=20
+    )
+
+
+KEY_HISTOGRAM_ORACLE = """
+WITH c AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id),
+t AS (SELECT SUM(n_rows) AS tt FROM c)
+SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows,
+       ROUND(CAST(n_rows AS DOUBLE) / tt, 6) AS row_share
+FROM c, t
+ORDER BY n_rows DESC, user_id
+LIMIT 20
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space dedup end to end (SemDeDup shape): LSH-partitioned
     cosine pairs → connected components → per-group representative, total
@@ -2814,6 +2854,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_history": q_scd2_history,
     "token_estimate": q_token_estimate,
     "semantic_dedup": q_semantic_dedup,
+    "skew_report": q_skew_report,
+    "key_histogram": q_key_histogram,
     "image_thumbnails": q_image_thumbnails,
     # corpus curation (PII / domains / sampling / entropy)
     "pii_scan": q_pii_scan,
@@ -2913,6 +2955,8 @@ ORACLES: dict[str, str] = {
     "scd2_history": SCD2_HISTORY_ORACLE,
     "token_estimate": _token_estimate_oracle(),
     "semantic_dedup": SEMANTIC_DEDUP_ORACLE,
+    "skew_report": SKEW_REPORT_ORACLE,
+    "key_histogram": KEY_HISTOGRAM_ORACLE,
     "image_thumbnails": IMAGE_THUMBNAILS_ORACLE,
     "pii_scan": PII_SCAN_ORACLE,
     "pii_redact": PII_REDACT_ORACLE,

@@ -1,0 +1,76 @@
+"""Tests for skew diagnostics and the JSONL corpus source."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators.diagnostics import (
+    key_histogram,
+    skew_report,
+)
+from aws_dataset_ingestion_metrics_collection_framework_spark.sources.text_corpus import (
+    read_jsonl_corpus,
+    write_jsonl_corpus,
+)
+
+
+@pytest.fixture
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="corpus_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_skew_report_flags_hot_key(spark):
+    # ~91% of rows land on key 0; the remainder spread over keys 10..90
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id") % 100).alias("k")
+    )
+    row = skew_report(df, ["k"]).collect()[0]
+    assert row["n_rows"] == 10_000
+    assert row["n_keys"] == 10
+    assert row["max_count"] == 9_100
+    assert row["skew_factor"] > 5  # hot key dominates the mean
+    hist = key_histogram(df, ["k"], top_n=3).collect()
+    assert hist[0]["k"] == 0 and hist[0]["row_share"] > 0.89
+
+
+def test_skew_report_uniform_key_is_flat(spark):
+    df = spark.range(10_000).select((F.col("id") % 100).alias("k"))
+    row = skew_report(df, ["k"]).collect()[0]
+    assert row["n_keys"] == 100
+    assert row["skew_factor"] == 1.0
+    assert row["p50_count"] == row["p99_count"] == 100.0
+
+
+def test_jsonl_roundtrip_and_corrupt_routing(spark, sf_dir, tmpdir):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = f"{tmpdir}/corpus"
+    write_jsonl_corpus(docs, path)
+    good, bad = read_jsonl_corpus(spark, path)
+    assert bad.count() == 0
+    assert good.count() == docs.count()
+    assert sorted(good.columns) == sorted(docs.columns)
+    assert (
+        good.agg(F.sum(F.length("text"))).collect()[0][0]
+        == docs.agg(F.sum(F.length("text"))).collect()[0][0]
+    )
+
+
+def test_jsonl_corrupt_and_textless_lines_route_out(spark, tmpdir):
+    lines = [
+        '{"doc_id": 1, "text": "good doc", "lang": "en", "source": "s", "n_chars": 8}',
+        "this is not json at all {",
+        '{"doc_id": 2, "lang": "en", "source": "s", "n_chars": 0}',  # no text key
+        '{"doc_id": 3, "text": null, "lang": "en", "source": "s", "n_chars": 0}',
+    ]
+    path = f"{tmpdir}/mixed"
+    spark.createDataFrame([(l,) for l in lines], "value string").coalesce(1) \
+        .write.text(path)
+    good, bad = read_jsonl_corpus(spark, path)
+    assert [r["doc_id"] for r in good.collect()] == [1]
+    assert bad.count() == 3
