@@ -3,8 +3,11 @@ the way a corpus build actually runs, in one script:
 
   documents → exact dedup → near-dup pairs (PPJoin) → connected components
   → keep one per cluster → block-level (paragraph) dedup → quality/language
-  filters → benchmark decontamination → train/val split → sequence packing
-  → TF-IDF top terms → token budget accounting; embeddings → ANN shortlist.
+  filters → DSIR importance weighting toward the English slice → benchmark
+  decontamination → train/val split → sequence packing → TF-IDF top terms
+  → token budget accounting (whitespace + BPE-ish subword estimate);
+  embeddings → semantic dedup (SemDeDup shape) → ANN shortlist; curated
+  output lands as compacted parquet AND as a JSONL corpus.
 
 Every stage is the declared operator from plans/queries.py — this is the
 composition story, not new code paths.
@@ -67,6 +70,22 @@ def main(out_dir: str, sf_dir: str = "/root/testdata/sf0.001") -> dict:
     ).filter(F.col("text") != "")
     summary["after_block_dedup"] = curated.count()
 
+    # 3b2. DSIR importance weighting toward the English slice (r4): score
+    # every surviving doc; the summary records the share that looks more
+    # target-like than the corpus average (a real pipeline resamples on
+    # exp(weight) — here the weights just ride along as a column)
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators import weighting as WGT
+
+    weights = WGT.importance_weights(
+        curated, "doc_id", "text", F.col("lang") == "en", buckets=128
+    )
+    curated = curated.join(weights.select("doc_id", "weight"), "doc_id")
+    summary["above_avg_target_affinity"] = (
+        curated.crossJoin(
+            F.broadcast(weights.agg(F.avg("weight").alias("_avg")))
+        ).filter(F.col("weight") > F.col("_avg")).count()
+    )
+
     # 3c. decontaminate against a held-out "benchmark" slice, then assign
     # deterministic train/val splits and pack into token-budget sequences (r3)
     bench = docs.filter(F.col("doc_id") % 100 == 0)
@@ -79,25 +98,48 @@ def main(out_dir: str, sf_dir: str = "/root/testdata/sf0.001") -> dict:
     packs = TX.pack_sequences(curated, "doc_id", "text", budget=2048, shards=8)
     summary["n_packs"] = packs.select("shard", "pack_id").distinct().count()
 
-    # 4. corpus descriptors: token budget + top TF-IDF terms
+    # 4. corpus descriptors: token budget (whitespace AND the BPE-ish
+    # subword estimate, r4) + top TF-IDF terms
     budget = curated.join(
         TX.token_stats(curated, "doc_id", "text").select("doc_id", "n_tokens"), "doc_id"
     ).agg(F.sum("n_tokens").alias("total_tokens"))
     summary["total_tokens"] = budget.collect()[0]["total_tokens"]
+    summary["est_subwords"] = (
+        TX.token_estimate(curated, "doc_id", "text")
+        .agg(F.sum("est_subwords").alias("s")).collect()[0]["s"]
+    )
     top_terms = TX.tf_idf_top_terms(curated, "doc_id", "text", k=3)
     top_terms.write.mode("overwrite").parquet(os.path.join(out_dir, "top_terms"))
 
-    # 5. embedding-space neighbor shortlist (LSH ANN over the scale path)
+    # 5. embedding-space curation: semantic dedup (SemDeDup shape, r4) then
+    # an LSH ANN neighbor shortlist over the deduped vectors
     emb = load_table(spark, sf_dir, "embeddings")
+    sem = D.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.98, n_planes=4, n_tables=8
+    )
+    emb = emb.join(sem.filter(F.col("keep")).select("vec_id"), "vec_id", "left_semi")
+    summary["vectors_after_semantic_dedup"] = emb.count()
     shortlist = SIM.lsh_ann_topk(
         emb.filter(F.col("vec_id") < 5), emb, k=3, n_planes=4, n_tables=4
     )
     shortlist.write.mode("overwrite").parquet(os.path.join(out_dir, "ann_shortlist"))
     summary["ann_rows"] = spark.read.parquet(os.path.join(out_dir, "ann_shortlist")).count()
 
-    curated.select("doc_id", "lang", "source", "n_chars").write.mode(
+    # 6. land the curated corpus: compacted parquet (maintenance pass over
+    # the raw write) + JSONL interchange (r4)
+    from aws_dataset_ingestion_metrics_collection_framework_spark.sources.maintenance import compact_files
+    from aws_dataset_ingestion_metrics_collection_framework_spark.sources.text_corpus import write_jsonl_corpus
+
+    raw_out = os.path.join(out_dir, "curated_docs_raw")
+    curated.select("doc_id", "lang", "source", "n_chars").repartition(16).write.mode(
         "overwrite"
-    ).parquet(os.path.join(out_dir, "curated_docs"))
+    ).parquet(raw_out)
+    plan = compact_files(spark, raw_out, os.path.join(out_dir, "curated_docs"))
+    summary["files_before_compaction"] = plan["n_files"]
+    write_jsonl_corpus(
+        curated.select("doc_id", "text", "lang", "source", "n_chars"),
+        os.path.join(out_dir, "curated_jsonl"),
+    )
     return summary
 
 

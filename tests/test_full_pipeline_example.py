@@ -32,5 +32,11 @@ def test_dataops_pipeline_example(spark, sf_dir, tmp_path):
         > 0
     )
     assert summary["total_tokens"] > 0
+    # a BPE-style estimate over letters-only text never undercounts words
+    assert summary["est_subwords"] >= summary["total_tokens"]
+    assert 0 < summary["above_avg_target_affinity"] < summary["after_quality_gate"]
+    assert 0 < summary["vectors_after_semantic_dedup"]
     assert summary["ann_rows"] > 0
+    assert summary["files_before_compaction"] == 16
     assert os.path.isdir(os.path.join(str(tmp_path), "curated_docs"))
+    assert os.path.isdir(os.path.join(str(tmp_path), "curated_jsonl"))
