@@ -1,0 +1,108 @@
+"""Streaming snapshot maintenance: a changelog stream continuously merged
+into a live latest-version table.
+
+The batch operators (`operators/cdc.py`) answer "what is the current
+state, given all changes so far"; this module keeps that answer WARM: each
+micro-batch of changes is merged into the persisted snapshot with the same
+versioning semantics (max_by on the sequence struct), so readers always
+see a complete, deduplicated current table — the streaming face of a
+MERGE-maintained mirror, built from the engine's existing primitives.
+
+Tombstone handling: the STORED snapshot keeps tombstone rows (the latest
+version per key, whatever it is); deletes are applied at READ time
+(`read_live`). Dropping tombstones at write time would let a late-arriving
+lower-sequence upsert in a later batch resurrect a deleted key — with the
+tombstone retained, versioning outranks late data correctly. Prune
+tombstones older than the stream's effective lateness bound offline if
+storage matters.
+
+Consistency model: `foreachBatch` gives per-micro-batch atomicity of the
+COMPUTE; the swap to readers is a marker-file repoint — each merge writes
+a full snapshot to `<path>/_v<batch_id>` and atomically rewrites the
+`_CURRENT` marker afterwards, so a crash mid-write never corrupts the
+readable snapshot (readers resolve the marker, which only ever names a
+fully-written version). Snapshot size, not stream history, bounds the
+merge cost: each batch shuffles snapshot+batch rows once on the key.
+Replayed batches (restart from checkpoint) are harmless: merging a
+superset of already-applied changes is idempotent under max_by.
+
+At scale, replace the full-rewrite merge with a lakehouse table format's
+native MERGE (Delta/Iceberg/Hudi) — the operator seam is format-agnostic
+by design; what this module adds is exactly-once maintenance semantics
+with nothing but parquet directories.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.cdc import upsert_latest
+
+CURRENT_MARKER = "_CURRENT"
+
+
+def read_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
+    """Resolve the current snapshot version (tombstone rows included) via
+    the marker file; None when no snapshot has been committed yet."""
+    marker = os.path.join(path, CURRENT_MARKER)
+    if not os.path.exists(marker):
+        return None
+    with open(marker, "r", encoding="utf-8") as fh:
+        version = fh.read().strip()
+    return spark.read.parquet(os.path.join(path, version))
+
+
+def read_live(
+    spark: SparkSession, path: str, delete_predicate: Column
+) -> DataFrame | None:
+    """The reader-facing view: current snapshot minus tombstoned keys."""
+    snap = read_snapshot(spark, path)
+    return None if snap is None else snap.filter(~delete_predicate)
+
+
+def _commit_snapshot(df: DataFrame, path: str, version: str) -> None:
+    df.write.mode("overwrite").parquet(os.path.join(path, version))
+    tmp = os.path.join(path, CURRENT_MARKER + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(version)
+    os.replace(tmp, os.path.join(path, CURRENT_MARKER))  # atomic repoint
+
+
+def start_snapshot_maintenance(
+    changes: DataFrame,
+    snapshot_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    seq_cols: list[str],
+    *,
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuously merge a streaming changelog into the snapshot at
+    ``snapshot_path``: per micro-batch, union the current snapshot with the
+    batch, keep the max_by-version row per key, commit as a new version,
+    repoint the marker."""
+    spark = changes.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        base = read_snapshot(spark, snapshot_path)
+        merged_input = batch_df if base is None else base.unionByName(batch_df)
+        snap = upsert_latest(merged_input, key_cols, seq_cols)
+        # Versioned dirs keep the previous snapshot readable throughout the
+        # write (and `snap` itself reads the directory an in-place overwrite
+        # would clobber).
+        _commit_snapshot(snap, snapshot_path, f"_v{batch_id}")
+
+    writer = (
+        changes.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
