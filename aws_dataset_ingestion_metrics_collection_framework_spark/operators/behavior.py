@@ -1,0 +1,117 @@
+"""Behavioral event analytics: funnel completion and cohort retention.
+
+The events lake feeds product analytics as much as it feeds metrics; these
+are the two canonical sequential queries a warehouse team runs on it —
+both awkward to hand-roll correctly (ordering constraints, partial
+completion, cohort alignment) and both cleanly expressible as a handful of
+conditional aggregations once the semantics are pinned.
+
+Scale shape: every stage is a filtered aggregation keyed on the user —
+k funnel steps cost k slim (user, ts) aggregations joined on user (each
+input pre-filtered to ONE step's events before it shuffles, so shuffle
+volume is per-step event counts, not the corpus), and retention is two
+aggregations and a join. Nothing is windowed over raw event order, so no
+per-user sort of the full history is ever required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Earliest-completion funnel: for each user who performed ``steps[0]``,
+    the timestamp of each successive step STRICTLY AFTER the previous one
+    (greedy earliest-completion — the standard funnel semantics: t1 =
+    first step-1 event, t_{i+1} = first step-(i+1) event after t_i).
+
+    Returns (user, t1..tk, completed_steps); users absent from step 1 are
+    absent from the result, later steps are null once the chain breaks.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("tp"),
+    )
+    cur = (
+        ev.filter(F.col("tp") == steps[0])
+        .groupBy("u")
+        .agg(F.min("ts").alias("t1"))
+    )
+    for i in range(1, len(steps)):
+        prev, this = f"t{i}", f"t{i + 1}"
+        nxt = (
+            ev.filter(F.col("tp") == steps[i])
+            .join(cur.select("u", prev), "u")
+            .filter(F.col("ts") > F.col(prev))
+            .groupBy("u")
+            .agg(F.min("ts").alias(this))
+        )
+        cur = cur.join(nxt, "u", "left")
+    # Build ascending so the HIGHEST completed step's branch is outermost
+    # (each wrap takes precedence over everything below it).
+    completed: Column = F.lit(0)
+    for i in range(1, len(steps) + 1):
+        completed = F.when(F.col(f"t{i}").isNotNull(), F.lit(i)).otherwise(completed)
+    return cur.select(
+        F.col("u").alias(user_col),
+        *[F.col(f"t{i + 1}") for i in range(len(steps))],
+        completed.alias("completed_steps"),
+    )
+
+
+def funnel_summary(funnel_df: DataFrame, n_steps: int) -> DataFrame:
+    """(step, n_users) — how many users reached each step (monotone
+    non-increasing by construction). Input is :func:`funnel`'s output."""
+    rows = [
+        funnel_df.filter(F.col("completed_steps") >= i).agg(
+            F.lit(i).alias("step"), F.count(F.lit(1)).alias("n_users")
+        )
+        for i in range(1, n_steps + 1)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    first event; for each (cohort_week, week_offset) the number of
+    distinct cohort users active that week. week_offset 0 row equals the
+    cohort size (everyone is active in their first week by definition).
+    """
+    firsts = (
+        df.groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(ts_col).alias("_first"))
+        .select("u", F.date_trunc("week", F.col("_first")).cast("date").alias("cohort_week"))
+    )
+    active = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.date_trunc("week", F.col(ts_col)).cast("date").alias("wk"),
+        )
+        .distinct()
+    )
+    return (
+        active.join(firsts, "u")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("int").alias("week_offset"),
+            "u",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("u").alias("n_users"))
+    )

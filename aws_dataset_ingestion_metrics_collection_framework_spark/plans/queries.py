@@ -32,6 +32,7 @@ from ..functions.keys import (
     unique_id_col,
     widget_title_col,
 )
+from ..operators import behavior as BH
 from ..operators import cdc as CDC
 from ..operators import curation as CU
 from ..operators import dashboards as DB
@@ -2223,6 +2224,63 @@ LIMIT 20
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-completion signup→click→purchase funnel over the events
+    table (t_{i+1} = first step-i+1 event strictly after t_i; partial
+    completions keep nulls)."""
+    ev = load_table(spark, sf_dir, "events")
+    return BH.funnel(ev, "user_id", "ts", "event_type",
+                     ["signup", "click", "purchase"])
+
+
+FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+       CASE WHEN s3.t3 IS NOT NULL THEN 3
+            WHEN s2.t2 IS NOT NULL THEN 2
+            ELSE 1 END AS completed_steps
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events: distinct cohort users active
+    per (first-event ISO week, week offset)."""
+    return BH.cohort_retention(load_table(spark, sf_dir, "events"), "user_id", "ts")
+
+
+COHORT_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, wk) / 7 AS INTEGER) AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM active JOIN firsts USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space dedup end to end (SemDeDup shape): LSH-partitioned
     cosine pairs → connected components → per-group representative, total
@@ -2856,6 +2914,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "skew_report": q_skew_report,
     "key_histogram": q_key_histogram,
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
     "image_thumbnails": q_image_thumbnails,
     # corpus curation (PII / domains / sampling / entropy)
     "pii_scan": q_pii_scan,
@@ -2957,6 +3017,8 @@ ORACLES: dict[str, str] = {
     "semantic_dedup": SEMANTIC_DEDUP_ORACLE,
     "skew_report": SKEW_REPORT_ORACLE,
     "key_histogram": KEY_HISTOGRAM_ORACLE,
+    "funnel": FUNNEL_ORACLE,
+    "cohort_retention": COHORT_RETENTION_ORACLE,
     "image_thumbnails": IMAGE_THUMBNAILS_ORACLE,
     "pii_scan": PII_SCAN_ORACLE,
     "pii_redact": PII_REDACT_ORACLE,

@@ -1,0 +1,68 @@
+"""Funnel and cohort-retention operator tests (synthetic event goldens)."""
+
+from datetime import datetime
+
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators.behavior import (
+    cohort_retention,
+    funnel,
+    funnel_summary,
+)
+
+SCHEMA = "user_id long, ts timestamp, event_type string"
+
+
+def _t(day, hour=0):
+    return datetime(2024, 1, day, hour)
+
+
+def _events(spark):
+    rows = [
+        # user 1 completes the funnel in order
+        (1, _t(1), "signup"), (1, _t(2), "click"), (1, _t(3), "purchase"),
+        # user 2: purchase BEFORE click — step 3 must not count
+        (2, _t(1), "signup"), (2, _t(3), "click"), (2, _t(2), "purchase"),
+        # user 3: signup only
+        (3, _t(5), "signup"),
+        # user 4: never signed up — excluded entirely
+        (4, _t(1), "click"), (4, _t(2), "purchase"),
+        # user 5: multiple signups/clicks — earliest chain wins
+        (5, _t(2), "signup"), (5, _t(1), "click"), (5, _t(4), "click"),
+        (5, _t(6), "purchase"), (5, _t(3), "signup"),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_funnel_ordering_and_partial_completion(spark):
+    out = {r["user_id"]: r for r in
+           funnel(_events(spark), "user_id", "ts", "event_type",
+                  ["signup", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3, 5}          # user 4 never entered
+    assert out[1]["completed_steps"] == 3
+    assert out[2]["completed_steps"] == 2     # purchase precedes click → broken
+    assert out[3]["completed_steps"] == 1
+    # user 5: t1 = first signup (day 2), click must be AFTER it → day 4
+    assert out[5]["t1"] == _t(2) and out[5]["t2"] == _t(4)
+    assert out[5]["completed_steps"] == 3
+
+
+def test_funnel_summary_is_monotone(spark):
+    f = funnel(_events(spark), "user_id", "ts", "event_type",
+               ["signup", "click", "purchase"])
+    s = {r["step"]: r["n_users"] for r in funnel_summary(f, 3).collect()}
+    assert s == {1: 4, 2: 3, 3: 2}
+
+
+def test_cohort_retention_week_zero_equals_cohort_size(spark):
+    rows = [
+        (1, _t(1), "view"), (1, _t(10), "view"),   # cohort wk0, active wk0+wk1
+        (2, _t(2), "view"),                        # cohort wk0 only
+        (3, _t(10), "view"), (3, _t(24), "view"),  # cohort wk1, active wk1+wk3
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    ret = {(str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+           for r in cohort_retention(df, "user_id", "ts").collect()}
+    # 2024-01-01 is a Monday: days 1-7 → week 0 cohort, day 10 → next week
+    assert ret[("2024-01-01", 0)] == 2
+    assert ret[("2024-01-01", 1)] == 1
+    assert ret[("2024-01-08", 0)] == 1
+    assert ret[("2024-01-08", 2)] == 1
