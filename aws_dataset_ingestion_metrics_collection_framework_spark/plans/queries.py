@@ -38,6 +38,7 @@ from ..operators import curation as CU
 from ..operators import dashboards as DB
 from ..operators import dedup as D
 from ..operators import diagnostics as DIAG
+from ..operators import dq as DQ
 from ..operators import graph as G
 from ..operators import metrics as M
 from ..operators import sessions as SS
@@ -2224,6 +2225,96 @@ LIMIT 20
 """
 
 
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column completeness/cardinality profile of the events table —
+    one aggregation pass, exact distincts (the oracle-checkable contract;
+    `exact=False` swaps in HLL for the 100 TB path)."""
+    return DQ.profile_table(load_table(spark, sf_dir, "events"), exact=True)
+
+
+_DQ_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+DQ_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       ROUND(CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / greatest(COUNT(*), 1), 6) AS null_ratio,
+       COUNT(DISTINCT {c}) AS n_distinct
+FROM events"""
+    for c in _DQ_PROFILE_COLS
+)
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suite: four row predicates in one pass over events, a
+    uniqueness check, and lineitem→orders referential integrity. The
+    'core_event_types_only' check FAILS by design (error events exist) —
+    pass/fail rows must both flow, a suite that can only say yes checks
+    nothing."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = DQ.check_constraints(ev, {
+        "event_id_not_null": F.col("event_id").isNotNull(),
+        "value_in_range": (F.col("value") >= 0) & (F.col("value") <= 1000),
+        "known_event_type": F.col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"),
+        "core_event_types_only": F.col("event_type").isin(
+            "click", "view", "purchase", "signup"),
+    })
+    uniq = DQ.check_unique(ev, ["event_id"])
+    ref = DQ.check_referential(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        [("l_orderkey", "o_orderkey")],
+    )
+    return rows.unionByName(uniq).unionByName(ref)
+
+
+DQ_CHECKS_ORACLE = """
+SELECT 'event_id_not_null' AS "check",
+       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM events
+UNION ALL
+SELECT 'value_in_range',
+       CAST(SUM(CASE WHEN NOT COALESCE(value >= 0 AND value <= 1000, FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*),
+       SUM(CASE WHEN NOT COALESCE(value >= 0 AND value <= 1000, FALSE)
+                THEN 1 ELSE 0 END) = 0
+FROM events
+UNION ALL
+SELECT 'known_event_type',
+       CAST(SUM(CASE WHEN event_type NOT IN
+                ('click','view','purchase','signup','error')
+                OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*),
+       SUM(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error')
+                OR event_type IS NULL THEN 1 ELSE 0 END) = 0
+FROM events
+UNION ALL
+SELECT 'core_event_types_only',
+       CAST(SUM(CASE WHEN event_type NOT IN ('click','view','purchase','signup')
+                OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*),
+       SUM(CASE WHEN event_type NOT IN ('click','view','purchase','signup')
+                OR event_type IS NULL THEN 1 ELSE 0 END) = 0
+FROM events
+UNION ALL
+SELECT 'unique(event_id)',
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT),
+       COUNT(*),
+       COUNT(*) = COUNT(DISTINCT event_id)
+FROM events
+UNION ALL
+SELECT 'references(l_orderkey)',
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*),
+       SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Earliest-completion signup→click→purchase funnel over the events
     table (t_{i+1} = first step-i+1 event strictly after t_i; partial
@@ -2916,6 +3007,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_histogram": q_key_histogram,
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
+    "dq_profile": q_dq_profile,
+    "dq_checks": q_dq_checks,
     "image_thumbnails": q_image_thumbnails,
     # corpus curation (PII / domains / sampling / entropy)
     "pii_scan": q_pii_scan,
@@ -3019,6 +3112,8 @@ ORACLES: dict[str, str] = {
     "key_histogram": KEY_HISTOGRAM_ORACLE,
     "funnel": FUNNEL_ORACLE,
     "cohort_retention": COHORT_RETENTION_ORACLE,
+    "dq_profile": DQ_PROFILE_ORACLE,
+    "dq_checks": DQ_CHECKS_ORACLE,
     "image_thumbnails": IMAGE_THUMBNAILS_ORACLE,
     "pii_scan": PII_SCAN_ORACLE,
     "pii_redact": PII_REDACT_ORACLE,
