@@ -33,6 +33,49 @@ def key_histogram(df: DataFrame, key_cols: list[str], *, top_n: int = 20) -> Dat
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    *,
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust per-series outlier flags: |x − median| / MAD > k (the
+    median-absolute-deviation rule — unlike z-scores, the estimator itself
+    is not dragged by the outliers it hunts; k=3.5 ≈ the classic
+    modified-z-score cutoff with the 0.6745 consistency constant folded
+    into the caller's choice of k).
+
+    Health-monitoring usage: run over metric datapoints per series to flag
+    broken-feed spikes that threshold alarms (absolute bounds) miss.
+
+    Two grouped aggregations (median, then MAD around it) + a broadcast-
+    friendly join back; series with MAD = 0 (constant value) flag only
+    exact deviators as outliers (score = infinity convention avoided by a
+    0-MAD guard: any deviation from a constant series is anomalous).
+    Returns the input plus (series_median, series_mad, is_outlier).
+    """
+    med = df.groupBy(*key_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("series_median")
+    )
+    dev = (
+        df.join(med, key_cols)
+        .withColumn("_absdev", F.abs(F.col(value_col) - F.col("series_median")))
+    )
+    mad = dev.groupBy(*key_cols).agg(
+        F.expr("percentile(_absdev, 0.5)").alias("series_mad")
+    )
+    return (
+        dev.join(mad, key_cols)
+        .withColumn(
+            "is_outlier",
+            F.when(F.col("series_mad") > 0, F.col("_absdev") / F.col("series_mad") > k)
+            .otherwise(F.col("_absdev") > 0),
+        )
+        .drop("_absdev")
+    )
+
+
 def skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """One-row skew summary over the per-key count distribution:
 

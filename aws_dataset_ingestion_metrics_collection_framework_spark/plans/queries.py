@@ -2225,6 +2225,62 @@ LIMIT 20
 """
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series outlier flags over events (per-event_type value
+    series, modified-z-score MAD rule, k=3.5) — the broken-feed detector
+    threshold alarms miss. Exact medians both sides."""
+    out = DIAG.mad_outliers(
+        load_table(spark, sf_dir, "events"), ["event_type"], "value", k=3.5
+    )
+    return out.select(
+        "event_id", "event_type", "value",
+        F.round("series_median", 6).alias("series_median"),
+        F.round("series_mad", 6).alias("series_mad"),
+        "is_outlier",
+    )
+
+
+MAD_OUTLIERS_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m, ABS(e.value - m) AS d
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (SELECT event_type, quantile_cont(d, 0.5) AS md FROM dev GROUP BY event_type)
+SELECT event_id, event_type, value,
+       ROUND(m, 6) AS series_median,
+       ROUND(md, 6) AS series_mad,
+       CASE WHEN md > 0 THEN d / md > 3.5 ELSE d > 0 END AS is_outlier
+FROM dev JOIN mad USING (event_type)
+"""
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational pivot (wide per-user event-type counts) — the one GROUP
+    BY shape the SQL corpus lacked; explicit value list keeps the output
+    schema static (never let pivot scan for values at 100 TB)."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", types).count().na.fill(0)
+    return wide.select(
+        "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in types]
+    )
+
+
+PIVOT_EVENTS_ORACLE = """
+SELECT user_id,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS n_click,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS n_view,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS n_signup,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
 def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column completeness/cardinality profile of the events table —
     one aggregation pass, exact distincts (the oracle-checkable contract;
@@ -3009,6 +3065,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "dq_profile": q_dq_profile,
     "dq_checks": q_dq_checks,
+    "mad_outliers": q_mad_outliers,
+    "pivot_events": q_pivot_events,
     "image_thumbnails": q_image_thumbnails,
     # corpus curation (PII / domains / sampling / entropy)
     "pii_scan": q_pii_scan,
@@ -3114,6 +3172,8 @@ ORACLES: dict[str, str] = {
     "cohort_retention": COHORT_RETENTION_ORACLE,
     "dq_profile": DQ_PROFILE_ORACLE,
     "dq_checks": DQ_CHECKS_ORACLE,
+    "mad_outliers": MAD_OUTLIERS_ORACLE,
+    "pivot_events": PIVOT_EVENTS_ORACLE,
     "image_thumbnails": IMAGE_THUMBNAILS_ORACLE,
     "pii_scan": PII_SCAN_ORACLE,
     "pii_redact": PII_REDACT_ORACLE,

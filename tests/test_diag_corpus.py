@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from aws_dataset_ingestion_metrics_collection_framework_spark.operators.diagnostics import (
     key_histogram,
+    mad_outliers,
     skew_report,
 )
 from aws_dataset_ingestion_metrics_collection_framework_spark.sources.text_corpus import (
@@ -43,6 +44,18 @@ def test_skew_report_uniform_key_is_flat(spark):
     assert row["n_keys"] == 100
     assert row["skew_factor"] == 1.0
     assert row["p50_count"] == row["p99_count"] == 100.0
+
+
+def test_mad_outliers_flags_spike_not_bulk(spark):
+    rows = [("s", float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 9, 10, 500]]
+    rows += [("const", 5.0)] * 5 + [("const", 6.0)]  # MAD=0 series
+    df = spark.createDataFrame(rows, "series string, value double")
+    out = mad_outliers(df, ["series"], "value", k=3.5).collect()
+    spikes = [r for r in out if r["series"] == "s" and r["is_outlier"]]
+    assert [r["value"] for r in spikes] == [500.0]
+    # constant series: ANY deviation is an outlier under the 0-MAD guard
+    const_flags = {r["value"]: r["is_outlier"] for r in out if r["series"] == "const"}
+    assert const_flags == {5.0: False, 6.0: True}
 
 
 def test_jsonl_roundtrip_and_corrupt_routing(spark, sf_dir, tmpdir):
