@@ -66,6 +66,9 @@ HEADLINE = [
     "importance_weights",
     "upsert_latest",
     "semantic_dedup",
+    "funnel",
+    "dq_checks",
+    "mad_outliers",
     # round-4 additions: curation surface (PII scan + redaction are
     # map-only regex passes; domain_report is the explode+agg shape;
     # char_entropy is 27 codegen'd string scans per row)
