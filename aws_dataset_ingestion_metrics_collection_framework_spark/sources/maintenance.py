@@ -102,3 +102,47 @@ def write_range_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def z_order_value(col_a, col_b, *, bits: int = 16):
+    """Morton (Z-order) value of two non-negative integer keys: their bits
+    interleaved, so points close in BOTH dimensions are close on the curve.
+    Pure bit arithmetic (shift/and/or chain — whole-stage codegen keeps it
+    JVM-side); ``bits`` per dimension bounds the curve resolution. Keys
+    must already be quantized to [0, 2^bits): rank/bucket continuous or
+    skewed columns first."""
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(bit_a, 2 * i)).bitwiseOR(
+            F.shiftleft(bit_b, 2 * i + 1)
+        )
+    return z
+
+
+def write_z_ordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    *,
+    num_files: int,
+    bits: int = 16,
+    mode: str = "error",
+) -> None:
+    """Two-dimensional clustering: range-partition + sort on the Morton
+    value of (col_a, col_b), so parquet min/max statistics prune files for
+    predicates on EITHER key — the property 1-D sorting can't give (sorting
+    on A makes B's per-file ranges span everything). The standard lakehouse
+    OPTIMIZE ZORDER BY recipe, as plain DataFrame ops."""
+    zed = df.withColumn("_z", z_order_value(col_a, col_b, bits=bits))
+    (
+        zed.repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -11,6 +11,8 @@ from aws_dataset_ingestion_metrics_collection_framework_spark.sources.maintenanc
     file_stats,
     plan_compaction,
     write_range_sorted,
+    write_z_ordered,
+    z_order_value,
 )
 
 
@@ -44,6 +46,39 @@ def test_plan_compaction_targets_size(spark, tmpdir):
     # ceil(total/1MiB) files, at least 1, fewer than the 16 inputs
     assert 1 <= plan["target_files"] <= 16
     assert plan["target_files"] == -(-plan["total_bytes"] // (1 << 20))
+
+
+def test_z_order_value_interleaves_bits(spark):
+    rows = spark.range(1).select(
+        z_order_value(F.lit(0b101), F.lit(0b011), bits=3).alias("z")
+    ).collect()
+    # a=101, b=011 → z bits (b2 a2 b1 a1 b0 a0) = 0 1 1 0 1 1 = 27
+    assert rows[0]["z"] == 0b011011
+
+
+def test_z_order_prunes_both_dimensions(spark, tmpdir):
+    # uniform 256×256 grid; after Z-ordering into 16 files, a narrow band
+    # on EITHER dimension must be absent from most files (1-D sort can
+    # only ever give that for its leading key)
+    df = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y")
+    )
+    path = f"{tmpdir}/zorder"
+    write_z_ordered(df, path, "x", "y", num_files=16, bits=8)
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.col("_metadata.file_path").alias("f"))
+        .agg(F.min("x").alias("x_lo"), F.max("x").alias("x_hi"),
+             F.min("y").alias("y_lo"), F.max("y").alias("y_hi"))
+        .collect()
+    )
+    assert len(per_file) == 16
+    # a file-skipping reader keeps only files whose [lo, hi] overlaps the
+    # predicate band; both dimensions must prune meaningfully
+    x_hits = sum(1 for r in per_file if r["x_lo"] <= 10 and r["x_hi"] >= 0)
+    y_hits = sum(1 for r in per_file if r["y_lo"] <= 10 and r["y_hi"] >= 0)
+    assert x_hits <= 8 and y_hits <= 8
+    assert spark.read.parquet(path).count() == 256 * 256
 
 
 def test_range_sorted_files_have_disjoint_key_ranges(spark, tmpdir):
