@@ -494,27 +494,34 @@ def simhash_signatures_df(
     return votes.select("doc", sig.alias("sig"))
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame,
+def hamming_pairs(
+    sigs: DataFrame,
     id_col: str,
-    text_col: str,
+    sig_col: str,
     *,
-    max_hamming: int = 3,
+    max_hamming: int,
+    nbits: int = 64,
     max_bucket_size: int | None = None,
-    hash_fn: str = "xx",
 ) -> DataFrame:
-    """Near-dup pairs with Hamming distance ≤ d between SimHashes.
+    """All pairs of 64-bit-signature rows within Hamming distance
+    ``max_hamming`` — the generic banded join behind SimHash text dedup
+    AND perceptual-hash (pHash) image dedup.
 
     Pigeonhole banding: split the signature into d+1 blocks; any pair
     within distance d agrees exactly on ≥1 block → join on (block_idx,
     block_value), verify Hamming via bit_count(xor). (The pigeonhole holds
     even when nbits isn't divisible by d+1: the blocks are disjoint, so ≤ d
-    differing bits leave at least one block untouched.)
+    differing bits leave at least one block untouched.) Returns
+    (id_a, id_b, hamming) with id_a < id_b.
     """
-    nbits = 64 if hash_fn == "xx" else 60
     blocks = max_hamming + 1
-    width = max(nbits // blocks, 1)
-    sigs = simhash_signatures_df(df, id_col, text_col, hash_fn=hash_fn)
+    # Cap width at 63: a 64-bit mask literal overflows Java's signed long
+    # (d=0 would ask for one full-width block). Bits beyond blocks*width are
+    # simply uncovered — the pigeonhole still holds (≤ d differing bits
+    # leave ≥1 of the d+1 disjoint blocks untouched, wherever the
+    # differences fall), and the bit_count verification filter is exact.
+    width = min(max(nbits // blocks, 1), 63)
+    base = sigs.select(F.col(id_col).alias("doc"), F.col(sig_col).alias("sig"))
     block_structs = [
         F.struct(
             F.lit(b).alias("block"),
@@ -524,7 +531,7 @@ def simhash_near_dup_pairs(
         )
         for b in range(blocks)
     ]
-    banded = sigs.select(
+    banded = base.select(
         "doc", "sig", F.explode(F.array(*block_structs)).alias("bb")
     ).select("doc", "sig", F.col("bb.block").alias("block"), F.col("bb.bval").alias("bval"))
     banded = materialize_once(cap_bucket_size(banded, ["block", "bval"], max_bucket_size))
@@ -544,6 +551,26 @@ def simhash_near_dup_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ d between SimHashes —
+    :func:`simhash_signatures_df` composed with the generic
+    :func:`hamming_pairs` banded join."""
+    nbits = 64 if hash_fn == "xx" else 60
+    sigs = simhash_signatures_df(df, id_col, text_col, hash_fn=hash_fn)
+    return hamming_pairs(
+        sigs, "doc", "sig",
+        max_hamming=max_hamming, nbits=nbits, max_bucket_size=max_bucket_size,
+    )
 
 
 # ----------------------- n-gram Jaccard (exact) -----------------------

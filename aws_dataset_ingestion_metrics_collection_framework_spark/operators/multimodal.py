@@ -475,6 +475,68 @@ def extract_image_thumbnails(df: DataFrame, *, size: int = 8) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, THUMBNAIL_SCHEMA)
 
 
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def phash64(gray: bytes, w: int, h: int) -> int:
+    """64-bit DCT perceptual hash of a grayscale image (the classic pHash
+    recipe): resize to 32×32, 2-D DCT-II, keep the 8×8 lowest-frequency
+    block, set a bit per coefficient above the block's median (DC term
+    excluded from the median so flat images don't hash to all-ones).
+    Deterministic numpy float64 arithmetic — identical across workers and
+    retries. Near-identical images differ in few bits; use
+    ``dedup.hamming_pairs`` over the hashes for corpus-scale image dedup.
+    """
+    import numpy as np
+
+    n = 32
+    m = np.asarray(resize_nearest(gray, w, h, n), dtype=np.float64).reshape(n, n)
+    k = np.arange(n)
+    # DCT-II basis: C[u, x] = cos(pi/n * (x + 0.5) * u)
+    basis = np.cos(np.pi / n * np.outer(k, k + 0.5))
+    dct = basis @ m @ basis.T
+    block = dct[:8, :8].flatten()
+    med = np.median(block[1:])  # exclude DC
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << i
+    # wrap to signed 64-bit (Spark LongType)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def extract_image_phash(df: DataFrame) -> DataFrame:
+    """(media_id, phash) via decode → 32×32 luma → DCT pHash, all inside
+    one map-only Arrow stage (full-resolution pixels never leave the
+    worker). Unparseable payloads yield phash=NULL. Compose with
+    ``dedup.hamming_pairs(out, 'media_id', 'phash', max_hamming=k)`` for
+    near-duplicate image pairs at corpus scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                ph = None
+                if payload[:8] == _PNG_MAGIC:
+                    w, h, gray = decode_png_gray_pixels(payload)
+                    if gray is not None:
+                        ph = phash64(gray, w, h)
+                elif payload[:2] == b"BM":
+                    w, h, gray = decode_bmp_gray_pixels(payload)
+                    if gray is not None:
+                        ph = phash64(gray, w, h)
+                rows.append((media_id, ph))
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return df.select("media_id", "payload").mapInPandas(run, PHASH_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

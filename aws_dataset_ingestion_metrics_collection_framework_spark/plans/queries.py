@@ -2281,6 +2281,37 @@ FROM events GROUP BY user_id
 """
 
 
+def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection end to end: synthesize a real PNG per
+    document (every 25th document REUSES its predecessor's image — the
+    planted duplicates), DCT-pHash each inside the Arrow decode stage, and
+    band the 64-bit hashes through the generic hamming_pairs join. Exactly
+    the planted pairs at distance 0 must emerge.
+
+    No SQL oracle: a 2-D DCT over decoded PNG pixels is not expressible in
+    DuckDB — the driver's rows-only check applies; the pytest goldens
+    (tests/test_phash.py) pin hash determinism, near-dup tolerance and the
+    pipeline's pair output instead."""
+    from ..operators.multimodal import extract_image_phash, synthesize_media
+
+    seeds = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 25 == 1, F.col("doc_id") - 1)
+        .otherwise(F.col("doc_id")).alias("seed"),
+    )
+    synth = synthesize_media(
+        seeds.select(F.col("seed").alias("media_id")).distinct(), kind="image"
+    )
+    media = seeds.join(synth, seeds["seed"] == synth["media_id"]).select(
+        F.col("doc_id").alias("media_id"), "payload"
+    )
+    hashed = extract_image_phash(media)
+    return D.hamming_pairs(
+        hashed.filter(F.col("phash").isNotNull()), "media_id", "phash",
+        max_hamming=0,
+    )
+
+
 def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column completeness/cardinality profile of the events table —
     one aggregation pass, exact distincts (the oracle-checkable contract;
@@ -3067,6 +3098,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_checks": q_dq_checks,
     "mad_outliers": q_mad_outliers,
     "pivot_events": q_pivot_events,
+    # rows-only check: DCT over decoded pixels is not SQL-expressible
+    # (pytest goldens in tests/test_phash.py are the correctness pin)
+    "image_phash_pairs": q_image_phash_pairs,
     "image_thumbnails": q_image_thumbnails,
     # corpus curation (PII / domains / sampling / entropy)
     "pii_scan": q_pii_scan,
