@@ -547,6 +547,101 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fingerprint", T.LongType()),
+    ]
+)
+
+
+def audio_fingerprint64(samples, rate: int) -> int:
+    """64-bit spectral fingerprint of a mono PCM signal (the band-energy
+    recipe of acoustic fingerprinting, Haitsma-Kalker simplified): split
+    the signal into 8 equal time windows, FFT each, sum power into 8 equal
+    frequency bands → an 8×8 energy grid; one bit per cell, set when the
+    cell beats the grid MEAN. The mean (not median) is the robust pivot for
+    sparse spectra: a pure tone fills few cells, so the median sits inside
+    the noise floor and flips with any perturbation, while the mean is
+    dominated by the energetic cells — empty bands stay firmly below it
+    and the comparison is level-invariant (scaling the signal scales the
+    mean identically). Same-content audio lands within a few bits;
+    different tones/content far apart — pair up at corpus scale with
+    ``dedup.hamming_pairs``."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.size < 16:
+        return 0
+    n_win, n_band = 8, 8
+    win = x[: x.size - x.size % n_win].reshape(n_win, -1)
+    spec = np.abs(np.fft.rfft(win, axis=1)) ** 2
+    spec = spec[:, 1:]  # drop DC: level offsets shouldn't flip bits
+    bands = spec[:, : spec.shape[1] - spec.shape[1] % n_band]
+    grid = bands.reshape(n_win, n_band, -1).sum(axis=2)
+    pivot = grid.mean()
+    bits = 0
+    for i, v in enumerate(grid.flatten()):
+        if v > pivot:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def decode_wav_samples(data: bytes):
+    """(sample_rate, mono float samples in [-1,1]) for PCM WAV payloads;
+    (rate, None) for non-PCM. Channels are averaged to mono."""
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt_code = channels = rate = bits = None
+    pcm = b""
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)
+        if tag == b"fmt ":
+            fmt_code, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+        elif tag == b"data":
+            pcm = body
+    if rate is None:
+        raise ValueError("WAV missing fmt chunk")
+    if fmt_code != 1 or bits not in (8, 16) or not channels:
+        return int(rate), None
+    if bits == 16:
+        arr = np.frombuffer(pcm[: len(pcm) - len(pcm) % 2], dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        arr = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    if channels > 1:
+        arr = arr[: arr.size - arr.size % channels].reshape(-1, channels).mean(axis=1)
+    return int(rate), arr
+
+
+def extract_audio_fingerprints(df: DataFrame) -> DataFrame:
+    """(media_id, fingerprint) — WAV decode → spectral band fingerprint in
+    one map-only Arrow stage; undecodable/non-PCM payloads yield NULL."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                fp = None
+                if payload[:4] == b"RIFF":
+                    try:
+                        rate, samples = decode_wav_samples(payload)
+                        if samples is not None:
+                            fp = audio_fingerprint64(samples, rate)
+                    except ValueError:
+                        fp = None
+                rows.append((media_id, fp))
+            yield pd.DataFrame(rows, columns=["media_id", "fingerprint"])
+
+    return df.select("media_id", "payload").mapInPandas(run, AUDIO_FP_SCHEMA)
+
 
 def decode_wav(data: bytes) -> Tuple[int, float, Optional[float]]:
     """Parse a RIFF/WAVE file: returns (sample_rate, duration_s, rms).

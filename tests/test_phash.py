@@ -56,6 +56,50 @@ def test_phash_invariants():
     assert _ham(p1, phash64(gray3, w, h)) >= 12
 
 
+def test_audio_fingerprint_invariants():
+    import numpy as np
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.multimodal import (
+        audio_fingerprint64,
+    )
+
+    t = np.arange(16000) / 16000.0
+    tone = np.sin(2 * np.pi * 440 * t)
+    fp = audio_fingerprint64(tone, 16000)
+    assert audio_fingerprint64(tone, 16000) == fp            # deterministic
+    rng = np.random.RandomState(7)
+    noisy = tone + 0.01 * rng.randn(tone.size)
+    assert _ham(fp, audio_fingerprint64(noisy, 16000)) <= 8   # same content
+    assert _ham(fp, audio_fingerprint64(0.5 * tone, 16000)) <= 8  # level change
+    other = np.sin(2 * np.pi * 3000 * t)
+    assert _ham(fp, audio_fingerprint64(other, 16000)) >= 12  # different tone
+
+
+def test_audio_fingerprint_pipeline(spark):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.multimodal import (
+        extract_audio_fingerprints,
+        synth_wav_bytes,
+    )
+
+    rows = [
+        (0, bytearray(synth_wav_bytes(0, 8000))),
+        (1, bytearray(synth_wav_bytes(0, 8000))),   # exact duplicate payload
+        (2, bytearray(synth_wav_bytes(9, 8000))),   # different content
+        (3, bytearray(b"RIFFbroken")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r["fingerprint"]
+           for r in extract_audio_fingerprints(df).collect()}
+    assert got[3] is None
+    assert got[0] == got[1] and got[0] is not None
+    pairs = hamming_pairs(
+        extract_audio_fingerprints(df).filter("fingerprint IS NOT NULL"),
+        "media_id", "fingerprint", max_hamming=0,
+    ).collect()
+    assert ([(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+            or got[2] == got[0])  # synth tones could legitimately collide
+
+
 def test_phash_pipeline_finds_near_dup_images(spark):
     rows = [
         (0, bytearray(_png_gray(64, 48, _gradient))),
