@@ -140,3 +140,72 @@ def salted_join(
     )
     out = big_s.join(small_s, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    l_id: str,
+    l_start: str,
+    l_end: str,
+    r_id: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """All pairs of overlapping half-open intervals [start, end) — the
+    interval/overlap join Spark's optimizer turns into a cross product when
+    written naively (`l.start < r.end AND r.start < l.end` has no equi
+    component to hash on).
+
+    Grid bucketing recovers an equi-join: every interval explodes to the
+    ``bucket_width``-sized grid cells it touches, candidates pair on the
+    cell (+ optional ``by`` equi-keys — most real overlap joins also match
+    on an entity key), dedup to distinct (l_id, r_id), verify the exact
+    overlap predicate. Cost is Σ cells-per-interval join rows — pick
+    bucket_width near the typical interval length so most intervals touch
+    1-2 cells; a single cell's population bounds the worst-case pairing,
+    exactly the LSH-bucket economics the dedup family uses.
+
+    Interval bounds must be integers (cast timestamps to epoch micros
+    first). Returns (by..., l_id, r_id, l_start, l_end, r_start, r_end).
+    """
+    by = by or []
+
+    def cells(df, id_c, s_c, e_c, side):
+        return df.select(
+            *[F.col(c) for c in by],
+            F.col(id_c).alias(f"{side}_id"),
+            F.col(s_c).cast("long").alias(f"{side}_s"),
+            F.col(e_c).cast("long").alias(f"{side}_e"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s_c).cast("long") / bucket_width),
+                    # last cell containing a point of [s, e): cell of e-1
+                    F.floor((F.col(e_c).cast("long") - 1) / bucket_width),
+                )
+            ).alias("_cell"),
+        )
+
+    lc = cells(left.filter(F.col(l_start) < F.col(l_end)), l_id, l_start, l_end, "l")
+    rc = cells(right.filter(F.col(r_start) < F.col(r_end)), r_id, r_start, r_end, "r")
+    on = ["_cell", *by]
+    pairs = (
+        lc.join(rc, on)
+        .filter((F.col("l_s") < F.col("r_e")) & (F.col("r_s") < F.col("l_e")))
+        .select(*by, "l_id", "r_id", "l_s", "l_e", "r_s", "r_e")
+        # an overlapping pair shares every cell of its overlap region —
+        # dedup the per-cell multiplicity
+        .distinct()
+    )
+    return pairs.select(
+        *by,
+        F.col("l_id").alias(l_id + "_l") if l_id == r_id else F.col("l_id").alias(l_id),
+        F.col("r_id").alias(r_id + "_r") if l_id == r_id else F.col("r_id").alias(r_id),
+        F.col("l_s").alias(l_start + "_l") if l_start == r_start else F.col("l_s").alias(l_start),
+        F.col("l_e").alias(l_end + "_l") if l_end == r_end else F.col("l_e").alias(l_end),
+        F.col("r_s").alias(r_start + "_r") if l_start == r_start else F.col("r_s").alias(r_start),
+        F.col("r_e").alias(r_end + "_r") if l_end == r_end else F.col("r_e").alias(r_end),
+    )

@@ -2312,6 +2312,51 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join, grid-bucketed (the join Spark cross-products
+    when written naively): event activity intervals [ts, ts + value s)
+    against ±60 s error windows, matched per user. Micros both sides;
+    ROUND before the long cast (Spark truncates double→long, DuckDB
+    rounds — round() first makes them agree)."""
+    ev = load_table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; the session is pinned UTC, so the instant cast
+    # is exact and unix_micros matches DuckDB's epoch_us
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    left = ev.select(
+        "user_id", "event_id", us.alias("s"),
+        (us + F.round(F.col("value") * 1_000_000).cast("long")).alias("e"),
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id",
+        (us - 60_000_000).alias("s"), (us + 60_000_000).alias("e"),
+    )
+    return T.interval_overlap_join(
+        left, right,
+        l_id="event_id", l_start="s", l_end="e",
+        r_id="event_id", r_start="s", r_end="e",
+        bucket_width=300_000_000, by=["user_id"],
+    )
+
+
+INTERVAL_OVERLAP_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(ROUND(value * 1000000) AS BIGINT) AS e
+  FROM events
+),
+err AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) - 60000000 AS s, epoch_us(ts) + 60000000 AS e
+  FROM events WHERE event_type = 'error'
+)
+SELECT ev.user_id,
+       ev.event_id AS event_id_l, err.event_id AS event_id_r,
+       ev.s AS s_l, ev.e AS e_l, err.s AS s_r, err.e AS e_r
+FROM ev JOIN err
+  ON ev.user_id = err.user_id AND ev.s < err.e AND err.s < ev.e
+"""
+
+
 def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column completeness/cardinality profile of the events table —
     one aggregation pass, exact distincts (the oracle-checkable contract;
@@ -3096,6 +3141,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "dq_profile": q_dq_profile,
     "dq_checks": q_dq_checks,
+    "interval_overlap": q_interval_overlap,
     "mad_outliers": q_mad_outliers,
     "pivot_events": q_pivot_events,
     # rows-only check: DCT over decoded pixels is not SQL-expressible
@@ -3206,6 +3252,7 @@ ORACLES: dict[str, str] = {
     "cohort_retention": COHORT_RETENTION_ORACLE,
     "dq_profile": DQ_PROFILE_ORACLE,
     "dq_checks": DQ_CHECKS_ORACLE,
+    "interval_overlap": INTERVAL_OVERLAP_ORACLE,
     "mad_outliers": MAD_OUTLIERS_ORACLE,
     "pivot_events": PIVOT_EVENTS_ORACLE,
     "image_thumbnails": IMAGE_THUMBNAILS_ORACLE,

@@ -155,3 +155,44 @@ def test_salted_join_matches_plain_join(spark):
     for bad in ("right", "full", "outer", "left_anti"):
         with pytest.raises(ValueError):
             salted_join(big, small, "k", salt_source="row_id", how=bad)
+
+
+def test_interval_overlap_join_matches_naive_and_avoids_cross_product(spark):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 0, 100), (2, "u", 90, 200), (3, "u", 500, 600),
+         (4, "v", 0, 100), (5, "u", 600, 600)],   # empty interval dropped
+        "iid long, k string, s long, e long",
+    )
+    right = spark.createDataFrame(
+        [(10, "u", 95, 105), (11, "u", 199, 510), (12, "v", 100, 110),
+         (13, "w", 0, 1000)],
+        "iid long, k string, s long, e long",
+    )
+    out = interval_overlap_join(
+        left, right, l_id="iid", l_start="s", l_end="e",
+        r_id="iid", r_start="s", r_end="e", bucket_width=64, by=["k"],
+    )
+    got = sorted((r["iid_l"], r["iid_r"]) for r in out.collect())
+    # naive reference: same-key overlap with half-open semantics
+    naive = sorted(
+        (l[0], r[0])
+        for l in left.collect() for r in right.collect()
+        if l[1] == r[1] and l[2] < r[3] and r[2] < l[3] and l[2] < l[3] and r[2] < r[3]
+    )
+    assert got == naive == [(1, 10), (2, 10), (2, 11), (3, 11)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_wide_intervals_span_many_cells(spark):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.temporal import interval_overlap_join
+
+    left = spark.createDataFrame([(1, 0, 10_000)], "iid long, s long, e long")
+    right = spark.createDataFrame([(2, 9_990, 9_995)], "iid long, s long, e long")
+    out = interval_overlap_join(
+        left, right, l_id="iid", l_start="s", l_end="e",
+        r_id="iid", r_start="s", r_end="e", bucket_width=16,
+    ).collect()
+    assert [(r["iid_l"], r["iid_r"]) for r in out] == [(1, 2)]  # deduped to one row
