@@ -52,6 +52,8 @@ PROBES = [
     # r4b: DSIR weighting (broadcast ratio table + one per-doc SUM shuffle),
     # CDC snapshot (single max_by shuffle — growth should track events 1:1)
     "importance_weights", "upsert_latest",
+    # r4c: grid-bucketed overlap join (cell-equi join, no cross product)
+    "interval_overlap",
 ]
 
 SF1_TABLES = (
