@@ -3070,6 +3070,74 @@ WHERE ROUND(list_dot_product(a.e, b.e) /
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # ---- registry ORDER is deliberate: the driver's correctness sweep
+    # samples queries in registry order with a bounded budget, so entries
+    # that have never received a driver-verified row lead.  Through r4 the
+    # driver always sampled the first 50 entries; the 52 entries that had
+    # never been driver-sampled (including every sketch/LSH query) now come
+    # first, with the six that have never had a green driver row at the top.
+    # The 50 queries green in the r3+r4 driver files close out the registry.
+    #
+    # sketch/LSH queries with semantic oracles (exact-Jaccard equality,
+    # independent DuckDB reformulation, recall-vs-brute-force contracts)
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "fingerprint": q_fingerprint,
+    "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
+    "sessionize": q_sessionize,
+    # never-driver-sampled block (judge-verified in r4; driver rows wanted)
+    "importance_weights": q_importance_weights,
+    "upsert_latest": q_upsert_latest,
+    "scd2_history": q_scd2_history,
+    "token_estimate": q_token_estimate,
+    "semantic_dedup": q_semantic_dedup,
+    "skew_report": q_skew_report,
+    "key_histogram": q_key_histogram,
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
+    "dq_profile": q_dq_profile,
+    "dq_checks": q_dq_checks,
+    "interval_overlap": q_interval_overlap,
+    "mad_outliers": q_mad_outliers,
+    "pivot_events": q_pivot_events,
+    # rows-only check: DCT over decoded pixels is not SQL-expressible
+    # (pytest goldens in tests/test_phash.py are the correctness pin)
+    "image_phash_pairs": q_image_phash_pairs,
+    "image_thumbnails": q_image_thumbnails,
+    # corpus curation (PII / domains / sampling / entropy)
+    "pii_scan": q_pii_scan,
+    "pii_redact": q_pii_redact,
+    "domain_report": q_domain_report,
+    "stratified_sample": q_stratified_sample,
+    "char_entropy": q_char_entropy,
+    "c4_clean": q_c4_clean,
+    "gopher_rules": q_gopher_rules,
+    "corpus_pipeline": q_corpus_pipeline,
+    # dedup / text / similarity / sessions / multimodal
+    "dedup_exact_stats": q_dedup_exact_stats,
+    "dedup_exact_keep": q_dedup_exact_keep,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_allpairs": q_ngram_jaccard_allpairs,
+    "dedup_clusters": q_dedup_clusters,
+    "approx_distinct": q_approx_distinct,
+    "approx_quantile": q_approx_quantile,
+    "token_stats": q_token_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "chunk_documents": q_chunk_documents,
+    "repetition_stats": q_repetition_stats,
+    "text_quality": q_text_quality,
+    "language_id": q_language_id,
+    "cosine_topk": q_cosine_topk,
+    "cosine_pairs": q_cosine_pairs,
+    "cosine_pairs_lsh": q_cosine_pairs_lsh,
+    "session_window": q_session_window,
+    "asof_join": q_asof_join,
+    "range_bucket": q_range_bucket,
+    "multimodal_features": q_multimodal_features,
+    "audio_features": q_audio_features,
+    "frame_sample": q_frame_sample,
+    # ---- driver-green in r3+r4 from here down ----
     # business SQL corpus (S1/A4/J4)
     "q01_pricing_summary": _sql_query(Q01_SQL),
     "q03_shipping_priority": _sql_query(Q03_SQL),
@@ -3130,64 +3198,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "paragraph_dedup": q_paragraph_dedup,
     "train_val_split": q_train_val_split,
     "pack_sequences": q_pack_sequences,
-    "importance_weights": q_importance_weights,
-    "upsert_latest": q_upsert_latest,
-    "scd2_history": q_scd2_history,
-    "token_estimate": q_token_estimate,
-    "semantic_dedup": q_semantic_dedup,
-    "skew_report": q_skew_report,
-    "key_histogram": q_key_histogram,
-    "funnel": q_funnel,
-    "cohort_retention": q_cohort_retention,
-    "dq_profile": q_dq_profile,
-    "dq_checks": q_dq_checks,
-    "interval_overlap": q_interval_overlap,
-    "mad_outliers": q_mad_outliers,
-    "pivot_events": q_pivot_events,
-    # rows-only check: DCT over decoded pixels is not SQL-expressible
-    # (pytest goldens in tests/test_phash.py are the correctness pin)
-    "image_phash_pairs": q_image_phash_pairs,
-    "image_thumbnails": q_image_thumbnails,
-    # corpus curation (PII / domains / sampling / entropy)
-    "pii_scan": q_pii_scan,
-    "pii_redact": q_pii_redact,
-    "domain_report": q_domain_report,
-    "stratified_sample": q_stratified_sample,
-    "char_entropy": q_char_entropy,
-    "c4_clean": q_c4_clean,
-    "gopher_rules": q_gopher_rules,
-    "corpus_pipeline": q_corpus_pipeline,
-    # dedup / text / similarity / sessions / multimodal
-    "dedup_exact_stats": q_dedup_exact_stats,
-    "dedup_exact_keep": q_dedup_exact_keep,
-    "ngram_jaccard": q_ngram_jaccard,
-    "ngram_jaccard_allpairs": q_ngram_jaccard_allpairs,
-    "dedup_clusters": q_dedup_clusters,
-    "approx_distinct": q_approx_distinct,
-    "approx_quantile": q_approx_quantile,
-    "token_stats": q_token_stats,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "chunk_documents": q_chunk_documents,
-    "repetition_stats": q_repetition_stats,
-    "text_quality": q_text_quality,
-    "language_id": q_language_id,
-    "cosine_topk": q_cosine_topk,
-    "cosine_pairs": q_cosine_pairs,
-    "cosine_pairs_lsh": q_cosine_pairs_lsh,
-    "sessionize": q_sessionize,
-    "session_window": q_session_window,
-    "asof_join": q_asof_join,
-    "range_bucket": q_range_bucket,
-    "multimodal_features": q_multimodal_features,
-    "audio_features": q_audio_features,
-    "frame_sample": q_frame_sample,
-    # sketch/LSH queries with semantic oracles (exact-Jaccard equality,
-    # independent DuckDB reformulation, recall-vs-brute-force contracts)
-    "minhash_pairs": q_minhash_pairs,
-    "simhash_pairs": q_simhash_pairs,
-    "fingerprint": q_fingerprint,
-    "lsh_ann": q_lsh_ann,
-    "ivf_ann": q_ivf_ann,
 }
 
 ORACLES: dict[str, str] = {
@@ -3293,3 +3303,8 @@ ORACLES: dict[str, str] = {
     "audio_features": AUDIO_FEATURES_ORACLE,
     "frame_sample": FRAME_SAMPLE_ORACLE,
 }
+
+# Keep ORACLES iteration order identical to QUERIES (never-driver-sampled
+# entries first) so a budget-bounded sweep sees the same priority whichever
+# dict it walks.  image_phash_pairs is intentionally absent (rows-only check).
+ORACLES = {name: ORACLES[name] for name in QUERIES if name in ORACLES}
