@@ -94,7 +94,7 @@ def random_hyperplane_bucket(vec: Column, *, n_planes: int = 8, seed: int = 7, d
     return F.concat(*bits)
 
 
-def _bucket_batch_udf(n_tables: int, n_planes: int, seed: int, dim: int):
+def _bucket_batch_udf(n_tables: int, n_planes: int, seed: int):
     """Vectorized multi-table LSH bucketing: ONE BLAS matmul per Arrow batch.
 
     Why a pandas_udf here, in an engine that otherwise keeps the UDF surface
@@ -110,8 +110,8 @@ def _bucket_batch_udf(n_tables: int, n_planes: int, seed: int, dim: int):
     # Planes are generated lazily from the OBSERVED vector dimension (and
     # cached per dim) — deterministic for a given (seed, dim), so every
     # batch/task/retry derives the identical matrix, and the operator works
-    # for any embedding width without a dim annotation. The `dim` argument
-    # remains the no-data default used only if a batch is empty.
+    # for any embedding width without a dim annotation (empty batches
+    # return an empty Series, no planes needed).
     plane_cache: dict[int, np.ndarray] = {}
 
     def _planes_for(d: int) -> np.ndarray:
@@ -151,7 +151,6 @@ def bucketize_tables(
     n_tables: int,
     n_planes: int,
     seed: int = 7,
-    dim: int = 64,
 ) -> DataFrame:
     """(id, tbl, bucket) rows: one per input row per LSH table, bucket =
     sign-bit string of that table's random-hyperplane projections.
@@ -162,7 +161,7 @@ def bucketize_tables(
     ride along (query-side of ANN joins). Plane matrices live in the UDF
     closure (n_tables × n_planes × dim doubles — a few KB shipped once per
     task), never in the plan."""
-    udf = _bucket_batch_udf(n_tables, n_planes, seed, dim)
+    udf = _bucket_batch_udf(n_tables, n_planes, seed)
     cols = [F.col(id_col).alias(id_name)]
     if keep_vec:
         cols.append(F.col(vec_col).alias(keep_vec))
@@ -327,7 +326,6 @@ def lsh_ann_topk(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 7,
-    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ≥1 of
     ``n_tables`` independent hyperplane tables; exact cosine + top-k within
@@ -341,11 +339,11 @@ def lsh_ann_topk(
 
     q = bucketize_tables(
         queries, id_col=query_id, id_name="query_id", vec_col=vec_col, keep_vec="qv",
-        n_tables=n_tables, n_planes=n_planes, seed=seed, dim=dim,
+        n_tables=n_tables, n_planes=n_planes, seed=seed,
     )
     c = bucketize_tables(
         corpus, id_col=corpus_id, id_name="neighbor_id", vec_col=vec_col, keep_vec="cv",
-        n_tables=n_tables, n_planes=n_planes, seed=seed, dim=dim,
+        n_tables=n_tables, n_planes=n_planes, seed=seed,
     )
     pairs = (
         q.join(c, ["tbl", "bucket"])

@@ -2340,9 +2340,12 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 INTERVAL_OVERLAP_ORACLE = """
 WITH ev AS (
-  SELECT event_id, user_id, epoch_us(ts) AS s,
-         epoch_us(ts) + CAST(ROUND(value * 1000000) AS BIGINT) AS e
-  FROM events
+  SELECT * FROM (
+    SELECT event_id, user_id, epoch_us(ts) AS s,
+           epoch_us(ts) + CAST(ROUND(value * 1000000) AS BIGINT) AS e
+    FROM events
+  ) WHERE s < e  -- pin half-open semantics: zero-length intervals overlap nothing,
+                 -- matching the operator's s < e filter (temporal.py)
 ),
 err AS (
   SELECT event_id, user_id,

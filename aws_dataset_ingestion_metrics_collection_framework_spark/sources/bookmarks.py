@@ -16,8 +16,16 @@ Semantics pinned here:
   spanning a run boundary would be SKIPPED, so pick a watermark that is
   unique-per-row (event ids, file mod times + paths) or accept slice-edge
   replay by bookmarking `max - epsilon`;
-- bookmarks are tiny JSON files beside the data (HDFS/S3-compatible via
-  the driver's filesystem — they are per-JOB metadata, not per-row state).
+- bookmarks are tiny JSON files beside the data, written with the
+  driver's LOCAL filesystem (os.path / open / os.replace) — per-JOB
+  metadata, not per-row state. An `s3://` or `hdfs://` bookmark_dir is
+  NOT supported by this implementation: on such paths `load` would
+  silently report "no bookmark" and `advance` would write to a local
+  directory literally named `s3:/...`. For object stores, route the
+  marker IO through the Hadoop FileSystem API
+  (`spark._jvm.org.apache.hadoop.fs.FileSystem`) — the rest of the
+  contract is unchanged. The same caveat applies to `streaming/cdc.py`'s
+  `_CURRENT` marker.
 
 At 100 TB the watermark filter must prune partitions: bookmark a column
 that prefixes the partition layout (e.g. the ingest date) so each

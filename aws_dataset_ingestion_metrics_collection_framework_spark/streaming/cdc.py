@@ -23,8 +23,25 @@ a full snapshot to `<path>/_v<batch_id>` and atomically rewrites the
 readable snapshot (readers resolve the marker, which only ever names a
 fully-written version). Snapshot size, not stream history, bounds the
 merge cost: each batch shuffles snapshot+batch rows once on the key.
-Replayed batches (restart from checkpoint) are harmless: merging a
-superset of already-applied changes is idempotent under max_by.
+
+Replay safety: a restart from checkpoint re-delivers the last
+micro-batch with the SAME batch_id. If the prior attempt crashed before
+the marker repoint, the replay simply redoes the merge (idempotent under
+max_by). If it crashed AFTER the repoint (marker committed, checkpoint
+not), the snapshot already contains the batch — and naively re-merging
+would read `_v<batch_id>` while overwriting that same directory, which
+Spark rejects. `merge_batch` therefore detects marker == `_v<batch_id>`
+and makes the replay an explicit no-op.
+
+Storage: superseded version directories are pruned after each successful
+commit, keeping the immediately-previous version for readers that
+resolved the marker just before the repoint (their scan is already
+planned against concrete files). Disable with ``keep_history=True`` if
+you want every version retained for offline audit/time travel.
+
+Marker and version paths use the driver's local filesystem (os.path /
+open) — for object-store snapshot paths route this through the Hadoop
+FileSystem API instead; see `sources/bookmarks.py` for the same caveat.
 
 At scale, replace the full-rewrite merge with a lakehouse table format's
 native MERGE (Delta/Iceberg/Hudi) — the operator seam is format-agnostic
@@ -35,6 +52,7 @@ with nothing but parquet directories.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
@@ -44,14 +62,21 @@ from ..operators.cdc import upsert_latest
 CURRENT_MARKER = "_CURRENT"
 
 
-def read_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
-    """Resolve the current snapshot version (tombstone rows included) via
-    the marker file; None when no snapshot has been committed yet."""
+def _current_version(path: str) -> str | None:
+    """Version name the `_CURRENT` marker points at, or None pre-commit."""
     marker = os.path.join(path, CURRENT_MARKER)
     if not os.path.exists(marker):
         return None
     with open(marker, "r", encoding="utf-8") as fh:
-        version = fh.read().strip()
+        return fh.read().strip()
+
+
+def read_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
+    """Resolve the current snapshot version (tombstone rows included) via
+    the marker file; None when no snapshot has been committed yet."""
+    version = _current_version(path)
+    if version is None:
+        return None
     return spark.read.parquet(os.path.join(path, version))
 
 
@@ -71,6 +96,20 @@ def _commit_snapshot(df: DataFrame, path: str, version: str) -> None:
     os.replace(tmp, os.path.join(path, CURRENT_MARKER))  # atomic repoint
 
 
+def _prune_versions(path: str, keep: set[str]) -> None:
+    """Delete superseded `_v*` snapshot directories not in ``keep``.
+
+    ``keep`` always contains the just-committed version plus its immediate
+    predecessor — a reader that resolved the marker right before the
+    repoint still has concrete file paths planned against the predecessor.
+    """
+    for name in os.listdir(path):
+        if name.startswith("_v") and name not in keep:
+            target = os.path.join(path, name)
+            if os.path.isdir(target):
+                shutil.rmtree(target, ignore_errors=True)
+
+
 def start_snapshot_maintenance(
     changes: DataFrame,
     snapshot_path: str,
@@ -80,21 +119,36 @@ def start_snapshot_maintenance(
     *,
     trigger_seconds: int | None = None,
     available_now: bool = False,
+    keep_history: bool = False,
 ) -> StreamingQuery:
     """Continuously merge a streaming changelog into the snapshot at
     ``snapshot_path``: per micro-batch, union the current snapshot with the
     batch, keep the max_by-version row per key, commit as a new version,
-    repoint the marker."""
+    repoint the marker, prune superseded versions (unless
+    ``keep_history``)."""
     spark = changes.sparkSession
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        version = f"_v{batch_id}"
+        current = _current_version(snapshot_path)
+        if current == version:
+            # Crash landed between the marker repoint and the checkpoint
+            # commit: this batch is already IN the current snapshot.
+            # Re-merging would read `version` while overwriting the same
+            # directory (Spark refuses) — the replay is a no-op.
+            return
         base = read_snapshot(spark, snapshot_path)
         merged_input = batch_df if base is None else base.unionByName(batch_df)
         snap = upsert_latest(merged_input, key_cols, seq_cols)
         # Versioned dirs keep the previous snapshot readable throughout the
         # write (and `snap` itself reads the directory an in-place overwrite
         # would clobber).
-        _commit_snapshot(snap, snapshot_path, f"_v{batch_id}")
+        _commit_snapshot(snap, snapshot_path, version)
+        if not keep_history:
+            _prune_versions(
+                snapshot_path,
+                keep={version} | ({current} if current else set()),
+            )
 
     writer = (
         changes.writeStream.foreachBatch(merge_batch)

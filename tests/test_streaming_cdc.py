@@ -70,3 +70,59 @@ def test_snapshot_maintained_across_microbatches(spark, tmp_path):
 
 def test_empty_start_returns_none(spark, tmp_path):
     assert read_snapshot(spark, str(tmp_path / "nope")) is None
+
+
+def test_versions_pruned_to_current_plus_previous(spark, tmp_path):
+    """Each commit prunes superseded _v* dirs, keeping {current, previous}
+    so a reader that resolved the marker pre-repoint still has its files."""
+    src = tmp_path / "changes"; src.mkdir()
+    snap_dir = tmp_path / "snapshot"; snap_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+
+    for i in range(3):
+        _write_batch(src, f"b{i}.json", [
+            {"k": 1, "seq": i + 1, "op": "U", "v": f"v{i}"},
+            {"k": 10 + i, "seq": 1, "op": "U", "v": "x"},
+        ])
+        _run_available(spark, src, snap_dir, ckpt)
+
+    versions = sorted(p.name for p in snap_dir.iterdir() if p.name.startswith("_v"))
+    assert len(versions) == 2, versions  # current + one predecessor only
+    live = {r["k"]: r["v"] for r in
+            read_live(spark, str(snap_dir), F.col("op") == "D").collect()}
+    assert live == {1: "v2", 10: "x", 11: "x", 12: "x"}
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    """Crash between marker repoint and checkpoint commit: the micro-batch
+    is re-delivered with the SAME batch_id while the marker already points
+    at _v{batch_id}. The real merge_batch must detect this and no-op —
+    previously it raised 'Cannot overwrite a path that is also being read
+    from', permanently wedging the stream.
+
+    Simulated by running batch 0 normally, then rolling the checkpoint back
+    (delete it) while leaving the snapshot committed: the rerun re-delivers
+    the same data as batch_id 0, which the marker already names."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.streaming import cdc as scdc
+    import shutil
+
+    src = tmp_path / "changes"; src.mkdir()
+    snap_dir = tmp_path / "snapshot"; snap_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+
+    _write_batch(src, "b1.json", [
+        {"k": 1, "seq": 1, "op": "U", "v": "a"},
+        {"k": 2, "seq": 1, "op": "U", "v": "x"},
+    ])
+    _run_available(spark, src, snap_dir, ckpt)
+    assert scdc._current_version(str(snap_dir)) == "_v0"
+    before = {r["k"]: r["v"] for r in read_snapshot(spark, str(snap_dir)).collect()}
+
+    # crash scenario: snapshot committed (marker → _v0) but checkpoint lost
+    shutil.rmtree(ckpt)
+    _run_available(spark, src, snap_dir, ckpt)  # re-delivers batch_id 0
+
+    # stream completed (no overwrite-while-reading error), snapshot intact
+    assert scdc._current_version(str(snap_dir)) == "_v0"
+    after = {r["k"]: r["v"] for r in read_snapshot(spark, str(snap_dir)).collect()}
+    assert after == before
