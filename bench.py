@@ -5,28 +5,41 @@
 Execution is forced with a full collect (the driver contract measures
 end-to-end materialization, not lazy plan construction).
 
-Each query runs $BENCH_REPEAT times (default 2) and reports the MIN —
-steady-state throughput. Rationale (r2→r3 drift investigation): a query's
-FIRST run in a session pays one-off costs that vary with whatever ran
-before it — whole-stage-codegen compilation, broadcast warmup, shuffle-
-service init — measured at 2-4× the steady-state time in fresh-session
-isolation (e.g. sla_daily 5.9 s cold vs 1.87 s warm, n=3). Single-shot
-timings therefore drift ±40% with suite composition while the warm number
-is stable; min-of-2 pins the number that actually predicts cluster
-throughput, where plans run for hours after compiling once.
+MEASUREMENT METHODOLOGY (r5 — closes the drift thread open since r2):
+
+1. **Session isolation (subprocess per query).** Through r4 all headline
+   queries shared one JVM; as the suite grew 17→26→35 queries, timings of
+   byte-identical queries drifted up to 3.3× between rounds (r4 verdict:
+   `business_scalars` 3.34× with unchanged code) from cross-query JVM state
+   — GC pressure, codegen-cache eviction, broadcast cleanup. Each query now
+   runs in its own fresh `python bench.py --worker <name>` subprocess: its
+   number can never depend on which OTHER queries are in the suite. Opt out
+   with BENCH_ISOLATE=0 (fast shared-session mode for inner-loop iteration;
+   numbers then carry the documented cross-talk).
+
+2. **Min-of-N warm (N=$BENCH_REPEAT, default 2), per worker.** A query's
+   first run pays one-off costs (whole-stage-codegen compile, broadcast
+   warmup) measured at 2-4× steady state; min-of-2 pins the steady-state
+   number that predicts cluster throughput, where plans compile once and
+   run for hours. Startup/table-registration is outside the timed region
+   (the DuckDB baseline likewise creates views before timing).
+
+3. **Frozen r1-comparable subset.** The 17 queries benched since r1 are
+   reported as `r1_subset_sec` so cross-round comparisons use a FIXED
+   basket; the full-suite total moves with coverage growth and is not a
+   round-over-round performance signal. Per-query r1 baselines live in
+   BASELINE.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from aws_dataset_ingestion_metrics_collection_framework_spark import get_spark
-from aws_dataset_ingestion_metrics_collection_framework_spark.plans.queries import QUERIES
 
 # Headline set: every engine subsystem, weighted toward the big-table paths.
 HEADLINE = [
@@ -77,37 +90,100 @@ HEADLINE = [
     "char_entropy",
 ]
 
+# Benched since r1 — the frozen cross-round comparison basket (see §3 above).
+R1_SUBSET = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier",
+    "q10_returned_items",
+    "business_scalars",
+    "metrics_day",
+    "metrics_hour_dims",
+    "metrics_latest",
+    "sla_daily",
+    "sla_gap_fill",
+    "dedup_exact_stats",
+    "minhash_pairs",
+    "ngram_jaccard",
+    "token_stats",
+    "language_id",
+    "cosine_topk",
+    "sessionize",
+]
+
+
+def _time_query(spark, sf_dir: str, name: str, repeat: int) -> tuple[float, int]:
+    from aws_dataset_ingestion_metrics_collection_framework_spark.plans.queries import QUERIES
+
+    fn = QUERIES[name]
+    best = None
+    nrows = 0
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        took = time.perf_counter() - t0
+        nrows = len(rows)
+        best = took if best is None else min(best, took)
+    return best, nrows
+
+
+def _make_session(sf_dir: str):
+    from aws_dataset_ingestion_metrics_collection_framework_spark import get_spark
+    from aws_dataset_ingestion_metrics_collection_framework_spark.catalog import register_tables
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warmup on a trivial job so the query doesn't pay session
+    # startup, and table registration (parquet footer reads) outside the
+    # timed region.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    register_tables(spark, sf_dir)
+    return spark
+
+
+def worker(name: str) -> None:
+    """Isolated single-query measurement: fresh JVM, warmup, min-of-N."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = max(1, int(os.environ.get("BENCH_REPEAT", "2")))
+    spark = _make_session(sf_dir)
+    best, nrows = _time_query(spark, sf_dir, name, repeat)
+    print(json.dumps({"query": name, "sec": round(best, 3), "rows": nrows}))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    spark = get_spark(app_name="bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # JVM/codegen warmup on a trivial job so q1 doesn't pay session startup,
-    # and table registration (parquet footer reads) outside the timed region —
-    # the DuckDB baseline likewise creates its views before timing queries.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    from aws_dataset_ingestion_metrics_collection_framework_spark.catalog import register_tables
-
-    register_tables(spark, sf_dir)
-
     verbose = os.environ.get("BENCH_VERBOSE") == "1"
     repeat = max(1, int(os.environ.get("BENCH_REPEAT", "2")))
+    isolate = os.environ.get("BENCH_ISOLATE", "1") != "0"
+    only = sys.argv[1:] or HEADLINE
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        best = None
-        for _ in range(repeat):
-            t0 = time.perf_counter()
-            rows = fn(spark, sf_dir).collect()
-            took = time.perf_counter() - t0
-            best = took if best is None else min(best, took)
-        timings[name] = round(best, 3)
-        if verbose:
-            print(f"# {name}: {timings[name]}s ({len(rows)} rows)", file=sys.stderr)
+    if isolate:
+        for name in only:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", name],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if proc.returncode != 0:
+                print(f"# worker {name} FAILED:\n{proc.stderr[-2000:]}", file=sys.stderr)
+                raise SystemExit(1)
+            rec = json.loads(proc.stdout.strip().splitlines()[-1])
+            timings[name] = rec["sec"]
+            if verbose:
+                print(f"# {name}: {rec['sec']}s ({rec['rows']} rows)", file=sys.stderr)
+    else:
+        spark = _make_session(sf_dir)
+        for name in only:
+            best, nrows = _time_query(spark, sf_dir, name, repeat)
+            timings[name] = round(best, 3)
+            if verbose:
+                print(f"# {name}: {timings[name]}s ({nrows} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    r1_subset = round(sum(timings[n] for n in R1_SUBSET if n in timings), 3)
     print(
         json.dumps(
             {
@@ -117,10 +193,15 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "repeat": repeat,
+                "isolation": "subprocess-per-query" if isolate else "shared-session",
+                "r1_subset_sec": r1_subset,
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        worker(sys.argv[2])
+    else:
+        main()
