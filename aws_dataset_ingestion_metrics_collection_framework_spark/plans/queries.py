@@ -3072,6 +3072,69 @@ WHERE ROUND(list_dot_product(a.e, b.e) /
 """
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-shaped ingest through the REAL WARC source: serialize
+    documents (doc_id < 200) into valid WARC/1.0 files — one shard gzipped
+    member-per-record, as crawlers emit — then read them back through
+    ``sources.warc.read_warc`` (binaryFile scan → Arrow mapInPandas record
+    parser) and project per-record facts. The oracle recomputes url /
+    status / byte-length / md5 from the documents table directly, so the
+    length-delimited framing, HTTP payload split, and utf-8 decode must
+    all round-trip exactly.
+
+    Fixture synthesis is a bounded driver-side build (200 slim rows), the
+    same planning-time budget as the defs loaders; the READ under test is
+    fully distributed."""
+    import gzip as _gzip
+    import tempfile
+
+    from ..sources.warc import read_warc, warc_bytes
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .collect()
+    )
+    recs = [
+        {
+            "url": f"http://corpus.example/doc/{r['doc_id']}",
+            "date": "2026-01-01T00:00:00Z",
+            "body": r["text"],
+        }
+        for r in sorted(docs, key=lambda r: r["doc_id"])
+    ]
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_warc_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    # 4 shards: 3 plain + 1 gzipped (both container paths exercised)
+    shards = [recs[i::4] for i in range(4)]
+    for i, shard in enumerate(shards[:3]):
+        with open(os.path.join(out_dir, f"part-{i}.warc"), "wb") as fh:
+            fh.write(warc_bytes(shard))
+    with open(os.path.join(out_dir, "part-3.warc.gz"), "wb") as fh:
+        fh.write(b"".join(_gzip.compress(warc_bytes([r])) for r in shards[3]))
+
+    good, _bad = read_warc(spark, out_dir)
+    return good.select(
+        "url",
+        "http_status",
+        "n_bytes",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
+WARC_INGEST_ORACLE = """
+SELECT 'http://corpus.example/doc/' || doc_id AS url,
+       CAST(200 AS INTEGER) AS http_status,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS text_md5
+FROM documents WHERE doc_id < 200
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- registry ORDER is deliberate: the driver's correctness sweep
     # samples queries in registry order with a bounded budget, so entries
@@ -3089,6 +3152,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
     "sessionize": q_sessionize,
+    # r5: WARC source (Common-Crawl entry point) — never driver-sampled yet
+    "warc_ingest": q_warc_ingest,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -3305,6 +3370,7 @@ ORACLES: dict[str, str] = {
     "multimodal_features": MULTIMODAL_ORACLE,
     "audio_features": AUDIO_FEATURES_ORACLE,
     "frame_sample": FRAME_SAMPLE_ORACLE,
+    "warc_ingest": WARC_INGEST_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled
