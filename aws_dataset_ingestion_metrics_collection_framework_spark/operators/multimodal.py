@@ -12,6 +12,10 @@ stdlib alone (no PIL/libvips/soundfile in this container):
 * **GIF** — full decode of the first frame: logical screen descriptor,
   global/local color table, variable-width LZW decompression (dictionary
   reset, KwKwK case, 12-bit cap), BT.601 luma through the palette.
+* **JPEG** — baseline sequential (SOF0) decode in `operators/jpeg.py`:
+  DHT canonical Huffman tables, DC prediction/EXTEND, AC run-length,
+  dequantize, dezigzag, float IDCT, grayscale + YCbCr with 4:4:4 / 4:2:2 /
+  4:2:0 sampling, restart markers. Progressive yields None.
 * **WAV** — full decode for PCM: RIFF chunk walk, ``fmt `` (sample rate /
   channels / bit depth), ``data`` samples, duration and RMS over samples
   normalized to [-1, 1].
@@ -398,7 +402,26 @@ def decode_image(data: bytes) -> Tuple[Optional[int], Optional[int], Optional[fl
         return decode_bmp(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data)
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     return None, None, None
+
+
+def decode_gray_pixels(data: bytes) -> Tuple[int, int, Optional[bytes]]:
+    """Magic-sniffed dispatch to the full-plane luma decoders (PNG / BMP /
+    baseline JPEG) — the shared front door of the thumbnail and pHash
+    extractors. (0, 0, None) for formats without a pixel-plane decoder."""
+    if data[:8] == _PNG_MAGIC:
+        return decode_png_gray_pixels(data)
+    if data[:2] == b"BM":
+        return decode_bmp_gray_pixels(data)
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_gray_pixels
+
+        return decode_jpeg_gray_pixels(data)
+    return 0, 0, None
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
@@ -461,14 +484,9 @@ def extract_image_thumbnails(df: DataFrame, *, size: int = 8) -> DataFrame:
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
                 thumb = None
-                if payload[:8] == _PNG_MAGIC:
-                    w, h, gray = decode_png_gray_pixels(payload)
-                    if gray is not None:
-                        thumb = resize_nearest(gray, w, h, size)
-                elif payload[:2] == b"BM":
-                    w, h, gray = decode_bmp_gray_pixels(payload)
-                    if gray is not None:
-                        thumb = resize_nearest(gray, w, h, size)
+                w, h, gray = decode_gray_pixels(payload)
+                if gray is not None:
+                    thumb = resize_nearest(gray, w, h, size)
                 rows.append((media_id, thumb))
             yield pd.DataFrame(rows, columns=["media_id", "thumb"])
 
@@ -523,14 +541,9 @@ def extract_image_phash(df: DataFrame) -> DataFrame:
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload) if payload is not None else b""
                 ph = None
-                if payload[:8] == _PNG_MAGIC:
-                    w, h, gray = decode_png_gray_pixels(payload)
-                    if gray is not None:
-                        ph = phash64(gray, w, h)
-                elif payload[:2] == b"BM":
-                    w, h, gray = decode_bmp_gray_pixels(payload)
-                    if gray is not None:
-                        ph = phash64(gray, w, h)
+                w, h, gray = decode_gray_pixels(payload)
+                if gray is not None:
+                    ph = phash64(gray, w, h)
                 rows.append((media_id, ph))
             yield pd.DataFrame(rows, columns=["media_id", "phash"])
 
@@ -783,20 +796,24 @@ def synthesize_media(df: DataFrame, *, kind: str) -> DataFrame:
     ``df`` needs ``media_id`` (long); for ``kind='audio'`` also
     ``n_samples`` (int). Runs in a map-only ``mapInPandas`` stage.
     """
-    if kind == "image":
+    if kind in ("image", "jpeg"):
         schema = T.StructType(
             [
                 T.StructField("media_id", T.LongType(), False),
                 T.StructField("payload", T.BinaryType()),
             ]
         )
+        if kind == "jpeg":
+            from .jpeg import synth_jpeg_bytes as synth
+        else:
+            synth = synth_png_bytes
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 yield pd.DataFrame(
                     {
                         "media_id": pdf["media_id"],
-                        "payload": [synth_png_bytes(int(i)) for i in pdf["media_id"]],
+                        "payload": [synth(int(i)) for i in pdf["media_id"]],
                     }
                 )
 

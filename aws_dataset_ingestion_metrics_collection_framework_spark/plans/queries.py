@@ -2281,17 +2281,68 @@ FROM events GROUP BY user_id
 """
 
 
-def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup detection end to end: synthesize a real PNG per
-    document (every 25th document REUSES its predecessor's image — the
-    planted duplicates), DCT-pHash each inside the Arrow decode stage, and
-    band the 64-bit hashes through the generic hamming_pairs join. Exactly
-    the planted pairs at distance 0 must emerge.
+def q_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode over real JFIF bytes: synthesize a valid
+    grayscale baseline JPEG per document (8×8 blocks constant by a
+    closed-form formula, quant table all-ones — AC exactly zero, integer DC
+    survives q=1 quantization, so the lossy format round-trips BIT-EXACT;
+    see operators/jpeg.py), then run the full entropy decode (Annex-K
+    Huffman tables, DC prediction, dequantize, IDCT) inside Arrow
+    ``mapInPandas``. The oracle recomputes width/height/mean-luma from the
+    block formula — the Huffman/DCT pipeline must invert the encode
+    exactly to match."""
+    from ..operators.multimodal import extract_image_features, synthesize_media
 
-    No SQL oracle: a 2-D DCT over decoded PNG pixels is not expressible in
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synthesize_media(docs, kind="jpeg")
+    out = extract_image_features(media)
+    return out.select(
+        "media_id", "width", "height", F.round("mean_luma", 6).alias("mean_luma")
+    )
+
+
+JPEG_FEATURES_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 7 AS bw, 4 + doc_id % 4 AS bh,
+         ((doc_id + 12345) * 2654435761) % 4294967296 AS m
+  FROM documents
+), bxs AS (
+  SELECT doc_id, bw, bh, m, unnest(generate_series(0, bw-1)) AS bx FROM dims
+), bxy AS (
+  SELECT doc_id, bw, bh, m, bx, unnest(generate_series(0, bh-1)) AS by FROM bxs
+)
+SELECT doc_id AS media_id,
+       CAST(8 * bw AS INTEGER) AS width,
+       CAST(8 * bh AS INTEGER) AS height,
+       ROUND(AVG(CAST(
+         (doc_id + (m % 256) * bx + ((m // 256) % 256) * by
+                 + ((m // 65536) % 256) * bx * by) % 256
+         AS DOUBLE)) / 255.0, 6) AS mean_luma
+FROM bxy GROUP BY doc_id, bw, bh
+"""
+
+
+def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection end to end over REAL baseline JPEGs:
+    synthesize a valid JFIF per document (every 25th document REUSES its
+    predecessor's image — the planted duplicates), DCT-pHash each inside
+    the Arrow decode stage (full JPEG entropy decode feeding the hash),
+    and band the 64-bit hashes through the generic hamming_pairs join.
+    Exactly the planted pairs at distance 0 must emerge at EVERY sf.
+
+    JPEG fixtures are used (r5) because their hash-mixed block patterns
+    span ~2^24 classes — the earlier linear-ramp PNG fixtures produced
+    same-dimension images differing by a constant luma offset, which
+    pHash treats as identical BY DESIGN (brightness invariance), breaking
+    the planted contract at sf0.1 with accidental distance-0 pairs. PNG /
+    BMP pHash dispatch stays pinned by tests/test_phash.py goldens.
+
+    No SQL oracle: a 2-D DCT over decoded pixels is not expressible in
     DuckDB — the driver's rows-only check applies; the pytest goldens
-    (tests/test_phash.py) pin hash determinism, near-dup tolerance and the
-    pipeline's pair output instead."""
+    (tests/test_phash.py, tests/test_jpeg.py) pin hash determinism,
+    near-dup tolerance and the pipeline's pair output instead."""
     from ..operators.multimodal import extract_image_phash, synthesize_media
 
     seeds = load_table(spark, sf_dir, "documents").select(
@@ -2300,7 +2351,7 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("doc_id")).alias("seed"),
     )
     synth = synthesize_media(
-        seeds.select(F.col("seed").alias("media_id")).distinct(), kind="image"
+        seeds.select(F.col("seed").alias("media_id")).distinct(), kind="jpeg"
     )
     media = seeds.join(synth, seeds["seed"] == synth["media_id"]).select(
         F.col("doc_id").alias("media_id"), "payload"
@@ -3154,6 +3205,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     # r5: WARC source (Common-Crawl entry point) — never driver-sampled yet
     "warc_ingest": q_warc_ingest,
+    # r5: baseline JPEG decode (bit-exact block-constant fixtures)
+    "jpeg_features": q_jpeg_features,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -3371,6 +3424,7 @@ ORACLES: dict[str, str] = {
     "audio_features": AUDIO_FEATURES_ORACLE,
     "frame_sample": FRAME_SAMPLE_ORACLE,
     "warc_ingest": WARC_INGEST_ORACLE,
+    "jpeg_features": JPEG_FEATURES_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

@@ -1,0 +1,219 @@
+"""Baseline JPEG decoder: bit-exact round-trip against the block-constant
+fixture encoder, color 4:2:0 assembly, restart markers, non-baseline
+rejection, and the Spark-side decode/thumbnail/pHash pipelines."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators.jpeg import (
+    AC_LUM_BITS,
+    AC_LUM_VALS,
+    DC_LUM_BITS,
+    DC_LUM_VALS,
+    _BitWriter,
+    _canonical_codes,
+    _dht_segment,
+    decode_jpeg,
+    decode_jpeg_gray_pixels,
+    jpeg_block_value,
+    synth_jpeg_bytes,
+)
+
+DC_CODES = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+AC_CODES = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+
+
+def _write_dc_block(bits: _BitWriter, value: int, prev_dc: int) -> int:
+    """Encode one constant block (DC-only + EOB) into the bit stream."""
+    dc = 8 * (value - 128)
+    diff = dc - prev_dc
+    size = abs(diff).bit_length() if diff else 0
+    code, ln = DC_CODES[size]
+    bits.write(code, ln)
+    if size:
+        bits.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    eob, eob_len = AC_CODES[0x00]
+    bits.write(eob, eob_len)
+    return dc
+
+
+def test_grayscale_bitexact_roundtrip():
+    for mid in range(0, 100, 7):
+        data = synth_jpeg_bytes(mid)
+        bw, bh = 4 + mid % 7, 4 + mid % 4
+        w, h, gray = decode_jpeg_gray_pixels(data)
+        assert (w, h) == (8 * bw, 8 * bh)
+        arr = np.frombuffer(gray, dtype=np.uint8).reshape(h, w)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert (blk == jpeg_block_value(mid, bx, by)).all()
+
+
+def test_mean_luma_matches_formula():
+    mid = 42
+    w, h, luma = decode_jpeg(synth_jpeg_bytes(mid))
+    bw, bh = 4 + mid % 7, 4 + mid % 4
+    exp = np.mean(
+        [[jpeg_block_value(mid, bx, by) for bx in range(bw)] for by in range(bh)]
+    ) / 255.0
+    assert abs(luma - exp) < 1e-12
+
+
+def _headers(w, h, components):
+    """SOI..SOS prelude for a quant-all-ones stream reusing the luminance
+    tables for every component (legal; exercises the table plumbing)."""
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    ncomp = len(components)
+    sof_body = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    sos_body = bytes([ncomp])
+    for cid, hs, vs in components:
+        sof_body += bytes([cid, (hs << 4) | vs, 0])
+        sos_body += bytes([cid, 0x00])
+    sos_body += bytes([0, 63, 0])
+    sof = b"\xff\xc0" + struct.pack(">H", len(sof_body) + 2) + sof_body
+    dht = _dht_segment(0x00, DC_LUM_BITS, DC_LUM_VALS) + _dht_segment(
+        0x10, AC_LUM_BITS, AC_LUM_VALS
+    )
+    sos = b"\xff\xda" + struct.pack(">H", len(sos_body) + 2) + sos_body
+    return b"\xff\xd8" + dqt + sof + dht + sos
+
+
+def test_color_420_assembly():
+    """16×16 YCbCr 4:2:0: one MCU = 4 Y blocks (quadrants with distinct
+    constants) + 1 Cb + 1 Cr. The luma plane must assemble the quadrants
+    in raster order; chroma must be entropy-consumed without corrupting it."""
+    quads = [40, 90, 140, 190]  # Y blocks in MCU order: TL, TR, BL, BR
+    bits = _BitWriter()
+    prev = {"y": 0, "cb": 0, "cr": 0}
+    for v in quads:
+        prev["y"] = _write_dc_block(bits, v, prev["y"])
+    prev["cb"] = _write_dc_block(bits, 128, prev["cb"])
+    prev["cr"] = _write_dc_block(bits, 120, prev["cr"])
+    data = (
+        _headers(16, 16, [(1, 2, 2), (2, 1, 1), (3, 1, 1)])
+        + bits.flush()
+        + b"\xff\xd9"
+    )
+    w, h, gray = decode_jpeg_gray_pixels(data)
+    assert (w, h) == (16, 16)
+    arr = np.frombuffer(gray, dtype=np.uint8).reshape(16, 16)
+    assert (arr[:8, :8] == quads[0]).all()
+    assert (arr[:8, 8:] == quads[1]).all()
+    assert (arr[8:, :8] == quads[2]).all()
+    assert (arr[8:, 8:] == quads[3]).all()
+
+
+def test_color_444_assembly():
+    vals = [60, 200]  # 16×8, two MCUs side by side
+    bits = _BitWriter()
+    prev = {"y": 0, "cb": 0, "cr": 0}
+    for v in vals:
+        prev["y"] = _write_dc_block(bits, v, prev["y"])
+        prev["cb"] = _write_dc_block(bits, 128, prev["cb"])
+        prev["cr"] = _write_dc_block(bits, 128, prev["cr"])
+    data = (
+        _headers(16, 8, [(1, 1, 1), (2, 1, 1), (3, 1, 1)])
+        + bits.flush()
+        + b"\xff\xd9"
+    )
+    w, h, gray = decode_jpeg_gray_pixels(data)
+    arr = np.frombuffer(gray, dtype=np.uint8).reshape(8, 16)
+    assert (arr[:, :8] == 60).all() and (arr[:, 8:] == 200).all()
+
+
+def test_restart_markers():
+    """DRI=2 grayscale, 4 MCUs: RST0 after MCU 2 resets the DC predictor
+    and realigns to a byte boundary."""
+    vals = [30, 70, 110, 150]
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 2)
+    head = _headers(32, 8, [(1, 1, 1)])
+    head = head[:-10] + dri + head[-10:]  # insert DRI before SOS
+    b1 = _BitWriter()
+    prev = 0
+    for v in vals[:2]:
+        prev = _write_dc_block(b1, v, prev)
+    b2 = _BitWriter()
+    prev = 0  # predictors reset at restart
+    for v in vals[2:]:
+        prev = _write_dc_block(b2, v, prev)
+    data = head + b1.flush() + b"\xff\xd0" + b2.flush() + b"\xff\xd9"
+    w, h, gray = decode_jpeg_gray_pixels(data)
+    assert (w, h) == (32, 8)
+    arr = np.frombuffer(gray, dtype=np.uint8).reshape(8, 32)
+    for i, v in enumerate(vals):
+        assert (arr[:, i * 8 : (i + 1) * 8] == v).all(), (i, v)
+
+
+def test_progressive_and_garbage_rejected():
+    prog = synth_jpeg_bytes(3).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg_gray_pixels(prog) == (0, 0, None)
+    assert decode_jpeg_gray_pixels(b"\xff\xd8garbage") == (0, 0, None)
+    assert decode_jpeg(b"not a jpeg")[2] is None
+    truncated = synth_jpeg_bytes(5)[:-10]
+    assert decode_jpeg_gray_pixels(truncated)[2] is None
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.multimodal import (
+        synthesize_media,
+    )
+
+    ids = spark.range(0, 40).selectExpr("id AS media_id")
+    return synthesize_media(ids, kind="jpeg")
+
+
+def test_spark_feature_extraction(spark, media):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    rows = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert len(rows) == 40
+    for mid, r in rows.items():
+        bw, bh = 4 + mid % 7, 4 + mid % 4
+        assert (r["width"], r["height"]) == (8 * bw, 8 * bh)
+        exp = np.mean(
+            [[jpeg_block_value(mid, bx, by) for bx in range(bw)] for by in range(bh)]
+        ) / 255.0
+        assert abs(r["mean_luma"] - exp) < 1e-9
+
+
+def test_spark_thumbnails_and_phash_planted_dups(spark):
+    """Every 10th id reuses its predecessor's JPEG — pHash + hamming join
+    must find exactly the planted pairs at distance 0."""
+    from pyspark.sql import functions as F
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dedup import (
+        hamming_pairs,
+    )
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.multimodal import (
+        extract_image_phash,
+        extract_image_thumbnails,
+        synthesize_media,
+    )
+
+    seeds = spark.range(0, 40).select(
+        F.col("id").alias("media_id"),
+        F.when(F.col("id") % 10 == 1, F.col("id") - 1)
+        .otherwise(F.col("id"))
+        .alias("seed"),
+    )
+    synth = synthesize_media(
+        seeds.select(F.col("seed").alias("media_id")).distinct(), kind="jpeg"
+    ).withColumnRenamed("media_id", "seed")
+    payloads = seeds.join(synth, "seed").select("media_id", "payload")
+
+    thumbs = extract_image_thumbnails(payloads, size=2).collect()
+    assert all(r["thumb"] is not None and len(r["thumb"]) == 4 for r in thumbs)
+
+    hashed = extract_image_phash(payloads)
+    pairs = hamming_pairs(
+        hashed.filter(F.col("phash").isNotNull()), "media_id", "phash",
+        max_hamming=0,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 1), (10, 11), (20, 21), (30, 31)}
