@@ -359,11 +359,27 @@ def synth_gif_bytes(media_id: int) -> bytes:
     w = 4 + media_id % 13
     h = 3 + media_id % 7
     pal = bytes(v for i in range(256) for v in (i, i, i))
-    # bitstream: CLEAR, p, CLEAR, p, ..., END at 9 bits/code, LSB-first
-    codes = []
-    for y in range(h):
-        for x in range(w):
-            codes += [256, (media_id + 31 * x + 17 * y) % 256]
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT flag, 256 entries
+        + pal
+        + b"\x2C"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([8])  # LZW min code size
+        + _pack_gif_indices(
+            [(media_id + 31 * x + 17 * y) % 256 for y in range(h) for x in range(w)]
+        )
+        + b"\x3B"
+    )
+
+
+def _pack_gif_indices(values: list[int]) -> bytes:
+    """LZW-encode pixel indices the degenerate-but-valid way (CLEAR before
+    every code — 9-bit codes throughout, dictionary never grows) and wrap
+    in 255-byte sub-blocks with terminator."""
+    codes: list[int] = []
+    for v in values:
+        codes += [256, v]
     codes.append(257)
     bits = bytearray()
     acc = n = 0
@@ -381,16 +397,213 @@ def synth_gif_bytes(media_id: int) -> bytes:
         chunk = bits[i : i + 255]
         sub += bytes([len(chunk)]) + chunk
     sub += b"\x00"
-    return (
-        b"GIF89a"
-        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT flag, 256 entries
-        + pal
-        + b"\x2C"
-        + struct.pack("<HHHHB", 0, 0, w, h, 0)
-        + bytes([8])  # LZW min code size
-        + sub
-        + b"\x3B"
+    return bytes(sub)
+
+
+def synth_animated_gif_bytes(media_id: int, n_frames: int) -> bytes:
+    """A real animated GIF89a: grayscale palette, ``n_frames`` full-canvas
+    frames each preceded by a Graphic Control Extension (delay = 2 cs,
+    disposal none, no transparency), frame pixel formula
+    ``(id + 31x + 17y + 97*frame) % 256`` — the temporal extension of the
+    still formula, SQL-replayable per frame."""
+    w = 4 + media_id % 13
+    h = 3 + media_id % 7
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    out = bytearray(
+        b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0) + pal
     )
+    for f in range(n_frames):
+        out += b"\x21\xf9\x04" + bytes([0x00]) + struct.pack("<H", 2) + b"\x00\x00"
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([8])
+        out += _pack_gif_indices(
+            [
+                (media_id + 31 * x + 17 * y + 97 * f) % 256
+                for y in range(h)
+                for x in range(w)
+            ]
+        )
+    out += b"\x3B"
+    return bytes(out)
+
+
+def _palette_luma(pal: bytes) -> list[int]:
+    return [
+        int(round(0.299 * pal[3 * i] + 0.587 * pal[3 * i + 1] + 0.114 * pal[3 * i + 2]))
+        for i in range(len(pal) // 3)
+    ]
+
+
+def decode_gif_frames(
+    data: bytes,
+) -> Tuple[int, int, list[Tuple[int, int, bytes]]]:
+    """Decode EVERY frame of a GIF87a/89a to full-canvas luma planes:
+    (width, height, [(frame_idx, delay_cs, gray bytes)]).
+
+    This is the engine's real video path — animated GIF is the one video
+    container fully decodable from public spec with the stdlib (no codec
+    libraries exist in this environment; MP4/H.264 would need them).
+    Implements the animation model that matters for frame extraction:
+    Graphic Control Extension (per-frame delay, transparency index),
+    sub-rectangle frames composited onto the logical screen, and disposal
+    methods 0/1 (leave), 2 (restore background), 3 (restore previous).
+    Raises on non-GIF input; malformed tails end the frame list cleanly.
+    """
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width, height = struct.unpack("<HH", data[6:10])
+    packed, bg_index = data[10], data[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    bg_luma = 0
+    if gct is not None and bg_index * 3 + 2 < len(gct):
+        bg_luma = _palette_luma(gct[3 * bg_index : 3 * bg_index + 3])[0]
+    canvas = bytearray([bg_luma]) * (width * height)
+    frames: list[Tuple[int, int, bytes]] = []
+    delay, transparent, disposal = 0, None, 0
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+                flags = data[pos + 1]
+                delay = struct.unpack("<H", data[pos + 2 : pos + 4])[0]
+                transparent = data[pos + 4] if flags & 1 else None
+                disposal = (flags >> 2) & 7
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, iw, ih = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            ipacked = data[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = data[pos : pos + 3 * n]
+                pos += 3 * n
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            if pal is None:
+                break
+            idx = _gif_lzw_decode(min_code, bytes(lzw))[: iw * ih]
+            if len(idx) < iw * ih:
+                break
+            luma = _palette_luma(pal)
+            saved = bytes(canvas) if disposal == 3 else None
+            for row in range(ih):
+                dst = (top + row) * width + left
+                src = row * iw
+                for col in range(iw):
+                    i = idx[src + col]
+                    if i != transparent:
+                        canvas[dst + col] = luma[i]
+            frames.append((len(frames), delay, bytes(canvas)))
+            if disposal == 2:
+                for row in range(ih):
+                    dst = (top + row) * width + left
+                    canvas[dst : dst + iw] = bytes([bg_luma]) * iw
+            elif disposal == 3 and saved is not None:
+                canvas = bytearray(saved)
+            delay, transparent, disposal = 0, None, 0  # GCE scope = one frame
+        elif block == 0x3B:
+            break
+        else:
+            break
+    return int(width), int(height), frames
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("delay_cs", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def extract_video_frames(df: DataFrame, *, every_nth: int = 1) -> DataFrame:
+    """REAL frame extraction from animated-GIF payloads: decode + composite
+    every frame inside one Arrow ``mapInPandas`` stage, keep every
+    ``every_nth``-th, emit per-frame facts. One→many fan-out WITHOUT the
+    payload ever shuffling — frames leave the worker as slim feature rows.
+    Non-GIF payloads contribute zero rows (the sniff-or-skip contract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "frame_idx", "n_frames", "delay_cs",
+            "width", "height", "mean_luma",
+        ]
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                if payload[:6] not in (b"GIF87a", b"GIF89a"):
+                    continue
+                try:
+                    w, h, frames = decode_gif_frames(payload)
+                except Exception:
+                    continue
+                for idx, delay, gray in frames:
+                    if idx % every_nth:
+                        continue
+                    mean = sum(gray) / len(gray) / 255.0 if gray else None
+                    rows.append(
+                        (media_id, idx, len(frames), delay, w, h, mean)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "payload").mapInPandas(run, VIDEO_FRAMES_SCHEMA)
+
+
+FRAME_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def extract_frame_phash(df: DataFrame, *, every_nth: int = 1) -> DataFrame:
+    """(media_id, frame_idx, phash) per sampled animated-GIF frame — the
+    video analog of ``extract_image_phash``: near-duplicate FRAME detection
+    across a corpus (e.g. shared intros, re-encoded clips) via
+    ``dedup.hamming_pairs`` over the hashes, decode-side work all in one
+    Arrow stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                if payload[:6] not in (b"GIF87a", b"GIF89a"):
+                    continue
+                try:
+                    w, h, frames = decode_gif_frames(payload)
+                except Exception:
+                    continue
+                for idx, _delay, gray in frames:
+                    if idx % every_nth:
+                        continue
+                    rows.append((media_id, idx, phash64(gray, w, h)))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "phash"])
+
+    return df.select("media_id", "payload").mapInPandas(run, FRAME_PHASH_SCHEMA)
 
 
 def decode_image(data: bytes) -> Tuple[Optional[int], Optional[int], Optional[float]]:
@@ -839,6 +1052,28 @@ def synthesize_media(df: DataFrame, *, kind: str) -> DataFrame:
                 )
 
         return df.select("media_id", "n_samples").mapInPandas(run, schema)
+    if kind == "video":
+        # animated GIF per row; frame count from the `n_frames` column
+        schema = T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "payload": [
+                            synth_animated_gif_bytes(int(i), int(n))
+                            for i, n in zip(pdf["media_id"], pdf["n_frames"])
+                        ],
+                    }
+                )
+
+        return df.select("media_id", "n_frames").mapInPandas(run, schema)
     raise ValueError(f"unknown media kind {kind!r}")
 
 

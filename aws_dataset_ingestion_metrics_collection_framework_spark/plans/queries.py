@@ -1768,23 +1768,51 @@ FROM samp GROUP BY doc_id, n
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling fan-out: synthetic media rows (n_frames from doc
-    length) exploded every 30th frame — one→many without payload shuffle."""
-    from ..operators.multimodal import sample_frames
+    """REAL video-path frame extraction (r5, replacing the earlier
+    synthetic index fan-out): synthesize an animated GIF89a per document
+    (2 + id%4 full-canvas frames behind Graphic Control Extensions, frame
+    pixels a closed-form formula), decode + composite EVERY frame inside
+    the Arrow stage, sample every 2nd, and emit per-frame facts. The
+    oracle recomputes frame indices, dimensions and per-frame mean luma
+    from the generation formula — the multi-frame LZW decode and canvas
+    compositing must invert the encode exactly. The metadata-driven
+    sampler (`sample_frames`) remains available for payloads the engine
+    cannot decode; this query pins the decodable path."""
+    from ..operators.multimodal import extract_video_frames, synthesize_media
 
-    media = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
-        F.lit("video").alias("media_type"),
-        F.to_json(F.struct((F.length("text") % 1000).alias("n_frames"))).alias("meta"),
+        (F.lit(2) + F.col("doc_id") % 4).cast("int").alias("n_frames"),
     )
-    return sample_frames(media, every_nth=30)
+    media = synthesize_media(docs, kind="video")
+    out = extract_video_frames(media, every_nth=2)
+    return out.select(
+        "media_id", "frame_idx", "n_frames", "width", "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
 
 
 FRAME_SAMPLE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+         2 + doc_id % 4 AS nf
+  FROM documents
+), fr AS (
+  SELECT doc_id, w, h, nf, unnest(generate_series(0, nf - 1, 2)) AS f
+  FROM dims
+), xs AS (
+  SELECT doc_id, w, h, nf, f, unnest(generate_series(0, w - 1)) AS x FROM fr
+), xy AS (
+  SELECT doc_id, w, h, nf, f, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+)
 SELECT doc_id AS media_id,
-       CAST(unnest(generate_series(0, greatest(length(text) % 1000 - 1, 0), 30)) AS INTEGER)
-         AS frame_idx
-FROM documents
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       ROUND(AVG(CAST((doc_id + 31*x + 17*y + 97*f) % 256 AS DOUBLE)) / 255.0, 6)
+         AS mean_luma
+FROM xy GROUP BY doc_id, f, nf, w, h
 """
 
 
