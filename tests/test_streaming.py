@@ -715,3 +715,64 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     want_12 = {t for t in want if t[0] in (1, 2)}
     got_12 = {t for t in got if t[0] in (1, 2)}
     assert got_12 == want_12 and len(want_12) == 4
+
+
+def test_streaming_batch_duration_within_trigger_budget(spark, tmp_path):
+    """Throughput regression pin (SCALE.md streaming section): every
+    micro-batch of the §3.2 scrape must finish well inside the 60 s
+    production trigger cadence, and streaming state must stay at the
+    open-window bound (watermark eviction working), not grow with the
+    stream."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.catalog import (
+        METRIC_DEFS_SCHEMA,
+    )
+    from aws_dataset_ingestion_metrics_collection_framework_spark.streaming import (
+        streaming_scrape,
+    )
+
+    src = tmp_path / "ev"; src.mkdir()
+    schema = _write_events(src, n=240)
+    # a second chunk file → at least two micro-batches via maxFilesPerTrigger
+    rows = []
+    for i in range(240, 480):
+        rows.append({
+            "namespace": "App/Events", "name": "click", "dimensions": "{}",
+            "ts": (T0 + dt.timedelta(seconds=7 * i)).strftime("%Y-%m-%d %H:%M:%S"),
+            "value": float(i % 13),
+        })
+    (src / "events2.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    defs = spark.createDataFrame(
+        [("App/Events", "click", "minute", 60, "Sum", None, "{}",
+          "events", None, None, "1", None, None, None)],
+        METRIC_DEFS_SCHEMA,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = streaming_scrape(
+        stream, defs, "minute", period_seconds=60, watermark_delay="0 seconds",
+        collection_time=F.lit("2026-01-01 00:00:00").cast("timestamp"),
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "metrics"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _await(q)
+    progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progresses) >= 2
+    for p in progresses:
+        assert p["durationMs"]["triggerExecution"] < 60_000, p
+    # state = open windows only, NOT the full window history: watermark
+    # eviction lags one batch (the bound computed in batch N evicts at
+    # batch N+1), so the final batch's ~28 windows legitimately remain —
+    # but batch 1's 28 must be gone. 480 events span 56 windows total;
+    # assert state stayed at one batch's worth.
+    final_state = sum(
+        s.get("numRowsTotal", 0) for s in (progresses[-1].get("stateOperators") or [])
+    )
+    assert 0 < final_state < 40, final_state
