@@ -3214,6 +3214,76 @@ FROM documents WHERE doc_id < 200
 """
 
 
+def _synth_html_col() -> F.Column:
+    """Deterministic messy-HTML page per document (built-ins only): head
+    with title/style/script (the script quotes ``</p>`` and contains a bare
+    ``<`` — early-termination traps), a comment hiding markup, an
+    uppercase-tag nav with two links, entity soup, and body paragraphs
+    sliced from ``text``.  Shared by q_html_extract and q_web_pipeline."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("<!DOCTYPE html>\n<html>\n<head>\n  <title> Doc "),
+        did,
+        F.lit(" </title>\n  <style type=\"text/css\">body { color: #000; } .nav > a { content: \"<p>\"; }</style>\n"),
+        F.lit("  <script type=\"text/javascript\">\n    var s = \"</p>\"; if (1 < 2) { s = \"<b>x</b>\"; }\n  </script>\n"),
+        F.lit("</head>\n<body>\n<!-- build "),
+        did,
+        F.lit(" <p>hidden</p> -->\n<div class=\"nav\"><a href=\"http://site"),
+        F.pmod(did, F.lit(7)),
+        F.lit(".example/home\">Home</a> &amp; <A HREF=\"/about\">About</A></div>\n<h1> Doc "),
+        did,
+        F.lit(" </h1>\n<p>"),
+        F.substring(F.col("text"), 1, 40),
+        F.lit("</p>\n<P>"),
+        F.substring(F.col("text"), 41, 80),
+        F.lit("</P>\n<p>Entities &amp; &lt;tags&gt; &quot;quoted&#39;s&quot;&nbsp;ok</p>\n"),
+        F.when(
+            F.length("text") > 120,
+            F.concat(
+                F.lit("<p>"), F.expr("substring(text, 121, 100000)"), F.lit("</p>\n")
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<br/>\n</body>\n</html>"),
+    )
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (``operators/html.py``) over deterministic
+    messy pages synthesized from documents: script/style/comment traps,
+    case-insensitive tags, entity decode order, block-structure newlines.
+
+    The oracle does NOT mirror the regex chain — it reconstructs the
+    expected title/link-count/plain-text *independently* from the documents
+    table (the extraction must invert the synthesis exactly), so a quietly
+    wrong pattern on either engine cannot self-confirm."""
+    from ..operators import html as HT
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    pages = docs.select("doc_id", _synth_html_col().alias("html"))
+    return HT.html_to_text(pages, "doc_id", "html")
+
+
+HTML_EXTRACT_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 'Doc ' || doc_id AS t,
+         trim(substr(text, 1, 40)) AS p1,
+         trim(substr(text, 41, 80)) AS p2,
+         CASE WHEN length(text) > 120 THEN trim(substr(text, 121, 100000))
+              ELSE '' END AS p3
+  FROM documents WHERE doc_id < 400
+)
+SELECT doc_id,
+       t AS title,
+       CAST(2 AS INTEGER) AS n_links,
+       array_to_string(
+         list_filter(
+           [t, 'Home & About', t, p1, p2,
+            'Entities & <tags> "quoted''s" ok', p3],
+           y -> y <> ''), chr(10)) AS text
+FROM d
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- registry ORDER is deliberate: the driver's correctness sweep
     # samples queries in registry order with a bounded budget, so entries
@@ -3235,6 +3305,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_ingest": q_warc_ingest,
     # r5: baseline JPEG decode (bit-exact block-constant fixtures)
     "jpeg_features": q_jpeg_features,
+    # r5: HTML -> text extraction (the WARC -> c4_clean bridge)
+    "html_extract": q_html_extract,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -3453,6 +3525,7 @@ ORACLES: dict[str, str] = {
     "frame_sample": FRAME_SAMPLE_ORACLE,
     "warc_ingest": WARC_INGEST_ORACLE,
     "jpeg_features": JPEG_FEATURES_ORACLE,
+    "html_extract": HTML_EXTRACT_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled
