@@ -119,6 +119,85 @@ def domain_report(
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization + URL-keyed dedup
+# ---------------------------------------------------------------------------
+
+# Java ∩ RE2 (no lookaround): scheme://hostport path ?query #fragment
+_URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://.*"
+_URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+).*"
+_URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*).*"
+_URL_QUERY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+[^?#]*\?([^#]*).*"
+# tracking params dropped during canonicalization (the C4/CCNet recipe)
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9]+|fbclid|gclid|msclkid|mc_eid|ref)="
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL, entirely with built-ins
+    (map-only, codegen'd):
+
+    - scheme and host lowercased; leading ``www.`` and default ports
+      (``:80`` http / ``:443`` https) dropped;
+    - path: duplicate slashes collapsed, trailing slashes dropped;
+    - query: tracking params (``utm_*``, ``fbclid``, ``gclid``, ...) and
+      empty params removed, the rest byte-sorted and re-joined (both
+      engines compare ASCII param strings binary, so sort order agrees);
+    - fragment always dropped.
+
+    Userinfo (``user@host``) is retained verbatim — canonicalizing it away
+    would merge URLs that fetch differently. Non-URL input yields '' (the
+    scheme regex fails to match), letting callers route instead of crash."""
+    scheme = F.lower(F.regexp_extract(url, _URL_SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(url, _URL_HOST_RE, 1))
+    host = F.regexp_replace(
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(F.regexp_extract(url, _URL_PATH_RE, 1), "//+", "/"),
+        "/+$",
+        "",
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(F.regexp_extract(url, _URL_QUERY_RE, 1), "&"),
+            lambda y: (y != F.lit("")) & ~y.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    query = F.array_join(params, "&")
+    return F.when(scheme == F.lit(""), F.lit("")).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+        )
+    )
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Exact dedup keyed on the canonical URL: one row per canonical form
+    with the first-seen (min id) representative and the duplicate count —
+    the crawl-frontier dedup every web pipeline runs before fetch/store.
+
+    One shuffle keyed by canonical_url (map-side combined); the canonical
+    key is computed map-side so raw URL variants never co-locate."""
+    return (
+        df.select(
+            F.col(id_col), canonical_url_col(F.col(url_col)).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic stratified sampling
 # ---------------------------------------------------------------------------
 

@@ -3284,6 +3284,60 @@ FROM d
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup (``curation.url_dedup``) over messy URL
+    variants synthesized per document: scheme/host case noise, ``www.``
+    prefixes, explicit default ports, duplicate + trailing slashes,
+    tracking params in shuffled order, fragments. Every variant family must
+    collapse to one canonical form; the oracle reconstructs the canonical
+    string and group stats *independently* from doc_id arithmetic, so the
+    canonicalizer must invert the mess exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    scheme = (
+        F.when(did % 3 == 0, F.lit("http://"))
+        .when(did % 3 == 1, F.lit("HTTP://"))
+        .otherwise(F.lit("https://"))
+    )
+    host = F.when(
+        did % 2 == 0,
+        F.concat(F.lit("WWW.Site"), did % 20 % 5, F.lit(".Example.com")),
+    ).otherwise(F.concat(F.lit("site"), did % 20 % 5, F.lit(".example.com")))
+    port = F.when(
+        (did % 4 == 0) & (did % 3 != 2), F.lit(":80")
+    ).when((did % 4 == 0) & (did % 3 == 2), F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/articles//"),
+        did % 20,
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = (
+        F.when(did % 3 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(did % 3 == 1, F.lit("?a=1&b=2&fbclid=zz"))
+        .otherwise(F.lit("?b=2&a=1"))
+    )
+    frag = F.when(did % 5 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    urls = docs.select(
+        "doc_id", F.concat(scheme, host, port, path, query, frag).alias("url")
+    )
+    return CU.url_dedup(urls, "doc_id", "url")
+
+
+URL_DEDUP_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 2 THEN 'https' ELSE 'http' END AS s,
+         doc_id % 20 AS m
+  FROM documents
+)
+SELECT s || '://site' || (m % 5) || '.example.com/articles/' || m
+         || '?a=1&b=2' AS canonical_url,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_dups
+FROM u GROUP BY s, m
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- registry ORDER is deliberate: the driver's correctness sweep
     # samples queries in registry order with a bounded budget, so entries
@@ -3307,6 +3361,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jpeg_features": q_jpeg_features,
     # r5: HTML -> text extraction (the WARC -> c4_clean bridge)
     "html_extract": q_html_extract,
+    # r5: crawl-frontier URL canonicalization + dedup
+    "url_dedup": q_url_dedup,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -3526,6 +3582,7 @@ ORACLES: dict[str, str] = {
     "warc_ingest": WARC_INGEST_ORACLE,
     "jpeg_features": JPEG_FEATURES_ORACLE,
     "html_extract": HTML_EXTRACT_ORACLE,
+    "url_dedup": URL_DEDUP_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

@@ -257,3 +257,44 @@ class TestCharEntropy:
         rows = {r["doc_id"]: r["entropy"]
                 for r in char_entropy(df, "doc_id", "text").collect()}
         assert rows[1] > 3.5 > 1.5 > rows[2]
+
+
+class TestCanonicalUrl:
+    def _canon(self, spark, urls):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import canonical_url_col
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [r[0] for r in df.select(canonical_url_col(F.col("url"))).collect()]
+
+    def test_variants_collapse(self, spark):
+        variants = [
+            "HTTP://WWW.Example.COM:80/a//b/?utm_source=x&b=2&a=1#frag",
+            "http://example.com/a/b?a=1&b=2",
+            "http://example.com/a/b/?b=2&a=1&fbclid=zzz",
+        ]
+        assert len(set(self._canon(spark, variants))) == 1
+        assert self._canon(spark, variants)[0] == "http://example.com/a/b?a=1&b=2"
+
+    def test_https_default_port_and_root_path(self, spark):
+        got = self._canon(spark, ["https://Site.org:443/", "https://site.org"])
+        assert got == ["https://site.org", "https://site.org"]
+
+    def test_semantics_preserved(self, spark):
+        # non-default port, real params, userinfo: all kept; fragment dropped
+        got = self._canon(spark, ["http://u:p@host.com:8080/x?q=1&page=2#top"])
+        assert got == ["http://u:p@host.com:8080/x?page=2&q=1"]
+
+    def test_non_url_routes_to_empty(self, spark):
+        assert self._canon(spark, ["not a url", "ftp//broken"]) == ["", ""]
+
+    def test_url_dedup_groups(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import url_dedup
+        df = spark.createDataFrame(
+            [(1, "http://a.com/x?utm_source=s"), (2, "HTTP://WWW.A.com:80/x"),
+             (3, "https://a.com/x"), (4, "http://a.com/x/")],
+            "id long, url string",
+        )
+        rows = {r["canonical_url"]: (r["keep_id"], r["n_dups"])
+                for r in url_dedup(df, "id", "url").collect()}
+        assert rows["http://a.com/x"] == (1, 3)
+        assert rows["https://a.com/x"] == (3, 1)
