@@ -3338,6 +3338,65 @@ FROM u GROUP BY s, m
 """
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dataset contamination estimate via KMV sketches
+    (``operators/sketches.py``): 3-gram shingle overlap between the
+    even-doc_id and odd-doc_id corpus halves, k=256. Deterministic given
+    the data (md5-derived hashes, exact integer order), so the oracle
+    recomputes the ENTIRE sketch pipeline — per-side k-minima, union
+    sample, membership fractions, KMV distinct estimators — and must
+    hash-match every column."""
+    from ..operators import sketches as SK
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SK.corpus_overlap(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        k=256,
+    )
+
+
+KMV_OVERLAP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, doc_id % 2 AS side,
+         list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+),
+e AS (SELECT doc_id, side, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks),
+sh AS (
+  SELECT DISTINCT a.side, a.w || ' ' || b.w || ' ' || c.w AS s
+  FROM e a
+  JOIN e b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN e c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+h AS (SELECT side, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh),
+ska AS (SELECT DISTINCT h FROM h WHERE side = 0 ORDER BY h LIMIT 256),
+skb AS (SELECT DISTINCT h FROM h WHERE side = 1 ORDER BY h LIMIT 256),
+na AS (SELECT COUNT(*) AS n, MAX(h) AS mx FROM ska),
+nb AS (SELECT COUNT(*) AS n, MAX(h) AS mx FROM skb),
+uk AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb) ORDER BY h LIMIT 256),
+j AS (
+  SELECT ROUND(CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+           AS est_jaccard
+  FROM uk LEFT JOIN ska a ON a.h = uk.h LEFT JOIN skb b ON b.h = uk.h
+)
+SELECT CAST(256 AS INTEGER) AS k,
+       CAST(na.n AS BIGINT) AS n_a,
+       CAST(nb.n AS BIGINT) AS n_b,
+       ROUND(CASE WHEN na.n < 256 THEN CAST(na.n AS DOUBLE)
+                  ELSE 255.0 * 1152921504606846976.0 / CAST(na.mx AS DOUBLE)
+             END, 4) AS est_distinct_a,
+       ROUND(CASE WHEN nb.n < 256 THEN CAST(nb.n AS DOUBLE)
+                  ELSE 255.0 * 1152921504606846976.0 / CAST(nb.mx AS DOUBLE)
+             END, 4) AS est_distinct_b,
+       j.est_jaccard
+FROM na, nb, j
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- registry ORDER is deliberate: the driver's correctness sweep
     # samples queries in registry order with a bounded budget, so entries
@@ -3363,6 +3422,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract": q_html_extract,
     # r5: crawl-frontier URL canonicalization + dedup
     "url_dedup": q_url_dedup,
+    # r5: KMV sketch cross-dataset overlap estimation
+    "kmv_overlap": q_kmv_overlap,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -3583,6 +3644,7 @@ ORACLES: dict[str, str] = {
     "jpeg_features": JPEG_FEATURES_ORACLE,
     "html_extract": HTML_EXTRACT_ORACLE,
     "url_dedup": URL_DEDUP_ORACLE,
+    "kmv_overlap": KMV_OVERLAP_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled
