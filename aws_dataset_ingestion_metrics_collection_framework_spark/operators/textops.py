@@ -416,3 +416,47 @@ def pack_sequences(
         sharded.withColumn("pack_id", pack_in_shard.cast("long"))
         .withColumn("pack_pos", F.row_number().over(wp) - 1)
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    *,
+    seed: int = 42,
+    n_shards: int = 1024,
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Deterministic global corpus shuffle — the randomize-before-training
+    pass (and re-shuffle between epochs via ``seed``): every row gets a
+    pseudo-random but reproducible (shard, pos) coordinate, identical
+    across reruns, task retries, engines and input partitionings
+    (``df.orderBy(rand())`` is none of those).
+
+    shuffle_key = hash(id, seed); shard = pmod(key, n_shards);
+    pos = row_number within shard ordered by (key, id).
+
+    Scale shape: key/shard are map-only; the per-shard position is a window
+    sort PER SHARD, so parallelism = n_shards and the largest sort is
+    corpus/n_shards rows — size n_shards so a shard fits an executor
+    (n_shards=1024 at 100 TB → ~100 GB spill-friendly sorts; raise it, the
+    hash keeps every shard balanced to within sampling noise). A writer
+    that only needs shard files in key order can skip the window entirely:
+    ``repartitionByRange('shard','shuffle_key').sortWithinPartitions(...)``
+    and positions are implicit in file order.
+
+    ``hash_fn='xx'`` (xxhash64) is the scale path; ``'md5'`` is the
+    cross-engine-oracle variant (same convention as ``train_val_split``).
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import md5_60bit
+
+    if hash_fn == "xx":
+        key = F.xxhash64(F.col(id_col), F.lit(seed))
+    else:
+        key = md5_60bit(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}")))
+    keyed = df.withColumn("shuffle_key", key).withColumn(
+        "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return keyed.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))

@@ -3397,6 +3397,31 @@ FROM na, nb, j
 """
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle (``textops.global_shuffle``,
+    md5 oracle variant): every document gets a reproducible (shard, pos)
+    coordinate; the oracle recomputes key/shard/position with the identical
+    hash and window, so shard assignment AND intra-shard order must match
+    exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.global_shuffle(docs, "doc_id", seed=7, n_shards=8, hash_fn="md5")
+    return out.select("doc_id", "shard", "pos")
+
+
+CORPUS_SHUFFLE_ORACLE = """
+WITH k AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(doc_id || '#7'), 1, 15) AS BIGINT) AS key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(key % 8 AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) - 1
+            AS BIGINT) AS pos
+FROM k
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- registry ORDER is deliberate: the driver's correctness sweep
     # samples queries in registry order with a bounded budget, so entries
@@ -3424,6 +3449,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_dedup": q_url_dedup,
     # r5: KMV sketch cross-dataset overlap estimation
     "kmv_overlap": q_kmv_overlap,
+    # r5: deterministic global training shuffle
+    "corpus_shuffle": q_corpus_shuffle,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -3645,6 +3672,7 @@ ORACLES: dict[str, str] = {
     "html_extract": HTML_EXTRACT_ORACLE,
     "url_dedup": URL_DEDUP_ORACLE,
     "kmv_overlap": KMV_OVERLAP_ORACLE,
+    "corpus_shuffle": CORPUS_SHUFFLE_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

@@ -551,3 +551,43 @@ def test_pack_sequences_property_vs_python_reference(spark):
         assert got == expected
 
     run()
+
+
+class TestGlobalShuffle:
+    def _df(self, spark, n=500):
+        return spark.createDataFrame([(i, f"t{i}") for i in range(n)], "doc_id long, text string")
+
+    def test_is_permutation_and_deterministic(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import global_shuffle
+        df = self._df(spark)
+        a = global_shuffle(df, "doc_id", seed=1, n_shards=8)
+        coords = [(r["shard"], r["pos"]) for r in a.collect()]
+        assert len(set(coords)) == 500                      # unique coordinates
+        per_shard = {}
+        for s, p in coords:
+            per_shard.setdefault(s, []).append(p)
+        for s, ps in per_shard.items():
+            assert sorted(ps) == list(range(len(ps)))       # dense 0..n-1 per shard
+        b = global_shuffle(df.repartition(13), "doc_id", seed=1, n_shards=8)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_seed_changes_order_not_coverage(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import global_shuffle
+        df = self._df(spark)
+        a = {r["doc_id"]: (r["shard"], r["pos"]) for r in global_shuffle(df, "doc_id", seed=1, n_shards=4).collect()}
+        b = {r["doc_id"]: (r["shard"], r["pos"]) for r in global_shuffle(df, "doc_id", seed=2, n_shards=4).collect()}
+        assert set(a) == set(b)
+        assert sum(1 for d in a if a[d] != b[d]) > 400      # epochs differ
+
+    def test_shards_balanced(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import global_shuffle
+        counts = (global_shuffle(self._df(spark, 4000), "doc_id", n_shards=8)
+                  .groupBy("shard").count().collect())
+        sizes = [r["count"] for r in counts]
+        assert len(sizes) == 8 and min(sizes) > 0.7 * max(sizes)
+
+    def test_md5_variant_matches_xx_coverage(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import global_shuffle
+        df = self._df(spark, 200)
+        m = global_shuffle(df, "doc_id", n_shards=4, hash_fn="md5")
+        assert len({(r["shard"], r["pos"]) for r in m.collect()}) == 200
