@@ -837,3 +837,112 @@ def decontaminate(
             F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better", ACL'22): find every w-token window whose exact
+# token sequence occurs elsewhere in the corpus, keep the globally-first
+# occurrence, and merge the remaining windows into removable spans.
+# ---------------------------------------------------------------------------
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 50,
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Token spans to delete so no ``window``-token sequence appears twice
+    in the corpus (the suffix-array recipe re-expressed as rolling-window
+    hashing — the distributed-friendly formulation: a duplicated substring
+    of length >= window is exactly a run of duplicated windows, so merged
+    duplicate-window islands recover the maximal duplicated spans, clipped
+    to window granularity).
+
+    Output: one row per removable span — (id, span_start, span_end,
+    n_windows), token positions 1-based inclusive. The globally FIRST
+    occurrence of each window (min (id, start)) is kept, so one copy of
+    every duplicated passage survives (deleting all copies, the naive
+    formulation, would remove common boilerplate entirely).
+
+    Scale shape: windows explode map-side (one row per token, ids+hashes
+    only — never window text); duplicate detection + keeper election is ONE
+    8-byte-key shuffle (count + min-position per hash in the same agg);
+    candidate windows return via a semi-shaped inner join on that slim
+    table; island-merge sorts only each doc's candidate windows (window
+    partitioned by id — parallelism = #docs-with-candidates, each tiny).
+    Docs shorter than ``window`` tokens emit nothing — by construction they
+    cannot contain a length-``window`` duplicate.
+
+    ``hash_fn='md5'`` is the cross-engine-oracle variant; 'xx' (xxhash64)
+    the scale path (same convention as fingerprint/simhash).
+    """
+    from pyspark.sql.window import Window as W
+
+    w = window
+    toks = tokenize(F.col(text_col))
+    # Spark's sequence(1, 0) counts DOWN ([1, 0]) rather than yielding an
+    # empty array, so short docs need the explicit guard.
+    grams = bind_once(
+        toks,
+        lambda t: F.when(
+            F.size(t) >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (w - 1)),
+                lambda i: F.array_join(F.slice(t, i, w), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    hashed = F.transform(
+        grams,
+        (lambda s: F.xxhash64(s)) if hash_fn == "xx" else (lambda s: md5_60bit(s)),
+    )
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(hashed).alias("i0", "h"),
+    ).select("id", (F.col("i0") + 1).alias("i"), "h")
+
+    # one slim shuffle: per-hash count + globally-first occurrence
+    stats = wins.groupBy("h").agg(
+        F.count("*").alias("c"),
+        F.min(F.struct("id", "i")).alias("first"),
+    )
+    dup = stats.filter(F.col("c") > 1).select("h", "first")
+    victims = (
+        wins.join(dup, "h")
+        .filter(
+            (F.col("id") != F.col("first.id")) | (F.col("i") != F.col("first.i"))
+        )
+        .select("id", "i")
+    )
+
+    prev_max_end = F.max(F.col("i") + (w - 1)).over(
+        W.partitionBy("id").orderBy("i").rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = victims.withColumn(
+        "new_island",
+        F.when(F.col("i") > F.coalesce(prev_max_end, F.lit(-1)) + 1, 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            W.partitionBy("id").orderBy("i").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + (w - 1)).alias("span_end"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            "n_windows",
+        )
+    )

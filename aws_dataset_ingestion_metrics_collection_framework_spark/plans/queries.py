@@ -3422,6 +3422,67 @@ FROM k
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup spans (``dedup.duplicate_substring_spans``,
+    ACL'22 recipe, md5 oracle variant, window=8): every 8-token sequence
+    occurring more than once in the corpus, with the globally-first
+    occurrence kept and the rest merged into removable (start, end) token
+    spans. The documents word-soup has ~2k organically duplicated 8-token
+    windows at sf0.01, so the result is non-vacuous. The oracle recomputes
+    windows, keeper election, and island merge independently in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicate_substring_spans(
+        docs, "doc_id", "text", window=8, hash_fn="md5"
+    )
+
+
+SUBSTRING_DEDUP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+),
+win AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i, t
+  FROM toks
+),
+g AS (
+  SELECT doc_id, i,
+         CAST('0x' || substr(md5(array_to_string(list_slice(t, i, i + 7), ' ')), 1, 15)
+              AS BIGINT) AS h
+  FROM win
+),
+d2 AS (
+  SELECT doc_id, i,
+         COUNT(*) OVER (PARTITION BY h) AS c,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+  FROM g
+),
+rem AS (SELECT doc_id, i FROM d2 WHERE c > 1 AND rn > 1),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i > COALESCE(MAX(i + 7) OVER (
+                  PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM rem
+),
+isl2 AS (
+  SELECT doc_id, i,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM isl
+)
+SELECT doc_id,
+       CAST(MIN(i) AS BIGINT) AS span_start,
+       CAST(MAX(i) + 7 AS BIGINT) AS span_end,
+       COUNT(*) AS n_windows
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- registry ORDER is deliberate: the driver's correctness sweep
     # samples queries in registry order with a bounded budget, so entries
@@ -3451,6 +3512,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_overlap": q_kmv_overlap,
     # r5: deterministic global training shuffle
     "corpus_shuffle": q_corpus_shuffle,
+    # r5: exact-substring dedup spans (ACL'22 recipe)
+    "substring_dedup": q_substring_dedup,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -3673,6 +3736,7 @@ ORACLES: dict[str, str] = {
     "url_dedup": URL_DEDUP_ORACLE,
     "kmv_overlap": KMV_OVERLAP_ORACLE,
     "corpus_shuffle": CORPUS_SHUFFLE_ORACLE,
+    "substring_dedup": SUBSTRING_DEDUP_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

@@ -591,3 +591,42 @@ class TestGlobalShuffle:
         df = self._df(spark, 200)
         m = global_shuffle(df, "doc_id", n_shards=4, hash_fn="md5")
         assert len({(r["shard"], r["pos"]) for r in m.collect()}) == 200
+
+
+class TestSubstringDedup:
+    def _spans(self, spark, rows, window=5, hash_fn="md5"):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dedup import duplicate_substring_spans
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = duplicate_substring_spans(df, "doc_id", "text", window=window, hash_fn=hash_fn)
+        return sorted((r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+                      for r in out.collect())
+
+    def test_shared_passage_marks_later_doc_only(self, spark):
+        passage = "one two three four five six seven eight nine ten"
+        rows = [(1, f"alpha beta {passage} gamma delta"),
+                (2, f"x1 x2 x3 {passage} y1 y2"),
+                (3, "no dup here at all zz qq ww ee rr")]
+        spans = self._spans(spark, rows)
+        # doc 1 is the first occurrence -> kept; doc 2's 10-token passage =
+        # 6 consecutive duplicate windows of 5 -> ONE merged span, tokens 4..13
+        assert spans == [(2, 4, 13, 6)]
+
+    def test_intra_doc_repeat(self, spark):
+        rep = "a b c d e"
+        rows = [(1, f"{rep} filler1 filler2 filler3 {rep}")]
+        # second occurrence at tokens 9..13 (1-based), one window
+        assert self._spans(spark, rows) == [(1, 9, 13, 1)]
+
+    def test_short_docs_emit_nothing(self, spark):
+        assert self._spans(spark, [(1, "a b c"), (2, "a b c")]) == []
+
+    def test_disjoint_repeats_stay_separate_spans(self, spark):
+        r1, r2 = "p q r s t", "u v w x y"
+        rows = [(1, f"{r1} mid1 mid2 {r2}"), (2, f"{r1} z1 z2 z3 z4 z5 {r2}")]
+        spans = self._spans(spark, rows)
+        assert spans == [(2, 1, 5, 1), (2, 11, 15, 1)]
+
+    def test_xx_variant_same_spans(self, spark):
+        passage = "one two three four five six"
+        rows = [(1, f"s1 s2 {passage}"), (2, f"{passage} t1 t2")]
+        assert self._spans(spark, rows, hash_fn="xx") == self._spans(spark, rows, hash_fn="md5")
