@@ -3483,6 +3483,32 @@ FROM isl2 GROUP BY doc_id, island
 """
 
 
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (``operators/mlquality.py``): fit the
+    tokenize→HashingTF→IDF→LogisticRegression pipeline on a deterministic
+    separable label (docs mentioning 'spark' or 'agg' — a learnable signal
+    in the synthetic word-soup corpus), then score every document.
+
+    Rows-only contract (the registry's declared non-SQL set, like
+    image_phash_pairs): LBFGS training is iterative and not
+    SQL-expressible; correctness is pinned by tests/test_mlquality.py
+    (AUC≈1 on separable labels, fixed-seed determinism, holdout
+    generalization)."""
+    from ..operators import mlquality as ML
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "label",
+        (F.col("text").contains("spark") | F.col("text").contains("agg")).cast(
+            "double"
+        ),
+    )
+    model = ML.train_quality_classifier(
+        labeled.filter(F.col("doc_id") % 5 != 0), "text", "label"
+    )
+    return ML.score_quality(model, docs, "doc_id").select("doc_id", "predicted")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- registry ORDER is deliberate: the driver's correctness sweep
     # samples queries in registry order with a bounded budget, so entries
@@ -3514,6 +3540,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_shuffle": q_corpus_shuffle,
     # r5: exact-substring dedup spans (ACL'22 recipe)
     "substring_dedup": q_substring_dedup,
+    # r5: MLlib quality classifier (rows-only: iterative LBFGS, not
+    # SQL-expressible — pinned by tests/test_mlquality.py)
+    "quality_scores": q_quality_scores,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
