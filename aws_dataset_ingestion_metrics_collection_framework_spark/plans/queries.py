@@ -3509,6 +3509,99 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ML.score_quality(model, docs, "doc_id").select("doc_id", "predicted")
 
 
+def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END web ingestion: messy HTML pages (the q_html_extract
+    synthesis) are serialized into real WARC/1.0 shards, read back through
+    ``sources.warc.read_warc``, extracted with ``operators.html``, and
+    reduced to per-page stats — WARC framing, HTTP payload split, utf-8
+    decode, tag/entity extraction and tokenization all have to survive
+    COMPOSITION, not just their individual oracles. The oracle reconstructs
+    url/title/line/token counts independently from the documents table.
+
+    Fixture synthesis is a bounded driver-side build (200 slim rows, the
+    q_warc_ingest pattern); the read+extract under test is distributed."""
+    import tempfile
+
+    from ..operators import html as HT
+    from ..operators.dedup import tokenize
+    from ..sources.warc import read_warc, warc_bytes
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pages = (
+        docs.select("doc_id", _synth_html_col().alias("html"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    recs = [
+        {
+            "url": f"http://corpus.example/doc/{r['doc_id']}",
+            "date": "2026-01-01T00:00:00Z",
+            "body": r["html"],
+            "content_type": "text/html; charset=utf-8",
+        }
+        for r in pages
+    ]
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_webpipe_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(3):
+        with open(os.path.join(out_dir, f"crawl-{i}.warc"), "wb") as fh:
+            fh.write(warc_bytes(recs[i::3]))
+
+    good, _bad = read_warc(spark, out_dir)
+    extracted = HT.html_to_text(
+        good.withColumn(
+            "doc_id", F.regexp_extract("url", r"doc/(\d+)$", 1).cast("long")
+        ),
+        "doc_id",
+        "text",  # read_warc's decoded payload column holds the HTML
+    ).withColumnRenamed("text", "clean")
+    return (
+        extracted.join(
+            good.select(
+                F.regexp_extract("url", r"doc/(\d+)$", 1).cast("long").alias("doc_id"),
+                "url",
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "url",
+            "title",
+            F.when(F.col("clean") == "", F.lit(0))
+            .otherwise(F.size(F.split(F.col("clean"), "\n")))
+            .cast("int")
+            .alias("n_lines"),
+            F.size(tokenize(F.col("clean"))).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+WEB_PIPELINE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 'Doc ' || doc_id AS t,
+         trim(substr(text, 1, 40)) AS p1,
+         trim(substr(text, 41, 80)) AS p2,
+         CASE WHEN length(text) > 120 THEN trim(substr(text, 121, 100000))
+              ELSE '' END AS p3
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       'http://corpus.example/doc/' || doc_id AS url,
+       t AS title,
+       CAST(6 + CASE WHEN p3 <> '' THEN 1 ELSE 0 END AS INTEGER) AS n_lines,
+       CAST(12
+            + len(list_filter(string_split(p1, ' '), y -> y <> ''))
+            + len(list_filter(string_split(p2, ' '), y -> y <> ''))
+            + CASE WHEN p3 <> ''
+                   THEN len(list_filter(string_split(p3, ' '), y -> y <> ''))
+                   ELSE 0 END AS INTEGER) AS n_tokens
+FROM d
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- registry ORDER is deliberate: the driver's correctness sweep
     # samples queries in registry order with a bounded budget, so entries
@@ -3543,6 +3636,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5: MLlib quality classifier (rows-only: iterative LBFGS, not
     # SQL-expressible — pinned by tests/test_mlquality.py)
     "quality_scores": q_quality_scores,
+    # r5: WARC -> HTML -> text -> stats composition
+    "web_pipeline": q_web_pipeline,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -3766,6 +3861,7 @@ ORACLES: dict[str, str] = {
     "kmv_overlap": KMV_OVERLAP_ORACLE,
     "corpus_shuffle": CORPUS_SHUFFLE_ORACLE,
     "substring_dedup": SUBSTRING_DEDUP_ORACLE,
+    "web_pipeline": WEB_PIPELINE_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled
