@@ -88,6 +88,16 @@ HEADLINE = [
     "pii_redact",
     "domain_report",
     "char_entropy",
+    # round-5 additions: web-corpus surface (html_extract is ~20 codegen'd
+    # regex passes over synthesized pages; url_dedup one slim canonical-key
+    # shuffle; kmv_overlap two shingle scans + k-row compare; substring_dedup
+    # the rolling-window hash + island merge; corpus_shuffle hash + per-shard
+    # window) — each sets its own r5 baseline
+    "html_extract",
+    "url_dedup",
+    "kmv_overlap",
+    "substring_dedup",
+    "corpus_shuffle",
 ]
 
 # Benched since r1 — the frozen cross-round comparison basket (see §3 above).
