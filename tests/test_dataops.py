@@ -630,3 +630,40 @@ class TestSubstringDedup:
         passage = "one two three four five six"
         rows = [(1, f"s1 s2 {passage}"), (2, f"{passage} t1 t2")]
         assert self._spans(spark, rows, hash_fn="xx") == self._spans(spark, rows, hash_fn="md5")
+
+
+def test_runtime_bloom_filter_injected_on_decontaminate(spark, sf_dir):
+    """The 100 TB pre-filter for decontamination is Catalyst's runtime
+    bloom-filter injection (spark.sql.optimizer.runtime.bloomFilter.enabled,
+    on by default in Spark 4): the benchmark side's join keys are compressed
+    into a bloom_filter_agg and applied map-side on the big side BEFORE its
+    shuffle — the Bloom-pre-filter recipe as an optimizer rewrite rather
+    than a hand-rolled operator (a Python-side bloom probe would put the
+    whole corpus through the interpreter). This pin fails if a conf change
+    or operator rewrite ever silences the injection."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.catalog import load_table
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    )
+    # The injection is size-gated (application side must scan >=
+    # applicationSideScanSizeThreshold, default 10 GB — i.e. it engages
+    # exactly at the scale where it pays). Drop the gate to 0 so the
+    # rewrite is provable on test-sized parquet, restore after.
+    thr_key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    old = spark.conf.get(thr_key)
+    spark.conf.set(thr_key, "0")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        out = D.decontaminate(
+            docs.filter(F.col("doc_id") >= 25),
+            docs.filter(F.col("doc_id") < 25),
+            id_col="doc_id",
+            text_col="text",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set(thr_key, old)
