@@ -54,6 +54,14 @@ PROBES = [
     "importance_weights", "upsert_latest",
     # r4c: grid-bucketed overlap join (cell-equi join, no cross product)
     "interval_overlap",
+    # r5: web-corpus surface — html_extract (map-only regex chain),
+    # url_dedup (one canonical-key shuffle), kmv_overlap (two shingle
+    # scans + k-row compare — growth should be the scan cost only),
+    # substring_dedup (rolling-window hash: one 8-byte-key shuffle +
+    # candidate-sliver island merge), corpus_shuffle (hash + per-shard
+    # window sort)
+    "html_extract", "url_dedup", "kmv_overlap", "substring_dedup",
+    "corpus_shuffle",
 ]
 
 SF1_TABLES = (
