@@ -187,3 +187,95 @@ def dedup_keep_per_cluster(
     its component's minimum (one survivor per duplicate group)."""
     reps = components.filter(F.col("id") == F.col("component")).select("id")
     return df.join(reps, df[id_col] == reps["id"], "left_semi")
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping_pct: int = 85,
+    iterations: int = 10,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank over a directed link graph — the link-quality signal web
+    corpus curation ranks hosts by (Common Crawl publishes exactly this as
+    its harmonic-centrality/rank host lists; a crawl-frontier prioritizer
+    is the same loop).
+
+    Fixed-point INTEGER arithmetic throughout: ranks are BIGINT
+    micro-units (``scale`` = 1.0), every step is integer multiply/divide —
+
+        rank_0  = scale // N
+        contrib = Σ_{(u,v) ∈ E} rank(u) // out_deg(u)
+        rank'   = (100-d)·scale // (100·N)
+                  + d · (contrib + dangling_sum // N) // 100
+
+    — so results are bit-exact across engines, partitionings and retries
+    (double summation is order-dependent; an iterated float loop is not
+    hash-stable). Truncation loss per step is < 1 unit per term — at
+    scale=1e12 that is 1e-12 of rank mass, far below any ranking decision.
+
+    Shape per iteration: one join edges⨝ranks on src (AQE picks broadcast
+    iff ranks measure small — at web scale both sides shuffle on src,
+    co-partitioned after round 1), one groupBy dst (map-side combined), a
+    1-row dangling aggregate carried by crossJoin (never a driver collect
+    inside the loop), and a localCheckpoint to truncate lineage — the same
+    discipline as ``connected_components``. ``iterations`` is fixed (the
+    production convention: rank lists ship at k iterations; a convergence
+    test would need a global delta pass per round).
+
+    Returns (id, rank_units BIGINT, rank DOUBLE) for every node appearing
+    as source or destination; rows sum to ~scale.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    e = edges.select(src.alias("src"), dst.alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: empty edge set")
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # (id, deg) for every node; deg NULL marks dangling nodes
+    node_deg = nodes.join(deg, nodes["id"] == deg["src"], "left").select("id", "deg")
+    node_deg = node_deg.localCheckpoint(eager=False)
+    ed = e.join(deg, "src")  # (src, dst, deg) — deg rides the edge
+
+    base = ((100 - damping_pct) * scale) // (100 * n)
+    rank = node_deg.select("id", "deg", F.lit(scale // n).alias("rank"))
+    for _ in range(iterations):
+        slim = rank.select("id", "rank")  # drop deg: ed carries its own
+        contrib = (
+            slim.join(ed, slim["id"] == ed["src"])
+            .select(F.col("dst").alias("id"), F.expr("rank DIV deg").alias("share"))
+            .groupBy("id")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        dangling = rank.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).alias("dang")
+        )
+        rank = (
+            node_deg.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                "deg",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(contrib, 0L) + dang DIV {n}))"
+                        " DIV 100"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return rank.select(
+        "id",
+        F.col("rank").alias("rank_units"),
+        F.round(F.col("rank") / F.lit(float(scale)), 9).alias("rank"),
+    )

@@ -3483,6 +3483,60 @@ FROM isl2 GROUP BY doc_id, island
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (``graph.pagerank``) over a deterministic synthetic link
+    graph: nodes = doc_id < 50, three out-links per node at
+    (31·id + 7k) mod 50 — present identically at every sf. Fixed-point
+    integer arithmetic makes the 5-iteration loop bit-exact, so the oracle
+    UNROLLS the same five iterations as SQL CTEs and must match
+    ``rank_units`` exactly — an iterative algorithm held to a hash-exact
+    contract, not a rows-only one."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(*[((F.col("doc_id") * 31 + 7 * k) % 50) for k in (1, 2, 3)])
+        ).alias("dst"),
+    )
+    out = G.pagerank(edges, iterations=5)
+    return out.select("id", "rank_units")
+
+
+def _pagerank_oracle(iterations: int = 5, n: int = 50, scale: int = 10**12) -> str:
+    """Unrolled-iteration DuckDB mirror of q_pagerank (standard SQL forbids
+    aggregation in a recursive CTE member, so fixed iterations unroll)."""
+    base = (15 * scale) // (100 * n)
+    r0 = scale // n
+    ctes = [
+        f"nodes AS (SELECT DISTINCT dst AS id FROM (SELECT doc_id AS src, "
+        f"unnest([(doc_id*31+7)%{n}, (doc_id*31+14)%{n}, (doc_id*31+21)%{n}]) AS dst "
+        f"FROM documents WHERE doc_id < {n}) UNION "
+        f"SELECT DISTINCT doc_id FROM documents WHERE doc_id < {n})",
+        f"edges AS (SELECT doc_id AS src, "
+        f"unnest([(doc_id*31+7)%{n}, (doc_id*31+14)%{n}, (doc_id*31+21)%{n}]) AS dst "
+        f"FROM documents WHERE doc_id < {n})",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT id, CAST({r0} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(iterations):
+        # every node has out-links in this graph, so the dangling term is 0
+        ctes.append(
+            f"r{i + 1} AS (SELECT n.id, CAST({base} + (85 * COALESCE(c.contrib, 0)) // 100 "
+            f"AS BIGINT) AS rank FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst AS id, SUM(r.rank // d.deg) AS contrib "
+            f"FROM r{i} r JOIN edges e ON e.src = r.id JOIN deg d ON d.src = e.src "
+            f"GROUP BY e.dst) c ON c.id = n.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, rank AS rank_units FROM r{iterations}"
+    )
+
+
+PAGERANK_ORACLE = _pagerank_oracle()
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring (``operators/mlquality.py``): fit the
     tokenize→HashingTF→IDF→LogisticRegression pipeline on a deterministic
@@ -3638,6 +3692,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     # r5: WARC -> HTML -> text -> stats composition
     "web_pipeline": q_web_pipeline,
+    # r5: PageRank in fixed-point integer arithmetic (iterative, yet
+    # hash-exact against an unrolled-CTE oracle)
+    "pagerank": q_pagerank,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -3862,6 +3919,7 @@ ORACLES: dict[str, str] = {
     "corpus_shuffle": CORPUS_SHUFFLE_ORACLE,
     "substring_dedup": SUBSTRING_DEDUP_ORACLE,
     "web_pipeline": WEB_PIPELINE_ORACLE,
+    "pagerank": PAGERANK_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

@@ -1,0 +1,83 @@
+"""PageRank pins: exact agreement with a driver-side integer-arithmetic
+reference (same fixed-point formula), dangling-mass redistribution, mass
+conservation, ranking sanity on known shapes, partition invariance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators.graph import pagerank
+
+SCALE = 10**12
+
+
+def _reference(edges, iterations, damping_pct=85, scale=SCALE):
+    """Bit-exact Python replica of the operator's integer recurrence."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    rank = {v: scale // n for v in nodes}
+    base = ((100 - damping_pct) * scale) // (100 * n)
+    for _ in range(iterations):
+        contrib = {v: 0 for v in nodes}
+        for u, v in edges:
+            contrib[v] += rank[u] // deg[u]
+        dang = sum(rank[v] for v in nodes if v not in deg)
+        rank = {
+            v: base + (damping_pct * (contrib[v] + dang // n)) // 100
+            for v in nodes
+        }
+    return rank
+
+
+def _run(spark, edges, iterations=5, partitions=None):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    if partitions:
+        df = df.repartition(partitions)
+    out = pagerank(df, iterations=iterations)
+    return {r["id"]: r["rank_units"] for r in out.collect()}
+
+
+CHAIN = [(1, 2), (2, 3), (3, 4)]                     # 4 has no out-links
+STAR = [(2, 1), (3, 1), (4, 1), (1, 2)]              # everything points at 1
+CYCLE = [(1, 2), (2, 3), (3, 1)]
+
+
+@pytest.mark.parametrize("edges", [CHAIN, STAR, CYCLE], ids=["chain", "star", "cycle"])
+def test_matches_integer_reference(spark, edges):
+    assert _run(spark, edges) == _reference(edges, 5)
+
+
+def test_dangling_mass_redistributed(spark):
+    # node 4 is a sink; without redistribution its inflow would leak every
+    # round and total mass would collapse toward base*n
+    got = _run(spark, CHAIN, iterations=10)
+    total = sum(got.values())
+    assert total > 0.97 * SCALE  # truncation loses <1 unit/term/round only
+
+
+def test_hub_ranks_highest(spark):
+    # the 1<->2 two-cycle oscillates with amplitude decaying x0.7225/round;
+    # 24 rounds put the ordering at its fixpoint values
+    got = _run(spark, STAR, iterations=24)
+    assert got[1] == max(got.values())
+    assert got[1] > 2 * got[3]
+
+
+def test_cycle_is_symmetric(spark):
+    got = _run(spark, CYCLE, iterations=7)
+    assert len(set(got.values())) == 1  # perfect symmetry, bit-identical
+
+
+def test_partition_invariance(spark):
+    edges = [(i, (i * 7 + 3) % 40) for i in range(40)] + [
+        (i, (i * 11 + 1) % 40) for i in range(40)
+    ]
+    assert _run(spark, edges, partitions=1) == _run(spark, edges, partitions=13)
+
+
+def test_empty_edges_raises(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df)
