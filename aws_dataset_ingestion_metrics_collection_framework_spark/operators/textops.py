@@ -460,3 +460,139 @@ def global_shuffle(
     )
     w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
     return keyed.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+
+
+def perplexity_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    reference: DataFrame | None = None,
+    ref_text_col: str | None = None,
+    n_buckets: int = 3,
+    bucket_thresholds: list[float] | None = None,
+) -> DataFrame:
+    """CCNet-style language-model quality filtering (Wenzek et al.,
+    LREC'20): score every document by the log-likelihood of a bigram LM
+    trained on a reference corpus, then split the corpus into quality
+    buckets (CCNet's head/middle/tail keeps bucket 1 and discards the
+    tail). Documents that read like the reference score high; gibberish,
+    boilerplate and wrong-language text score low.
+
+    Model: add-one-smoothed bigram LM, P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V).
+    Training is two integer count aggregations over the reference; scoring
+    joins each document's bigrams against the count tables (no broadcast
+    hint — the LM size is corpus-dependent, AQE decides) and averages the
+    per-bigram log10 probabilities.
+
+    Cross-engine determinism: counts and V are exact integers, the
+    probability ratio is one exact-integer division in IEEE double, and
+    each per-bigram log10 is ROUNDed to 6 decimals then summed as
+    DECIMAL(28,6) — decimal addition is exact and order-independent, so
+    the float non-associativity of a double SUM over an arbitrary join
+    order never reaches the result (same trick as the engine's money
+    sums). Buckets come from NTILE over (avg_logp10, id) — a total order,
+    so bucketing is deterministic too.
+
+    Returns (id, n_bigrams, sum_logp10, avg_logp10, bucket) — bucket 1 is
+    the most reference-like (head), ``n_buckets`` the tail. Docs with < 2
+    tokens have no bigrams and go to the tail with NULL scores.
+
+    Bucketing has two paths. Default (exact NTILE) materializes a GLOBAL
+    window — right for report/oracle-sized outputs, wrong at corpus scale
+    (one task sorts every score). At scale pass ``bucket_thresholds`` —
+    descending score cut points, in practice percentiles of a sample or a
+    ``percentile_approx`` pass over the slim score table (CCNet itself
+    thresholds from a sample) — and bucketing becomes a map-side CASE:
+    bucket k = first k with score >= thresholds[k-1], else the tail.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import tokenize
+
+    ref = reference if reference is not None else df
+    rcol = ref_text_col or text_col
+
+    def bigram_rows(frame: DataFrame, keep_id: bool) -> DataFrame:
+        toks = tokenize(F.col(rcol if not keep_id else text_col))
+        pairs = bind_once(
+            toks,
+            lambda t: F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("w1"),
+                        F.element_at(t, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>")),
+        )
+        cols = [F.col(id_col)] if keep_id else []
+        return frame.select(*cols, F.explode(pairs).alias("bg")).select(
+            *([id_col] if keep_id else []),
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+        )
+
+    ref_bg = bigram_rows(ref, keep_id=False)
+    c2 = ref_bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = ref_bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = ref.select(F.explode(tokenize(F.col(rcol))).alias("w")).distinct().count()
+
+    doc_bg = bigram_rows(df, keep_id=True)
+    term = (
+        doc_bg.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log10(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + vocab).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(28,6)")
+            .alias("logp"),
+        )
+    )
+    scored = term.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("logp").cast("decimal(28,6)").alias("sum_logp10"),
+    )
+    out = (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "sum_logp10",
+            # avg in EXACT integer micro-units: double ROUND(x, 6) lands on
+            # half-boundaries whose tie-breaking differs between engines
+            # (observed: -66.831583/46). sum*1e6 is an exact integer
+            # (decimal scale 6); truncating division on the positive
+            # magnitude is engine-agnostic (DIV truncates toward zero,
+            # // floors — they agree on positives only).
+            (
+                -F.expr("(-CAST(sum_logp10 * 1000000 AS BIGINT)) DIV n_bigrams")
+            ).alias("avg_micro"),
+        )
+    )
+    out = out.withColumn(
+        # exact-integer / 1e6 is one correctly-rounded IEEE division —
+        # bit-identical across engines, no decimal-rounding step involved
+        "avg_logp10",
+        F.col("avg_micro").cast("double") / F.lit(1000000.0),
+    )
+    if bucket_thresholds is not None:
+        bucket = F.lit(len(bucket_thresholds) + 1)  # tail (incl. NULL scores)
+        for k in range(len(bucket_thresholds), 0, -1):
+            bucket = F.when(
+                F.col("avg_logp10") >= F.lit(bucket_thresholds[k - 1]), F.lit(k)
+            ).otherwise(bucket)
+        return out.drop("avg_micro").withColumn("bucket", bucket.cast("int"))
+    # order by the exact integer, not the double — identical total order on
+    # both engines by construction
+    w = Window.orderBy(F.desc_nulls_last("avg_micro"), F.col(id_col))
+    return out.withColumn("bucket", F.ntile(n_buckets).over(w)).drop("avg_micro")

@@ -3537,6 +3537,76 @@ def _pagerank_oracle(iterations: int = 5, n: int = 50, scale: int = 10**12) -> s
 PAGERANK_ORACLE = _pagerank_oracle()
 
 
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity filtering (``textops.perplexity_scores``): bigram
+    LM trained on the lang='en' slice, every document scored by average
+    log10 likelihood and NTILE'd into head/middle/tail. Exact decimals for
+    the sums, one double division for the average, total-order NTILE —
+    hash-exact across engines despite being an LM scoring pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.perplexity_scores(
+        docs,
+        "doc_id",
+        "text",
+        reference=docs.filter(F.col("lang") == "en"),
+        n_buckets=3,
+    )
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.col("sum_logp10").cast("string").alias("sum_logp10"),
+        "avg_logp10",
+        "bucket",
+    )
+
+
+PERPLEXITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+),
+e AS (SELECT doc_id, lang, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks),
+bg AS (
+  SELECT a.doc_id, a.lang, a.w AS w1, b.w AS w2
+  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE lang = 'en' GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg WHERE lang = 'en' GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w) AS v FROM e WHERE lang = 'en'),
+term AS (
+  SELECT d.doc_id,
+         CAST(ROUND(log10(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+                          / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)), 6)
+              AS DECIMAL(28,6)) AS logp
+  FROM bg d
+  LEFT JOIN c2 ON c2.w1 = d.w1 AND c2.w2 = d.w2
+  LEFT JOIN c1 ON c1.w1 = d.w1
+  CROSS JOIN v
+),
+sc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(logp) AS DECIMAL(28,6)) AS s
+  FROM term GROUP BY doc_id
+),
+out AS (
+  SELECT d0.doc_id,
+         COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+         sc.s AS sum_logp10,
+         -- exact integer micro-units; // on the POSITIVE magnitude matches
+         -- Spark's truncating DIV (they differ on negatives)
+         -((-CAST(sc.s * 1000000 AS BIGINT)) // sc.n_bigrams) AS avg_micro
+  FROM (SELECT doc_id FROM documents) d0 LEFT JOIN sc ON sc.doc_id = d0.doc_id
+)
+SELECT doc_id, n_bigrams, CAST(sum_logp10 AS VARCHAR) AS sum_logp10,
+       CAST(avg_micro AS DOUBLE) / 1000000.0 AS avg_logp10,
+       CAST(NTILE(3) OVER (ORDER BY avg_micro DESC NULLS LAST, doc_id) AS INTEGER)
+         AS bucket
+FROM out
+"""
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring (``operators/mlquality.py``): fit the
     tokenize→HashingTF→IDF→LogisticRegression pipeline on a deterministic
@@ -3695,6 +3765,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5: PageRank in fixed-point integer arithmetic (iterative, yet
     # hash-exact against an unrolled-CTE oracle)
     "pagerank": q_pagerank,
+    # r5: CCNet perplexity filtering (bigram LM, head/middle/tail)
+    "perplexity": q_perplexity,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -3920,6 +3992,7 @@ ORACLES: dict[str, str] = {
     "substring_dedup": SUBSTRING_DEDUP_ORACLE,
     "web_pipeline": WEB_PIPELINE_ORACLE,
     "pagerank": PAGERANK_ORACLE,
+    "perplexity": PERPLEXITY_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

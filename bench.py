@@ -98,6 +98,9 @@ HEADLINE = [
     "kmv_overlap",
     "substring_dedup",
     "corpus_shuffle",
+    # CCNet perplexity filter: bigram-LM train + score (two count shuffles
+    # + one join-aggregate over doc bigrams)
+    "perplexity",
 ]
 
 # Benched since r1 — the frozen cross-round comparison basket (see §3 above).

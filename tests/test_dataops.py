@@ -2,6 +2,7 @@
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dedup import (
@@ -667,3 +668,52 @@ def test_runtime_bloom_filter_injected_on_decontaminate(spark, sf_dir):
         assert "bloom_filter_agg" in plan
     finally:
         spark.conf.set(thr_key, old)
+
+
+class TestPerplexity:
+    def _score(self, spark, rows, ref_ids=None, **kw):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import perplexity_scores
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ref = df.filter(F.col("doc_id").isin(ref_ids)) if ref_ids else None
+        out = perplexity_scores(df, "doc_id", "text", reference=ref, **kw)
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_reference_like_text_scores_higher(self, spark):
+        rows = [(1, "the cat sat on the mat"),
+                (2, "the cat sat on the mat"),
+                (3, "zq wv xj kp qq zz")]          # gibberish vs the LM
+        got = self._score(spark, rows, ref_ids=[1])
+        assert got[2]["avg_logp10"] > got[3]["avg_logp10"]
+        assert got[2]["bucket"] < got[3]["bucket"]
+
+    def test_short_doc_goes_to_tail_with_null_score(self, spark):
+        rows = [(1, "a b c d e f"), (2, "a b c d e f"), (3, "solo")]
+        got = self._score(spark, rows, ref_ids=[1])
+        assert got[3]["n_bigrams"] == 0 and got[3]["sum_logp10"] is None
+        assert got[3]["bucket"] == 3  # NULLS LAST -> tail
+
+    def test_smoothing_math_matches_hand_computation(self, spark):
+        import math
+        from decimal import Decimal
+        # reference "a b a b": c2(a,b)=2, c2(b,a)=1, c1(a)=2, c1(b)=1, V=2
+        rows = [(1, "a b a b"), (2, "a b"), (3, "b z")]
+        got = self._score(spark, rows, ref_ids=[1])
+        exp_ab = round(math.log10(3 / 4), 6)         # (2+1)/(2+2)
+        assert float(got[2]["sum_logp10"]) == pytest.approx(exp_ab)
+        # b->z unseen bigram: (0+1)/(c1(b)=1 + V=2)
+        exp_bz = round(math.log10(1 / 3), 6)
+        assert float(got[3]["sum_logp10"]) == pytest.approx(exp_bz)
+
+    def test_threshold_bucketing_is_map_side(self, spark):
+        rows = [(i, "a b c") for i in range(1, 4)] + [(4, "zz qq ww")]
+        got = self._score(spark, rows, ref_ids=[1], bucket_thresholds=[-0.4])
+        # docs matching the LM clear the cut, gibberish falls to the tail
+        assert {got[i]["bucket"] for i in (1, 2, 3)} == {1}
+        assert got[4]["bucket"] == 2
+        # and the plan has no global window
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import perplexity_scores
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        plan = perplexity_scores(df, "doc_id", "text", bucket_thresholds=[-0.4]
+                                 )._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan

@@ -61,7 +61,7 @@ PROBES = [
     # candidate-sliver island merge), corpus_shuffle (hash + per-shard
     # window sort)
     "html_extract", "url_dedup", "kmv_overlap", "substring_dedup",
-    "corpus_shuffle",
+    "corpus_shuffle", "perplexity",
 ]
 
 SF1_TABLES = (
