@@ -163,3 +163,32 @@ def html_to_text_oracle_sql(
         f"SELECT {id_col}, {title} AS {title_col}, {links} AS {links_col}, "
         f"{text} AS {out_col} FROM {table}"
     )
+
+
+_HREF_PAIR_RE = r'(?is)<a[ \t][^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>'
+
+
+def extract_links(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """One row per double-quoted ``<a href="...">text</a>`` anchor:
+    (id, href, anchor_text) — the edge list a link graph / PageRank /
+    anchor-text index builds from (unquoted and single-quoted hrefs are
+    outside the subset; crawler-normalized HTML quotes attributes).
+
+    Map-only: two passes of the SAME pattern (regexp_extract_all returns
+    one capture group per call — href then text), zipped positionally;
+    anchor text is tag-stripped, entity-decoded and whitespace-normalized
+    with the module's chain pieces."""
+    html = F.col(html_col)
+    hrefs = F.regexp_extract_all(html, F.lit(_HREF_PAIR_RE), F.lit(1))
+    texts = F.regexp_extract_all(html, F.lit(_HREF_PAIR_RE), F.lit(2))
+    pair = F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("anchor")))
+    out = df.select(F.col(id_col), pair.alias("p")).select(
+        id_col,
+        F.col("p.href").alias("href"),
+        F.col("p.anchor").alias("anchor_text"),
+    )
+    t = F.regexp_replace(F.col("anchor_text"), _TAG_RE, "")
+    for ent, rep in _ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.trim(F.regexp_replace(t, r"[ \t\r\n]+", " "))
+    return out.withColumn("anchor_text", t)

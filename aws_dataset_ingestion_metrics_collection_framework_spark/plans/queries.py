@@ -3483,6 +3483,29 @@ FROM isl2 GROUP BY doc_id, island
 """
 
 
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor extraction (``html.extract_links``) over the synthesized
+    pages: every page carries exactly two quoted anchors (one absolute with
+    a doc_id-derived host, one relative), with uppercase-tag and
+    entity-in-markup traps upstream. The oracle reconstructs the full edge
+    list from doc_id arithmetic."""
+    from ..operators import html as HT
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    pages = docs.select("doc_id", _synth_html_col().alias("html"))
+    return HT.extract_links(pages, "doc_id", "html")
+
+
+LINK_GRAPH_ORACLE = """
+SELECT doc_id, 'http://site' || (doc_id % 7) || '.example/home' AS href,
+       'Home' AS anchor_text
+FROM documents WHERE doc_id < 400
+UNION ALL
+SELECT doc_id, '/about' AS href, 'About' AS anchor_text
+FROM documents WHERE doc_id < 400
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (``graph.pagerank``) over a deterministic synthetic link
     graph: nodes = doc_id < 50, three out-links per node at
@@ -3767,6 +3790,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     # r5: CCNet perplexity filtering (bigram LM, head/middle/tail)
     "perplexity": q_perplexity,
+    # r5: anchor/link extraction (the edge list PageRank consumes)
+    "link_graph": q_link_graph,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -3993,6 +4018,7 @@ ORACLES: dict[str, str] = {
     "web_pipeline": WEB_PIPELINE_ORACLE,
     "pagerank": PAGERANK_ORACLE,
     "perplexity": PERPLEXITY_ORACLE,
+    "link_graph": LINK_GRAPH_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

@@ -82,3 +82,25 @@ def test_entity_no_double_decode(spark):
     # &amp;lt; is the literal text "&lt;" — decoding &amp; last keeps it
     df = spark.createDataFrame([(1, "<p>&amp;lt;</p>")], "id int, html string")
     assert html_to_text(df, "id", "html").collect()[0]["text"] == "&lt;"
+
+
+LINK_CASES = [
+    # nested tag + entity inside anchor text
+    ('<a href="/x"><b>Bold</b> &amp; plain</a>', [("/x", "Bold & plain")]),
+    # multiple links, uppercase tag
+    ('<A HREF="http://a.com/1">one</A><a href="/2">two</a>',
+     [("http://a.com/1", "one"), ("/2", "two")]),
+    # unquoted href is outside the subset -> skipped
+    ("<a href=/nope>skip</a>", []),
+    # no links
+    ("<p>plain</p>", []),
+]
+
+
+@pytest.mark.parametrize("html,want", LINK_CASES)
+def test_extract_links(spark, html, want):
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.html import extract_links
+
+    df = spark.createDataFrame([(1, html)], "id int, html string")
+    got = [(r["href"], r["anchor_text"]) for r in extract_links(df, "id", "html").collect()]
+    assert got == want
