@@ -42,6 +42,9 @@ _SCALAR = {"q14_promo_effect", "q17_small_qty_revenue", "q19_discount_revenue"}
 ROWS_ONLY_ALLOWED = {
     # 2-D DCT over decoded PNG pixels; pinned by tests/test_phash.py goldens
     "image_phash_pairs",
+    # iterative LBFGS training; pinned by tests/test_mlquality.py (AUC,
+    # holdout generalization, refit determinism)
+    "quality_scores",
 }
 
 
