@@ -127,3 +127,63 @@ def check_referential(
             (F.col("n_violations") == 0).alias("passed"),
         )
     )
+
+
+def numeric_histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    bins: int = 20,
+    min_val: float | None = None,
+    max_val: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bin, lo, hi, n) for every
+    NON-EMPTY bin, bin ∈ [0, bins) — the distribution view a DQ report or
+    skew investigation reads next to ``profile_table``'s moments.
+
+    Two-phase: bounds are either given (map-only single pass) or computed
+    with one 1-row min/max aggregate that rides a crossJoin broadcast —
+    never a driver collect. Values then bin map-side and one count
+    aggregation keyed by bin (≤ ``bins`` groups) finishes.
+
+    bin = least(bins-1, floor((x - min) / width)) — the last bin is closed
+    so x = max lands in bins-1. Every arithmetic step is a single IEEE
+    double op on identical inputs, so results are deterministic and
+    cross-engine hash-exact; NULL values are excluded (they are
+    ``profile_table``'s null_count, not a distribution point)."""
+    x = F.col(value_col).cast("double")
+    vals = df.filter(x.isNotNull()).select(x.alias("_x"))
+    if min_val is not None and max_val is not None:
+        bounds = vals.sparkSession.range(1).select(
+            F.lit(float(min_val)).alias("_mn"), F.lit(float(max_val)).alias("_mx")
+        )
+    else:
+        bounds = vals.agg(F.min("_x").alias("_mn"), F.max("_x").alias("_mx"))
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(bins))
+    binned = (
+        vals.crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor((F.col("_x") - F.col("_mn")) / width).cast("int"),
+                )
+            )
+            .alias("bin"),
+            F.col("_mn"),
+            F.col("_mx"),
+        )
+    )
+    return (
+        binned.groupBy("bin", "_mn", "_mx")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "bin",
+            (F.col("_mn") + F.col("bin") * (F.col("_mx") - F.col("_mn")) / bins)
+            .alias("lo"),
+            (F.col("_mn") + (F.col("bin") + 1) * (F.col("_mx") - F.col("_mn")) / bins)
+            .alias("hi"),
+            "n",
+        )
+    )

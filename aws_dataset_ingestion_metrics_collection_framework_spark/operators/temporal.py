@@ -209,3 +209,70 @@ def interval_overlap_join(
         F.col("r_s").alias(r_start + "_r") if l_start == r_start else F.col("r_s").alias(r_start),
         F.col("r_e").alias(r_end + "_r") if l_end == r_end else F.col("r_e").alias(r_end),
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    step: str = "1 hour",
+    truncate_to: str = "hour",
+) -> DataFrame:
+    """Resample an irregular per-key time series onto a regular grid with
+    forward fill (last observation carried forward) — the
+    metrics-dashboard/feature-store alignment step: every series gets one
+    row per grid tick from its first observation's truncated timestamp to
+    its last, valued at the most recent observation at-or-before the tick.
+
+    Implementation is the as-of-join trick without a join: grid ticks and
+    observations UNION into one stream, one window pass per key carries
+    the last non-null value forward (observations sort before a tick at
+    the same timestamp, so a tick ON an observation takes it), and only
+    tick rows come back out. One shuffle keyed by the series; the window
+    sorts each series independently — parallelism = #series, exactly how
+    the data grows. Ties inside a timestamp resolve by value (total order,
+    engine-independent).
+
+    Ticks before a series' first observation yield NULL (nothing to carry);
+    callers choosing zero-fill/interpolation handle that downstream — the
+    operator never invents values.
+    """
+    key, ts = F.col(key_col), F.col(ts_col)
+    obs = df.select(
+        key.alias("_k"),
+        ts.alias("_ts"),
+        F.col(value_col).alias("_v"),
+        F.lit(1).alias("_is_obs"),
+    )
+    grid = (
+        df.groupBy(key.alias("_k"))
+        .agg(
+            F.date_trunc(truncate_to, F.min(ts)).alias("_lo"),
+            F.max(ts).alias("_hi"),
+        )
+        .select(
+            "_k",
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"interval {step}"))
+            ).alias("_ts"),
+        )
+        .select("_k", "_ts", F.lit(None).cast("double").alias("_v"),
+                F.lit(0).alias("_is_obs"))
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.desc("_is_obs"), F.col("_v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        obs.unionByName(grid)
+        .withColumn("_f", F.last("_v", ignorenulls=True).over(w))
+        .filter(F.col("_is_obs") == 0)
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_ts").alias(ts_col),
+            F.col("_f").alias(value_col),
+        )
+    )

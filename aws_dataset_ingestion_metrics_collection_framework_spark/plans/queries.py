@@ -3506,6 +3506,69 @@ FROM documents WHERE doc_id < 400
 """
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill resampling (``temporal.resample_ffill``): user_id < 20
+    event series onto an hourly grid, last observation carried forward.
+    The oracle rebuilds grid + carry with DuckDB's generate_series and an
+    IGNORE NULLS window — identical union-stream trick, hash-exact."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    out = T.resample_ffill(ev, "user_id", "ts", "value", step="1 hour")
+    return out.select("user_id", "ts", F.round("value", 6).alias("value"))
+
+
+RESAMPLE_FFILL_ORACLE = """
+WITH ev AS (SELECT user_id, ts, value FROM events WHERE user_id < 20),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(date_trunc('hour', MIN(ts)), MAX(ts),
+                                INTERVAL 1 HOUR)) AS ts
+  FROM ev GROUP BY user_id
+),
+u AS (
+  SELECT user_id, ts, value, 1 AS is_obs FROM ev
+  UNION ALL
+  SELECT user_id, ts, CAST(NULL AS DOUBLE) AS value, 0 AS is_obs FROM grid
+),
+filled AS (
+  SELECT user_id, ts, is_obs,
+         LAST_VALUE(value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_obs DESC, value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+  FROM u
+)
+SELECT user_id, ts, ROUND(f, 6) AS value FROM filled WHERE is_obs = 0
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (``dq.numeric_histogram``) of events.value, 16
+    bins over the observed min/max. The oracle repeats the identical IEEE
+    double arithmetic (same op order), so bin boundaries and counts must
+    hash-match exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    out = DQ.numeric_histogram(ev, "value", bins=16)
+    return out.select("bin", F.round("lo", 6).alias("lo"),
+                      F.round("hi", 6).alias("hi"), "n")
+
+
+VALUE_HISTOGRAM_ORACLE = """
+WITH b AS (SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+           WHERE value IS NOT NULL),
+binned AS (
+  SELECT CASE WHEN b.mx = b.mn THEN 0
+              ELSE LEAST(15, CAST(FLOOR((e.value - b.mn) / ((b.mx - b.mn) / 16))
+                                  AS INTEGER)) END AS bin,
+         b.mn, b.mx
+  FROM events e CROSS JOIN b WHERE e.value IS NOT NULL
+)
+SELECT bin,
+       ROUND(mn + (bin * (mx - mn)) / 16, 6) AS lo,
+       ROUND(mn + ((bin + 1) * (mx - mn)) / 16, 6) AS hi,
+       COUNT(*) AS n
+FROM binned GROUP BY bin, mn, mx
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (``graph.pagerank``) over a deterministic synthetic link
     graph: nodes = doc_id < 50, three out-links per node at
@@ -3792,6 +3855,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity": q_perplexity,
     # r5: anchor/link extraction (the edge list PageRank consumes)
     "link_graph": q_link_graph,
+    # r5: DQ equi-width histogram
+    "value_histogram": q_value_histogram,
+    # r5: forward-fill grid resampling
+    "resample_ffill": q_resample_ffill,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -4019,6 +4086,8 @@ ORACLES: dict[str, str] = {
     "pagerank": PAGERANK_ORACLE,
     "perplexity": PERPLEXITY_ORACLE,
     "link_graph": LINK_GRAPH_ORACLE,
+    "value_histogram": VALUE_HISTOGRAM_ORACLE,
+    "resample_ffill": RESAMPLE_FFILL_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

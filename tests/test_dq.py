@@ -53,3 +53,27 @@ def test_unique_and_referential(spark):
     ok = check_referential(df.filter(F.col("id") <= 3), parent,
                            [("id", "pid")]).collect()[0]
     assert ok["passed"]
+
+
+class TestNumericHistogram:
+    def test_bins_and_bounds(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dq import numeric_histogram
+        df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+        rows = {r["bin"]: r for r in numeric_histogram(df, "v", bins=10).collect()}
+        assert len(rows) == 10
+        assert sum(r["n"] for r in rows.values()) == 100
+        assert rows[0]["lo"] == 0.0 and rows[9]["hi"] == 99.0
+        assert rows[9]["n"] == 10  # max value closes into the last bin
+
+    def test_constant_column_single_bin(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dq import numeric_histogram
+        df = spark.createDataFrame([(4.2,)] * 7, "v double")
+        rows = numeric_histogram(df, "v", bins=5).collect()
+        assert len(rows) == 1 and rows[0]["bin"] == 0 and rows[0]["n"] == 7
+
+    def test_nulls_excluded_and_fixed_bounds(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dq import numeric_histogram
+        df = spark.createDataFrame([(1.0,), (None,), (9.0,)], "v double")
+        rows = numeric_histogram(df, "v", bins=2, min_val=0.0, max_val=10.0).collect()
+        assert sum(r["n"] for r in rows) == 2
+        assert {r["bin"] for r in rows} == {0, 1}

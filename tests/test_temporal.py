@@ -196,3 +196,38 @@ def test_interval_overlap_join_wide_intervals_span_many_cells(spark):
         r_id="iid", r_start="s", r_end="e", bucket_width=16,
     ).collect()
     assert [(r["iid_l"], r["iid_r"]) for r in out] == [(1, 2)]  # deduped to one row
+
+
+class TestResampleFfill:
+    def _run(self, spark, rows):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.temporal import resample_ffill
+        df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+        out = resample_ffill(df, "k", "ts", "v", step="1 hour")
+        return sorted((r["k"], str(r["ts"]), r["v"]) for r in out.collect())
+
+    def test_carry_forward_and_leading_null(self, spark):
+        import datetime as dt
+        t = lambda h, m=0: dt.datetime(2026, 1, 1, h, m)  # noqa: E731
+        rows = [(1, t(10, 30), 5.0), (1, t(12, 15), 7.0)]
+        got = self._run(spark, rows)
+        # grid: 10:00 (before first obs -> NULL), 11:00 (carries 5), 12:00
+        # (still 5 - obs at 12:15 is later)
+        assert got == [
+            (1, "2026-01-01 10:00:00", None),
+            (1, "2026-01-01 11:00:00", 5.0),
+            (1, "2026-01-01 12:00:00", 5.0),
+        ]
+
+    def test_tick_on_observation_takes_it(self, spark):
+        import datetime as dt
+        rows = [(1, dt.datetime(2026, 1, 1, 10, 0), 3.0)]
+        assert self._run(spark, rows) == [(1, "2026-01-01 10:00:00", 3.0)]
+
+    def test_series_isolation(self, spark):
+        import datetime as dt
+        t = lambda h: dt.datetime(2026, 1, 1, h)  # noqa: E731
+        rows = [(1, t(10), 1.0), (2, t(10), 9.0), (1, t(11), 2.0)]
+        got = {x[:2]: x[2] for x in self._run(spark, rows)}
+        assert got[(1, "2026-01-01 11:00:00")] == 2.0
+        assert got[(2, "2026-01-01 10:00:00")] == 9.0
+        assert (2, "2026-01-01 11:00:00") not in got
