@@ -539,6 +539,10 @@ def perplexity_scores(
     c2 = ref_bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = ref_bg.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = ref.select(F.explode(tokenize(F.col(rcol))).alias("w")).distinct().count()
+    if vocab == 0:
+        # loud, not a divide-by-zero mid-job: an empty reference means the
+        # upstream quality gate dropped everything
+        raise ValueError("perplexity_scores: reference corpus has no tokens")
 
     doc_bg = bigram_rows(df, keep_id=True)
     term = (

@@ -76,7 +76,12 @@ def run(out_dir: str, sf_dir: str) -> dict:
     # soup has no sentence-terminal punctuation, so the C4 line rule would
     # empty it — the c4_clean composition is exercised by `corpus_pipeline`)
     cleaned = extracted.select("doc_id", F.col("clean").alias("text"))
-    gated = CU.gopher_rules(cleaned, "doc_id", "text", min_words=5)
+    # relax the stopword rule for the synthetic vocabulary (its only
+    # English stopwords are 'the'/'a')
+    gated = CU.gopher_rules(
+        cleaned, "doc_id", "text",
+        min_words=5, stopwords=("the", "a"), min_stopword_hits=1,
+    )
     kept = cleaned.join(
         gated.filter(F.col("pass")).select("doc_id"), "doc_id"
     )
