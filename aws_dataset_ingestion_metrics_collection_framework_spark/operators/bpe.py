@@ -1,0 +1,157 @@
+"""Distributed BPE tokenizer training (Sennrich et al., ACL'16) — the
+"train a tokenizer on the corpus" step of every LLM data pipeline,
+expressed Spark-first.
+
+The scale insight Sennrich's algorithm already contains: after ONE pass
+that reduces the corpus to a (word, count) vocabulary table, every merge
+iteration runs over the VOCABULARY (≈ millions of rows at web scale), not
+the corpus (billions of documents). Each iteration is:
+
+1. pair statistics: explode adjacent symbol pairs per word, weighted by
+   word count — map-only + one groupBy(pair) SUM (map-side combined);
+2. best pair: argmax with a TOTAL-ORDER tie-break (count desc, then pair
+   lexicographic) via TakeOrderedAndProject(1) — deterministic across
+   partitionings, unlike bare max-by-count;
+3. merge application: a greedy left-to-right fold over each word's symbol
+   array (``aggregate`` HOF — JVM-side, no Python) replacing adjacent
+   (left, right) with the concatenation; ``localCheckpoint`` truncates the
+   per-iteration lineage exactly like ``graph.pagerank``.
+
+The merge list itself is tiny (one row per iteration) and collects to the
+driver as the trained artifact — the same bounded planning-time collect
+as the defs loaders.
+
+Training is iterative global-argmax, so it is NOT SQL-expressible as one
+query; its correctness pin is EXACT equality with a pure-Python reference
+implementation of the same algorithm (tests/test_bpe.py) — the same
+contract strength as a DuckDB oracle, enforced by pytest instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# end-of-word marker (Sennrich's </w>): lets merges distinguish word-final
+# units; a plain corpus character can never equal it.
+EOW = "▁"
+
+
+def _chars_with_eow(word: Column) -> Column:
+    return F.concat(F.split(word, ""), F.array(F.lit(EOW)))
+
+
+def _merge_fold(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right single-pair merge over a symbol array (the
+    fold never re-merges its own output: after replacing (a,b) the new
+    last element is a||b, which only re-merges if a||b literally equals
+    the left symbol — the correct greedy semantics)."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """The one corpus-sized pass: (word, count) vocabulary."""
+    from .dedup import tokenize
+
+    return (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    *,
+    num_merges: int = 50,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Train ``num_merges`` BPE merges; returns (merges, vocab_df) where
+    ``merges`` is the ranked [(left, right), ...] list and ``vocab_df``
+    the final (word, cnt, symbols) table — the lookup that tokenizes every
+    in-vocabulary word with a plain join at apply time."""
+    vocab = word_vocab(df, text_col).withColumn(
+        "syms", _chars_with_eow(F.col("word"))
+    )
+    vocab = vocab.localCheckpoint(eager=False)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs = vocab.select(
+            "cnt",
+            F.explode(
+                F.when(
+                    F.size("syms") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("syms"), i).alias("l"),
+                            F.element_at(F.col("syms"), i + 1).alias("r"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("p.l"), F.asc("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < 2:
+            break  # no pair worth merging (count 1 gains nothing)
+        left, right = best[0]["p"]["l"], best[0]["p"]["r"]
+        merges.append((left, right))
+        vocab = vocab.withColumn(
+            "syms", _merge_fold(F.col("syms"), left, right)
+        ).localCheckpoint(eager=False)
+    return merges, vocab
+
+
+def apply_bpe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    *,
+    vocab_df: DataFrame | None = None,
+) -> DataFrame:
+    """Tokenize a corpus with trained merges: (id, word_idx, pieces).
+
+    Fast path: join against the trained ``vocab_df`` symbol table (one
+    broadcast-or-shuffle join; every seen word is O(1)). Fallback (and
+    the whole path when ``vocab_df`` is None): replay the merges in rank
+    order as chained folds — exact same result, used for out-of-vocabulary
+    words at inference time."""
+    from .dedup import tokenize
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("word_idx", "word"),
+    )
+    if vocab_df is not None:
+        table = vocab_df.select("word", F.col("syms").alias("pieces"))
+        seen = words.join(table, "word", "left")
+        replay = _chars_with_eow(F.col("word"))
+        for left, right in merges:
+            replay = _merge_fold(replay, left, right)
+        return seen.select(
+            id_col,
+            "word_idx",
+            F.coalesce("pieces", replay).alias("pieces"),
+        )
+    replay = _chars_with_eow(F.col("word"))
+    for left, right in merges:
+        replay = _merge_fold(replay, left, right)
+    return words.select(id_col, "word_idx", replay.alias("pieces"))

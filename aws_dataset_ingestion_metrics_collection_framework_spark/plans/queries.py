@@ -3540,6 +3540,24 @@ SELECT user_id, ts, ROUND(f, 6) AS value FROM filled WHERE is_obs = 0
 """
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE (``operators/bpe.py``): train 30 merges on the
+    doc_id < 50 slice, tokenize it via the trained-vocab join path.
+
+    Rows-only contract (iterative global-argmax training is not
+    SQL-expressible); the oracle-equivalent pin is tests/test_bpe.py's
+    EXACT equality with a pure-Python reference implementation on real
+    corpus data, plus partitioning-determinism."""
+    from ..operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    merges, vocab = B.train_bpe(docs, "text", num_merges=30)
+    out = B.apply_bpe(docs, "doc_id", "text", merges, vocab_df=vocab)
+    return out.select(
+        "doc_id", "word_idx", F.array_join("pieces", " ").alias("pieces")
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram (``dq.numeric_histogram``) of events.value, 16
     bins over the observed min/max. The oracle repeats the identical IEEE
@@ -3859,6 +3877,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_histogram": q_value_histogram,
     # r5: forward-fill grid resampling
     "resample_ffill": q_resample_ffill,
+    # r5: distributed BPE tokenizer training (rows-only: iterative
+    # global-argmax — pinned by tests/test_bpe.py reference equality)
+    "bpe_tokenize": q_bpe_tokenize,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,

@@ -45,6 +45,9 @@ ROWS_ONLY_ALLOWED = {
     # iterative LBFGS training; pinned by tests/test_mlquality.py (AUC,
     # holdout generalization, refit determinism)
     "quality_scores",
+    # iterative global-argmax BPE training; pinned by tests/test_bpe.py
+    # EXACT equality with a pure-Python reference implementation
+    "bpe_tokenize",
 }
 
 
