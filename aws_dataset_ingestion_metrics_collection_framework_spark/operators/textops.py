@@ -600,3 +600,56 @@ def perplexity_scores(
     # both engines by construction
     w = Window.orderBy(F.desc_nulls_last("avg_micro"), F.col(id_col))
     return out.withColumn("bucket", F.ntile(n_buckets).over(w)).drop("avg_micro")
+
+
+def assign_row_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    n_partitions: int | None = None,
+    id_col: str = "row_id",
+) -> DataFrame:
+    """Contiguous global row ids 0..n-1 in ``order_cols`` order — the
+    example-numbering step before sharded training output (the
+    ``zipWithIndex`` pattern, DataFrame-native).
+
+    A naive ``row_number() OVER (ORDER BY ...)`` sorts EVERYTHING in one
+    task. This is the two-phase scale recipe instead:
+
+    1. range-partition + sort within partitions on the order key (the
+       ordinary distributed sort — every partition holds a disjoint key
+       range, in order);
+    2. pin partition ids (``localCheckpoint`` — pids must not be
+       recomputed differently between the two uses), count rows per
+       partition (#partitions rows to the driver — bounded planning
+       data), prefix-sum the offsets, broadcast them back;
+    3. id = partition offset + (row_number within partition) - 1.
+
+    Provided ``order_cols`` is a TOTAL order (include a unique tie-break
+    column), the result equals the naive global ROW_NUMBER exactly —
+    range boundaries only decide WHERE the work happens, never the ids —
+    which is what the DuckDB oracle checks.
+    """
+    from pyspark.sql.window import Window
+
+    parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    sorted_df = (
+        df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = sorted_df.groupBy("_pid").count().orderBy("_pid").collect()
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["_pid"], acc))
+        acc += r["count"]
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        sorted_df.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            id_col, (F.col("_offset") + F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("_pid", "_offset")
+    )

@@ -3540,6 +3540,23 @@ SELECT user_id, ts, ROUND(f, 6) AS value FROM filled WHERE is_obs = 0
 """
 
 
+def q_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row ids (``textops.assign_row_ids``) over events
+    ordered by (ts, event_id) — the two-phase range-partition + offset
+    recipe whose ids must equal a naive global ROW_NUMBER exactly (range
+    boundaries move work, never ids). That equality IS the oracle."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    out = TX.assign_row_ids(ev, ["ts", "event_id"], n_partitions=8)
+    return out.select("event_id", "row_id")
+
+
+ROW_IDS_ORACLE = """
+SELECT event_id,
+       ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS row_id
+FROM events WHERE user_id < 100
+"""
+
+
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE (``operators/bpe.py``): train 30 merges on the
     doc_id < 50 slice, tokenize it via the trained-vocab join path.
@@ -3880,6 +3897,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5: distributed BPE tokenizer training (rows-only: iterative
     # global-argmax — pinned by tests/test_bpe.py reference equality)
     "bpe_tokenize": q_bpe_tokenize,
+    # r5: contiguous row ids via range-partition + offsets
+    "row_ids": q_row_ids,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -4109,6 +4128,7 @@ ORACLES: dict[str, str] = {
     "link_graph": LINK_GRAPH_ORACLE,
     "value_histogram": VALUE_HISTOGRAM_ORACLE,
     "resample_ffill": RESAMPLE_FFILL_ORACLE,
+    "row_ids": ROW_IDS_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

@@ -717,3 +717,21 @@ class TestPerplexity:
         plan = perplexity_scores(df, "doc_id", "text", bucket_thresholds=[-0.4]
                                  )._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
+
+
+class TestAssignRowIds:
+    def test_equals_global_row_number_and_contiguous(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import assign_row_ids
+        rows = [(i, (i * 37) % 1000) for i in range(1000)]
+        df = spark.createDataFrame(rows, "pk long, key long")
+        out = assign_row_ids(df, ["key", "pk"], n_partitions=7)
+        got = sorted((r["row_id"], r["pk"]) for r in out.collect())
+        want = [(i, pk) for i, (pk, _) in enumerate(sorted(rows, key=lambda x: (x[1], x[0])))]
+        assert got == want                         # exact global order, 0..n-1
+
+    def test_partition_count_does_not_change_ids(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import assign_row_ids
+        df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+        a = {r["k"]: r["row_id"] for r in assign_row_ids(df, ["k"], n_partitions=3).collect()}
+        b = {r["k"]: r["row_id"] for r in assign_row_ids(df.repartition(11), ["k"], n_partitions=9).collect()}
+        assert a == b
