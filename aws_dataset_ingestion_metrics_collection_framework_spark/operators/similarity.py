@@ -360,3 +360,61 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str, vec_col: str, *, out_col: str = "qvec"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = round(x_i * 127 /
+    max|x|), scale stored alongside — a 4× storage/bandwidth cut for
+    embedding tables (the compression every billion-vector ANN corpus
+    applies before indexing; dequantized cosine error is bounded by
+    ~1/127 per axis).
+
+    Map-only HOF arithmetic, zero shuffle. max|x| is bound once per row
+    (``bind_once`` discipline — a lambda reference would rescan the array
+    per element). Zero vectors quantize to zeros with scale 0. Exactly
+    reproducible cross-engine: max, one double division and ROUND are
+    identical IEEE steps in Spark and DuckDB."""
+    from ..operators.dedup import bind_once
+
+    vec = F.col(vec_col)
+    mx_expr = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    # one bind_once packs both outputs so the max is computed ONCE per row
+    # (referencing a max expression inside the per-element lambda would
+    # rescan the array per element — no CSE through HOFs)
+    packed = bind_once(
+        mx_expr,
+        lambda m: F.struct(
+            F.when(
+                m > 0.0,
+                F.transform(
+                    vec,
+                    lambda x: F.round(
+                        x.cast("double") * F.lit(127.0) / m
+                    ).cast("int"),
+                ),
+            )
+            .otherwise(F.transform(vec, lambda x: F.lit(0)))
+            .alias("q"),
+            F.when(m > 0.0, m / F.lit(127.0)).otherwise(F.lit(0.0)).alias("s"),
+        ),
+    )
+    return df.select(F.col(id_col), packed.alias("_p")).select(
+        id_col,
+        F.col("_p.q").alias(out_col),
+        F.col("_p.s").cast("double").alias("scale"),
+    )
+
+
+def dequantize_int8(
+    df: DataFrame, qvec_col: str = "qvec", scale_col: str = "scale",
+    *, out_col: str = "vec"
+) -> Column | DataFrame:
+    """Inverse map: x̂_i = q_i * scale (map-only)."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(qvec_col), lambda q: q.cast("double") * F.col(scale_col)
+        ),
+    )

@@ -3540,6 +3540,36 @@ SELECT user_id, ts, ROUND(f, 6) AS value FROM filled WHERE is_obs = 0
 """
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (``similarity.quantize_int8``)
+    over the embeddings table — every lane reproduced exactly by the
+    oracle's identical IEEE max/divide/round chain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SIM.quantize_int8(emb, "vec_id", "embedding")
+    return out.select(
+        "vec_id",
+        F.array_join(F.col("qvec"), ",").alias("qvec"),
+        F.round("scale", 9).alias("scale"),
+    )
+
+
+QUANTIZE_EMB_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x)), 'max') AS mx
+  FROM embeddings
+)
+SELECT vec_id,
+       array_to_string(
+         CASE WHEN mx > 0
+              THEN list_transform(e, x -> CAST(round(x * 127.0 / mx) AS INTEGER))
+              ELSE list_transform(e, x -> 0) END, ',') AS qvec,
+       ROUND(CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END, 9) AS scale
+FROM v
+"""
+
+
 def q_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguous global row ids (``textops.assign_row_ids``) over events
     ordered by (ts, event_id) — the two-phase range-partition + offset
@@ -3899,6 +3929,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_tokenize": q_bpe_tokenize,
     # r5: contiguous row ids via range-partition + offsets
     "row_ids": q_row_ids,
+    # r5: int8 embedding quantization
+    "quantize_embeddings": q_quantize_embeddings,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -4129,6 +4161,7 @@ ORACLES: dict[str, str] = {
     "value_histogram": VALUE_HISTOGRAM_ORACLE,
     "resample_ffill": RESAMPLE_FFILL_ORACLE,
     "row_ids": ROW_IDS_ORACLE,
+    "quantize_embeddings": QUANTIZE_EMB_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

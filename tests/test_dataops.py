@@ -735,3 +735,42 @@ class TestAssignRowIds:
         a = {r["k"]: r["row_id"] for r in assign_row_ids(df, ["k"], n_partitions=3).collect()}
         b = {r["k"]: r["row_id"] for r in assign_row_ids(df.repartition(11), ["k"], n_partitions=9).collect()}
         assert a == b
+
+
+class TestQuantizeInt8:
+    def test_roundtrip_error_bounded_and_recall_preserved(self, spark, sf_dir):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+            brute_force_topk, dequantize_int8, quantize_int8)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = quantize_int8(emb, "vec_id", "embedding")
+        deq = dequantize_int8(q).select("vec_id", F.col("vec").alias("embedding"))
+        # per-axis reconstruction error <= scale/2
+        joined = emb.join(q, "vec_id").select(
+            F.array_max(F.zip_with(
+                F.col("embedding"), F.col("qvec"),
+                lambda x, qi: F.abs(x.cast("double") - qi.cast("double") * F.col("scale")),
+            )).alias("err"), "scale")
+        bad = joined.filter(F.col("err") > F.col("scale") * 0.5 + 1e-12).count()
+        assert bad == 0
+        # top-1 neighbors survive quantization for most queries
+        queries = emb.filter(F.col("vec_id") < 15)
+        exact = {r["query_id"]: r["neighbor_id"]
+                 for r in brute_force_topk(queries, emb, k=1).collect()}
+        dq = {r["query_id"]: r["neighbor_id"]
+              for r in brute_force_topk(queries.join(deq.select("vec_id", F.col("embedding").alias("e2")), "vec_id")
+                                        .select("vec_id", F.col("e2").alias("embedding"), "label"),
+                                        deq, k=1).collect()}
+        agree = sum(1 for k in exact if dq.get(k) == exact[k])
+        assert agree / len(exact) >= 0.8
+
+    def test_zero_vector(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import quantize_int8
+        df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+        r = quantize_int8(df, "vec_id", "embedding").collect()[0]
+        assert r["qvec"] == [0, 0, 0] and r["scale"] == 0.0
+
+    def test_extremes_map_to_127(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import quantize_int8
+        df = spark.createDataFrame([(1, [2.0, -2.0, 1.0])], "vec_id long, embedding array<double>")
+        r = quantize_int8(df, "vec_id", "embedding").collect()[0]
+        assert r["qvec"] == [127, -127, 64] and r["scale"] == 2.0 / 127.0
