@@ -146,3 +146,78 @@ def write_z_ordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def targeted_delete(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    delete_keys: DataFrame,
+    key_col: str,
+) -> dict:
+    """Right-to-be-forgotten delete that rewrites ONLY the files containing
+    a target key — at 100 TB a GDPR erasure request must not become a
+    full-lake rewrite.
+
+    Three passes, all over slim data:
+
+    1. locate: scan (key, ``_metadata.file_path``) and broadcast-join the
+       (always small: it is an erasure request list) key set → the affected
+       file list. On a range-sorted/Z-ordered layout (``write_range_sorted``)
+       parquet min/max stats prune this scan to candidate files already.
+    2. rewrite: read ONLY the affected files, anti-join the keys out, write
+       them as replacement files under ``dest_path``.
+    3. carry: untouched files are NOT read or rewritten — they are
+       hard-linked (fallback: copied) into ``dest_path`` byte-identical.
+
+    Write-to-new-path swap discipline as ``compact_files`` (readers of
+    ``src_path`` stay consistent; the caller repoints atomically). Returns
+    {files_total, files_rewritten, rows_deleted}.
+    """
+    import os
+    import shutil
+
+    keys = delete_keys.select(F.col(key_col).alias("_del_key")).distinct()
+    located = (
+        spark.read.parquet(src_path)
+        .select(F.col(key_col), F.col("_metadata.file_path").alias("_file"))
+        .join(F.broadcast(keys), F.col(key_col) == F.col("_del_key"), "inner")
+        .select("_file")
+        .distinct()
+    )
+    def _local(p: str) -> str:
+        # Spark reports file:/path or file:///path depending on context
+        return p.removeprefix("file://").removeprefix("file:")
+
+    affected = sorted(_local(r["_file"]) for r in located.collect())
+    all_files = sorted(
+        os.path.join(src_path, f)
+        for f in os.listdir(src_path)
+        if f.endswith(".parquet")
+    )
+    os.makedirs(dest_path, exist_ok=True)
+
+    rows_deleted = 0
+    if affected:
+        hit = spark.read.parquet(*affected)
+        n_before = hit.count()
+        survivors = hit.join(
+            F.broadcast(keys), F.col(key_col) == F.col("_del_key"), "left_anti"
+        )
+        survivors.write.mode("append").parquet(dest_path)
+        rows_deleted = n_before - survivors.count()
+
+    affected_set = set(affected)
+    for f in all_files:
+        if f in affected_set:
+            continue
+        dst = os.path.join(dest_path, os.path.basename(f))
+        try:
+            os.link(f, dst)  # byte-identical carry, zero IO
+        except OSError:
+            shutil.copy2(f, dst)
+    return {
+        "files_total": len(all_files),
+        "files_rewritten": len(affected),
+        "rows_deleted": rows_deleted,
+    }

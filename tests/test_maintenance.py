@@ -97,3 +97,43 @@ def test_range_sorted_files_have_disjoint_key_ranges(spark, tmpdir):
     spans = sorted((r["lo"], r["hi"]) for r in per_file)
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # contiguous, non-overlapping key ranges
+
+
+class TestTargetedDelete:
+    def test_only_affected_files_rewritten(self, spark, tmp_path):
+        import os
+        from aws_dataset_ingestion_metrics_collection_framework_spark.sources.maintenance import (
+            targeted_delete, write_range_sorted)
+        src = str(tmp_path / "src")
+        dest = str(tmp_path / "dest")
+        df = spark.createDataFrame([(i, f"u{i % 50}") for i in range(2000)],
+                                   "row long, user string")
+        # range-sorted on user -> each user confined to few files
+        write_range_sorted(df, src, ["user"], num_files=8)
+        before = {f: os.stat(os.path.join(src, f)).st_ino
+                  for f in os.listdir(src) if f.endswith(".parquet")}
+
+        victims = spark.createDataFrame([("u3",), ("u4",)], "user string")
+        plan = targeted_delete(spark, src, dest, victims, "user")
+
+        assert plan["rows_deleted"] == 80                    # 2 users x 40 rows
+        assert 0 < plan["files_rewritten"] < plan["files_total"]
+        out = spark.read.parquet(dest)
+        assert out.filter(F.col("user").isin("u3", "u4")).count() == 0
+        assert out.count() == 2000 - 80
+        # carried files are the SAME inode (zero-IO hard link)
+        carried = [f for f in os.listdir(dest)
+                   if f.endswith(".parquet") and f in before]
+        assert carried
+        for f in carried:
+            assert os.stat(os.path.join(dest, f)).st_ino == before[f]
+
+    def test_no_hits_carries_everything(self, spark, tmp_path):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.sources.maintenance import targeted_delete
+        src = str(tmp_path / "s2"); dest = str(tmp_path / "d2")
+        spark.createDataFrame([(1, "a"), (2, "b")], "row long, user string") \
+             .repartition(2).write.parquet(src)
+        plan = targeted_delete(spark, src, dest,
+                               spark.createDataFrame([("zz",)], "user string"), "user")
+        assert plan["files_rewritten"] == 0 and plan["rows_deleted"] == 0
+        assert spark.read.parquet(dest).count() == 2
