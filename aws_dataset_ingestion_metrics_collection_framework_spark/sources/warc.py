@@ -178,7 +178,10 @@ def read_warc(
     downstream shuffles).
     """
     files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return _parse_and_split(files, record_types, keep_payload)
 
+
+def _parse_mapper():
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "warc_file", "record_offset", "record_id", "warc_type", "url",
@@ -192,7 +195,13 @@ def read_warc(
                     rows.append([rec.get(c) for c in cols])
             yield pd.DataFrame(rows, columns=cols)
 
-    parsed = files.mapInPandas(parse, schema=_PARSED_SCHEMA)
+    return parse
+
+
+def _parse_and_split(
+    files: DataFrame, record_types: tuple[str, ...], keep_payload: bool
+) -> tuple[DataFrame, DataFrame]:
+    parsed = files.mapInPandas(_parse_mapper(), schema=_PARSED_SCHEMA)
     good = parsed.filter(F.col("error").isNull()).drop("error")
     if record_types:
         good = good.filter(F.col("warc_type").isin(*record_types))
@@ -202,6 +211,34 @@ def read_warc(
         "warc_file", "record_offset", "error"
     )
     return good, bad
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    record_types: tuple[str, ...] = ("response",),
+    keep_payload: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming twin of :func:`read_warc`: watch a crawl-drop directory
+    and parse WARC shards as they land (the continuous-crawl ingest mode —
+    a fetcher fleet appends shards, this stream turns them into the same
+    (url, ts, mime, text) surface incrementally, exactly-once per file via
+    the file-source checkpoint).
+
+    Same record parser, same corrupt routing, stateless ``mapInPandas`` —
+    so every batch guarantee read_warc's tests pin carries over
+    per-micro-batch. ``maxFilesPerTrigger`` is the backpressure bound.
+    Both returned DataFrames are streaming; route them with foreachBatch
+    (two sinks) or writeStream directly."""
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+    return _parse_and_split(files, record_types, keep_payload)
 
 
 def warc_bytes(records: list[dict]) -> bytes:

@@ -106,3 +106,55 @@ def test_composes_into_curation(spark, tmp_path):
     )
     domains = {r["domain"] for r in extract_domains(docs, "doc_id", "text").collect()}
     assert {"a.example", "b.example"} <= domains
+
+
+def test_streaming_warc_matches_batch(spark, tmp_path):
+    """read_warc_stream over a landing dir produces exactly the batch
+    reader's rows (same parser, exactly-once per file), including corrupt
+    routing — one availableNow pass over two shards, one corrupt."""
+    import os
+    from aws_dataset_ingestion_metrics_collection_framework_spark.sources.warc import (
+        read_warc, read_warc_stream, warc_bytes)
+
+    land = tmp_path / "landing"; land.mkdir()
+    recs = [{"url": f"http://s.example/{i}", "date": "2026-01-01T00:00:00Z",
+             "body": f"payload {i}"} for i in range(10)]
+    (land / "a.warc").write_bytes(warc_bytes(recs[:5]))
+    (land / "b.warc").write_bytes(warc_bytes(recs[5:]))
+    (land / "junk.warc").write_bytes(b"WARC/1.0\r\nbroken")
+
+    good_b, bad_b = read_warc(spark, str(land))
+    want = sorted((r["url"], r["text"]) for r in good_b.collect())
+    want_bad = bad_b.count()
+
+    good_s, bad_s = read_warc_stream(spark, str(land), max_files_per_trigger=1)
+    out_good = str(tmp_path / "out_good"); out_bad = str(tmp_path / "out_bad")
+
+    def route(batch, _bid):
+        batch.persist()
+        batch.filter(batch["error"].isNull()).drop("error", "payload") \
+             .filter(batch["warc_type"] == "response") \
+             .write.mode("append").parquet(out_good)
+        batch.filter(batch["error"].isNotNull()) \
+             .select("warc_file", "record_offset", "error") \
+             .write.mode("append").parquet(out_bad)
+        batch.unpersist()
+
+    # drive the un-split parsed stream through one foreachBatch with both
+    # sinks (the two-sink routing pattern start_ingest uses)
+    from aws_dataset_ingestion_metrics_collection_framework_spark.sources import warc as W
+    files = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    ).option("maxFilesPerTrigger", 1).load(str(land)).select("path", "content")
+    parsed = files.mapInPandas(W._parse_mapper(), schema=W._PARSED_SCHEMA)
+    q = parsed.writeStream.foreachBatch(route).trigger(availableNow=True) \
+        .option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    q.awaitTermination(120)
+
+    got = sorted((r["url"], r["text"])
+                 for r in spark.read.parquet(out_good).collect())
+    assert got == want
+    assert spark.read.parquet(out_bad).count() == want_bad
+
+    # the split helper on a streaming reader yields streaming frames
+    assert good_s.isStreaming and bad_s.isStreaming
