@@ -71,3 +71,62 @@ def test_scd2_intervals_are_contiguous_and_single_current(spark):
         assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
         for a, b in zip(rows, rows[1:]):
             assert a["valid_to"] == b["valid_from"]  # no gaps, no overlaps
+
+
+class TestTableDiff:
+    """Snapshot diff: change classification + column-level blame."""
+
+    def _diff(self, spark, old_rows, new_rows, **kw):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.cdc import table_diff
+        old = _df(spark, old_rows)
+        new = _df(spark, new_rows)
+        out = table_diff(old, new, ["k"], ["op", "v"], **kw)
+        return {r["k"]: (r["change_type"], r["changed_cols"]) for r in out.collect()}
+
+    def test_insert_delete_update_classified(self, spark):
+        d = self._diff(
+            spark,
+            [(1, 1, "U", "a"), (2, 1, "U", "x"), (3, 1, "U", "same")],
+            [(1, 2, "U", "a2"), (3, 1, "U", "same"), (4, 1, "U", "new")],
+        )
+        assert d == {
+            1: ("update", "v"),
+            2: ("delete", ""),
+            4: ("insert", ""),
+        }  # key 3 unchanged -> dropped
+
+    def test_null_transitions_count_as_changes(self, spark):
+        d = self._diff(
+            spark,
+            [(1, 1, "U", None), (2, 1, "U", "x"), (3, 1, None, None)],
+            [(1, 1, "U", "now"), (2, 1, "U", None), (3, 1, None, None)],
+        )
+        # NULL->value and value->NULL both blame the column; all-NULL
+        # comparands on both sides are equal (key 3 unchanged).
+        assert d == {1: ("update", "v"), 2: ("update", "v")}
+
+    def test_multi_column_blame_is_comma_joined(self, spark):
+        d = self._diff(
+            spark,
+            [(1, 1, "U", "a")],
+            [(1, 1, "D", "b")],
+        )
+        assert d == {1: ("update", "op,v")}
+
+    def test_include_unchanged_keeps_all_keys(self, spark):
+        d = self._diff(
+            spark,
+            [(1, 1, "U", "a")],
+            [(1, 1, "U", "a")],
+            include_unchanged=True,
+        )
+        assert d == {1: ("unchanged", "")}
+
+    def test_compare_cols_defaults_to_non_key_columns(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.cdc import table_diff
+        old = _df(spark, [(1, 1, "U", "a")])
+        new = _df(spark, [(1, 2, "U", "a")])  # seq changed -> update
+        out = table_diff(old, new, ["k"]).collect()
+        assert [(r["change_type"], r["changed_cols"]) for r in out] == [
+            ("update", "seq")
+        ]
