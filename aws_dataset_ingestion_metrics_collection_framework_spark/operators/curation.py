@@ -230,6 +230,97 @@ def stratified_sample(
     return df.filter(h < rate)
 
 
+def group_sample(
+    df: DataFrame,
+    id_col: str,
+    group_cols: list[str],
+    k: int,
+    *,
+    salt: str = "gsamp",
+    oversample: float = 2.0,
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Exactly-k uniform sample per group, deterministic across runs,
+    engines, retries, and cluster sizes — the reservoir-sampling result
+    (each size-k subset of a group equally likely under the random-oracle
+    hash) without reservoir state.
+
+    Semantics: per group, keep the k rows with the smallest
+    ``(hash(salt:id), id)`` — a seeded total order, so the same k rows
+    come back no matter how the data is partitioned. Groups smaller than
+    k are kept whole. Output adds ``sample_rank`` (1..k within group).
+
+    Scale shape (the part a naive ``row_number() per group`` gets wrong):
+    ranking every row of a 100 TB group means shuffling and sorting the
+    whole group. Instead, a two-phase plan: (1) slim per-group counts
+    (map-side combined) broadcast back; (2) a MAP-ONLY hash-threshold
+    pre-filter keeps ~``oversample * k`` expected rows per group (all
+    rows when the group is small enough that the threshold is vacuous);
+    only these candidates shuffle into the exact window sort. A binomial
+    undershoot (fewer than k survivors in an oversampled group —
+    astronomically rare at oversample=2 but not impossible) is handled
+    exactly: such groups are replayed through an unfiltered ranking, so
+    the operator's OUTPUT is always exactly the top-k by hash order;
+    the threshold only prunes work, never changes the result.
+
+    ``hash_fn='xx'`` ranks by xxhash64 (fastest, scale default); ``'md5'``
+    ranks by the 60-bit md5 hash DuckDB reproduces bit-for-bit — the
+    cross-engine-oracle variant.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    hf = F.xxhash64 if hash_fn == "xx" else md5_60bit
+    h = hf(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    # Signed-64 domain: shift to unsigned fraction via a decimal offset so
+    # the ppm threshold arithmetic stays integer-exact in both engines.
+    hashed = df.withColumn("_h", h)
+
+    counts = hashed.groupBy(*group_cols).agg(F.count("*").alias("_n"))
+    with_n = hashed.join(F.broadcast(counts), on=group_cols, how="inner")
+
+    # Threshold over the hash domain — signed 64-bit for xxhash64,
+    # [0, 2^60) for md5_60bit: keep iff h < lo + span * min(1,
+    # oversample*k/n). Computed in double — fine, because the EXACT top-k
+    # window below decides membership; the threshold only has to be a
+    # superset with overwhelming probability (undershoot replays).
+    lo, span = (-(2.0**63), 2.0**64) if hash_fn == "xx" else (0.0, 2.0**60)
+    frac = F.least(F.lit(1.0), F.lit(float(oversample) * k) / F.col("_n"))
+    cutoff = F.lit(lo) + F.lit(span) * frac
+    cand = with_n.filter(F.col("_h").cast("double") < cutoff)
+
+    w = Window.partitionBy(*group_cols).orderBy("_h", id_col)
+    ranked = cand.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_nc", F.count("*").over(Window.partitionBy(*group_cols))
+    )
+    ok = ranked.filter((F.col("_nc") >= F.least(F.lit(k), F.col("_n"))))
+
+    # Replay branch for undershot groups (survivors < min(k, n)): rank the
+    # FULL group. Usually an empty frame — the join keeps the plan lazy
+    # and distributed; no driver-side check. Derived from the COUNTS
+    # table, not the candidate rows, so a group whose candidates all
+    # missed the threshold (zero survivors) is still replayed.
+    cand_counts = cand.groupBy(*group_cols).agg(F.count("*").alias("_nc2"))
+    short = (
+        counts.join(cand_counts, on=group_cols, how="left")
+        .filter(
+            F.coalesce(F.col("_nc2"), F.lit(0)) < F.least(F.lit(k), F.col("_n"))
+        )
+        .select(*group_cols)
+    )
+    replay = (
+        with_n.join(F.broadcast(short), on=group_cols, how="left_semi")
+        .withColumn("_rk", F.row_number().over(w))
+    )
+
+    out_cols = df.columns + [F.col("_rk").alias("sample_rank")]
+    return (
+        ok.filter(F.col("_rk") <= k).select(*out_cols)
+        .unionByName(replay.filter(F.col("_rk") <= k).select(*out_cols))
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4 line-level cleaning (Raffel et al. 2020, §2.2 of the T5 paper)
 # ---------------------------------------------------------------------------

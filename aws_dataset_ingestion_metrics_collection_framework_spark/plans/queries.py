@@ -2240,6 +2240,36 @@ ORDER BY 1
 """
 
 
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-40 deterministic uniform sample per event_type (the
+    reservoir-sampling contract without reservoir state): two-phase
+    hash-threshold prefilter + exact candidate ranking, md5 variant so
+    DuckDB reproduces the identical sample."""
+    ev = load_table(spark, sf_dir, "events")
+    return CU.group_sample(
+        ev.select("event_type", "event_id", "user_id"),
+        "event_id", ["event_type"], 40, hash_fn="md5",
+    ).orderBy("event_type", "sample_rank")
+
+
+GROUP_SAMPLE_ORACLE = """
+WITH h AS (
+  SELECT event_type, event_id, user_id,
+         ('0x' || substr(md5('gsamp:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+  FROM events
+),
+r AS (
+  SELECT event_type, event_id, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY hh, event_id) AS sample_rank
+  FROM h
+)
+SELECT event_type, event_id, user_id, CAST(sample_rank AS INTEGER) AS sample_rank
+FROM r WHERE sample_rank <= 40
+ORDER BY event_type, sample_rank
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -3990,6 +4020,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings": q_quantize_embeddings,
     # r5: CDC snapshot diff with column-level blame
     "snapshot_diff": q_snapshot_diff,
+    # r5: exactly-k per-group deterministic sampling (two-phase threshold)
+    "group_sample": q_group_sample,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -4222,6 +4254,7 @@ ORACLES: dict[str, str] = {
     "row_ids": ROW_IDS_ORACLE,
     "quantize_embeddings": QUANTIZE_EMB_ORACLE,
     "snapshot_diff": SNAPSHOT_DIFF_ORACLE,
+    "group_sample": GROUP_SAMPLE_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled
