@@ -2270,6 +2270,30 @@ ORDER BY event_type, sample_rank
 """
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join of 32-char document title prefixes at Levenshtein
+    distance ≤ 2 (typo'd-title entity resolution) — q-gram count-filtered
+    candidates + exact verify; equals the brute all-pairs oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.lower(F.substring("text", 1, 32)).alias("title")
+    )
+    return D.edit_distance_pairs(
+        t, "doc_id", "title", max_dist=2, q=3
+    ).orderBy("id_a", "id_b")
+
+
+FUZZY_JOIN_ORACLE = """
+WITH t AS (SELECT doc_id, lower(substr(text, 1, 32)) AS s FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+FROM t a JOIN t b ON b.doc_id > a.doc_id
+                 AND abs(length(a.s) - length(b.s)) <= 2
+WHERE levenshtein(a.s, b.s) <= 2
+ORDER BY 1, 2
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -4022,6 +4046,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     # r5: exactly-k per-group deterministic sampling (two-phase threshold)
     "group_sample": q_group_sample,
+    # r5: edit-distance fuzzy join (q-gram count filter + exact verify)
+    "fuzzy_join": q_fuzzy_join,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -4255,6 +4281,7 @@ ORACLES: dict[str, str] = {
     "quantize_embeddings": QUANTIZE_EMB_ORACLE,
     "snapshot_diff": SNAPSHOT_DIFF_ORACLE,
     "group_sample": GROUP_SAMPLE_ORACLE,
+    "fuzzy_join": FUZZY_JOIN_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

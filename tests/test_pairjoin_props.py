@@ -72,3 +72,45 @@ def test_interval_overlap_equals_brute_force(spark, ls, rs, width):
         if ls_ < le and rs_ < re and ls_ < re and rs_ < le
     )
     assert got == want
+
+
+def _lev(a, b):
+    # textbook DP reference
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[n]
+
+
+_word = st.text(alphabet="abc", min_size=0, max_size=12)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_word, min_size=2, max_size=25), st.integers(min_value=0, max_value=3))
+def test_edit_distance_pairs_equals_brute_force(spark, words, k):
+    """The q-gram count filter + short-string bucket must be COMPLETE:
+    output equals brute-force Levenshtein over all pairs. Short alphabet
+    ('abc') maximizes repeated grams — the worst case for set-style
+    filters; lengths 0..12 straddle the short-string bound for q=3."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(list(enumerate(words)), "id long, s string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(df, "id", "s", max_dist=k).collect()
+    )
+    want = sorted(
+        (i, j, _lev(a, b))
+        for i, a in enumerate(words)
+        for j, b in enumerate(words)
+        if i < j and _lev(a, b) <= k
+    )
+    assert got == want
