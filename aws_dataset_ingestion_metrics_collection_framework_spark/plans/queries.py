@@ -2294,6 +2294,41 @@ ORDER BY 1, 2
 """
 
 
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized daily rollup maintained incrementally: history
+    (ts < Jan 15) and the new increment (ts >= Jan 15) are aggregated to
+    mergeable partial states SEPARATELY, merged, then finalized — and the
+    result must equal a one-shot full recompute exactly (the algebraic
+    merge property that makes O(increment) refresh safe at 100 TB)."""
+    from ..operators import rollup as RU
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    hist = RU.rollup_partials(
+        ev.filter(F.col("ts") < cut), ["event_type"], "ts", "value"
+    )
+    inc = RU.rollup_partials(
+        ev.filter(F.col("ts") >= cut), ["event_type"], "ts", "value"
+    )
+    return RU.finalize_rollup(RU.merge_rollup(hist, inc)).orderBy(
+        "event_type", "window_start"
+    )
+
+
+INCREMENTAL_ROLLUP_ORACLE = """
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       COUNT(value) AS cnt,
+       ROUND(SUM(value), 6) AS vsum,
+       MIN(value) AS vmin,
+       MAX(value) AS vmax,
+       ROUND(SUM(value) / COUNT(value), 6) AS vavg
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -4048,6 +4083,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_sample": q_group_sample,
     # r5: edit-distance fuzzy join (q-gram count filter + exact verify)
     "fuzzy_join": q_fuzzy_join,
+    # r5: incremental materialized-rollup maintenance (merge == recompute)
+    "incremental_rollup": q_incremental_rollup,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -4282,6 +4319,7 @@ ORACLES: dict[str, str] = {
     "snapshot_diff": SNAPSHOT_DIFF_ORACLE,
     "group_sample": GROUP_SAMPLE_ORACLE,
     "fuzzy_join": FUZZY_JOIN_ORACLE,
+    "incremental_rollup": INCREMENTAL_ROLLUP_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled
