@@ -2279,7 +2279,7 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lower(F.substring("text", 1, 32)).alias("title")
     )
     return D.edit_distance_pairs(
-        t, "doc_id", "title", max_dist=2, q=3
+        t, "doc_id", "title", max_dist=2, q=5
     ).orderBy("id_a", "id_b")
 
 

@@ -101,6 +101,15 @@ HEADLINE = [
     # CCNet perplexity filter: bigram-LM train + score (two count shuffles
     # + one join-aggregate over doc bigrams)
     "perplexity",
+    # round-5b additions: snapshot_diff (one full-outer key join),
+    # group_sample (threshold prefilter + candidate window), fuzzy_join
+    # (prefix-filtered q-gram element join + levenshtein verify),
+    # incremental_rollup (partials + slim state merge) — each sets its
+    # own r5 baseline
+    "snapshot_diff",
+    "group_sample",
+    "fuzzy_join",
+    "incremental_rollup",
 ]
 
 # Benched since r1 — the frozen cross-round comparison basket (see §3 above).

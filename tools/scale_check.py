@@ -62,6 +62,11 @@ PROBES = [
     # window sort)
     "html_extract", "url_dedup", "kmv_overlap", "substring_dedup",
     "corpus_shuffle", "perplexity",
+    # r5b: snapshot diff (one full-outer key join), group sampling
+    # (counts + threshold prefilter + candidate window), fuzzy join
+    # (q-gram inverted index with count filter), incremental rollup
+    # (map-side-combined partials + slim state merge)
+    "snapshot_diff", "group_sample", "fuzzy_join", "incremental_rollup",
 ]
 
 SF1_TABLES = (
