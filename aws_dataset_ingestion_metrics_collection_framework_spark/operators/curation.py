@@ -321,6 +321,53 @@ def group_sample(
     )
 
 
+def compression_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document zlib compression ratio — the repetitive/templated-text
+    detector used by large-corpus quality pipelines (boilerplate, keyword
+    stuffing and generated spam compress far better than natural prose;
+    a very HIGH ratio flags binary-ish/random content instead).
+
+    Output: id + ``n_bytes`` (UTF-8 length), ``n_compressed`` (zlib level-6
+    DEFLATE size), ``compression_ratio`` (compressed/raw, 6 digits; NULL
+    for empty text).
+
+    This is one of the engine's few documented built-ins-can't Python
+    boundaries (Spark has no SQL DEFLATE): an Arrow ``mapInPandas`` stage
+    over exactly (id, text) — column-pruned before the boundary, map-only,
+    zero shuffle; zlib itself runs at C speed. DEFLATE output for a given
+    (input, level) is deterministic for a given zlib build, and the
+    RATIO's downstream use is thresholding — the pinned contracts
+    (ordering of repetitive vs prose vs random, bounds) are build-stable.
+    """
+    import pandas as pd  # local import: keep module import light
+    import zlib
+
+    out_schema = (
+        f"{id_col} long, n_bytes long, n_compressed long, compression_ratio double"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, nb, nc, ratio = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = (t or "").encode("utf-8")
+                comp = len(zlib.compress(raw, 6)) if raw else 0
+                ids.append(i)
+                nb.append(len(raw))
+                nc.append(comp)
+                ratio.append(round(comp / len(raw), 6) if raw else None)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "compression_ratio": ratio,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # C4 line-level cleaning (Raffel et al. 2020, §2.2 of the T5 paper)
 # ---------------------------------------------------------------------------

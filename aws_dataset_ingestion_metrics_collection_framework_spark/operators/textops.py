@@ -8,6 +8,7 @@ linearly with input bytes.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import bind_once, tokenize
@@ -653,3 +654,35 @@ def assign_row_ids(
         )
         .drop("_pid", "_offset")
     )
+
+
+def normalize_unicode(
+    df: DataFrame, cols: list[str], *, form: str = "NFC"
+) -> DataFrame:
+    """Unicode-normalize string columns in place (NFC/NFD/NFKC/NFKD) —
+    the preprocessing step that makes byte-level dedup keys honest: 'é'
+    as one code point and as 'e'+combining-acute are the SAME text but
+    different bytes, so exact/paragraph/substring dedup silently misses
+    such pairs (and crawled corpora mix both encodings freely). NFKC
+    additionally folds compatibility forms (ligatures, full-width) — the
+    usual choice before tokenizer training.
+
+    Spark has no built-in normalization function, making this one of the
+    engine's documented built-ins-can't Python boundaries: a vectorized
+    Arrow ``pandas_udf`` over pandas' ``str.normalize`` (C-accelerated
+    unicodedata underneath), map-only, zero shuffle, NULL-preserving.
+    The NFC path is cross-engine-oracled against DuckDB's
+    ``nfc_normalize`` (`unicode_normalize` query).
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    out = df
+    for c in cols:
+        out = out.withColumn(c, _norm(F.col(c)))
+    return out

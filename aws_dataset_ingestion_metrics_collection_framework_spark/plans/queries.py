@@ -2329,6 +2329,47 @@ ORDER BY 1, 2
 """
 
 
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization over titles deliberately salted with decomposed
+    accents (e + combining acute) and a ligature: the combining pair must
+    compose (length shrinks by one), the ligature must survive (NFC keeps
+    compatibility forms) — matched byte-for-byte by DuckDB nfc_normalize."""
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Café "),
+            F.substring("text", 1, 20),
+            F.lit(" ﬁle"),
+        ).alias("title"),
+    )
+    out = TX.normalize_unicode(salted, ["title"], form="NFC")
+    return out.select(
+        "doc_id",
+        "title",
+        F.length("title").alias("n_chars_norm"),
+    ).orderBy("doc_id")
+
+
+UNICODE_NORMALIZE_ORACLE = """
+SELECT doc_id,
+       nfc_normalize('Cafe' || chr(769) || ' ' || substr(text, 1, 20)
+                     || ' ' || chr(64257) || 'le') AS title,
+       length(nfc_normalize('Cafe' || chr(769) || ' ' || substr(text, 1, 20)
+                            || ' ' || chr(64257) || 'le')) AS n_chars_norm
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_compression_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal over the corpus (rows-only:
+    DEFLATE is not SQL-expressible; ordering/bounds contracts are pinned
+    by tests/test_curation.py TestCompressionSignals)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.compression_signals(docs, "doc_id", "text").orderBy("doc_id")
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -4085,6 +4126,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_join": q_fuzzy_join,
     # r5: incremental materialized-rollup maintenance (merge == recompute)
     "incremental_rollup": q_incremental_rollup,
+    # r5: NFC unicode normalization (pandas_udf; DuckDB nfc_normalize oracle)
+    "unicode_normalize": q_unicode_normalize,
+    # r5: zlib compression-ratio signal (rows-only: DEFLATE not in SQL)
+    "compression_signals": q_compression_signals,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -4320,6 +4365,7 @@ ORACLES: dict[str, str] = {
     "group_sample": GROUP_SAMPLE_ORACLE,
     "fuzzy_join": FUZZY_JOIN_ORACLE,
     "incremental_rollup": INCREMENTAL_ROLLUP_ORACLE,
+    "unicode_normalize": UNICODE_NORMALIZE_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

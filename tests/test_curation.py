@@ -363,3 +363,71 @@ class TestGroupSample:
         from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import group_sample
         with _pytest.raises(ValueError):
             group_sample(self._docs(spark), "id", ["grp"], 0)
+
+
+class TestCompressionSignals:
+    """zlib compression-ratio signal: the contracts thresholding relies on."""
+
+    def _sig(self, spark, rows):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import compression_signals
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r for r in compression_signals(df, "doc_id", "text").collect()}
+
+    def test_repetitive_compresses_below_prose_below_random(self, spark):
+        import random
+        rng = random.Random(7)
+        rows = [
+            (1, "spam " * 200),
+            (2, ("the quick brown fox jumps over the lazy dog and then "
+                 "wanders off toward the river where ducks are feeding ") * 10),
+            (3, "".join(chr(rng.randint(33, 0x2FFF)) for _ in range(1000))),
+        ]
+        s = self._sig(spark, rows)
+        assert (s[1]["compression_ratio"] < s[2]["compression_ratio"]
+                < s[3]["compression_ratio"])
+        assert s[1]["compression_ratio"] < 0.05   # near-pure repetition
+        assert s[3]["compression_ratio"] > 0.5    # high-entropy content
+
+    def test_utf8_byte_accounting_and_empty(self, spark):
+        s = self._sig(spark, [(1, "héllo"), (2, ""), (3, None)])
+        assert s[1]["n_bytes"] == 6  # é is two UTF-8 bytes
+        for k in (2, 3):
+            assert s[k]["n_bytes"] == 0 and s[k]["compression_ratio"] is None
+
+    def test_deterministic_across_runs_and_partitioning(self, spark):
+        rows = [(i, f"document body {i} " * (i % 7 + 1)) for i in range(50)]
+        a = self._sig(spark, rows)
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import compression_signals
+        df = spark.createDataFrame(rows, "doc_id long, text string").repartition(13)
+        b = {r["doc_id"]: r for r in compression_signals(df, "doc_id", "text").collect()}
+        assert {k: tuple(v) for k, v in a.items()} == {k: tuple(v) for k, v in b.items()}
+
+
+class TestNormalizeUnicode:
+    def test_nfc_composes_and_nfkc_folds(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import normalize_unicode
+        df = spark.createDataFrame(
+            [(1, "Café ﬁle"), (2, None)], "id long, s string"
+        )
+        nfc = {r["id"]: r["s"] for r in normalize_unicode(df, ["s"]).collect()}
+        assert nfc[1] == "Café ﬁle" and nfc[2] is None
+        nfkc = {r["id"]: r["s"]
+                for r in normalize_unicode(df, ["s"], form="NFKC").collect()}
+        assert nfkc[1] == "Café file"  # ligature folded
+
+    def test_normalization_makes_dedup_keys_agree(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dedup import exact_dedup
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import normalize_unicode
+        df = spark.createDataFrame(
+            [(1, "café"), (2, "café")], "id long, s string"
+        )
+        # without normalization the two spellings are distinct byte keys
+        assert exact_dedup(df, ["s"], "id").count() == 2
+        assert exact_dedup(normalize_unicode(df, ["s"]), ["s"], "id").count() == 1
+
+    def test_unknown_form_raises(self, spark):
+        import pytest as _pytest
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import normalize_unicode
+        df = spark.createDataFrame([(1, "x")], "id long, s string")
+        with _pytest.raises(ValueError):
+            normalize_unicode(df, ["s"], form="NFX")

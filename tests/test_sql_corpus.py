@@ -48,6 +48,10 @@ ROWS_ONLY_ALLOWED = {
     # iterative global-argmax BPE training; pinned by tests/test_bpe.py
     # EXACT equality with a pure-Python reference implementation
     "bpe_tokenize",
+    # zlib DEFLATE sizes; pinned by tests/test_curation.py
+    # TestCompressionSignals (repetitive < prose < random ordering, bounds,
+    # determinism, UTF-8 byte accounting)
+    "compression_signals",
 }
 
 
