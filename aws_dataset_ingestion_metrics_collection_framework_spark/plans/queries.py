@@ -2539,6 +2539,39 @@ FROM bxy GROUP BY doc_id, bw, bh
 """
 
 
+def q_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF round trip over real JPEG payloads: synthesize an APP1/Exif
+    segment per document (fields closed-form in doc_id, byte order
+    alternating II/MM by parity) spliced into a valid baseline JPEG, then
+    parse it back with the TIFF-IFD walker — all inside Arrow stages; the
+    oracle reconstructs every field from doc_id arithmetic alone."""
+    from ..operators.exif import extract_exif, synthesize_exif_media
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synthesize_exif_media(docs)
+    return extract_exif(media).orderBy("media_id")
+
+
+EXIF_METADATA_ORACLE = """
+SELECT doc_id AS media_id,
+       'Cam' || CAST(doc_id % 3 AS VARCHAR) AS make,
+       'M-' || CAST(doc_id % 5 AS VARCHAR) AS model,
+       CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+       '2024:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+         || ':00:00' AS datetime,
+       '2024:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+         || ':00:00' AS datetime_original,
+       CAST(8 * (4 + doc_id % 7) AS BIGINT) AS pixel_x,
+       CAST(8 * (4 + doc_id % 4) AS BIGINT) AS pixel_y
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup detection end to end over REAL baseline JPEGs:
     synthesize a valid JFIF per document (every 25th document REUSES its
@@ -4130,6 +4163,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unicode_normalize": q_unicode_normalize,
     # r5: zlib compression-ratio signal (rows-only: DEFLATE not in SQL)
     "compression_signals": q_compression_signals,
+    # r5: EXIF APP1/TIFF-IFD metadata round trip (id-arithmetic oracle)
+    "exif_metadata": q_exif_metadata,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -4366,6 +4401,7 @@ ORACLES: dict[str, str] = {
     "fuzzy_join": FUZZY_JOIN_ORACLE,
     "incremental_rollup": INCREMENTAL_ROLLUP_ORACLE,
     "unicode_normalize": UNICODE_NORMALIZE_ORACLE,
+    "exif_metadata": EXIF_METADATA_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled
