@@ -321,6 +321,87 @@ def group_sample(
     )
 
 
+def mix_corpus(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weight_col: str,
+    target_ppm: dict[str, int],
+    *,
+    salt: str = "mix",
+) -> DataFrame:
+    """Dataset-mixture sampling: downsample groups so the OUTPUT's weight
+    (token) shares hit a target mixture — the data-mixing step of every
+    LLM training pipeline (e.g. rebalance languages/domains to prescribed
+    proportions without upsampling anything).
+
+    Given per-group target shares in ppm (summing to ≤ 1e6), the output
+    total is capped by the binding group — the one whose full weight,
+    scaled to its share, limits everything else: B = min_g ⌊T_g·1e6 /
+    share_g⌋; each group then keeps rate_g = ⌊B·share_g / T_g⌋ ppm of its
+    rows, sampled deterministically
+    by the md5 ppm threshold (engine/partitioning/retry stable — DuckDB
+    reproduces the run row-for-row). Groups absent from `target_ppm` are
+    dropped: the mixture is the explicit contract. Rates are exact
+    integer arithmetic (two-step floor-div keeps every intermediate under
+    2⁶³ for per-group totals up to ~9.2e12 weight units — tens of TB of
+    text; lift the constants to DECIMAL beyond that). The two floors
+    leave the binding group's rate ≲ share_g/T_g ppm under 1e6 (e.g.
+    60 ppm at T=10⁴ — vanishing for real corpora where T ≫ share).
+
+    Scale shape: one slim per-group aggregation (≤ |groups| rows; the
+    global min runs over that tiny table, not data), a broadcast rates
+    join, and a MAP-ONLY hash filter — the corpus itself never shuffles.
+
+    Doc-level Bernoulli sampling hits the target shares in expectation
+    with O(1/√n_g) relative error — exact enough at corpus scale;
+    row-exact quotas would need a per-group rank (see `group_sample`).
+
+    Output: input columns + ``rate_ppm`` (audit column).
+    """
+    from pyspark.sql import Window
+
+    if not target_ppm:
+        raise ValueError("target_ppm must name at least one group")
+    for g, v in target_ppm.items():
+        if v <= 0:
+            raise ValueError(f"share for group {g!r} must be positive, got {v}")
+    if sum(target_ppm.values()) > 1_000_000:
+        raise ValueError("target shares exceed 1e6 ppm")
+
+    share = F.coalesce(
+        *[F.when(F.col(group_col) == g, F.lit(v)) for g, v in target_ppm.items()]
+    )
+    totals = (
+        df.filter(F.col(group_col).isin(list(target_ppm)))
+        .groupBy(group_col)
+        .agg(F.sum(weight_col).alias("_t"))
+        .withColumn("_share", share)
+    )
+    # cap_g = floor(T_g * 1e6 / share_g), overflow-safe two-step floor-div
+    m = F.lit(1_000_000)
+    cap = (F.expr("_t div _share") * m) + F.expr(
+        "((_t % _share) * 1000000) div _share"
+    )
+    caps = totals.withColumn("_cap", cap)
+    # global min over the ≤|groups|-row table (bounded unpartitioned window)
+    caps = caps.withColumn("_B", F.min("_cap").over(Window.partitionBy()))
+    rates = caps.withColumn(
+        "rate_ppm",
+        F.least(
+            m.cast("long"),
+            F.expr("_B div _t") * F.col("_share")
+            + F.expr("((_B % _t) * _share) div _t"),
+        ),
+    ).select(group_col, "rate_ppm")
+    h = md5_60bit(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % m
+    return (
+        df.join(F.broadcast(rates), on=group_col)
+        .filter(h < F.col("rate_ppm"))
+        .select(*df.columns, "rate_ppm")
+    )
+
+
 def compression_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document zlib compression ratio — the repetitive/templated-text
     detector used by large-corpus quality pipelines (boilerplate, keyword

@@ -2370,6 +2370,49 @@ def q_compression_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.compression_signals(docs, "doc_id", "text").orderBy("doc_id")
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture sampling over documents (en 60% / zh 15% / fr 10%
+    / es 10% / de 5% of output characters): binding-group cap + exact
+    integer keep-rates + deterministic md5 sampling, reproduced
+    row-for-row by the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = CU.mix_corpus(
+        docs, "doc_id", "lang", "n_chars",
+        {"en": 600_000, "zh": 150_000, "fr": 100_000,
+         "es": 100_000, "de": 50_000},
+    )
+    return out.select("doc_id", "lang", "n_chars", "rate_ppm").orderBy("doc_id")
+
+
+CORPUS_MIX_ORACLE = """
+WITH w(lang, share) AS (
+  VALUES ('en', 600000), ('zh', 150000), ('fr', 100000),
+         ('es', 100000), ('de', 50000)
+),
+t AS (
+  SELECT lang, SUM(n_chars) AS tt FROM documents
+  WHERE lang IN (SELECT lang FROM w) GROUP BY lang
+),
+c AS (
+  SELECT t.lang, tt, share,
+         (tt // share) * 1000000 + ((tt % share) * 1000000) // share AS cap
+  FROM t JOIN w USING (lang)
+),
+b AS (SELECT MIN(cap) AS bb FROM c),
+r AS (
+  SELECT lang,
+         LEAST(1000000, (bb // tt) * share + ((bb % tt) * share) // tt)
+           AS rate_ppm
+  FROM c, b
+)
+SELECT d.doc_id, d.lang, d.n_chars, r.rate_ppm
+FROM documents d JOIN r USING (lang)
+WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 1000000 < rate_ppm
+ORDER BY doc_id
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -4165,6 +4208,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compression_signals": q_compression_signals,
     # r5: EXIF APP1/TIFF-IFD metadata round trip (id-arithmetic oracle)
     "exif_metadata": q_exif_metadata,
+    # r5: dataset-mixture sampling (binding-cap integer rates, md5 sample)
+    "corpus_mix": q_corpus_mix,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -4402,6 +4447,7 @@ ORACLES: dict[str, str] = {
     "incremental_rollup": INCREMENTAL_ROLLUP_ORACLE,
     "unicode_normalize": UNICODE_NORMALIZE_ORACLE,
     "exif_metadata": EXIF_METADATA_ORACLE,
+    "corpus_mix": CORPUS_MIX_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

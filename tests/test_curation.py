@@ -431,3 +431,69 @@ class TestNormalizeUnicode:
         df = spark.createDataFrame([(1, "x")], "id long, s string")
         with _pytest.raises(ValueError):
             normalize_unicode(df, ["s"], form="NFX")
+
+
+class TestMixCorpus:
+    """Dataset-mixture sampling: binding group, rate arithmetic, drops."""
+
+    def _docs(self, spark):
+        rows = []
+        for i in range(300):
+            g = ["en", "zh", "de"][i % 3]
+            rows.append((i, g, 100))  # equal weight per row
+        return spark.createDataFrame(rows, "id long, lang string, w long")
+
+    def test_output_shares_approach_target(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import mix_corpus
+        out = mix_corpus(
+            self._docs(spark), "id", "lang", "w",
+            {"en": 600_000, "zh": 300_000, "de": 100_000},
+        ).collect()
+        by = {}
+        for r in out:
+            by[r["lang"]] = by.get(r["lang"], 0) + r["w"]
+        total = sum(by.values())
+        # en is binding (equal totals, largest share): kept ~whole; shares
+        # within Bernoulli noise of target (100 docs/group)
+        assert by["en"] >= 0.999 * 100 * 100  # binding group: rate ~1e6
+        # (floor slack ≤ share/T ppm, so at most a stray doc drops)
+        assert abs(by["zh"] / total - 0.3) < 0.1
+        assert abs(by["de"] / total - 0.1) < 0.06
+
+    def test_binding_group_keeps_everything(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import mix_corpus
+        rates = {
+            r["lang"]: r["rate_ppm"]
+            for r in mix_corpus(
+                self._docs(spark), "id", "lang", "w",
+                {"en": 600_000, "zh": 300_000, "de": 100_000},
+            ).select("lang", "rate_ppm").distinct().collect()
+        }
+        assert rates["en"] == 999_960  # 1e6 minus the documented floor slack
+        assert rates["zh"] == 499_980 and rates["de"] == 166_660
+
+    def test_groups_outside_mixture_are_dropped(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import mix_corpus
+        out = mix_corpus(
+            self._docs(spark), "id", "lang", "w", {"en": 500_000, "zh": 500_000}
+        )
+        assert out.filter("lang = 'de'").count() == 0
+
+    def test_invalid_targets_raise(self, spark):
+        import pytest as _pytest
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import mix_corpus
+        df = self._docs(spark)
+        with _pytest.raises(ValueError):
+            mix_corpus(df, "id", "lang", "w", {})
+        with _pytest.raises(ValueError):
+            mix_corpus(df, "id", "lang", "w", {"en": 0})
+        with _pytest.raises(ValueError):
+            mix_corpus(df, "id", "lang", "w", {"en": 900_000, "zh": 200_000})
+
+    def test_deterministic_under_repartition(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import mix_corpus
+        t = {"en": 700_000, "zh": 300_000}
+        a = {r["id"] for r in mix_corpus(self._docs(spark), "id", "lang", "w", t).collect()}
+        b = {r["id"] for r in mix_corpus(
+            self._docs(spark).repartition(11), "id", "lang", "w", t).collect()}
+        assert a == b
