@@ -80,6 +80,34 @@ def read_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(path, version))
 
 
+def list_versions(path: str) -> list[int]:
+    """Batch ids of retained snapshot versions, ascending. With
+    ``keep_history=True`` maintenance this is the full timeline; with
+    pruning it is {previous, current}."""
+    out = []
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.startswith("_v") and name[2:].isdigit() and os.path.isdir(
+                os.path.join(path, name)
+            ):
+                out.append(int(name[2:]))
+    return sorted(out)
+
+
+def read_snapshot_at(
+    spark: SparkSession, path: str, batch_id: int
+) -> DataFrame | None:
+    """Time travel: the snapshot as of micro-batch ``batch_id`` — the
+    newest retained version ≤ batch_id (matching lake-format AS-OF
+    semantics, where a query pins the last commit at-or-before the
+    requested point). None when no retained version qualifies; requires
+    maintenance with ``keep_history=True`` for arbitrary lookback."""
+    eligible = [v for v in list_versions(path) if v <= batch_id]
+    if not eligible:
+        return None
+    return spark.read.parquet(os.path.join(path, f"_v{eligible[-1]}"))
+
+
 def read_live(
     spark: SparkSession, path: str, delete_predicate: Column
 ) -> DataFrame | None:

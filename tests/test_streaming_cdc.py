@@ -126,3 +126,44 @@ def test_replayed_batch_is_noop(spark, tmp_path):
     assert scdc._current_version(str(snap_dir)) == "_v0"
     after = {r["k"]: r["v"] for r in read_snapshot(spark, str(snap_dir)).collect()}
     assert after == before
+
+
+def test_time_travel_reads_as_of_batch(spark, tmp_path):
+    """keep_history=True retains every version; read_snapshot_at pins the
+    newest commit at-or-before the requested batch id (lake AS-OF)."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.streaming.cdc import (
+        list_versions,
+        read_snapshot_at,
+        start_snapshot_maintenance,
+    )
+
+    src = tmp_path / "changes"; src.mkdir()
+    snap_dir = tmp_path / "snapshot"; snap_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+
+    def run(batch_rows, name):
+        _write_batch(src, name, batch_rows)
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        q = start_snapshot_maintenance(
+            stream, str(snap_dir), str(ckpt), ["k"], ["seq"],
+            available_now=True, keep_history=True,
+        )
+        q.awaitTermination(120)
+
+    run([{"k": 1, "seq": 1, "op": "U", "v": "a"}], "b1.json")
+    run([{"k": 1, "seq": 2, "op": "U", "v": "b"},
+         {"k": 2, "seq": 1, "op": "U", "v": "x"}], "b2.json")
+
+    versions = list_versions(str(snap_dir))
+    assert len(versions) == 2
+    v0, v1 = versions
+
+    at0 = {r["k"]: r["v"] for r in read_snapshot_at(spark, str(snap_dir), v0).collect()}
+    assert at0 == {1: "a"}
+    # as-of between commits pins the earlier one; as-of latest sees both keys
+    at_mid = {r["k"]: r["v"]
+              for r in read_snapshot_at(spark, str(snap_dir), v1 - 1).collect()}
+    assert at_mid == {1: "a"}
+    at1 = {r["k"]: r["v"] for r in read_snapshot_at(spark, str(snap_dir), v1).collect()}
+    assert at1 == {1: "b", 2: "x"}
+    assert read_snapshot_at(spark, str(snap_dir), v0 - 1) is None
