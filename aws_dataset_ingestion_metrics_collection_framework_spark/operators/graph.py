@@ -279,3 +279,61 @@ def pagerank(
         F.col("rank").alias("rank_units"),
         F.round(F.col("rank") / F.lit(float(scale)), 9).alias("rank"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    directed: bool = False,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) — community
+    detection over the link graph: denser-than-chance neighborhoods
+    converge onto one label, the clustering signal between
+    per-component closure (``connected_components`` — too coarse: one
+    label per component) and modularity solvers (not DataFrame-shaped).
+
+    Deterministic by construction, unlike textbook LPA (random order +
+    random tie-break): updates are SYNCHRONOUS over a FIXED iteration
+    count, and each node adopts the neighbor label with the highest count,
+    ties broken toward the SMALLEST label — a total order, so the result
+    is bit-stable across engines/partitionings/retries and an unrolled-CTE
+    SQL oracle can match it exactly (same contract as ``pagerank``; pure
+    integer counts, no float drift). Nodes with no in-neighbors keep their
+    current label each round; initial label = node id.
+
+    Shape per iteration: one join edges⨝labels on src (co-partitioned
+    after round 1), one (dst, label) count with map-side combine, one
+    ``max_by`` argmax per node, and a ``localCheckpoint`` truncating
+    lineage — identical discipline to the other iterative operators here.
+    ``directed=False`` (default) symmetrizes the edge list first:
+    communities are an undirected notion.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select("id", F.col("id").alias("lab"))
+    for _ in range(iterations):
+        votes = (
+            labels.join(e, labels["id"] == e["src"])
+            .groupBy(F.col("dst").alias("id"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        winner = votes.groupBy("id").agg(
+            F.max_by("lab", F.struct(F.col("c"), -F.col("lab"))).alias("new_lab")
+        )
+        labels = (
+            labels.join(winner, "id", "left")
+            .select("id", F.coalesce("new_lab", "lab").alias("lab"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("id", F.col("lab").alias("label"))

@@ -2413,6 +2413,52 @@ ORDER BY doc_id
 """
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous LPA over a block-structured synthetic
+    graph (6 blocks of 10 nodes, two intra-block out-edges per node,
+    symmetrized): like `pagerank`, an ITERATIVE algorithm held to a
+    hash-exact contract — the oracle unrolls the same 3 voting rounds
+    (count-desc / label-asc argmax) as SQL CTEs."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    block = F.col("doc_id") - (F.col("doc_id") % 10)
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(*[block + ((F.col("doc_id") * 7 + 3 * k) % 10) for k in (1, 2)])
+        ).alias("dst"),
+    )
+    return G.label_propagation(edges, iterations=3).orderBy("id")
+
+
+def _label_propagation_oracle(iterations: int = 3) -> str:
+    ctes = [
+        "e0 AS (SELECT doc_id AS src, "
+        "unnest([(doc_id - doc_id % 10) + (doc_id * 7 + 3) % 10, "
+        "(doc_id - doc_id % 10) + (doc_id * 7 + 6) % 10]) AS dst "
+        "FROM documents WHERE doc_id < 60)",
+        "edges AS (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0))",
+        "nodes AS (SELECT DISTINCT src AS id FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges)",
+        "l0 AS (SELECT id, id AS lab FROM nodes)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"l{i + 1} AS (SELECT n.id, COALESCE(w.new_lab, p.lab) AS lab "
+            f"FROM nodes n JOIN l{i} p USING (id) LEFT JOIN ("
+            "SELECT id, lab AS new_lab FROM ("
+            "SELECT e.dst AS id, p2.lab, "
+            "ROW_NUMBER() OVER (PARTITION BY e.dst "
+            "ORDER BY COUNT(*) DESC, p2.lab ASC) AS rn "
+            f"FROM edges e JOIN l{i} p2 ON e.src = p2.id "
+            "GROUP BY e.dst, p2.lab) WHERE rn = 1) w USING (id))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, lab AS label FROM l{iterations} ORDER BY id"
+    )
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -4210,6 +4256,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exif_metadata": q_exif_metadata,
     # r5: dataset-mixture sampling (binding-cap integer rates, md5 sample)
     "corpus_mix": q_corpus_mix,
+    # r5: deterministic synchronous LPA (unrolled-CTE hash-exact oracle)
+    "label_propagation": q_label_propagation,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -4448,6 +4496,7 @@ ORACLES: dict[str, str] = {
     "unicode_normalize": UNICODE_NORMALIZE_ORACLE,
     "exif_metadata": EXIF_METADATA_ORACLE,
     "corpus_mix": CORPUS_MIX_ORACLE,
+    "label_propagation": _label_propagation_oracle(),
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

@@ -81,3 +81,49 @@ def test_empty_edges_raises(spark):
     df = spark.createDataFrame([], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank(df)
+
+
+class TestLabelPropagation:
+    """Deterministic synchronous LPA: convergence on planted communities,
+    tie-break totality, partition invariance."""
+
+    def _lpa(self, spark, edges, **kw):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.graph import label_propagation
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {r["id"]: r["label"]
+                for r in label_propagation(df, **kw).collect()}
+
+    def test_two_cliques_converge_to_two_communities(self, spark):
+        k4a = [(i, j) for i in range(4) for j in range(4) if i < j]
+        k4b = [(i + 10, j + 10) for i, j in k4a]
+        labels = self._lpa(spark, k4a + k4b, iterations=4)
+        assert len({labels[i] for i in range(4)}) == 1
+        assert len({labels[i + 10] for i in range(4)}) == 1
+        assert labels[0] != labels[10]
+
+    def test_star_adopts_hub_or_leaf_minimum(self, spark):
+        # hub 0 with leaves 1..5: after round 1 every leaf holds 0 (their
+        # only neighbor) and the hub holds 1 (smallest leaf label); the
+        # fixed tie-break makes the outcome exactly reproducible.
+        labels = self._lpa(spark, [(0, i) for i in range(1, 6)], iterations=1)
+        assert all(labels[i] == 0 for i in range(1, 6))
+        assert labels[0] == 1
+
+    def test_partition_invariance(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.graph import label_propagation
+        edges = [(i, (i * 3 + 1) % 40) for i in range(40)] + [
+            (i, (i * 7 + 2) % 40) for i in range(40)
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = sorted(tuple(r) for r in label_propagation(df, iterations=3).collect())
+        b = sorted(
+            tuple(r)
+            for r in label_propagation(df.repartition(13), iterations=3).collect()
+        )
+        assert a == b
+
+    def test_directed_respects_edge_direction(self, spark):
+        # 0 -> 1 -> 2 chain, directed: only in-neighbors vote, so node 0
+        # (no in-edges) keeps its own label through every round.
+        labels = self._lpa(spark, [(0, 1), (1, 2)], iterations=3, directed=True)
+        assert labels[0] == 0
