@@ -284,6 +284,34 @@ def cap_bucket_size(banded: DataFrame, keys: list[str], max_bucket_size: int | N
     )
 
 
+def band_signatures(sigs: DataFrame, *, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc, band, bucket) rows from a (doc, sig) signature table: each
+    band's slice of the signature hashed to a 64-bit bucket key. Shared by
+    the self-join candidate path and the cross-corpus incremental path —
+    both sides of any band join MUST come from the same seed/bands config
+    for buckets to be comparable."""
+    return sigs.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -305,31 +333,12 @@ def minhash_candidates(
     sigs = minhash_signatures_df(
         df, id_col, text_col, k=k, num_perm=num_perm, seed=seed
     )
-    banded = (
-        sigs.select(
-            "doc",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.struct(
-                        b.alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
-                    ),
-                )
-            ).alias("bb"),
-        )
-        .select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    )
     banded = materialize_once(
-        cap_bucket_size(banded, ["band", "bucket"], max_bucket_size)
+        cap_bucket_size(
+            band_signatures(sigs, bands=bands, rows_per_band=rows_per_band),
+            ["band", "bucket"],
+            max_bucket_size,
+        )
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -691,6 +700,122 @@ def ngram_jaccard_pairs_prefix(
         .distinct()
     )
     return jaccard_verify(df, candidates, id_col, text_col, k=k, threshold=threshold)
+
+
+# ------------------- incremental (cross-corpus) dedup -------------------
+
+
+def incremental_dedup(
+    new: DataFrame,
+    base: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Classify an incoming batch against an EXISTING corpus: per new doc,
+    ``exact_dup`` (byte-identical text in base), ``near_dup`` (Jaccard ≥
+    threshold vs some base doc) or ``fresh`` — the shape ingestion
+    actually needs: each day's crawl dedups against the accumulated
+    corpus WITHOUT re-pairing the corpus with itself (that O(|corpus|²)
+    candidate work was already paid; only new×base pairs are new).
+
+    Exact path: a slim (xxhash64, id) join finds hash matches, then the
+    matched docs' texts — only those — are compared byte-for-byte
+    (collision-safe, same discipline as `exact_dedup`). Near path: MinHash
+    band buckets computed per side with the SAME seed/bands (buckets are
+    only comparable then — see `band_signatures`), an equi-join
+    banded_new⨝banded_base, and exact Jaccard verification of candidates.
+
+    Output: one row per new doc — (id, status, match_id, jaccard).
+    ``match_id`` = smallest qualifying base id (deterministic), exact
+    match preferred over near; ``jaccard`` = the reported near match's
+    similarity (NULL for exact_dup/fresh). Self-duplicates WITHIN the
+    batch are out of scope (run the self-join ops for that). The two id
+    spaces MUST be disjoint: the verification step unions both corpora
+    by id, so an id reused across sides would cross-wire texts.
+    """
+    nid, bid = F.col(id_col).alias("new_id"), F.col(id_col).alias("base_id")
+
+    # exact: slim hash join, then text compare on the matched sliver only
+    nh = new.select(nid, F.xxhash64(text_col).alias("_h"))
+    bh = base.select(bid, F.xxhash64(text_col).alias("_h"))
+    hash_pairs = materialize_once(nh.join(bh, "_h").select("new_id", "base_id"))
+    nt = new.join(
+        hash_pairs.select("new_id").distinct(),
+        new[id_col] == F.col("new_id"), "left_semi",
+    ).select(nid, F.col(text_col).alias("_tn"))
+    bt = base.join(
+        hash_pairs.select("base_id").distinct(),
+        base[id_col] == F.col("base_id"), "left_semi",
+    ).select(bid, F.col(text_col).alias("_tb"))
+    exact = (
+        hash_pairs.join(nt, "new_id").join(bt, "base_id")
+        .filter(F.col("_tn") == F.col("_tb"))
+        .groupBy("new_id")
+        .agg(F.min("base_id").alias("exact_match"))
+    )
+
+    # near: cross band join (new side ⨝ base side), exact Jaccard verify
+    rows_per_band = num_perm // bands
+    bn = band_signatures(
+        minhash_signatures_df(new, id_col, text_col, k=k, num_perm=num_perm, seed=seed),
+        bands=bands, rows_per_band=rows_per_band,
+    )
+    bb = cap_bucket_size(
+        band_signatures(
+            minhash_signatures_df(base, id_col, text_col, k=k, num_perm=num_perm, seed=seed),
+            bands=bands, rows_per_band=rows_per_band,
+        ),
+        ["band", "bucket"],
+        max_bucket_size,
+    )
+    cand = (
+        bn.alias("n").join(
+            bb.alias("b"),
+            (F.col("n.band") == F.col("b.band"))
+            & (F.col("n.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("n.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    both = new.select(id_col, text_col).unionByName(base.select(id_col, text_col))
+    near_pairs = jaccard_verify(
+        both, cand, id_col, text_col, k=k, threshold=threshold
+    )
+    near = (
+        near_pairs.groupBy(F.col("id_a").alias("new_id"))
+        .agg(
+            F.min(F.struct(F.col("id_b"), F.col("jaccard"))).alias("_m")
+        )
+        .select(
+            "new_id",
+            F.col("_m.id_b").alias("near_match"),
+            F.round(F.col("_m.jaccard"), 6).alias("near_jaccard"),
+        )
+    )
+
+    return (
+        new.select(nid)
+        .join(exact, "new_id", "left")
+        .join(near, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("fresh"))
+            .alias("status"),
+            F.coalesce("exact_match", "near_match").alias("match_id"),
+            F.when(
+                F.col("exact_match").isNull(), F.col("near_jaccard")
+            ).alias("jaccard"),
+        )
+    )
 
 
 # ----------------- edit-distance (fuzzy) similarity join -----------------

@@ -2459,6 +2459,75 @@ def _label_propagation_oracle(iterations: int = 3) -> str:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: the 1-in-4 'new batch' slice of
+    documents classified against the other three quarters as the existing
+    corpus — exact (slim hash join + text compare) and near (cross band
+    join at the recall~1 design point, exact Jaccard verify at t=0.8)
+    paths; oracle recomputes exact matches and ALL cross-slice Jaccard
+    pairs from scratch."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    return D.incremental_dedup(new, base, "doc_id", "text").orderBy("doc_id")
+
+
+INCREMENTAL_DEDUP_ORACLE = """
+WITH newdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+basedocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+exact AS (
+  SELECT n.doc_id, MIN(b.doc_id) AS exact_match
+  FROM newdocs n JOIN basedocs b ON n.text = b.text
+  GROUP BY n.doc_id
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+),
+e AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+  FROM e a
+  JOIN e b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN e c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh x JOIN sh y ON x.s = y.s
+  WHERE x.doc_id % 4 = 0 AND y.doc_id % 4 <> 0
+  GROUP BY 1, 2
+),
+near0 AS (
+  SELECT id_a, id_b,
+         CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jac
+  FROM common
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8
+),
+near AS (SELECT id_a AS doc_id, MIN(id_b) AS near_match FROM near0 GROUP BY 1),
+nearj AS (
+  SELECT n.doc_id, n.near_match, ROUND(j.jac, 6) AS near_jaccard
+  FROM near n JOIN near0 j ON j.id_a = n.doc_id AND j.id_b = n.near_match
+)
+SELECT d.doc_id,
+       CASE WHEN e2.exact_match IS NOT NULL THEN 'exact_dup'
+            WHEN nj.near_match IS NOT NULL THEN 'near_dup'
+            ELSE 'fresh' END AS status,
+       COALESCE(e2.exact_match, nj.near_match) AS match_id,
+       CASE WHEN e2.exact_match IS NULL THEN nj.near_jaccard END AS jaccard
+FROM newdocs d
+LEFT JOIN exact e2 USING (doc_id)
+LEFT JOIN nearj nj USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -4258,6 +4327,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mix": q_corpus_mix,
     # r5: deterministic synchronous LPA (unrolled-CTE hash-exact oracle)
     "label_propagation": q_label_propagation,
+    # r5: incremental cross-corpus dedup (new batch vs existing corpus)
+    "incremental_dedup": q_incremental_dedup,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -4497,6 +4568,7 @@ ORACLES: dict[str, str] = {
     "exif_metadata": EXIF_METADATA_ORACLE,
     "corpus_mix": CORPUS_MIX_ORACLE,
     "label_propagation": _label_propagation_oracle(),
+    "incremental_dedup": INCREMENTAL_DEDUP_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

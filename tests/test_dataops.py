@@ -774,3 +774,42 @@ class TestQuantizeInt8:
         df = spark.createDataFrame([(1, [2.0, -2.0, 1.0])], "vec_id long, embedding array<double>")
         r = quantize_int8(df, "vec_id", "embedding").collect()[0]
         assert r["qvec"] == [127, -127, 64] and r["scale"] == 2.0 / 127.0
+
+
+class TestIncrementalDedup:
+    """Cross-corpus classification: exact preferred, near detected, fresh
+    passes through; ids disjoint across sides by contract."""
+
+    def _run(self, spark, new_rows, base_rows, **kw):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dedup import incremental_dedup
+        new = spark.createDataFrame(new_rows, "doc_id long, text string")
+        base = spark.createDataFrame(base_rows, "doc_id long, text string")
+        return {r["doc_id"]: (r["status"], r["match_id"])
+                for r in incremental_dedup(new, base, "doc_id", "text", **kw).collect()}
+
+    def test_exact_near_fresh_classified(self, spark):
+        prose = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                 "lambda mu nu xi omicron pi rho sigma tau upsilon")
+        near = prose + " extra"          # one appended token: high jaccard
+        base = [(100, prose), (101, "totally different words here entirely "
+                                    "nothing shared with anything else at all")]
+        new = [(1, prose), (2, near), (3, "unrelated fresh content words "
+                                         "zebra yak xylophone walrus vulture")]
+        got = self._run(spark, new, base)
+        assert got[1] == ("exact_dup", 100)
+        assert got[2][0] == "near_dup" and got[2][1] == 100
+        assert got[3] == ("fresh", None)
+
+    def test_exact_preferred_over_near_and_min_match(self, spark):
+        prose = "one two three four five six seven eight nine ten " * 3
+        base = [(200, prose), (201, prose)]  # two exact matches -> min id
+        got = self._run(spark, [(1, prose)], base)
+        assert got[1] == ("exact_dup", 200)
+
+    def test_no_base_matches_everything_fresh(self, spark):
+        got = self._run(
+            spark,
+            [(1, "brand new words appear in this sentence today")],
+            [(100, "completely disjoint vocabulary for the base corpus")],
+        )
+        assert got[1][0] == "fresh"
