@@ -2528,6 +2528,44 @@ ORDER BY doc_id
 """
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution join over events: every (view → purchase) pair per user
+    within 30 minutes — the batch face of the stream-stream event-time
+    join (`streaming/joins.attribution_join`; stream ≡ batch pinned by
+    test_streaming_joins)."""
+    from ..streaming.joins import attribution_join
+
+    ev = load_table(spark, sf_dir, "events")
+    trig = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    resp = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = attribution_join(trig, resp, "user_id", within_seconds=1800)
+    return out.select(
+        "user_id",
+        F.col("t_event_id").alias("view_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("t_ts").alias("view_ts"),
+        F.col("r_ts").alias("purchase_ts"),
+    ).orderBy("user_id", "view_id", "purchase_id")
+
+
+ATTRIBUTION_ORACLE = """
+SELECT t.user_id,
+       t.event_id AS view_id,
+       r.event_id AS purchase_id,
+       t.ts AS view_ts,
+       r.ts AS purchase_ts
+FROM events t JOIN events r
+  ON t.user_id = r.user_id
+ AND t.event_type = 'view' AND r.event_type = 'purchase'
+ AND t.ts <= r.ts AND r.ts < t.ts + INTERVAL 1800 SECONDS
+ORDER BY 1, 2, 3
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -4329,6 +4367,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_propagation": q_label_propagation,
     # r5: incremental cross-corpus dedup (new batch vs existing corpus)
     "incremental_dedup": q_incremental_dedup,
+    # r5: event-time attribution join (batch face of the stream-stream join)
+    "attribution": q_attribution,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -4569,6 +4609,7 @@ ORACLES: dict[str, str] = {
     "corpus_mix": CORPUS_MIX_ORACLE,
     "label_propagation": _label_propagation_oracle(),
     "incremental_dedup": INCREMENTAL_DEDUP_ORACLE,
+    "attribution": ATTRIBUTION_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled
