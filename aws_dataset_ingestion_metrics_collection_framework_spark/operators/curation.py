@@ -321,6 +321,41 @@ def group_sample(
     )
 
 
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    secret: str,
+    length: int = 16,
+) -> DataFrame:
+    """Keyed pseudonymization of identifier columns: value →
+    ``sha256(secret ':' value)`` hex prefix — the PII-minimization step
+    that keeps JOIN KEYS working (same value + same secret → same token,
+    across tables, runs and engines) while severing the link to the raw
+    identifier for anyone without the secret. Rotate the secret to
+    unlink past exports. NULLs stay NULL.
+
+    Not format-preserving encryption and not reversible; ``length`` hex
+    chars = length·4 bits of token space (default 64 — birthday-collision
+    odds ~n²/2⁶⁵, immaterial below billions of distinct values; raise it
+    past that). Map-only, codegen'd `sha2` — zero shuffle."""
+    if not (8 <= length <= 64):
+        raise ValueError(f"length must be in [8, 64] hex chars, got {length}")
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.substring(
+                F.sha2(
+                    F.concat(F.lit(secret + ":"), F.col(c).cast("string")), 256
+                ),
+                1,
+                length,
+            ),
+        )
+    return out
+
+
 def mix_corpus(
     df: DataFrame,
     id_col: str,

@@ -2566,6 +2566,31 @@ ORDER BY 1, 2, 3
 """
 
 
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization of events.user_id — tokens must keep the
+    per-user aggregation working (count per token equals count per raw
+    user), checked by aggregating on the TOKEN in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    tok = CU.pseudonymize(
+        ev.select("user_id", "event_type"), ["user_id"], secret="rot-2024Q1"
+    )
+    return (
+        tok.groupBy(F.col("user_id").alias("user_token"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_token")
+    )
+
+
+PSEUDONYMIZE_ORACLE = """
+SELECT substr(sha256('rot-2024Q1:' || CAST(user_id AS VARCHAR)), 1, 16)
+         AS user_token,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -4369,6 +4394,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     # r5: event-time attribution join (batch face of the stream-stream join)
     "attribution": q_attribution,
+    # r5: keyed pseudonymization (sha256 tokens that keep joins working)
+    "pseudonymize": q_pseudonymize,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -4610,6 +4637,7 @@ ORACLES: dict[str, str] = {
     "label_propagation": _label_propagation_oracle(),
     "incremental_dedup": INCREMENTAL_DEDUP_ORACLE,
     "attribution": ATTRIBUTION_ORACLE,
+    "pseudonymize": PSEUDONYMIZE_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

@@ -497,3 +497,32 @@ class TestMixCorpus:
         b = {r["id"] for r in mix_corpus(
             self._docs(spark).repartition(11), "id", "lang", "w", t).collect()}
         assert a == b
+
+
+class TestPseudonymize:
+    def test_tokens_preserve_joins_and_hide_values(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import pseudonymize
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c"), (None, "d")], "uid long, x string"
+        )
+        tok = pseudonymize(df, ["uid"], secret="s1")
+        rows = tok.collect()
+        toks = {r["x"]: r["uid"] for r in rows}
+        assert toks["a"] == toks["b"] != toks["c"]       # joins preserved
+        assert toks["d"] is None                         # NULL passthrough
+        assert all(v is None or len(v) == 16 for v in toks.values())
+        assert "1" not in (toks["a"] or "")              # raw value gone
+
+    def test_secret_rotation_unlinks(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import pseudonymize
+        df = spark.createDataFrame([(7,)], "uid long")
+        a = pseudonymize(df, ["uid"], secret="old").collect()[0]["uid"]
+        b = pseudonymize(df, ["uid"], secret="new").collect()[0]["uid"]
+        assert a != b
+
+    def test_length_bounds(self, spark):
+        import pytest as _pytest
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import pseudonymize
+        df = spark.createDataFrame([(1,)], "uid long")
+        with _pytest.raises(ValueError):
+            pseudonymize(df, ["uid"], secret="s", length=4)
