@@ -418,3 +418,92 @@ def dequantize_int8(
             F.col(qvec_col), lambda q: q.cast("double") * F.col(scale_col)
         ),
     )
+
+
+def l2_normalize(
+    df: DataFrame, id_col: str, vec_col: str, *, out_col: str = "unit"
+) -> DataFrame:
+    """Unit-L2 vectors — the prerequisite for cosine-as-dot-product ANN
+    (normalize once at ingest; every later distance is a plain dot).
+    Map-only HOF arithmetic, zero shuffle; zero vectors stay zero.
+    Returns doubles in ``out_col`` plus the original ``norm``."""
+    from ..operators.dedup import bind_once
+
+    vec = F.col(vec_col)
+    norm_expr = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    packed = bind_once(
+        norm_expr,
+        lambda n: F.struct(
+            F.when(
+                n > 0.0, F.transform(vec, lambda x: x.cast("double") / n)
+            )
+            .otherwise(F.transform(vec, lambda x: F.lit(0.0)))
+            .alias("u"),
+            n.alias("n"),
+        ),
+    )
+    return df.select(F.col(id_col), packed.alias("_p")).select(
+        id_col, F.col("_p.u").alias(out_col), F.col("_p.n").alias("norm")
+    )
+
+
+def zscore_embeddings(
+    df: DataFrame, id_col: str, vec_col: str, *, out_col: str = "zvec"
+) -> DataFrame:
+    """Per-DIMENSION standardization (x − μ_d)/σ_d — the feature-scaling
+    step before clustering/IVF when dimensions carry unequal variance.
+
+    Cross-engine-exact by construction: values are first quantized to
+    2²⁰-scaled BIGINTs — the power-of-two scale makes `x · 2²⁰` EXACT in
+    double (no new mantissa bits), and the shared away-from-zero ROUND
+    gives both engines the identical integer; per-dimension Σx and Σx²
+    are then exact integer sums (order-independent — a double sum is
+    order-dependent and breaks hash equality; and decimal sums at scale
+    18 fail differently: DuckDB's wide-decimal→double cast is 1 ulp off
+    Java's), and μ, σ, z derive from those identical integers through an
+    identical double chain (int64→double is correctly-rounded IEEE in
+    both engines even past 2⁵³ — the `char_entropy` discipline).
+    Constant dimensions (σ=0) yield 0. The 2⁻²⁰ quantization (≈1e-6,
+    under float32's own noise floor for unit-range features) IS the
+    operator's input contract, stated, not hidden.
+
+    Shape: one posexplode to (dim, value) slim rows, one map-side-combined
+    aggregate onto the |dim|-row grid, grid broadcast back, map-only z
+    computation — embeddings themselves never shuffle.
+    """
+    q = float(1 << 20)
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("_d", "_x"),
+    ).withColumn(
+        "_xi", F.round(F.col("_x").cast("double") * F.lit(q)).cast("bigint")
+    )
+    grid = pos.groupBy("_d").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_xi").alias("_s"),
+        F.sum(F.col("_xi") * F.col("_xi")).alias("_ss"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = F.col("_ss").cast("double") / F.col("_n") - mean * mean
+    grid = grid.select(
+        "_d",
+        mean.alias("_mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("_std"),
+    )
+    z = F.when(
+        F.col("_std") > 0.0,
+        (F.col("_xi").cast("double") - F.col("_mean")) / F.col("_std"),
+    ).otherwise(F.lit(0.0))
+    return (
+        pos.join(F.broadcast(grid), "_d")
+        .select(F.col(id_col), "_d", z.alias("_z"))
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_d", "_z"))),
+                lambda s: s["_z"],
+            ).alias(out_col)
+        )
+    )

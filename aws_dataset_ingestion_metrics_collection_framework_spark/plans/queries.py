@@ -2591,6 +2591,94 @@ ORDER BY 1
 """
 
 
+def q_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding normalization both ways — unit-L2 per vector (map-only
+    left-fold sum of squares mirrored by DuckDB list_reduce) and
+    per-dimension z-score (2^20-quantized integer sums → identical double
+    chains, the char_entropy discipline) — outputs as micro-unit BIGINT arrays so
+    the comparison is integer-exact."""
+    from ..operators.similarity import l2_normalize, zscore_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = F.transform(
+        F.col("unit"), lambda x: F.round(x * 1_000_000).cast("bigint")
+    )
+    zu = F.transform(
+        F.col("zvec"), lambda x: F.round(x * 1_000_000).cast("bigint")
+    )
+    return (
+        l2_normalize(emb, "vec_id", "embedding")
+        .join(zscore_embeddings(emb, "vec_id", "embedding"), "vec_id")
+        .select(
+            "vec_id",
+            F.round("norm", 6).alias("norm"),
+            u.alias("unit_u"),
+            zu.alias("z_u"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMBEDDING_NORM_ORACLE = """
+WITH sq AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS xs
+  FROM embeddings
+),
+l2 AS (
+  SELECT vec_id,
+         sqrt(list_reduce(list_prepend(0.0, xs), (acc, x) -> acc + x)) AS nrm,
+         embedding
+  FROM sq
+),
+uarr AS (
+  SELECT vec_id, ROUND(nrm, 6) AS norm,
+         CASE WHEN nrm > 0 THEN
+           list_transform(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) / nrm * 1000000)
+                                    AS BIGINT))
+         ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS unit_u
+  FROM l2
+),
+pos AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         unnest(embedding) AS x
+  FROM embeddings
+),
+posd AS (
+  SELECT vec_id, d,
+         CAST(ROUND(CAST(x AS DOUBLE) * 1048576) AS BIGINT) AS xi
+  FROM pos
+),
+grid AS (
+  SELECT d, COUNT(*) AS n, SUM(xi) AS s, SUM(xi * xi) AS ss
+  FROM posd GROUP BY d
+),
+stats AS (
+  SELECT d,
+         CAST(s AS DOUBLE) / n AS mean,
+         sqrt(greatest(CAST(ss AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS std
+  FROM grid
+),
+z AS (
+  SELECT vec_id, d,
+         CASE WHEN std > 0
+              THEN (CAST(xi AS DOUBLE) - mean) / std ELSE 0.0 END AS zv
+  FROM posd JOIN stats USING (d)
+),
+zarr AS (
+  SELECT vec_id,
+         list(CAST(ROUND(zv * 1000000) AS BIGINT) ORDER BY d) AS z_u
+  FROM z GROUP BY vec_id
+)
+SELECT u.vec_id, u.norm, u.unit_u, zarr.z_u
+FROM uarr u JOIN zarr USING (vec_id)
+ORDER BY u.vec_id
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -4396,6 +4484,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution": q_attribution,
     # r5: keyed pseudonymization (sha256 tokens that keep joins working)
     "pseudonymize": q_pseudonymize,
+    # r5: embedding normalization (unit-L2 + per-dim z-score, micro-units)
+    "embedding_norm": q_embedding_norm,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -4638,6 +4728,7 @@ ORACLES: dict[str, str] = {
     "incremental_dedup": INCREMENTAL_DEDUP_ORACLE,
     "attribution": ATTRIBUTION_ORACLE,
     "pseudonymize": PSEUDONYMIZE_ORACLE,
+    "embedding_norm": EMBEDDING_NORM_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

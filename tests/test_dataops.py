@@ -813,3 +813,46 @@ class TestIncrementalDedup:
             [(100, "completely disjoint vocabulary for the base corpus")],
         )
         assert got[1][0] == "fresh"
+
+
+class TestEmbeddingNormalize:
+    def test_l2_unit_norm_and_zero_vector(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import l2_normalize
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0]), (2, [0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {r["vec_id"]: r for r in l2_normalize(df, "vec_id", "embedding").collect()}
+        assert abs(rows[1]["norm"] - 5.0) < 1e-12
+        assert rows[1]["unit"] == [0.6, 0.8]
+        assert rows[2]["unit"] == [0.0, 0.0] and rows[2]["norm"] == 0.0
+
+    def test_zscore_standardizes_each_dimension(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import zscore_embeddings
+        import statistics
+        vals = [0.1, 0.5, 0.9, 0.3]
+        df = spark.createDataFrame(
+            [(i, [v, 0.7]) for i, v in enumerate(vals)],  # dim1 constant
+            "vec_id long, embedding array<double>",
+        )
+        rows = {r["vec_id"]: r["zvec"] for r in
+                zscore_embeddings(df, "vec_id", "embedding").collect()}
+        mu = statistics.fmean(vals)
+        sd = statistics.pstdev(vals)
+        for i, v in enumerate(vals):
+            assert abs(rows[i][0] - (v - mu) / sd) < 1e-4  # 2^-20 quantized
+            assert rows[i][1] == 0.0                        # constant dim -> 0
+
+    def test_zscore_partition_invariant(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import zscore_embeddings
+        import random
+        rng = random.Random(3)
+        df = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(100)],
+            "vec_id long, embedding array<double>",
+        )
+        a = {r["vec_id"]: r["zvec"] for r in
+             zscore_embeddings(df, "vec_id", "embedding").collect()}
+        b = {r["vec_id"]: r["zvec"] for r in
+             zscore_embeddings(df.repartition(17), "vec_id", "embedding").collect()}
+        assert a == b  # exact equality: integer sums are order-independent
