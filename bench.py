@@ -110,6 +110,10 @@ HEADLINE = [
     "group_sample",
     "fuzzy_join",
     "incremental_rollup",
+    # incremental_dedup: the heaviest r5b path (two signature builds +
+    # cross band join); attribution: the event-time range join
+    "incremental_dedup",
+    "attribution",
 ]
 
 # Benched since r1 — the frozen cross-round comparison basket (see §3 above).

@@ -67,6 +67,10 @@ PROBES = [
     # (q-gram inverted index with count filter), incremental rollup
     # (map-side-combined partials + slim state merge)
     "snapshot_diff", "group_sample", "fuzzy_join", "incremental_rollup",
+    # r5c: cross-corpus dedup, attribution range join, LPA rounds,
+    # embedding normalization, mixture sampling
+    "incremental_dedup", "attribution", "label_propagation",
+    "embedding_norm", "corpus_mix",
 ]
 
 SF1_TABLES = (
