@@ -2679,6 +2679,54 @@ ORDER BY u.vec_id
 """
 
 
+def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON payload lifecycle over events: build a deterministic
+    nested payload (meta struct + vals array) from each row, parse it
+    back with an EXPLICIT schema, flatten the struct, explode the array
+    — the oracle reconstructs every output by plain column arithmetic,
+    so the whole parse/flatten/explode chain must invert the build."""
+    from ..functions.jsonops import flatten_structs, parse_json_column
+
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"meta":{"k":'),
+        F.get_json_object("props", "$.k"),
+        F.lit(',"tag":"t'),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit('"},"vals":['),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit(","),
+        (F.col("event_id") % 11).cast("string"),
+        F.lit("]}"),
+    )
+    df = ev.select("event_id", payload.alias("payload"))
+    good, _bad = parse_json_column(
+        df, "payload",
+        "struct<meta: struct<k: bigint, tag: string>, vals: array<bigint>>",
+    )
+    flat = flatten_structs(good.select("event_id", "parsed"))
+    return (
+        flat.select(
+            "event_id",
+            F.col("parsed_meta_k").alias("meta_k"),
+            F.col("parsed_meta_tag").alias("meta_tag"),
+            F.posexplode("parsed_vals").alias("pos", "val"),
+        )
+        .orderBy("event_id", "pos")
+    )
+
+
+JSON_FLATTEN_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS meta_k,
+       't' || CAST(user_id % 5 AS VARCHAR) AS meta_tag,
+       CAST(p - 1 AS INTEGER) AS pos,
+       CASE WHEN p = 1 THEN event_id % 7 ELSE event_id % 11 END AS val
+FROM events, UNNEST([1, 2]) AS u(p)
+ORDER BY event_id, pos
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -4486,6 +4534,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pseudonymize": q_pseudonymize,
     # r5: embedding normalization (unit-L2 + per-dim z-score, micro-units)
     "embedding_norm": q_embedding_norm,
+    # r5: nested-JSON parse/flatten/explode (arithmetic-reconstructed oracle)
+    "json_flatten": q_json_flatten,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -4729,6 +4779,7 @@ ORACLES: dict[str, str] = {
     "attribution": ATTRIBUTION_ORACLE,
     "pseudonymize": PSEUDONYMIZE_ORACLE,
     "embedding_norm": EMBEDDING_NORM_ORACLE,
+    "json_flatten": JSON_FLATTEN_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled
