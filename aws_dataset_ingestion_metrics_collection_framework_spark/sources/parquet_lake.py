@@ -36,6 +36,35 @@ def write_partitioned(
     )
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    *,
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Idempotent partition-level rewrite: replace ONLY the partitions
+    present in `df`, leaving every other partition untouched — the
+    backfill/restatement write a partitioned lake needs ('recompute
+    2024-01-15 for all accounts' must not truncate the rest of the
+    table, which is what a plain overwrite does under STATIC partition-
+    overwrite mode).
+
+    Implemented with Spark's dynamic partitionOverwriteMode, scoped to
+    this ONE write via the DataFrameWriter option (never the session
+    config — a session-wide flip silently changes the semantics of every
+    other overwrite in the job). Re-running the same batch rewrites the
+    same partitions to the same content: safe under at-least-once
+    schedulers."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def write_partitioned_mirrored(
     df: DataFrame,
     roots: list[str],

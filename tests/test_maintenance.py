@@ -137,3 +137,41 @@ class TestTargetedDelete:
                                spark.createDataFrame([("zz",)], "user string"), "user")
         assert plan["files_rewritten"] == 0 and plan["rows_deleted"] == 0
         assert spark.read.parquet(dest).count() == 2
+
+
+class TestOverwritePartitions:
+    """Dynamic partition overwrite: only touched partitions rewrite."""
+
+    def test_untouched_partitions_survive(self, spark, tmp_path):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.sources.parquet_lake import (
+            overwrite_partitions,
+        )
+        p = str(tmp_path / "lake")
+        base = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 11), (3, "b", 12)], "id long, part string, v long"
+        )
+        overwrite_partitions(base, p, ["part"])
+        # restate partition b (new content) and add partition c
+        patch = spark.createDataFrame(
+            [(9, "b", 99), (4, "c", 13)], "id long, part string, v long"
+        )
+        overwrite_partitions(patch, p, ["part"])
+        rows = {(r["part"], r["id"]): r["v"]
+                for r in spark.read.parquet(p).collect()}
+        assert rows == {
+            ("a", 1): 10, ("a", 2): 11,      # untouched partition intact
+            ("b", 9): 99,                     # b fully replaced (3 gone)
+            ("c", 4): 13,                     # new partition appended
+        }
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.sources.parquet_lake import (
+            overwrite_partitions,
+        )
+        p = str(tmp_path / "lake")
+        batch = spark.createDataFrame(
+            [(1, "x", 1), (2, "y", 2)], "id long, part string, v long"
+        )
+        overwrite_partitions(batch, p, ["part"])
+        overwrite_partitions(batch, p, ["part"])  # at-least-once replay
+        assert spark.read.parquet(p).count() == 2
