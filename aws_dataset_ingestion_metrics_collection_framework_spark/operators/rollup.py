@@ -21,7 +21,11 @@ Composition notes for other aggregates:
 - avg/stddev: finalize from (count, sum, sum_sq) — never store the ratio;
 - distinct: store a KMV sketch column (`operators/sketches.py`) — k-min
   hash arrays merge by array-union + re-truncate, same semigroup shape;
-- percentiles: not algebraic — store a t-digest-style sketch or recompute.
+- percentiles: not algebraic exactly, but a FIXED-BIN histogram state is
+  (bin counts add) — `histogram_state`/`merge_histograms`/
+  `percentile_from_histogram` below give mergeable quantile estimates
+  with error bounded by bin width, deterministic and oracle-exact
+  (integer counts; the interpolation is one shared double chain).
 
 Scale shape: `partials()` is ONE map-side-combinable aggregation of the
 increment (shuffle keyed on group+window, combiner reduces each partition
@@ -90,4 +94,118 @@ def finalize_rollup(state: DataFrame, *, ndigits: int = 6) -> DataFrame:
         F.col("vmin"),
         F.col("vmax"),
         F.round(F.col("vsum") / F.col("cnt"), ndigits).alias("vavg"),
+    )
+
+
+def histogram_state(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    granularity: str = "day",
+) -> DataFrame:
+    """Mergeable fixed-bin histogram state per (key, window): `hist` is a
+    ``bins + 2`` BIGINT array — [underflow, bin_0 … bin_{n-1}, overflow]
+    — the percentile-capable companion to :func:`rollup_partials` (exact
+    quantiles are not algebraic; bounded-error ones over a FIXED grid
+    are: bin counts simply add). [lo, hi) must be chosen up front (from
+    domain knowledge or a profiling pass) and NEVER change across
+    increments — merging states with different grids is meaningless, so
+    the grid is the caller's schema-level contract.
+
+    One map-side-combinable aggregation; bin index is a codegen'd
+    floor((x−lo)/width) both engines compute identically."""
+    if bins < 1 or not (hi > lo):
+        raise ValueError("need bins >= 1 and hi > lo")
+    width = (hi - lo) / bins
+    ws = F.date_trunc(granularity, F.col(ts_col)).alias("window_start")
+    v = F.col(value_col).cast("double")
+    idx = F.when(v < lo, F.lit(0)).when(v >= hi, F.lit(bins + 1)).otherwise(
+        F.floor((v - F.lit(lo)) / F.lit(width)).cast("int") + 1
+    )
+    counted = (
+        df.filter(v.isNotNull())
+        .groupBy(*key_cols, ws, idx.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # scatter the ≤ bins+2 per-group rows into the dense array
+    slots = F.sequence(F.lit(0), F.lit(bins + 1))
+    return (
+        counted.groupBy(*key_cols, "window_start")
+        .agg(F.map_from_entries(F.collect_list(F.struct("_b", "_c"))).alias("_m"))
+        .select(
+            *key_cols,
+            "window_start",
+            F.transform(
+                # _m is keyed by the slot id itself (element_at on a MAP
+                # is a key lookup, not 1-based indexing)
+                slots, lambda i: F.coalesce(F.element_at("_m", i), F.lit(0))
+            ).alias("hist"),
+        )
+    )
+
+
+def merge_histograms(*states: DataFrame) -> DataFrame:
+    """Histogram-state merge: element-wise sum (the semigroup again) —
+    all inputs must share the SAME [lo, hi, bins] grid (caller contract,
+    see :func:`histogram_state`)."""
+    if not states:
+        raise ValueError("merge_histograms needs at least one state table")
+    acc = states[0]
+    for s in states[1:]:
+        acc = acc.unionByName(s)
+    key_cols = [c for c in acc.columns if c != "hist"]
+    return acc.groupBy(*key_cols).agg(
+        F.reduce(
+            F.collect_list("hist"),
+            F.transform(F.first("hist"), lambda x: F.lit(0).cast("bigint")),
+            lambda a, h: F.zip_with(a, h, lambda x, y: x + y),
+        ).alias("hist")
+    )
+
+
+def percentile_from_histogram(
+    state: DataFrame, p_pct: int, *, lo: float, hi: float
+) -> DataFrame:
+    """Percentile estimate from a histogram state: the value at the
+    cumulative-count crossing, linearly interpolated inside the crossing
+    bin — error ≤ one bin width. Same [lo, hi] grid as the build
+    (caller contract). Underflow/overflow crossings clamp to lo/hi.
+    Adds ``p{p_pct}`` (double, 6 digits). Map-only over the state."""
+    if not (0 < p_pct < 100):
+        raise ValueError("p_pct must be in (0, 100)")
+    bins = None  # derived per row from the array length
+    h = F.col("hist")
+    n = F.aggregate(h, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    target = (n * p_pct + F.lit(99)) / 100  # ceil(n*p/100) in integer math
+    target = F.floor(target).cast("bigint")
+    # running cumulative via transform over indices, then find first index
+    # whose cumsum >= target
+    idxs = F.sequence(F.lit(0), F.size(h) - 1)
+    cums = F.transform(
+        idxs,
+        lambda i: F.aggregate(
+            F.slice(h, 1, (i + 1).cast("int")), F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ),
+    )
+    cross = F.array_position(
+        F.transform(cums, lambda c: c >= target), True
+    ).cast("int") - 1  # 0-based slot of the crossing bin
+    nbins = F.size(h) - 2
+    width = (F.lit(hi) - F.lit(lo)) / nbins
+    prev_cum = F.when(cross > 0, F.element_at(cums, cross)).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    in_bin = F.element_at(h, cross + 1)
+    frac = F.when(in_bin > 0, (target - prev_cum) / in_bin).otherwise(F.lit(0.0))
+    est = F.when(cross <= 0, F.lit(lo)).when(cross >= nbins + 1, F.lit(hi)).otherwise(
+        F.lit(lo) + (cross - 1 + frac) * width
+    )
+    return state.withColumn(
+        f"p{p_pct}", F.round(F.when(n > 0, est), 6)
     )

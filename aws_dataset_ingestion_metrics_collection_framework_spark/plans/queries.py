@@ -2727,6 +2727,98 @@ ORDER BY event_id, pos
 """
 
 
+def q_rollup_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram percentiles: per (event_type, day), p50/p95
+    estimated from a fixed 200-bin [0,4000) histogram state built as TWO
+    increments and MERGED — the oracle recomputes from the full data in
+    one shot, so the split/merge must be invisible (bin counts are
+    integers; the interpolation is one shared double chain)."""
+    from ..operators import rollup as RU
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    lo, hi, bins = 0.0, 4000.0, 200
+    a = RU.histogram_state(
+        ev.filter(F.col("ts") < cut), ["event_type"], "ts", "value",
+        lo=lo, hi=hi, bins=bins,
+    )
+    b = RU.histogram_state(
+        ev.filter(F.col("ts") >= cut), ["event_type"], "ts", "value",
+        lo=lo, hi=hi, bins=bins,
+    )
+    st = RU.merge_histograms(a, b)
+    st = RU.percentile_from_histogram(st, 50, lo=lo, hi=hi)
+    st = RU.percentile_from_histogram(st, 95, lo=lo, hi=hi)
+    return st.select("event_type", "window_start", "p50", "p95").orderBy(
+        "event_type", "window_start"
+    )
+
+
+ROLLUP_PERCENTILE_ORACLE = """
+WITH binned AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         CASE WHEN value < 0 THEN 0 WHEN value >= 4000 THEN 201
+              ELSE CAST(FLOOR(value / 20.0) AS INTEGER) + 1 END AS b,
+         COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+tot AS (SELECT event_type, window_start, SUM(c) AS n FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, window_start, b, c,
+         SUM(c) OVER (PARTITION BY event_type, window_start ORDER BY b) AS cc
+  FROM binned
+),
+t AS (
+  SELECT event_type, window_start,
+         (n * 50 + 99) // 100 AS t50,
+         (n * 95 + 99) // 100 AS t95
+  FROM tot
+),
+x50 AS (
+  SELECT c.event_type, c.window_start, MIN(c.b) AS b
+  FROM cum c JOIN t USING (event_type, window_start)
+  WHERE c.cc >= t.t50 GROUP BY 1, 2
+),
+e50 AS (
+  SELECT x.event_type, x.window_start,
+         CASE WHEN x.b = 0 THEN 0.0 WHEN x.b = 201 THEN 4000.0
+              ELSE 0.0 + (x.b - 1
+                + CASE WHEN c.c > 0
+                       THEN CAST(t.t50 - (c.cc - c.c) AS DOUBLE) / c.c
+                       ELSE 0.0 END) * 20.0
+         END AS p50
+  FROM x50 x
+  JOIN cum c ON c.event_type = x.event_type
+            AND c.window_start = x.window_start AND c.b = x.b
+  JOIN t ON t.event_type = x.event_type AND t.window_start = x.window_start
+),
+x95 AS (
+  SELECT c.event_type, c.window_start, MIN(c.b) AS b
+  FROM cum c JOIN t USING (event_type, window_start)
+  WHERE c.cc >= t.t95 GROUP BY 1, 2
+),
+e95 AS (
+  SELECT x.event_type, x.window_start,
+         CASE WHEN x.b = 0 THEN 0.0 WHEN x.b = 201 THEN 4000.0
+              ELSE 0.0 + (x.b - 1
+                + CASE WHEN c.c > 0
+                       THEN CAST(t.t95 - (c.cc - c.c) AS DOUBLE) / c.c
+                       ELSE 0.0 END) * 20.0
+         END AS p95
+  FROM x95 x
+  JOIN cum c ON c.event_type = x.event_type
+            AND c.window_start = x.window_start AND c.b = x.b
+  JOIN t ON t.event_type = x.event_type AND t.window_start = x.window_start
+)
+SELECT e50.event_type, e50.window_start,
+       ROUND(e50.p50, 6) AS p50, ROUND(e95.p95, 6) AS p95
+FROM e50 JOIN e95 ON e95.event_type = e50.event_type
+                 AND e95.window_start = e50.window_start
+ORDER BY 1, 2
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -4536,6 +4628,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norm": q_embedding_norm,
     # r5: nested-JSON parse/flatten/explode (arithmetic-reconstructed oracle)
     "json_flatten": q_json_flatten,
+    # r5: mergeable-histogram percentiles (split/merge vs one-shot oracle)
+    "rollup_percentile": q_rollup_percentile,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -4780,6 +4874,7 @@ ORACLES: dict[str, str] = {
     "pseudonymize": PSEUDONYMIZE_ORACLE,
     "embedding_norm": EMBEDDING_NORM_ORACLE,
     "json_flatten": JSON_FLATTEN_ORACLE,
+    "rollup_percentile": ROLLUP_PERCENTILE_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

@@ -80,3 +80,76 @@ def test_hourly_granularity(spark):
         hour.withColumn("window_start", F.date_trunc("day", "window_start"))
     )
     assert _final(rehoused) == _final(day)
+
+
+class TestHistogramState:
+    """Mergeable fixed-bin histograms: merge == full build, percentile
+    within one bin width of exact, boundary clamps."""
+
+    def _vals(self):
+        return [float((i * 37) % 200) / 2 for i in range(400)]  # 0..99.5
+
+    def _df(self, spark, vals):
+        import datetime as dt
+        t0 = dt.datetime(2024, 3, 1)
+        return spark.createDataFrame(
+            [("g", t0 + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)],
+            SCHEMA,
+        )
+
+    def test_merge_equals_full_build(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.rollup import (
+            histogram_state, merge_histograms,
+        )
+        vals = self._vals()
+        full = histogram_state(
+            self._df(spark, vals), ["k"], "ts", "v", lo=0.0, hi=100.0, bins=20
+        ).collect()
+        a = histogram_state(
+            self._df(spark, vals[:150]), ["k"], "ts", "v", lo=0.0, hi=100.0, bins=20
+        )
+        b = histogram_state(
+            self._df(spark, vals[150:]), ["k"], "ts", "v", lo=0.0, hi=100.0, bins=20
+        )
+        # same window (all values on 2024-03-01): shift minute offsets keep day
+        merged = merge_histograms(a, b).collect()
+        assert sorted(map(tuple, merged)) == sorted(map(tuple, full))
+        assert sum(full[0]["hist"]) == 400
+
+    def test_percentile_within_bin_width(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.rollup import (
+            histogram_state, percentile_from_histogram,
+        )
+        import statistics
+        vals = self._vals()
+        state = histogram_state(
+            self._df(spark, vals), ["k"], "ts", "v", lo=0.0, hi=100.0, bins=50
+        )
+        for p in (50, 95):
+            est = percentile_from_histogram(state, p, lo=0.0, hi=100.0).collect()[0][f"p{p}"]
+            exact = statistics.quantiles(vals, n=100)[p - 1]
+            assert abs(est - exact) <= 2.0 + 1e-9, (p, est, exact)  # bin width 2
+
+    def test_out_of_range_values_clamp(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.rollup import (
+            histogram_state, percentile_from_histogram,
+        )
+        df = self._df(spark, [-5.0, -4.0, 500.0, 600.0])
+        state = histogram_state(df, ["k"], "ts", "v", lo=0.0, hi=10.0, bins=5)
+        h = state.collect()[0]["hist"]
+        assert h[0] == 2 and h[-1] == 2 and sum(h) == 4
+        p25 = percentile_from_histogram(state, 25, lo=0.0, hi=10.0).collect()[0]["p25"]
+        p99 = percentile_from_histogram(state, 99, lo=0.0, hi=10.0).collect()[0]["p99"]
+        assert p25 == 0.0 and p99 == 10.0  # under/overflow clamp to the grid
+
+    def test_grid_validation(self, spark):
+        import pytest as _pytest
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.rollup import (
+            histogram_state, percentile_from_histogram,
+        )
+        df = self._df(spark, [1.0])
+        with _pytest.raises(ValueError):
+            histogram_state(df, ["k"], "ts", "v", lo=5.0, hi=5.0)
+        state = histogram_state(df, ["k"], "ts", "v", lo=0.0, hi=10.0)
+        with _pytest.raises(ValueError):
+            percentile_from_histogram(state, 0, lo=0.0, hi=10.0)
