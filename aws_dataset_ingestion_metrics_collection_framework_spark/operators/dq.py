@@ -187,3 +187,61 @@ def numeric_histogram(
             "n",
         )
     )
+
+
+class ExpectationError(RuntimeError):
+    """A DQ-gated write refused to land data; carries the failed checks."""
+
+    def __init__(self, failures: list[dict]):
+        self.failures = failures
+        names = ", ".join(f["check"] for f in failures)
+        super().__init__(f"expectations failed: {names}")
+
+
+def write_with_expectations(
+    df: DataFrame,
+    path: str,
+    checks: dict,
+    *,
+    mode: str = "append",
+    partition_cols: list[str] | None = None,
+    quarantine_path: str | None = None,
+) -> DataFrame:
+    """Expectation-gated landing: evaluate the constraint suite, and only
+    if EVERY check passes, write `df` — the write-audit-publish pattern
+    (bad batches must never become readable; a post-hoc DQ report on
+    already-published data is an incident, not a gate).
+
+    On failure raises :class:`ExpectationError` (the scheduler's retry/
+    alert hook) after optionally landing the violating ROWS under
+    `quarantine_path` (all rows failing any check, with a `failed_checks`
+    column) — the triage artifact. Returns the check report either way
+    it can (the report materializes BEFORE the write, one aggregation
+    job; the data scan runs twice — once to check, once to write — by
+    design: gating on a cached single pass would pin the whole batch in
+    memory, and recomputation is the cheaper contract at lake scale).
+    """
+    report = check_constraints(df, checks)
+    rows = report.collect()  # ≤ |checks| rows — bounded driver materialization
+    failures = [r.asDict() for r in rows if not r["passed"]]
+    if failures:
+        if quarantine_path is not None:
+            failed_checks = F.concat_ws(
+                ",",
+                *[
+                    F.when(~F.coalesce(pred, F.lit(False)), F.lit(name))
+                    for name, pred in checks.items()
+                ],
+            )
+            (
+                df.withColumn("failed_checks", failed_checks)
+                .filter(F.col("failed_checks") != "")
+                .write.mode("overwrite")
+                .parquet(quarantine_path)
+            )
+        raise ExpectationError(failures)
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+    return report

@@ -77,3 +77,56 @@ class TestNumericHistogram:
         rows = numeric_histogram(df, "v", bins=2, min_val=0.0, max_val=10.0).collect()
         assert sum(r["n"] for r in rows) == 2
         assert {r["bin"] for r in rows} == {0, 1}
+
+
+class TestWriteWithExpectations:
+    """Write-audit-publish: bad batches never land; quarantine captures
+    the violating rows with check blame."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, v double")
+
+    def test_passing_batch_lands(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dq import write_with_expectations
+        p = str(tmp_path / "out")
+        rep = write_with_expectations(
+            self._df(spark, [(1, 0.5), (2, 0.9)]), p,
+            {"v_in_range": (F.col("v") >= 0) & (F.col("v") <= 1),
+             "id_not_null": F.col("id").isNotNull()},
+        )
+        assert spark.read.parquet(p).count() == 2
+        assert all(r["passed"] for r in rep.collect())
+
+    def test_failing_batch_never_lands_and_quarantines(self, spark, tmp_path):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dq import (
+            ExpectationError, write_with_expectations,
+        )
+        p = str(tmp_path / "out")
+        q = str(tmp_path / "quarantine")
+        with _pytest.raises(ExpectationError) as ei:
+            write_with_expectations(
+                self._df(spark, [(1, 0.5), (2, 7.0), (None, 0.1)]), p,
+                {"v_in_range": (F.col("v") >= 0) & (F.col("v") <= 1),
+                 "id_not_null": F.col("id").isNotNull()},
+                quarantine_path=q,
+            )
+        assert {f["check"] for f in ei.value.failures} == {"v_in_range", "id_not_null"}
+        import os
+        assert not os.path.exists(p)  # nothing published
+        bad = {r["failed_checks"] for r in spark.read.parquet(q).collect()}
+        assert bad == {"v_in_range", "id_not_null"}
+
+    def test_null_predicate_counts_as_violation(self, spark, tmp_path):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dq import (
+            ExpectationError, write_with_expectations,
+        )
+        with _pytest.raises(ExpectationError):
+            write_with_expectations(
+                self._df(spark, [(1, None)]), str(tmp_path / "o"),
+                {"v_positive": F.col("v") > 0},
+            )
