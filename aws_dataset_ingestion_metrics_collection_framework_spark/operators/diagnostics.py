@@ -99,3 +99,76 @@ def skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
         F.expr("percentile(n, 0.5)").alias("p50_count"),
         F.expr("percentile(n, 0.99)").alias("p99_count"),
     )
+
+
+def seasonal_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    season: str = "hour",
+    k: float = 3.0,
+    scale_bits: int = 10,
+) -> DataFrame:
+    """Seasonality-aware anomaly flags: each value is scored against the
+    mean/stddev of its OWN seasonal slot (per key × hour-of-day by
+    default) — the detector for loads with a daily/weekly pulse, where a
+    global threshold (or `mad_outliers`' global median) flags every rush
+    hour as anomalous and misses a quiet-hour spike entirely.
+
+    ``season``: 'hour' (0-23), 'dow' (1-7), or 'hour_dow' (the 168-slot
+    weekly grid). z-scores use population stddev over the slot.
+
+    Cross-engine-exact by the engine's integer-sum recipe (see
+    `similarity.zscore_embeddings`): values quantize to ``2^scale_bits``
+    fixed-point BIGINTs (power-of-two scale: the multiply is exact in
+    double; away-from-zero tie rounding agrees between engines), slot
+    Σx/Σx² are exact integer sums, and the z chain is identical IEEE
+    both sides. Bounds: |value|·2^bits must fit comfortably and
+    n·(value·2^bits)² stay under 2⁶³ — at the default 10 bits that is
+    ~3e9 magnitude / ~9e18 sum-of-squares, raise/lower ``scale_bits``
+    per column magnitude.
+
+    Shape: one map-side-combined aggregate onto the (keys × slots) grid,
+    grid broadcast back, map-only scoring — same discipline as DSIR's
+    256-bucket grid; the event table never shuffles.
+    """
+    ts = F.col(ts_col)
+    if season == "hour":
+        slot = F.hour(ts)
+    elif season == "dow":
+        slot = F.dayofweek(ts)
+    elif season == "hour_dow":
+        slot = F.dayofweek(ts) * 100 + F.hour(ts)
+    else:
+        raise ValueError(f"unknown season {season!r}")
+    scale = float(1 << scale_bits)
+    xi = F.round(F.col(value_col).cast("double") * F.lit(scale)).cast("bigint")
+    base = df.withColumn("_slot", slot).withColumn("_xi", xi)
+    grid = base.filter(F.col("_xi").isNotNull()).groupBy(*key_cols, "_slot").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_xi").alias("_s"),
+        F.sum(F.col("_xi") * F.col("_xi")).alias("_ss"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = F.col("_ss").cast("double") / F.col("_n") - mean * mean
+    grid = grid.select(
+        *key_cols, "_slot",
+        mean.alias("_mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("_std"),
+    )
+    dev = F.abs(F.col("_xi").cast("double") - F.col("_mean"))
+    is_out = F.when(
+        F.col("_std") > 0.0, dev / F.col("_std") > F.lit(float(k))
+    ).otherwise(dev > 0.0)
+    return (
+        base.join(F.broadcast(grid), [*key_cols, "_slot"])
+        .select(
+            *df.columns,
+            F.col("_slot").alias("season_slot"),
+            F.round(F.col("_mean") / F.lit(scale), 6).alias("seasonal_mean"),
+            F.round(F.col("_std") / F.lit(scale), 6).alias("seasonal_std"),
+            is_out.alias("is_outlier"),
+        )
+    )

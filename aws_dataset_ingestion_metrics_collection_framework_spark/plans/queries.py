@@ -2819,6 +2819,47 @@ ORDER BY 1, 2
 """
 
 
+def q_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly flags over events (per event_type ×
+    hour-of-day slot, z > 3 against the slot's own mean/stddev) — the
+    integer-quantized stat chain reproduced exactly by the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    out = DIAG.seasonal_outliers(ev, ["event_type"], "ts", "value", k=3.0)
+    return out.select(
+        "event_id", "event_type", "season_slot",
+        "seasonal_mean", "seasonal_std", "is_outlier",
+    ).orderBy("event_id")
+
+
+SEASONAL_OUTLIERS_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type, hour(ts) AS season_slot,
+         CAST(ROUND(CAST(value AS DOUBLE) * 1024) AS BIGINT) AS xi
+  FROM events
+),
+grid AS (
+  SELECT event_type, season_slot, COUNT(*) AS n,
+         SUM(xi) AS s, SUM(xi * xi) AS ss
+  FROM base WHERE xi IS NOT NULL
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, season_slot,
+         CAST(s AS DOUBLE) / n AS m,
+         sqrt(greatest(CAST(ss AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS sd
+  FROM grid
+)
+SELECT b.event_id, b.event_type, b.season_slot,
+       ROUND(m / 1024, 6) AS seasonal_mean,
+       ROUND(sd / 1024, 6) AS seasonal_std,
+       CASE WHEN sd > 0 THEN ABS(CAST(xi AS DOUBLE) - m) / sd > 3.0
+            ELSE ABS(CAST(xi AS DOUBLE) - m) > 0 END AS is_outlier
+FROM base b JOIN stats USING (event_type, season_slot)
+ORDER BY event_id
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -4630,6 +4671,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_flatten": q_json_flatten,
     # r5: mergeable-histogram percentiles (split/merge vs one-shot oracle)
     "rollup_percentile": q_rollup_percentile,
+    # r5: seasonality-aware anomaly flags (slot-grid z-scores)
+    "seasonal_outliers": q_seasonal_outliers,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -4875,6 +4918,7 @@ ORACLES: dict[str, str] = {
     "embedding_norm": EMBEDDING_NORM_ORACLE,
     "json_flatten": JSON_FLATTEN_ORACLE,
     "rollup_percentile": ROLLUP_PERCENTILE_ORACLE,
+    "seasonal_outliers": SEASONAL_OUTLIERS_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

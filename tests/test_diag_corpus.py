@@ -87,3 +87,52 @@ def test_jsonl_corrupt_and_textless_lines_route_out(spark, tmpdir):
     good, bad = read_jsonl_corpus(spark, path)
     assert [r["doc_id"] for r in good.collect()] == [1]
     assert bad.count() == 3
+
+
+class TestSeasonalOutliers:
+    """Slot-wise anomaly scoring: a quiet-hour spike flags while the same
+    magnitude at rush hour does not — the case a global rule cannot get
+    right."""
+
+    def _df(self, spark):
+        import datetime as dt
+        rows = []
+        t0 = dt.datetime(2024, 3, 1)
+        for day in range(10):
+            # hour 3 (quiet): baseline ~10; hour 12 (rush): baseline ~100
+            rows.append(("m", t0 + dt.timedelta(days=day, hours=3), 10.0 + day % 3))
+            rows.append(("m", t0 + dt.timedelta(days=day, hours=12), 100.0 + day % 5))
+        # the anomaly: a rush-hour-sized value in the quiet hour...
+        rows.append(("m", t0 + dt.timedelta(days=10, hours=3), 100.0))
+        # ...and a perfectly normal rush-hour value of the SAME magnitude
+        rows.append(("m", t0 + dt.timedelta(days=10, hours=12), 100.0))
+        return spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+    def test_quiet_hour_spike_flags_rush_hour_twin_does_not(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.diagnostics import seasonal_outliers
+        out = seasonal_outliers(self._df(spark), ["k"], "ts", "v", k=3.0)
+        flags = {(r["season_slot"], r["v"]): r["is_outlier"] for r in out.collect()}
+        assert flags[(3, 100.0)] is True
+        assert flags[(12, 100.0)] is False
+
+    def test_single_extreme_flags_when_slot_large_enough(self, spark):
+        # a lone outlier's z is bounded by sqrt(n-1) (it inflates the
+        # stddev it is scored against), so the slot needs n >= 11 for a
+        # z > 3 flag: 15 baseline points + one 10x spike -> z = sqrt(15).
+        import datetime as dt
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.diagnostics import seasonal_outliers
+        t0 = dt.datetime(2024, 3, 1, 5)
+        df = spark.createDataFrame(
+            [("k", t0 + dt.timedelta(days=i), 7.0) for i in range(15)]
+            + [("k", t0 + dt.timedelta(days=20), 70.0)],
+            "k string, ts timestamp, v double",
+        )
+        out = {r["v"]: r["is_outlier"]
+               for r in seasonal_outliers(df, ["k"], "ts", "v").collect()}
+        assert out[70.0] is True and out[7.0] is False
+
+    def test_unknown_season_raises(self, spark):
+        import pytest as _pytest
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.diagnostics import seasonal_outliers
+        with _pytest.raises(ValueError):
+            seasonal_outliers(self._df(spark), ["k"], "ts", "v", season="lunar")
