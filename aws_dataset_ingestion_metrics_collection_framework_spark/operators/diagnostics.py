@@ -172,3 +172,99 @@ def seasonal_outliers(
             is_out.alias("is_outlier"),
         )
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+    *,
+    slack_k: float = 0.5,
+    threshold_k: float = 5.0,
+    scale_bits: int = 10,
+) -> DataFrame:
+    """Per-series CUSUM drift detection (Page 1954): flags sustained mean
+    SHIFTS that point anomalies slip past — ten straight readings 1.5σ
+    high never trip a 3σ rule, but their cumulative drift trips CUSUM
+    fast. The standard two-sided scheme with slack ``slack_k·σ`` and
+    decision threshold ``threshold_k·σ``.
+
+    The textbook recursion s_t = max(0, s_{t-1} + d_t) looks
+    row-iterative, but has the closed form s_t = P_t − min(0, min_{j≤t}
+    P_j) over prefix sums P — so the whole detector is TWO window
+    functions per direction (running sum + running min), no recursion,
+    no per-series collect: shuffle once per series key, scan in order.
+    Reference mean/σ per series use the engine's integer-quantization
+    recipe (exact, cross-engine; see `seasonal_outliers` for bounds).
+
+    ``order_cols`` (default [ts_col]) must totally order each series —
+    a tie would make the running sums partition-order-dependent.
+
+    Output: input columns + cusum_hi/cusum_lo (σ units, 6 digits) +
+    is_changepoint. Self-referential baseline caveat: mean/σ come from
+    the WHOLE series including post-shift data — fine for detection;
+    for clean localization re-run with a reference window's stats.
+    """
+    from pyspark.sql import Window
+
+    order_cols = order_cols or [ts_col]
+    scale = float(1 << scale_bits)
+    xi = F.round(F.col(value_col).cast("double") * F.lit(scale)).cast("bigint")
+    base = df.withColumn("_xi", xi)
+    stats = base.groupBy(*key_cols).agg(
+        F.count("_xi").alias("_n"),
+        F.sum("_xi").alias("_s"),
+        F.sum(F.col("_xi") * F.col("_xi")).alias("_ss"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = F.col("_ss").cast("double") / F.col("_n") - mean * mean
+    stats = stats.select(
+        *key_cols, "_n", "_s",
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("_std"),
+    )
+    # Integer CUSUM units: deviations scaled by n (dev_u = xi·n − Σx, an
+    # exact integer — no mean division) and the slack/threshold rounded
+    # ONCE to those units. Running window sums of DOUBLES are engine-
+    # implementation-dependent (sequential accumulator vs segment-tree
+    # reduction order); integer prefix sums are order-free, so the whole
+    # detector is bit-stable cross-engine. Bound: |value|·2^bits · n ·
+    # series_len must stay under 2⁶³ (≈10⁶-row series at default scale).
+    stats = stats.withColumn(
+        "_slack_u",
+        F.round(F.lit(float(slack_k)) * F.col("_std") * F.col("_n") * F.lit(scale))
+        .cast("bigint"),
+    ).withColumn(
+        "_h_u",
+        F.round(F.lit(float(threshold_k)) * F.col("_std") * F.col("_n") * F.lit(scale))
+        .cast("bigint"),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = base.join(F.broadcast(stats), list(key_cols))
+    dev_u = (F.col("_xi") * F.col("_n") - F.col("_s")) * F.lit(1 << scale_bits)
+    d_hi = dev_u - F.col("_slack_u")
+    d_lo = -dev_u - F.col("_slack_u")
+    zero = F.lit(0).cast("bigint")
+    p_hi = F.sum(d_hi).over(w)
+    p_lo = F.sum(d_lo).over(w)
+    s_hi = p_hi - F.least(zero, F.min(p_hi).over(w))
+    s_lo = p_lo - F.least(zero, F.min(p_lo).over(w))
+    sigma = F.col("_std")
+    # σ units for reporting: s carries value·2^(2b)·n units, σ (over the
+    # quantized xi) carries value·2^b — divide by σ·n·2^b
+    norm = F.when(sigma > 0.0, sigma).otherwise(F.lit(1.0)) * F.col("_n") * F.lit(scale)
+    return joined.select(
+        *df.columns,
+        F.round(s_hi.cast("double") / norm, 6).alias("cusum_hi"),
+        F.round(s_lo.cast("double") / norm, 6).alias("cusum_lo"),
+        (
+            F.when(
+                sigma > 0.0, (s_hi > F.col("_h_u")) | (s_lo > F.col("_h_u"))
+            ).otherwise(F.lit(False))
+        ).alias("is_changepoint"),
+    )

@@ -2860,6 +2860,74 @@ ORDER BY event_id
 """
 
 
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detection per event_type series (slack 0.5σ,
+    threshold 5σ) — the max(0, ·) recursion as two window functions over
+    INTEGER units, so the running sums are order-free and the oracle's
+    window chain lands bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    out = DIAG.cusum_changepoints(
+        ev, ["event_type"], "ts", "value", ["ts", "event_id"],
+    )
+    return out.select(
+        "event_id", "event_type", "cusum_hi", "cusum_lo", "is_changepoint"
+    ).orderBy("event_id")
+
+
+CUSUM_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type, ts,
+         CAST(ROUND(CAST(value AS DOUBLE) * 1024) AS BIGINT) AS xi
+  FROM events
+),
+st AS (
+  SELECT event_type, COUNT(xi) AS n, SUM(xi) AS s, SUM(xi * xi) AS ss
+  FROM base GROUP BY 1
+),
+st2 AS (
+  SELECT event_type, n, s,
+         sqrt(greatest(CAST(ss AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS sd
+  FROM st
+),
+st3 AS (
+  SELECT event_type, n, s, sd,
+         CAST(ROUND(0.5 * sd * n * 1024) AS BIGINT) AS slack_u,
+         CAST(ROUND(5.0 * sd * n * 1024) AS BIGINT) AS h_u
+  FROM st2
+),
+j AS (
+  SELECT b.event_id, b.event_type, b.ts, n, sd, slack_u, h_u,
+         (b.xi * n - s) * 1024 AS dev_u
+  FROM base b JOIN st3 USING (event_type)
+),
+wsum AS (
+  SELECT *,
+    SUM(dev_u - slack_u) OVER
+      (PARTITION BY event_type ORDER BY ts, event_id) AS p_hi,
+    SUM(-dev_u - slack_u) OVER
+      (PARTITION BY event_type ORDER BY ts, event_id) AS p_lo
+  FROM j
+),
+wmin AS (
+  SELECT *,
+    MIN(p_hi) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS mh,
+    MIN(p_lo) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS ml
+  FROM wsum
+)
+SELECT event_id, event_type,
+  ROUND(CAST(p_hi - LEAST(0, mh) AS DOUBLE)
+        / ((CASE WHEN sd > 0 THEN sd ELSE 1.0 END) * n * 1024), 6) AS cusum_hi,
+  ROUND(CAST(p_lo - LEAST(0, ml) AS DOUBLE)
+        / ((CASE WHEN sd > 0 THEN sd ELSE 1.0 END) * n * 1024), 6) AS cusum_lo,
+  CASE WHEN sd > 0
+       THEN (p_hi - LEAST(0, mh)) > h_u OR (p_lo - LEAST(0, ml)) > h_u
+       ELSE FALSE END AS is_changepoint
+FROM wmin
+ORDER BY event_id
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -4673,6 +4741,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_percentile": q_rollup_percentile,
     # r5: seasonality-aware anomaly flags (slot-grid z-scores)
     "seasonal_outliers": q_seasonal_outliers,
+    # r5: CUSUM drift detection (recursion closed-formed into windows)
+    "cusum": q_cusum,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -4919,6 +4989,7 @@ ORACLES: dict[str, str] = {
     "json_flatten": JSON_FLATTEN_ORACLE,
     "rollup_percentile": ROLLUP_PERCENTILE_ORACLE,
     "seasonal_outliers": SEASONAL_OUTLIERS_ORACLE,
+    "cusum": CUSUM_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

@@ -136,3 +136,72 @@ class TestSeasonalOutliers:
         from aws_dataset_ingestion_metrics_collection_framework_spark.operators.diagnostics import seasonal_outliers
         with _pytest.raises(ValueError):
             seasonal_outliers(self._df(spark), ["k"], "ts", "v", season="lunar")
+
+
+class TestCusumChangepoints:
+    """CUSUM drift detection: a sustained small shift trips the detector
+    while a 3-sigma point rule stays silent; the closed-form equals the
+    textbook recursion."""
+
+    def _series(self):
+        # 40 baseline points oscillating ±1 around 10, then 40 at 12±1:
+        # each post-shift point is well inside any 3σ point rule, but the
+        # drift accumulates.
+        pre = [10.0 + (1 if i % 2 else -1) for i in range(40)]
+        post = [12.0 + (1 if i % 2 else -1) for i in range(40)]
+        return pre + post
+
+    def _df(self, spark, vals):
+        import datetime as dt
+        t0 = dt.datetime(2024, 3, 1)
+        return spark.createDataFrame(
+            [("s", t0 + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)],
+            "k string, ts timestamp, v double",
+        )
+
+    def test_sustained_shift_detected_and_localized_after_shift(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.diagnostics import (
+            cusum_changepoints, mad_outliers,
+        )
+        vals = self._series()
+        df = self._df(spark, vals)
+        out = cusum_changepoints(df, ["k"], "ts", "v", threshold_k=5.0)
+        rows = sorted(out.collect(), key=lambda r: r["ts"])
+        # the baseline is the WHOLE series (documented caveat), so the
+        # pre-shift half drifts LOW of the global mean and the post-shift
+        # half HIGH — each side's statistic must cross only in its half
+        hi = [r["cusum_hi"] for r in rows]
+        lo = [r["cusum_lo"] for r in rows]
+        assert max(hi[:40]) < 5.0 and max(hi[40:]) > 5.0
+        assert max(lo[40:]) < max(lo[:40])  # low-side drift belongs to half 1
+        assert any(r["is_changepoint"] for r in rows)
+        # the point rule misses every post-shift value (each is ~1σ high)
+        pt = mad_outliers(df, ["k"], "v", k=3.5)
+        assert pt.filter("is_outlier").count() == 0
+
+    def test_closed_form_equals_recursion(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.diagnostics import cusum_changepoints
+        import statistics
+        vals = self._series()
+        out = sorted(
+            cusum_changepoints(self._df(spark, vals), ["k"], "ts", "v").collect(),
+            key=lambda r: r["ts"],
+        )
+        # reference recursion in the same integer units
+        xi = [round(v * 1024) for v in vals]
+        n, s = len(xi), sum(xi)
+        sd = statistics.pstdev(xi)
+        slack = round(0.5 * sd * n * 1024)
+        s_hi = 0
+        for i, x in enumerate(xi):
+            d = (x * n - s) * 1024 - slack
+            s_hi = max(0, s_hi + d)
+            got = out[i]["cusum_hi"]
+            assert abs(got - s_hi / (sd * n * 1024)) < 1e-6, i
+
+    def test_constant_series_never_flags(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.diagnostics import cusum_changepoints
+        out = cusum_changepoints(
+            self._df(spark, [5.0] * 30), ["k"], "ts", "v"
+        )
+        assert out.filter("is_changepoint").count() == 0
