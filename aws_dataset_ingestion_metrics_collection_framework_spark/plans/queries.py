@@ -452,6 +452,43 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY returnflag, linestatus
 """
 
+# Distribution analytics: the window functions the rank corpus lacked.
+# NTILE buckets, PERCENT_RANK and CUME_DIST run identically in both
+# engines for a TOTAL order (ties broken by n_name).
+WINDOW_DISTRIBUTION_SQL = """
+SELECT n_name, r_name, total_bal,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM (
+  SELECT n_name, r_name,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  GROUP BY n_name, r_name
+) t
+WINDOW w AS (PARTITION BY r_name ORDER BY total_bal DESC, n_name)
+ORDER BY r_name, total_bal DESC, n_name
+"""
+
+# GROUPING SETS with grouping_id: the explicit-sets surface beyond
+# ROLLUP/CUBE — (flag,status), (flag), (status) but NOT the grand total,
+# which neither ROLLUP nor CUBE can express alone; GROUPING() disambiguates
+# real NULL keys from aggregation rows.
+GROUPING_SETS_SQL = """
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER)
+    AS grp_id,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                        (l_linestatus))
+ORDER BY returnflag, linestatus, grp_id
+"""
+
 CUBE_SQL = """
 SELECT
   COALESCE(l_returnflag, 'ALL') AS returnflag,
@@ -4823,6 +4860,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rank": _sql_query(WINDOW_RANK_SQL),
     "rollup_lineitem": _sql_query(ROLLUP_SQL),
     "cube_lineitem": _sql_query(CUBE_SQL),
+    "window_distribution": _sql_query(WINDOW_DISTRIBUTION_SQL),
+    "grouping_sets_lineitem": _sql_query(GROUPING_SETS_SQL),
     "business_scalars": lambda spark, sf: (
         register_tables(spark, sf) and None
     ) or business_metrics_distributed(spark, _BUSINESS_SCALARS).select(
@@ -4885,6 +4924,8 @@ ORACLES: dict[str, str] = {
     "window_rank": WINDOW_RANK_SQL,
     "rollup_lineitem": ROLLUP_SQL,
     "cube_lineitem": CUBE_SQL,
+    "window_distribution": WINDOW_DISTRIBUTION_SQL,
+    "grouping_sets_lineitem": GROUPING_SETS_SQL,
     "business_scalars": BUSINESS_SCALARS_SQL,
     "metrics_day": METRICS_DAY_ORACLE,
     "metrics_day_p50": METRICS_DAY_P50_ORACLE,
