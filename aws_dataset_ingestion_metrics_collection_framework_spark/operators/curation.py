@@ -321,6 +321,88 @@ def group_sample(
     )
 
 
+def top_k_by_value(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+    *,
+    tiebreak_col: str,
+    descending: bool = True,
+    bins: int = 1024,
+) -> DataFrame:
+    """Exact top-k rows per group by value — WITHOUT sorting whole groups.
+
+    The naive `row_number() over (partition by g order by v)` shuffles
+    and sorts every row of every group; at 100 TB a hot group is a
+    straggler. Here the sort sees only candidates, and the prefilter is
+    EXACT (no replay branch needed): (1) global [min, max] (one 1-row
+    aggregate, broadcast); (2) per-(group, bin) integer counts over a
+    fixed grid — slim, map-side combined; (3) per group, the threshold
+    bin where the from-the-top cumulative count first reaches k (a
+    window over ≤ `bins` rows per group, not data) — every group's k-th
+    value provably lies at or beyond that bin edge, so filtering to it
+    can never undershoot; (4) a MAP-ONLY value filter, then the exact
+    (value, tiebreak) window over candidates. Expected candidates ≈ k +
+    one bin's worth per group.
+
+    NULL values never rank (dropped, documented — a NULL is not a top
+    value in either direction). Output: non-null input rows that made
+    the cut + ``rank`` (1..k per group).
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    v = F.col(value_col).cast("double")
+    data = df.filter(v.isNotNull())
+    bounds = data.agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi")
+    )
+    # 1-row broadcast ride-along (the established 1-row crossJoin pattern)
+    withb = data.crossJoin(F.broadcast(bounds))
+    width = (F.col("_hi") - F.col("_lo")) / bins
+    idx = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(bins - 1),
+            F.floor((v - F.col("_lo")) / width).cast("int"),
+        )
+    )
+    binned = withb.withColumn("_b", idx)
+    bc = binned.groupBy(*group_cols, "_b").agg(F.count("*").alias("_c"))
+    # from-the-top cumulative over the ≤bins-row per-group grid
+    cum_order = F.col("_b").desc() if descending else F.col("_b").asc()
+    wg = (
+        Window.partitionBy(*group_cols)
+        .orderBy(cum_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    thr = (
+        bc.withColumn("_cum", F.sum("_c").over(wg))
+        .filter(F.col("_cum") >= k)
+        .groupBy(*group_cols)
+        .agg(
+            (F.max("_b") if descending else F.min("_b")).alias("_tb")
+        )
+    )
+    # groups smaller than k never reach _cum >= k: keep them whole via a
+    # left join (null _tb -> no filter)
+    cand = binned.join(F.broadcast(thr), on=group_cols, how="left").filter(
+        F.col("_tb").isNull()
+        | (F.col("_b") >= F.col("_tb") if descending else F.col("_b") <= F.col("_tb"))
+    )
+    order = [v.desc() if descending else v.asc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    out_cols = df.columns + [F.col("_rk").alias("rank")]
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(*out_cols)
+    )
+
+
 def pseudonymize(
     df: DataFrame,
     cols: list[str],

@@ -2965,6 +2965,31 @@ ORDER BY event_id
 """
 
 
+def q_topk_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 events by value per event_type via the bin-count
+    threshold prefilter (only ~k + one bin's rows per group reach the
+    sort) — must equal the naive full-sort window verbatim."""
+    ev = load_table(spark, sf_dir, "events")
+    out = CU.top_k_by_value(
+        ev.select("event_id", "event_type", "value"),
+        ["event_type"], "value", 5, tiebreak_col="event_id",
+    )
+    return out.orderBy("event_type", "rank")
+
+
+TOPK_VALUE_ORACLE = """
+SELECT event_id, event_type, value, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events WHERE value IS NOT NULL
+)
+WHERE rank <= 5
+ORDER BY event_type, rank
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -4780,6 +4805,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_outliers": q_seasonal_outliers,
     # r5: CUSUM drift detection (recursion closed-formed into windows)
     "cusum": q_cusum,
+    # r5: bin-thresholded exact top-k per group (no full group sort)
+    "topk_value": q_topk_value,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -5031,6 +5058,7 @@ ORACLES: dict[str, str] = {
     "rollup_percentile": ROLLUP_PERCENTILE_ORACLE,
     "seasonal_outliers": SEASONAL_OUTLIERS_ORACLE,
     "cusum": CUSUM_ORACLE,
+    "topk_value": TOPK_VALUE_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

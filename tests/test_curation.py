@@ -526,3 +526,55 @@ class TestPseudonymize:
         df = spark.createDataFrame([(1,)], "uid long")
         with _pytest.raises(ValueError):
             pseudonymize(df, ["uid"], secret="s", length=4)
+
+
+class TestTopKByValue:
+    """Bin-thresholded exact top-k: equals the naive window verbatim."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, grp string, v double")
+
+    def _naive(self, rows, k, descending=True):
+        by = {}
+        for i, g, v in rows:
+            if v is not None:
+                by.setdefault(g, []).append((v, i))
+        out = []
+        for g, items in by.items():
+            items.sort(key=lambda t: (-t[0] if descending else t[0], t[1]))
+            out += [(i, g, v, r + 1) for r, (v, i) in enumerate(items[:k])]
+        return sorted(out)
+
+    def test_equals_naive_window_with_heavy_ties(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import top_k_by_value
+        import random
+        rng = random.Random(11)
+        rows = [(i, f"g{i % 4}", float(rng.randint(0, 9)))  # many ties
+                for i in range(300)]
+        got = sorted(
+            tuple(r) for r in top_k_by_value(
+                self._df(spark, rows), ["grp"], "v", 7, tiebreak_col="id"
+            ).collect()
+        )
+        assert got == self._naive(rows, 7)
+
+    def test_ascending_and_small_groups(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import top_k_by_value
+        rows = [(1, "a", 5.0), (2, "a", 3.0), (3, "b", 9.0)]  # b smaller than k
+        got = sorted(
+            tuple(r) for r in top_k_by_value(
+                self._df(spark, rows), ["grp"], "v", 2,
+                tiebreak_col="id", descending=False,
+            ).collect()
+        )
+        assert got == self._naive(rows, 2, descending=False)
+
+    def test_nulls_never_rank_and_constant_values(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import top_k_by_value
+        rows = [(1, "a", 4.0), (2, "a", 4.0), (3, "a", 4.0), (4, "a", None)]
+        got = sorted(
+            tuple(r) for r in top_k_by_value(
+                self._df(spark, rows), ["grp"], "v", 2, tiebreak_col="id"
+            ).collect()
+        )
+        assert got == [(1, "a", 4.0, 1), (2, "a", 4.0, 2)]
