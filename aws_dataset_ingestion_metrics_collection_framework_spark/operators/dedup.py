@@ -702,6 +702,62 @@ def ngram_jaccard_pairs_prefix(
     return jaccard_verify(df, candidates, id_col, text_col, k=k, threshold=threshold)
 
 
+# ----------------------- survivorship (golden records) -----------------------
+
+SURVIVORSHIP_RULES = ("min", "max", "sum", "longest", "first_non_null")
+
+
+def golden_records(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    rules: dict[str, str],
+) -> DataFrame:
+    """Merge each duplicate cluster into ONE golden record — the
+    survivorship step after near-dup clustering (`graph.
+    connected_components` hands out the cluster ids; this collapses each
+    cluster by per-column rules instead of keep-min-id, which throws away
+    the best value of every OTHER column).
+
+    ``rules`` maps column → rule:
+    - 'min' / 'max' / 'sum': plain aggregates;
+    - 'longest': the longest value, ties broken by the value itself then
+      never ambiguous (max_by over (length, value));
+    - 'first_non_null': the value of the smallest-`id_col` row where the
+      column is non-null (NULL-keyed rows never win: the ordering key is
+      NULL for them and min_by skips null keys).
+
+    Every rule is deterministic (no Spark `first()` — its result is
+    partition-order-dependent) and map-side combinable: ONE shuffle on
+    the cluster key, like every aggregation in this engine. Output: one
+    row per cluster: cluster_col + n_members + the ruled columns.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_members")]
+    for col, rule in rules.items():
+        c = F.col(col)
+        if rule == "min":
+            aggs.append(F.min(c).alias(col))
+        elif rule == "max":
+            aggs.append(F.max(c).alias(col))
+        elif rule == "sum":
+            aggs.append(F.sum(c).alias(col))
+        elif rule == "longest":
+            aggs.append(
+                F.max_by(c, F.when(c.isNotNull(), F.struct(F.length(c), c)))
+                .alias(col)
+            )
+        elif rule == "first_non_null":
+            aggs.append(
+                F.min_by(c, F.when(c.isNotNull(), F.col(id_col))).alias(col)
+            )
+        else:
+            raise ValueError(
+                f"unknown survivorship rule {rule!r} for column {col!r} "
+                f"(one of {SURVIVORSHIP_RULES})"
+            )
+    return df.groupBy(cluster_col).agg(*aggs)
+
+
 # ------------------- incremental (cross-corpus) dedup -------------------
 
 

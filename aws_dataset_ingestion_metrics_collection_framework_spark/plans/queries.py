@@ -2990,6 +2990,53 @@ ORDER BY event_type, rank
 """
 
 
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge over synthetic 97-bucket clusters of documents
+    (cluster formation itself is oracled separately by `dedup_clusters`):
+    longest text wins, chars sum, language = first non-null by smallest
+    doc_id, source = min — each rule deterministic and reproduced in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    clustered = docs.withColumn("cluster", F.col("doc_id") % 97)
+    out = D.golden_records(
+        clustered, "cluster", "doc_id",
+        {"text": "longest", "n_chars": "sum", "lang": "first_non_null",
+         "source": "min"},
+    )
+    return out.select(
+        "cluster", "n_members", "text", "n_chars", "lang", "source"
+    ).orderBy("cluster")
+
+
+GOLDEN_RECORDS_ORACLE = """
+WITH c AS (SELECT *, doc_id % 97 AS cluster FROM documents),
+longest AS (
+  SELECT cluster, text FROM (
+    SELECT cluster, text,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY length(text) DESC, text DESC) AS rn
+    FROM c WHERE text IS NOT NULL
+  ) WHERE rn = 1
+),
+firstlang AS (
+  SELECT cluster, lang FROM (
+    SELECT cluster, lang,
+           ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY doc_id) AS rn
+    FROM c WHERE lang IS NOT NULL
+  ) WHERE rn = 1
+),
+aggs AS (
+  SELECT cluster, COUNT(*) AS n_members, SUM(n_chars) AS n_chars,
+         MIN(source) AS source
+  FROM c GROUP BY cluster
+)
+SELECT a.cluster, a.n_members, l.text, a.n_chars, f.lang, a.source
+FROM aggs a
+LEFT JOIN longest l USING (cluster)
+LEFT JOIN firstlang f USING (cluster)
+ORDER BY a.cluster
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -4807,6 +4854,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum": q_cusum,
     # r5: bin-thresholded exact top-k per group (no full group sort)
     "topk_value": q_topk_value,
+    # r5: survivorship merge (golden records per duplicate cluster)
+    "golden_records": q_golden_records,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -5059,6 +5108,7 @@ ORACLES: dict[str, str] = {
     "seasonal_outliers": SEASONAL_OUTLIERS_ORACLE,
     "cusum": CUSUM_ORACLE,
     "topk_value": TOPK_VALUE_ORACLE,
+    "golden_records": GOLDEN_RECORDS_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

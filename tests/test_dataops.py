@@ -856,3 +856,43 @@ class TestEmbeddingNormalize:
         b = {r["vec_id"]: r["zvec"] for r in
              zscore_embeddings(df.repartition(17), "vec_id", "embedding").collect()}
         assert a == b  # exact equality: integer sums are order-independent
+
+
+class TestGoldenRecords:
+    """Survivorship rules: deterministic per-column merges, null handling."""
+
+    def _run(self, spark, rows, rules):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dedup import golden_records
+        df = spark.createDataFrame(rows, "id long, cl long, name string, score long")
+        return {r["cl"]: r for r in golden_records(df, "cl", "id", rules).collect()}
+
+    def test_rules_apply_per_column(self, spark):
+        got = self._run(
+            spark,
+            [(1, 0, "bob", 10), (2, 0, "robert jr", 30), (3, 0, None, 20),
+             (9, 1, "zz", 5)],
+            {"name": "longest", "score": "max"},
+        )
+        assert got[0]["name"] == "robert jr" and got[0]["score"] == 30
+        assert got[0]["n_members"] == 3
+        assert got[1]["name"] == "zz" and got[1]["score"] == 5
+
+    def test_first_non_null_skips_null_rows(self, spark):
+        got = self._run(
+            spark,
+            [(1, 0, None, 1), (2, 0, "late", 2), (3, 0, "later", 3)],
+            {"name": "first_non_null", "score": "sum"},
+        )
+        assert got[0]["name"] == "late" and got[0]["score"] == 6
+
+    def test_longest_tie_breaks_on_value(self, spark):
+        a = self._run(spark, [(1, 0, "ab", 0), (2, 0, "cd", 0)],
+                      {"name": "longest"})
+        b = self._run(spark, [(2, 0, "cd", 0), (1, 0, "ab", 0)],
+                      {"name": "longest"})
+        assert a[0]["name"] == b[0]["name"] == "cd"  # max value among ties
+
+    def test_unknown_rule_raises(self, spark):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="unknown survivorship"):
+            self._run(spark, [(1, 0, "x", 1)], {"name": "best"})
