@@ -352,6 +352,11 @@ def train_val_split(
     uses the md5-derived 60-bit hash both Spark and DuckDB compute
     identically (the cross-engine-oracle variant, same trick as
     simhash/fingerprint). Adds a ``split`` column ('train' | 'val').
+
+    Leakage note: pass a GROUP key (domain, author, conversation id) as
+    ``id_col`` to make the split group-aware — every row of a group lands
+    in the same side, so near-duplicate family members can't straddle the
+    train/val boundary and inflate eval (`group_split` query pins this).
     """
     from .dedup import md5_60bit
 

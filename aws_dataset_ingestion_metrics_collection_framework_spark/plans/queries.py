@@ -3037,6 +3037,34 @@ ORDER BY a.cluster
 """
 
 
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe splitting: hash the GROUP key (source domain) instead
+    of the row id, so every document of a domain lands on the same side —
+    near-duplicate family members can never straddle the train/val
+    boundary. Output proves it: one (source, split) row per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.train_val_split(
+        docs, "source", val_fraction=0.2, hash_fn="md5"
+    )
+    return (
+        out.groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+GROUP_SPLIT_ORACLE = """
+SELECT source,
+       CASE WHEN ('0x' || substr(md5(source || '#42'), 1, 15))::BIGINT
+                 % 10000 < 2000
+            THEN 'val' ELSE 'train' END AS split,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -4856,6 +4884,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_value": q_topk_value,
     # r5: survivorship merge (golden records per duplicate cluster)
     "golden_records": q_golden_records,
+    # r5: leakage-safe group-keyed splitting (one (source, split) per source)
+    "group_split": q_group_split,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -5109,6 +5139,7 @@ ORACLES: dict[str, str] = {
     "cusum": CUSUM_ORACLE,
     "topk_value": TOPK_VALUE_ORACLE,
     "golden_records": GOLDEN_RECORDS_ORACLE,
+    "group_split": GROUP_SPLIT_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled
