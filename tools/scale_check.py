@@ -71,6 +71,10 @@ PROBES = [
     # embedding normalization, mixture sampling
     "incremental_dedup", "attribution", "label_propagation",
     "embedding_norm", "corpus_mix",
+    # r5d: anomaly/drift detectors, histogram percentile state, top-k
+    # prefilter, survivorship, JSON flatten
+    "seasonal_outliers", "cusum", "rollup_percentile", "topk_value",
+    "golden_records", "json_flatten",
 ]
 
 SF1_TABLES = (
