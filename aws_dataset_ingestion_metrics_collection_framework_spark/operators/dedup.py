@@ -817,10 +817,18 @@ def incremental_dedup(
         .agg(F.min("base_id").alias("exact_match"))
     )
 
-    # near: cross band join (new side ⨝ base side), exact Jaccard verify
+    # near: cross band join (new side ⨝ base side), exact Jaccard verify.
+    # Docs already classified exact never need the near path (the final
+    # coalesce prefers the exact match) — pruning them BEFORE signature
+    # build skips the minhash work for exactly the docs ingestion dedups
+    # most often, and cannot change the output.
+    near_side = new.join(
+        exact.select("new_id"),
+        new[id_col] == F.col("new_id"), "left_anti",
+    )
     rows_per_band = num_perm // bands
     bn = band_signatures(
-        minhash_signatures_df(new, id_col, text_col, k=k, num_perm=num_perm, seed=seed),
+        minhash_signatures_df(near_side, id_col, text_col, k=k, num_perm=num_perm, seed=seed),
         bands=bands, rows_per_band=rows_per_band,
     )
     bb = cap_bucket_size(
