@@ -507,3 +507,84 @@ def zscore_embeddings(
             ).alias(out_col)
         )
     )
+
+
+def hashed_doc_embeddings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    dim: int = 64,
+    shingle_k: int = 2,
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Model-free document embeddings by feature hashing (Weinberger et
+    al., ICML'09): each k-word shingle hashes to a dimension (h % dim)
+    with a ±1 sign from a second hash bit, vectors L2-normalized — the
+    deterministic fallback embedding that makes the WHOLE similarity
+    stack (cosine pairs, ANN, semantic dedup, int8 quantization)
+    self-contained when no learned model is available, and a cheap
+    candidate signal even when one is.
+
+    Sparse-in-effect: only |shingles| additions per doc regardless of
+    ``dim``. Map-only (tokenize → explode → per-(doc, dim) sums →
+    regroup to a dense array); two shuffles keyed on doc — shingle
+    strings never shuffle (8-byte hashes do).
+
+    ``hash_fn='md5'`` uses the 60-bit md5 hash so DuckDB reproduces the
+    vectors bit-for-bit (the cross-engine-oracle variant; 'xx' is the
+    scale default). Empty docs yield the zero vector.
+    """
+    from ..operators.dedup import md5_60bit, tokenize, word_shingles
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    h = F.xxhash64 if hash_fn == "xx" else md5_60bit
+    # no tokens -> no signal: filter BEFORE the shingle fallback would
+    # hand an empty doc a single ''-shingle (zero vector via the empties
+    # union below is the honest embedding of no content)
+    sh = (
+        df.filter(F.size(tokenize(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                word_shingles(tokenize(F.col(text_col)), shingle_k)
+            ).alias("s"),
+        )
+        .select("doc", h(F.col("s")).alias("hv"))
+    )
+    # dimension = hv % dim; sign from the next bit of the same hash
+    contrib = sh.select(
+        "doc",
+        F.pmod(F.col("hv"), F.lit(dim)).cast("int").alias("d"),
+        F.when(
+            F.pmod(F.expr("hv DIV " + str(dim)), F.lit(2)) == 0, F.lit(1)
+        ).otherwise(F.lit(-1)).alias("sgn"),
+    )
+    sums = contrib.groupBy("doc", "d").agg(F.sum("sgn").alias("w"))
+    dense = (
+        sums.groupBy("doc")
+        .agg(F.map_from_entries(F.collect_list(F.struct("d", "w"))).alias("_m"))
+        .select(
+            "doc",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.element_at("_m", i), F.lit(0)).cast("double"),
+            ).alias("_v"),
+        )
+    )
+    norm = F.sqrt(
+        F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    unit = F.when(
+        norm > 0.0, F.transform(F.col("_v"), lambda x: x / norm)
+    ).otherwise(F.col("_v"))
+    out = dense.select(F.col("doc").alias(id_col), unit.alias("embedding"))
+    # docs with no shingles at all (empty text) still get a row
+    empties = df.select(F.col(id_col)).join(
+        out.select(id_col), id_col, "left_anti"
+    ).select(
+        F.col(id_col),
+        F.array_repeat(F.lit(0.0), dim).alias("embedding"),
+    )
+    return out.unionByName(empties)

@@ -3064,6 +3064,70 @@ ORDER BY 1
 """
 
 
+def q_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed document embeddings (16-dim, bigram shingles, md5
+    variant): sign-hashed shingle counts, L2-normalized — reproduced
+    bit-for-bit by DuckDB (integer accumulations; the only doubles are
+    the final normalize, an identical chain both sides). Output as
+    micro-unit BIGINT arrays."""
+    from ..operators.similarity import hashed_doc_embeddings
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = hashed_doc_embeddings(
+        docs, "doc_id", "text", dim=16, shingle_k=2, hash_fn="md5"
+    )
+    return emb.select(
+        "doc_id",
+        F.transform(
+            "embedding", lambda x: F.round(x * 1_000_000).cast("bigint")
+        ).alias("emb_u"),
+    ).orderBy("doc_id")
+
+
+HASHED_EMBEDDINGS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                     x -> x <> '') AS t
+  FROM documents
+),
+e AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS s
+  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+hv AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hv FROM sh
+),
+contrib AS (
+  SELECT doc_id, CAST(hv % 16 AS INTEGER) AS d,
+         CASE WHEN (hv // 16) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM hv
+),
+sums AS (SELECT doc_id, d, SUM(sgn) AS w FROM contrib GROUP BY 1, 2),
+grid AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS d
+  FROM (SELECT DISTINCT doc_id FROM documents), range(16) r(i)
+),
+dense AS (
+  SELECT g.doc_id, g.d, COALESCE(s.w, 0) AS w
+  FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.d = g.d
+),
+nrm AS (
+  SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS n
+  FROM dense GROUP BY 1
+)
+SELECT d.doc_id,
+       list(CAST(ROUND(CASE WHEN n > 0 THEN w / n ELSE 0.0 END * 1000000)
+                 AS BIGINT) ORDER BY d.d) AS emb_u
+FROM dense d JOIN nrm ON nrm.doc_id = d.doc_id
+GROUP BY d.doc_id, n
+ORDER BY d.doc_id
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -4885,6 +4949,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "golden_records": q_golden_records,
     # r5: leakage-safe group-keyed splitting (one (source, split) per source)
     "group_split": q_group_split,
+    # r5: feature-hashed model-free doc embeddings (bit-exact oracle)
+    "hashed_embeddings": q_hashed_embeddings,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -5139,6 +5205,7 @@ ORACLES: dict[str, str] = {
     "topk_value": TOPK_VALUE_ORACLE,
     "golden_records": GOLDEN_RECORDS_ORACLE,
     "group_split": GROUP_SPLIT_ORACLE,
+    "hashed_embeddings": HASHED_EMBEDDINGS_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

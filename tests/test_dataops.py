@@ -896,3 +896,46 @@ class TestGoldenRecords:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="unknown survivorship"):
             self._run(spark, [(1, 0, "x", 1)], {"name": "best"})
+
+
+class TestHashedEmbeddings:
+    """Feature-hashed embeddings: unit norm, determinism, similarity
+    structure (shared shingles -> higher cosine), empty-doc handling."""
+
+    def _emb(self, spark, rows, **kw):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import hashed_doc_embeddings
+        df = spark.createDataFrame(rows, "id long, text string")
+        return {r["id"]: r["embedding"]
+                for r in hashed_doc_embeddings(df, "id", "text", **kw).collect()}
+
+    def test_unit_norm_and_determinism(self, spark):
+        rows = [(1, "alpha beta gamma delta"), (2, "one two three four five")]
+        a = self._emb(spark, rows, dim=32)
+        b = self._emb(spark, rows, dim=32)
+        assert a == b
+        for v in a.values():
+            assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+
+    def test_similar_docs_score_higher(self, spark):
+        base = "the quick brown fox jumps over the lazy dog near the river"
+        rows = [(1, base), (2, base + " today"), (3, "completely different "
+                "words about cooking pasta with tomato sauce and basil")]
+        e = self._emb(spark, rows, dim=64)
+        def cos(u, v):
+            return sum(a * b for a, b in zip(u, v))
+        assert cos(e[1], e[2]) > cos(e[1], e[3])
+        assert cos(e[1], e[2]) > 0.8
+
+    def test_empty_doc_gets_zero_vector(self, spark):
+        e = self._emb(spark, [(1, "words here"), (2, "")], dim=8)
+        assert e[2] == [0.0] * 8
+
+    def test_partition_invariance(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import hashed_doc_embeddings
+        rows = [(i, f"text number {i} with shared words {i % 5}") for i in range(60)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        a = {r["id"]: r["embedding"]
+             for r in hashed_doc_embeddings(df, "id", "text").collect()}
+        b = {r["id"]: r["embedding"]
+             for r in hashed_doc_embeddings(df.repartition(13), "id", "text").collect()}
+        assert a == b
