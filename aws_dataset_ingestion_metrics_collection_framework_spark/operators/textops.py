@@ -691,3 +691,79 @@ def normalize_unicode(
     for c in cols:
         out = out.withColumn(c, _norm(F.col(c)))
     return out
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information — the corpus
+    statistic behind phrase detection / tokenizer-merge candidates /
+    word2vec-style preprocessing: bigrams whose joint frequency beats
+    what their unigram frequencies predict.
+
+        pmi(x,y) = ln( P(x,y) / (P(x)·P(y)) )
+                 = ln( c_xy · N² / (B · c_x · c_y) )
+
+    with c over the corpus, N total tokens, B total bigrams — computed
+    as ONE log of a ratio of exact integer counts, so the value is an
+    identical IEEE chain cross-engine. ``min_count`` suppresses the
+    classic PMI pathology (hapax pairs score highest); ranking orders on
+    the ROUNDED pmi (6 dp) with a (w1, w2) tie-break — reproducible.
+
+    Shape: two map-side-combined count aggregations (tokens never leave
+    their partition un-reduced), two slim joins of count tables, a 1-row
+    totals broadcast, and a global top-n (TakeOrderedAndProject — no full
+    sort materializes).
+    """
+    toks = F.transform(tokenize(F.col(text_col)), lambda t: F.lower(t))
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("_t"))
+    uni = (
+        base.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    bi = (
+        base.filter(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t) - 1), "
+                    "i -> struct(_t[i-1] AS w1, _t[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= min_count)
+    )
+    totals = uni.agg(
+        F.sum("cw").alias("_N")
+    ).crossJoin(
+        base.select(
+            F.greatest(F.size("_t") - 1, F.lit(0)).alias("_nb")
+        ).agg(F.sum("_nb").alias("_B"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    pmi = F.round(
+        F.log(
+            F.col("cxy").cast("double") * F.col("_N") * F.col("_N")
+            / (F.col("_B") * F.col("c1") * F.col("c2"))
+        ),
+        6,
+    )
+    scored = (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "cxy", pmi.alias("pmi"))
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(top_n)

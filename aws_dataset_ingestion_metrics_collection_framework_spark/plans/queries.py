@@ -3128,6 +3128,47 @@ ORDER BY d.doc_id
 """
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 PMI collocations over the corpus (min pair count 5): one
+    log of a ratio of exact integer counts per pair — identical IEEE
+    chain both engines; ranked on the rounded score with pair tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.pmi_collocations(docs, "doc_id", "text", min_count=5, top_n=40)
+
+
+PMI_COLLOCATIONS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                       x -> x <> ''),
+           x -> lower(x)) AS t
+  FROM documents
+),
+uni AS (
+  SELECT w, COUNT(*) AS cw FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+bi AS (
+  SELECT w1, w2, COUNT(*) AS cxy FROM (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM toks, UNNEST(range(1, greatest(len(t), 1))) r(i)
+  ) GROUP BY w1, w2 HAVING COUNT(*) >= 5
+),
+tot AS (
+  SELECT (SELECT SUM(cw) FROM uni) AS n,
+         (SELECT SUM(greatest(len(t) - 1, 0)) FROM toks) AS b
+)
+SELECT w1, w2, cxy,
+       ROUND(ln(CAST(cxy AS DOUBLE) * n * n / (b * u1.cw * u2.cw)), 6) AS pmi
+FROM bi
+JOIN uni u1 ON u1.w = bi.w1
+JOIN uni u2 ON u2.w = bi.w2
+CROSS JOIN tot
+ORDER BY pmi DESC, w1, w2
+LIMIT 40
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -4951,6 +4992,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_split": q_group_split,
     # r5: feature-hashed model-free doc embeddings (bit-exact oracle)
     "hashed_embeddings": q_hashed_embeddings,
+    # r5: PMI collocations (phrase/merge candidates from exact counts)
+    "pmi_collocations": q_pmi_collocations,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -5206,6 +5249,7 @@ ORACLES: dict[str, str] = {
     "golden_records": GOLDEN_RECORDS_ORACLE,
     "group_split": GROUP_SPLIT_ORACLE,
     "hashed_embeddings": HASHED_EMBEDDINGS_ORACLE,
+    "pmi_collocations": PMI_COLLOCATIONS_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

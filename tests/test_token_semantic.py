@@ -43,3 +43,45 @@ def test_semantic_dedup_groups_and_keeps_min(spark):
     assert res[20]["cluster_rep"] == 20 and res[20]["keep"]
     kept = {i for i, r in res.items() if r["keep"]}
     assert kept == {0, 10, 20}
+
+
+class TestPmiCollocations:
+    """PMI: tight pairs outrank frequent-but-independent ones; hapax
+    suppression via min_count."""
+
+    def test_bound_phrase_beats_independent_pair(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import pmi_collocations
+        # 'new york' always adjacent; 'the'/'cat' both frequent but mixed
+        docs = []
+        for i in range(10):
+            docs.append((i, "new york is where the cat saw the dog and "
+                            "the cat ran from the dog quickly"))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = pmi_collocations(df, "doc_id", "text", min_count=5, top_n=20).collect()
+        pmis = {(r["w1"], r["w2"]): r["pmi"] for r in out}
+        # 'new york' is maximally bound (always adjacent, both words
+        # unique to the pair) — it shares the TOP pmi value (several
+        # always-adjacent pairs tie; ranking is (pmi, w1, w2) total order)
+        top = max(pmis.values())
+        assert pmis[("new", "york")] == top
+        assert pmis[("new", "york")] > pmis[("the", "cat")]
+
+    def test_min_count_suppresses_hapax(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import pmi_collocations
+        df = spark.createDataFrame(
+            [(1, "rare pair appears once amid other words"),
+             (2, "other words fill out this corpus a bit more")],
+            "doc_id long, text string",
+        )
+        out = pmi_collocations(df, "doc_id", "text", min_count=2, top_n=50).collect()
+        assert ("rare", "pair") not in {(r["w1"], r["w2"]) for r in out}
+
+    def test_deterministic(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import pmi_collocations
+        df = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta epsilon {i % 3}") for i in range(30)],
+            "doc_id long, text string",
+        )
+        a = [tuple(r) for r in pmi_collocations(df, "doc_id", "text", min_count=3).collect()]
+        b = [tuple(r) for r in pmi_collocations(df.repartition(7), "doc_id", "text", min_count=3).collect()]
+        assert a == b
