@@ -337,3 +337,67 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels.select("id", F.col("lab").alias("label"))
+
+
+def triangle_counts(
+    edges: DataFrame, *, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the undirected graph — the local
+    clustering signal (spam link-farms and template networks triangle
+    far above organic link graphs; the clustering-coefficient numerator).
+
+    Scale shape is the compact-forward / degree-ordering algorithm: orient
+    every edge from its (degree, id)-smaller endpoint to the larger, then
+    a triangle is exactly one wedge (a→b, a→c) whose closing edge b→c is
+    also oriented — so each triangle is found ONCE, and the wedge join's
+    fan-out per node is bounded by its ORIENTED out-degree ≤ O(√m) on any
+    graph (a hub of degree 10⁶ contributes ~0 oriented wedges instead of
+    10¹² unordered ones — the difference between a plan that finishes and
+    one that doesn't). Self-loops and duplicate/reverse edges dropped.
+
+    Output: (id, n_triangles) for every node of the graph, zeros
+    included. Integer counts — deterministic everywhere.
+    """
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    canon = und.filter(F.col("a") < F.col("b"))
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("a").alias("id"), "d"
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        canon.join(da, "a").join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    oriented = oriented.localCheckpoint(eager=False)
+    w1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    w2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = w1.join(w2, "a").filter(F.col("b") < F.col("c"))
+    # closing edge may be oriented b→c or c→b; join on the CANONICAL form
+    closing = oriented.select(
+        F.least("u", "v").alias("b"), F.greatest("u", "v").alias("c")
+    )
+    tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = und.select(F.col("a").alias("id")).distinct()
+    return nodes.join(per_node, "id", "left").select(
+        "id", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )

@@ -3169,6 +3169,57 @@ LIMIT 40
 """
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the block-structured synthetic graph
+    (6 blocks × 10 nodes, three intra-block chords per node): the engine
+    runs degree-ordered compact-forward; the oracle counts a<b<c
+    triangles directly — every triangle found exactly once either way."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    block = F.col("doc_id") - (F.col("doc_id") % 10)
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[block + ((F.col("doc_id") * 7 + 3 * k) % 10) for k in (1, 2, 3)]
+            )
+        ).alias("dst"),
+    )
+    return G.triangle_counts(edges).orderBy("id")
+
+
+TRIANGLES_ORACLE = """
+WITH e0 AS (
+  SELECT doc_id AS src,
+         unnest([(doc_id - doc_id % 10) + (doc_id * 7 + 3) % 10,
+                 (doc_id - doc_id % 10) + (doc_id * 7 + 6) % 10,
+                 (doc_id - doc_id % 10) + (doc_id * 7 + 9) % 10]) AS dst
+  FROM documents WHERE doc_id < 60
+),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e0
+    UNION ALL SELECT dst, src FROM e0
+  ) WHERE a <> b
+),
+canon AS (SELECT a, b FROM und WHERE a < b),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM canon e1
+  JOIN canon e2 ON e2.a = e1.b
+  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pern AS (
+  SELECT id, COUNT(*) AS n FROM (
+    SELECT unnest([a, b, c]) AS id FROM tri
+  ) GROUP BY id
+),
+nodes AS (SELECT DISTINCT a AS id FROM und)
+SELECT nodes.id, COALESCE(pern.n, 0) AS n_triangles
+FROM nodes LEFT JOIN pern USING (id)
+ORDER BY nodes.id
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -4994,6 +5045,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hashed_embeddings": q_hashed_embeddings,
     # r5: PMI collocations (phrase/merge candidates from exact counts)
     "pmi_collocations": q_pmi_collocations,
+    # r5: degree-ordered triangle counting (clustering signal)
+    "triangles": q_triangles,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -5250,6 +5303,7 @@ ORACLES: dict[str, str] = {
     "group_split": GROUP_SPLIT_ORACLE,
     "hashed_embeddings": HASHED_EMBEDDINGS_ORACLE,
     "pmi_collocations": PMI_COLLOCATIONS_ORACLE,
+    "triangles": TRIANGLES_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

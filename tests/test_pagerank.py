@@ -127,3 +127,40 @@ class TestLabelPropagation:
         # (no in-edges) keeps its own label through every round.
         labels = self._lpa(spark, [(0, 1), (1, 2)], iterations=3, directed=True)
         assert labels[0] == 0
+
+
+class TestTriangleCounts:
+    """Degree-ordered triangle counting equals brute force; orientation
+    dedup handles hubs, duplicates, self-loops."""
+
+    def _tc(self, spark, edges):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.graph import triangle_counts
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+
+    def test_known_shapes(self, spark):
+        # K4: every node is in C(3,2)=3 triangles
+        k4 = [(i, j) for i in range(4) for j in range(4) if i < j]
+        assert self._tc(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+        # a path has none
+        assert self._tc(spark, [(0, 1), (1, 2), (2, 3)]) == {0: 0, 1: 0, 2: 0, 3: 0}
+
+    def test_duplicates_reverses_and_self_loops_ignored(self, spark):
+        tri = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (1, 2)]
+        assert self._tc(spark, tri) == {0: 1, 1: 1, 2: 1}
+
+    def test_hub_graph_equals_brute_force(self, spark):
+        import itertools, random
+        rng = random.Random(5)
+        edges = [(0, i) for i in range(1, 20)]  # hub
+        edges += [(rng.randint(1, 19), rng.randint(1, 19)) for _ in range(40)]
+        adj = set()
+        for a, b in edges:
+            if a != b:
+                adj.add((min(a, b), max(a, b)))
+        want = {n: 0 for n in {x for e in adj for x in e}}
+        for x, y, z in itertools.combinations(sorted(want), 3):
+            if (x, y) in adj and (y, z) in adj and (x, z) in adj:
+                for n in (x, y, z):
+                    want[n] += 1
+        assert self._tc(spark, edges) == want
