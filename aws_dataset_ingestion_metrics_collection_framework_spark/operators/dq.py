@@ -245,3 +245,86 @@ def write_with_expectations(
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
     return report
+
+
+def psi_drift(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    eps_ppm: int = 100,
+) -> DataFrame:
+    """Population Stability Index between a baseline and a current slice
+    of `value_col` — THE standard distribution-drift gate for features
+    and model scores (rule of thumb: <0.1 stable, 0.1–0.25 drifting,
+    >0.25 act):
+
+        PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+
+    over a FIXED [lo, hi) grid with under/overflow slots (the same
+    grid-as-contract rule as `rollup.histogram_state`: comparing
+    distributions on different grids is meaningless). Empty cells are
+    floored at ``eps_ppm`` parts-per-million — the standard smoothing,
+    made integer so both engines agree — because a 0-vs-something cell
+    sends the log term to ±∞.
+
+    Output: one row per bin slot (slot, base_n, cur_n, psi_term) plus the
+    grand total row (slot = -1) — the per-bin terms ARE the diagnosis
+    (which value range moved), the total is the gate. Exact integer
+    counts; the p/q chain is identical IEEE both engines.
+
+    Shape: two map-side-combined bin counts (slim), a ≤ bins+2-row join —
+    neither input shuffles anything but bin ids.
+    """
+    if bins < 1 or not (hi > lo):
+        raise ValueError("need bins >= 1 and hi > lo")
+    width = (hi - lo) / bins
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        slot = (
+            F.when(v < lo, F.lit(0))
+            .when(v >= hi, F.lit(bins + 1))
+            .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)).cast("int") + 1)
+        )
+        return (
+            df.filter(v.isNotNull())
+            .groupBy(slot.alias("slot"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    b = counts(base, "base_n")
+    c = counts(current, "cur_n")
+    grid = b.sparkSession.range(0, bins + 2).select(
+        F.col("id").cast("int").alias("slot")
+    )
+    joined = (
+        grid.join(b, "slot", "left")
+        .join(c, "slot", "left")
+        .select(
+            "slot",
+            F.coalesce("base_n", F.lit(0)).alias("base_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+    )
+    tb = joined.agg(
+        F.sum("base_n").alias("_tb"), F.sum("cur_n").alias("_tc")
+    )
+    eps = F.lit(eps_ppm) / F.lit(1_000_000.0)
+    wt = joined.crossJoin(F.broadcast(tb))
+    p = F.greatest(F.col("base_n") / F.col("_tb"), eps)
+    q = F.greatest(F.col("cur_n") / F.col("_tc"), eps)
+    terms = wt.select(
+        "slot", "base_n", "cur_n",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+    total = terms.agg(
+        F.lit(-1).alias("slot"),
+        F.sum("base_n").alias("base_n"),
+        F.sum("cur_n").alias("cur_n"),
+        F.round(F.sum("psi_term"), 6).alias("psi_term"),
+    )
+    return terms.unionByName(total)

@@ -3220,6 +3220,56 @@ ORDER BY nodes.id
 """
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift between the first half of January's event values and the
+    rest (10 bins on [0, 4000) + under/overflow): per-bin terms plus the
+    slot=-1 total — exact integer bin counts, identical p/q log chain."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    out = DQ.psi_drift(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut),
+        "value", lo=0.0, hi=4000.0, bins=10,
+    )
+    return out.orderBy("slot")
+
+
+PSI_DRIFT_ORACLE = """
+WITH base AS (
+  SELECT CASE WHEN value < 0 THEN 0 WHEN value >= 4000 THEN 11
+              ELSE CAST(FLOOR(value / 400.0) AS INTEGER) + 1 END AS slot,
+         COUNT(*) AS base_n
+  FROM events WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-15'
+  GROUP BY 1
+),
+cur AS (
+  SELECT CASE WHEN value < 0 THEN 0 WHEN value >= 4000 THEN 11
+              ELSE CAST(FLOOR(value / 400.0) AS INTEGER) + 1 END AS slot,
+         COUNT(*) AS cur_n
+  FROM events WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-15'
+  GROUP BY 1
+),
+grid AS (SELECT CAST(i AS INTEGER) AS slot FROM range(12) r(i)),
+j AS (
+  SELECT g.slot, COALESCE(base_n, 0) AS base_n, COALESCE(cur_n, 0) AS cur_n
+  FROM grid g LEFT JOIN base USING (slot) LEFT JOIN cur USING (slot)
+),
+t AS (SELECT SUM(base_n) AS tb, SUM(cur_n) AS tc FROM j),
+terms AS (
+  SELECT slot, base_n, cur_n,
+         ROUND((greatest(base_n / tb, 0.0001)
+                - greatest(cur_n / tc, 0.0001))
+               * ln(greatest(base_n / tb, 0.0001)
+                    / greatest(cur_n / tc, 0.0001)), 6) AS psi_term
+  FROM j, t
+)
+SELECT slot, base_n, cur_n, psi_term FROM terms
+UNION ALL
+SELECT -1, SUM(base_n), SUM(cur_n), ROUND(SUM(psi_term), 6) FROM terms
+ORDER BY slot
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -5047,6 +5097,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_collocations": q_pmi_collocations,
     # r5: degree-ordered triangle counting (clustering signal)
     "triangles": q_triangles,
+    # r5: PSI distribution-drift gate (per-bin terms + total)
+    "psi_drift": q_psi_drift,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -5304,6 +5356,7 @@ ORACLES: dict[str, str] = {
     "hashed_embeddings": HASHED_EMBEDDINGS_ORACLE,
     "pmi_collocations": PMI_COLLOCATIONS_ORACLE,
     "triangles": TRIANGLES_ORACLE,
+    "psi_drift": PSI_DRIFT_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

@@ -130,3 +130,48 @@ class TestWriteWithExpectations:
                 self._df(spark, [(1, None)]), str(tmp_path / "o"),
                 {"v_positive": F.col("v") > 0},
             )
+
+
+class TestPsiDrift:
+    """PSI: zero for identical distributions, large for a shifted one,
+    per-bin blame localizes the movement."""
+
+    def _df(self, spark, vals):
+        return spark.createDataFrame([(float(v),) for v in vals], "value double")
+
+    def test_identical_distributions_score_zero(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dq import psi_drift
+        vals = [i % 10 for i in range(500)]
+        out = psi_drift(self._df(spark, vals), self._df(spark, vals),
+                        "value", lo=0.0, hi=10.0, bins=10)
+        total = out.filter("slot = -1").collect()[0]
+        assert total["psi_term"] == 0.0
+
+    def test_shift_detected_and_localized(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dq import psi_drift
+        base = [i % 10 for i in range(500)]              # uniform 0..9
+        cur = [(i % 5) + 5 for i in range(500)]          # mass moved to 5..9
+        out = {r["slot"]: r for r in psi_drift(
+            self._df(spark, base), self._df(spark, cur),
+            "value", lo=0.0, hi=10.0, bins=10,
+        ).collect()}
+        assert out[-1]["psi_term"] > 0.25                # actionable drift
+        # the emptied low bins carry large positive terms (p >> q)
+        assert out[1]["psi_term"] > 0.1
+        assert out[1]["cur_n"] == 0 and out[1]["base_n"] == 50
+
+    def test_out_of_grid_values_counted_in_edge_slots(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dq import psi_drift
+        out = {r["slot"]: r for r in psi_drift(
+            self._df(spark, [-5, -5, 2, 2]), self._df(spark, [2, 2, 99, 99]),
+            "value", lo=0.0, hi=10.0, bins=10,
+        ).collect()}
+        assert out[0]["base_n"] == 2 and out[0]["cur_n"] == 0
+        assert out[11]["base_n"] == 0 and out[11]["cur_n"] == 2
+
+    def test_grid_validation(self, spark):
+        import pytest as _pytest
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dq import psi_drift
+        df = self._df(spark, [1])
+        with _pytest.raises(ValueError):
+            psi_drift(df, df, "value", lo=1.0, hi=1.0)
