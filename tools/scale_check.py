@@ -75,6 +75,8 @@ PROBES = [
     # prefilter, survivorship, JSON flatten
     "seasonal_outliers", "cusum", "rollup_percentile", "topk_value",
     "golden_records", "json_flatten",
+    # r5e: hashed embeddings, PMI, triangles, PSI
+    "hashed_embeddings", "pmi_collocations", "triangles", "psi_drift",
 ]
 
 SF1_TABLES = (
