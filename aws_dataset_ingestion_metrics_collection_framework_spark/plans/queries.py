@@ -489,6 +489,23 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
 ORDER BY returnflag, linestatus, grp_id
 """
 
+# Set operations beyond UNION ALL: INTERSECT and EXCEPT (both DISTINCT
+# forms — identical semantics both engines): customers with orders in 1995
+# AND 1996, minus any with a returned line.
+SET_OPS_SQL = """
+SELECT c_custkey FROM (
+  SELECT o_custkey AS c_custkey FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+  INTERSECT
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  EXCEPT
+  SELECT o_custkey FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R' AND l_quantity >= 49
+) t
+ORDER BY c_custkey
+"""
+
 CUBE_SQL = """
 SELECT
   COALESCE(l_returnflag, 'ALL') AS returnflag,
@@ -5181,6 +5198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_lineitem": _sql_query(CUBE_SQL),
     "window_distribution": _sql_query(WINDOW_DISTRIBUTION_SQL),
     "grouping_sets_lineitem": _sql_query(GROUPING_SETS_SQL),
+    "set_ops_customers": _sql_query(SET_OPS_SQL),
     "business_scalars": lambda spark, sf: (
         register_tables(spark, sf) and None
     ) or business_metrics_distributed(spark, _BUSINESS_SCALARS).select(
@@ -5245,6 +5263,7 @@ ORACLES: dict[str, str] = {
     "cube_lineitem": CUBE_SQL,
     "window_distribution": WINDOW_DISTRIBUTION_SQL,
     "grouping_sets_lineitem": GROUPING_SETS_SQL,
+    "set_ops_customers": SET_OPS_SQL,
     "business_scalars": BUSINESS_SCALARS_SQL,
     "metrics_day": METRICS_DAY_ORACLE,
     "metrics_day_p50": METRICS_DAY_P50_ORACLE,
