@@ -767,3 +767,76 @@ def pmi_collocations(
     return scored.orderBy(
         F.desc("pmi"), F.asc("w1"), F.asc("w2")
     ).limit(top_n)
+
+
+def bm25_rank(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+) -> DataFrame:
+    """BM25 ranking of the corpus against a term query — full-text search
+    as three aggregations, no index service needed (and the scoring
+    recipe an offline index build would precompute anyway):
+
+        score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+                            (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+        idf(t)   = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )
+
+    (the Robertson/Sparck-Jones Okapi form with the +1 floor that keeps
+    idf positive). All inputs are exact integer counts (tf, df, N, |d|)
+    — the double chain is identical cross-engine; ranking orders on the
+    ROUNDED score (6 dp) with an id tie-break.
+
+    Shape: term filter BEFORE the tf aggregation (only query-term rows
+    shuffle — the corpus-sized explode never leaves its partition
+    unfiltered), slim df/doclen joins, one broadcast of the ≤|terms|
+    stats, TakeOrderedAndProject top-n. Documents matching no term score
+    0 and are excluded.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = F.transform(tokenize(F.col(text_col)), lambda t: F.lower(t))
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("_t"))
+    base = base.select("doc", "_t", F.size("_t").alias("dl"))
+
+    n_total = base.agg(
+        F.count(F.lit(1)).alias("_N"), F.avg("dl").alias("_avgdl")
+    )
+    hits = (
+        base.select("doc", "dl", F.explode("_t").alias("w"))
+        .filter(F.col("w").isin(terms))
+        .groupBy("doc", "dl", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = hits.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc",
+            (
+                F.log(
+                    (F.col("_N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+                )
+            ).alias("_s"),
+        )
+        .groupBy("doc")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )
+    return (
+        scored.select(F.col("doc").alias(id_col), "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_n)
+    )

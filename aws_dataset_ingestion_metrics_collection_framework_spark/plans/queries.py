@@ -3287,6 +3287,50 @@ ORDER BY slot
 """
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the query {dup, query, sort} over documents ('dup'
+    is ~30× rarer than the others — its idf must dominate): exact counts,
+    identical Okapi chain, rounded-score/id total order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bm25_rank(
+        docs, "doc_id", "text", ["dup", "query", "sort"], top_n=20
+    )
+
+
+BM25_SEARCH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),
+                       x -> x <> ''),
+           x -> lower(x)) AS t
+  FROM documents
+),
+base AS (SELECT doc_id, t, len(t) AS dl FROM toks),
+tot AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM base),
+hits AS (
+  SELECT doc_id, dl, w, COUNT(*) AS tf FROM (
+    SELECT doc_id, dl, unnest(t) AS w FROM base
+  ) WHERE w IN ('dup', 'query', 'sort')
+  GROUP BY doc_id, dl, w
+),
+dfreq AS (SELECT w, COUNT(*) AS df FROM hits GROUP BY w),
+scored AS (
+  SELECT doc_id,
+         ROUND(SUM(
+           ln((n - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * 2.2)
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         ), 6) AS score
+  FROM hits JOIN dfreq USING (w) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -5116,6 +5160,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangles": q_triangles,
     # r5: PSI distribution-drift gate (per-bin terms + total)
     "psi_drift": q_psi_drift,
+    # r5: BM25 full-text ranking (Okapi, exact counts)
+    "bm25_search": q_bm25_search,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -5376,6 +5422,7 @@ ORACLES: dict[str, str] = {
     "pmi_collocations": PMI_COLLOCATIONS_ORACLE,
     "triangles": TRIANGLES_ORACLE,
     "psi_drift": PSI_DRIFT_ORACLE,
+    "bm25_search": BM25_SEARCH_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

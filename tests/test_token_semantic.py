@@ -85,3 +85,41 @@ class TestPmiCollocations:
         a = [tuple(r) for r in pmi_collocations(df, "doc_id", "text", min_count=3).collect()]
         b = [tuple(r) for r in pmi_collocations(df.repartition(7), "doc_id", "text", min_count=3).collect()]
         assert a == b
+
+
+class TestBm25Rank:
+    """Okapi BM25: idf dominance of rare terms, length normalization,
+    determinism, no-match exclusion."""
+
+    def _rank(self, spark, rows, terms, **kw):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import bm25_rank
+        df = spark.createDataFrame(rows, "id long, text string")
+        return [(r["id"], r["score"])
+                for r in bm25_rank(df, "id", "text", terms, **kw).collect()]
+
+    def test_rare_term_outranks_common(self, spark):
+        rows = [(i, "common words fill this document nicely") for i in range(20)]
+        rows.append((100, "common words plus the zebra appears here"))
+        out = self._rank(spark, rows, ["zebra", "common"])
+        assert out[0][0] == 100  # only doc with the rare term wins
+
+    def test_length_normalization(self, spark):
+        rows = [
+            (1, "target " + "filler " * 50),
+            (2, "target " + "filler " * 5),
+        ]
+        out = dict(self._rank(spark, rows, ["target"]))
+        assert out[2] > out[1]  # same tf, shorter doc scores higher
+
+    def test_no_match_docs_excluded_and_deterministic(self, spark):
+        rows = [(1, "apple banana"), (2, "cherry date"), (3, "apple fig")]
+        a = self._rank(spark, rows, ["apple"])
+        b = self._rank(spark, rows, ["APPLE"])  # case-folded query
+        assert [i for i, _ in a] == [1, 3] or [i for i, _ in a] == [3, 1]
+        assert a == b
+        assert 2 not in {i for i, _ in a}
+
+    def test_empty_query_raises(self, spark):
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            self._rank(spark, [(1, "x")], [])
