@@ -506,6 +506,19 @@ SELECT c_custkey FROM (
 ORDER BY c_custkey
 """
 
+# RANGE frames with a calendar-interval bound: the trailing-7-day window
+# that ROWS frames cannot express (row counts are not time). Both engines
+# accept the identical `RANGE BETWEEN INTERVAL 7 DAY PRECEDING` phrase.
+WINDOW_RANGE_INTERVAL_SQL = """
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+       ROUND(SUM(value) OVER w, 6) AS sum_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
 CUBE_SQL = """
 SELECT
   COALESCE(l_returnflag, 'ALL') AS returnflag,
@@ -5245,6 +5258,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_distribution": _sql_query(WINDOW_DISTRIBUTION_SQL),
     "grouping_sets_lineitem": _sql_query(GROUPING_SETS_SQL),
     "set_ops_customers": _sql_query(SET_OPS_SQL),
+    "window_range_interval": _sql_query(WINDOW_RANGE_INTERVAL_SQL),
     "business_scalars": lambda spark, sf: (
         register_tables(spark, sf) and None
     ) or business_metrics_distributed(spark, _BUSINESS_SCALARS).select(
@@ -5310,6 +5324,7 @@ ORACLES: dict[str, str] = {
     "window_distribution": WINDOW_DISTRIBUTION_SQL,
     "grouping_sets_lineitem": GROUPING_SETS_SQL,
     "set_ops_customers": SET_OPS_SQL,
+    "window_range_interval": WINDOW_RANGE_INTERVAL_SQL,
     "business_scalars": BUSINESS_SCALARS_SQL,
     "metrics_day": METRICS_DAY_ORACLE,
     "metrics_day_p50": METRICS_DAY_P50_ORACLE,
