@@ -19,8 +19,10 @@ cross-engine (merged halves == one-shot recompute, hash-exact).
 
 Composition notes for other aggregates:
 - avg/stddev: finalize from (count, sum, sum_sq) — never store the ratio;
-- distinct: store a KMV sketch column (`operators/sketches.py`) — k-min
-  hash arrays merge by array-union + re-truncate, same semigroup shape;
+- distinct: `distinct_state`/`merge_distinct_state`/`finalize_distinct`
+  below — a KMV sketch column (k-min hash arrays merge by array-union +
+  re-truncate, EXACTLY: unlike HLL, merged increments equal a one-shot
+  build and the whole pipeline is oracle-checkable);
 - percentiles: not algebraic exactly, but a FIXED-BIN histogram state is
   (bin counts add) — `histogram_state`/`merge_histograms`/
   `percentile_from_histogram` below give mergeable quantile estimates
@@ -229,3 +231,85 @@ def percentile_from_histogram(
         *key_cols, F.round(est, 6).alias(f"p{p_pct}")
     )
     return state.join(pcol, key_cols, "left")
+
+
+def distinct_state(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    k: int = 256,
+    granularity: str = "day",
+) -> DataFrame:
+    """Mergeable distinct-count state per (key, window): a KMV sketch
+    column (`kmv` = the k smallest distinct 60-bit md5 hashes of the
+    value, sorted) — the distinct-count companion to
+    :func:`rollup_partials` (COUNT(DISTINCT) is not algebraic; k-minimum
+    values are: the k smallest of a union is computable from the k
+    smallest of each part, EXACTLY — so merged increments equal a
+    one-shot build, unlike HLL whose register merge order is
+    engine-internal).
+
+    Scale shape: one slim distinct on (keys, window, hash), then the
+    engine's bin-thresholded exact top-k (`curation.top_k_by_value`)
+    keeps only ~k rows per group before any sort — per-group distinct
+    hashes never pile into one task. Estimator (see
+    `operators/sketches.py`): exact below k, (k−1)·2⁶⁰/h_(k) above.
+    """
+    from ..operators.curation import top_k_by_value
+    from ..operators.dedup import md5_60bit
+
+    ws = F.date_trunc(granularity, F.col(ts_col)).alias("window_start")
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*key_cols, ws, md5_60bit(F.col(value_col).cast("string")).alias("_h"))
+        .distinct()
+    )
+    topk = top_k_by_value(
+        d, [*key_cols, "window_start"], "_h", k,
+        tiebreak_col="_h", descending=False,
+    )
+    return (
+        topk.groupBy(*key_cols, "window_start")
+        .agg(F.array_sort(F.collect_list("_h")).alias("kmv"))
+    )
+
+
+def merge_distinct_state(*states: DataFrame, k: int = 256) -> DataFrame:
+    """KMV merge: k smallest of the union of sketches — exact (each
+    sketch already holds its part's k smallest, so the union's k
+    smallest are all present). Same grid-as-contract rule: every input
+    must have been built with the same k and hash."""
+    if not states:
+        raise ValueError("merge_distinct_state needs at least one state")
+    acc = states[0]
+    for s in states[1:]:
+        acc = acc.unionByName(s)
+    key_cols = [c for c in acc.columns if c != "kmv"]
+    return acc.groupBy(*key_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))),
+            1,
+            k,
+        ).alias("kmv")
+    )
+
+
+def finalize_distinct(state: DataFrame, *, k: int = 256) -> DataFrame:
+    """Distinct-count estimate from the sketch: exact when the sketch
+    holds fewer than k values (it IS the distinct set then), else the
+    unbiased KMV estimator (k−1)·2⁶⁰/h_(k) — identical IEEE both
+    engines (2⁶⁰ is a power of two). Adds ``est_distinct`` (rounded 6)
+    and ``n_sketch``."""
+    two60 = float(1 << 60)
+    n = F.size("kmv")
+    hk = F.element_at("kmv", k).cast("double")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(two60) / hk
+    )
+    return state.select(
+        *[c for c in state.columns if c != "kmv"],
+        n.alias("n_sketch"),
+        F.round(est, 6).alias("est_distinct"),
+    )

@@ -3344,6 +3344,55 @@ LIMIT 20
 """
 
 
+def q_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KMV distinct-count state: distinct users per (event_type,
+    day) from a k=64 sketch built as TWO increments and merged — the
+    oracle recomputes the sketch one-shot (k smallest of a union equals
+    the union of part-wise k smallest, exactly), then both apply the
+    same estimator."""
+    from ..operators import rollup as RU
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    a = RU.distinct_state(
+        ev.filter(F.col("ts") < cut), ["event_type"], "ts", "user_id", k=64
+    )
+    b = RU.distinct_state(
+        ev.filter(F.col("ts") >= cut), ["event_type"], "ts", "user_id", k=64
+    )
+    st = RU.merge_distinct_state(a, b, k=64)
+    return RU.finalize_distinct(st, k=64).orderBy("event_type", "window_start")
+
+
+DISTINCT_ROLLUP_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, window_start
+                                 ORDER BY h) AS rn
+    FROM d
+  ) WHERE rn <= 64
+),
+st AS (
+  SELECT event_type, window_start, COUNT(*) AS n_sketch,
+         MAX(CASE WHEN rn = 64 THEN h END) AS hk
+  FROM topk GROUP BY 1, 2
+)
+SELECT event_type, window_start,
+       CAST(n_sketch AS INTEGER) AS n_sketch,
+       ROUND(CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+                  ELSE 63.0 * 1152921504606846976 / CAST(hk AS DOUBLE)
+             END, 6) AS est_distinct
+FROM st
+ORDER BY 1, 2
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -5175,6 +5224,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "psi_drift": q_psi_drift,
     # r5: BM25 full-text ranking (Okapi, exact counts)
     "bm25_search": q_bm25_search,
+    # r5: mergeable KMV distinct-count rollup state
+    "distinct_rollup": q_distinct_rollup,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -5438,6 +5489,7 @@ ORACLES: dict[str, str] = {
     "triangles": TRIANGLES_ORACLE,
     "psi_drift": PSI_DRIFT_ORACLE,
     "bm25_search": BM25_SEARCH_ORACLE,
+    "distinct_rollup": DISTINCT_ROLLUP_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

@@ -153,3 +153,46 @@ class TestHistogramState:
         state = histogram_state(df, ["k"], "ts", "v", lo=0.0, hi=10.0)
         with _pytest.raises(ValueError):
             percentile_from_histogram(state, 0, lo=0.0, hi=10.0)
+
+
+class TestDistinctState:
+    """KMV distinct-count state: merge == one-shot, exact below k,
+    bounded error above."""
+
+    def _df(self, spark, pairs):
+        import datetime as dt
+        t0 = dt.datetime(2024, 3, 1)
+        return spark.createDataFrame(
+            [("g", t0 + dt.timedelta(minutes=i), v) for i, v in enumerate(pairs)],
+            "k string, ts timestamp, v long",
+        )
+
+    def test_merge_equals_one_shot(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.rollup import (
+            distinct_state, merge_distinct_state,
+        )
+        vals = [i % 500 for i in range(900)]
+        full = distinct_state(self._df(spark, vals), ["k"], "ts", "v", k=64).collect()
+        merged = merge_distinct_state(
+            distinct_state(self._df(spark, vals[:400]), ["k"], "ts", "v", k=64),
+            distinct_state(self._df(spark, vals[400:]), ["k"], "ts", "v", k=64),
+            k=64,
+        ).collect()
+        assert sorted(map(tuple, merged)) == sorted(map(tuple, full))
+
+    def test_exact_below_k_and_bounded_above(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.rollup import (
+            distinct_state, finalize_distinct,
+        )
+        small = finalize_distinct(
+            distinct_state(self._df(spark, [1, 2, 3, 2, 1]), ["k"], "ts", "v", k=64),
+            k=64,
+        ).collect()[0]
+        assert small["n_sketch"] == 3 and small["est_distinct"] == 3.0
+        big = finalize_distinct(
+            distinct_state(self._df(spark, list(range(2000)) * 2),
+                           ["k"], "ts", "v", k=64),
+            k=64,
+        ).collect()[0]
+        # KMV standard error ~1/sqrt(k-1) ≈ 12.6%; allow 4 sigma
+        assert abs(big["est_distinct"] - 2000) / 2000 < 0.5
