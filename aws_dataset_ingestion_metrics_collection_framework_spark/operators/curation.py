@@ -321,6 +321,55 @@ def group_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Exactly-k sample with inclusion probability proportional to weight,
+    without replacement — the importance-sampling draw data selection
+    needs (e.g. sample documents ∝ DSIR weight or token count; a uniform
+    sample wastes the budget on low-value rows).
+
+    Efraimidis–Spirakis (2006) exponential-keys: each row gets key =
+    ln(u)/w with u uniform in (0,1); the k LARGEST keys are a valid
+    weight-proportional without-replacement sample. Here u is the md5
+    ppm-style uniform (hash/2⁶⁰), so the draw is deterministic across
+    runs/engines/partitionings AND fully oracle-checkable — `rand()` is
+    none of those. Rows with weight ≤ 0 or NULL never sample.
+
+    The top-k by key runs through the engine's bin-thresholded exact
+    top-k (`top_k_by_value`) — no full sort; keys are negative
+    (ln(u) < 0, w > 0), bounded by the bin grid like any value column.
+    Output: sampled rows + ``sample_rank`` (1..k by descending key).
+    """
+    from .dedup import md5_60bit
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    two60 = float(1 << 60)
+    u = (
+        md5_60bit(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(two60)  # +0.5 keeps u strictly inside (0,1): ln(0) guard
+    key = F.log(u) / F.col(weight_col)
+    eligible = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_es_key", key)
+        .withColumn("_g", F.lit(1))  # single global draw group
+    )
+    out = top_k_by_value(
+        eligible, ["_g"], "_es_key", k, tiebreak_col=id_col, descending=True
+    )
+    return out.select(
+        *df.columns, F.col("rank").alias("sample_rank")
+    )
+
+
 def top_k_by_value(
     df: DataFrame,
     group_cols: list[str],

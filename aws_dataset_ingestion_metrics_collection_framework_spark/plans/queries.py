@@ -3393,6 +3393,33 @@ ORDER BY 1, 2
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional exactly-50 sample of documents ∝ n_chars
+    (Efraimidis–Spirakis exponential keys on the deterministic md5
+    uniform): the oracle recomputes the identical keys and takes the
+    same top-50."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = CU.weighted_sample(docs, "doc_id", "n_chars", 50)
+    return out.select("doc_id", "n_chars", "sample_rank").orderBy("sample_rank")
+
+
+WEIGHTED_SAMPLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln((CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              AS DOUBLE) + 0.5) / 1152921504606846976.0) / n_chars AS k
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, n_chars, CAST(rnk AS INTEGER) AS sample_rank FROM (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rnk
+  FROM keyed
+) WHERE rnk <= 50
+ORDER BY rnk
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -5226,6 +5253,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     # r5: mergeable KMV distinct-count rollup state
     "distinct_rollup": q_distinct_rollup,
+    # r5: weight-proportional sampling (Efraimidis–Spirakis keys)
+    "weighted_sample": q_weighted_sample,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -5490,6 +5519,7 @@ ORACLES: dict[str, str] = {
     "psi_drift": PSI_DRIFT_ORACLE,
     "bm25_search": BM25_SEARCH_ORACLE,
     "distinct_rollup": DISTINCT_ROLLUP_ORACLE,
+    "weighted_sample": WEIGHTED_SAMPLE_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

@@ -578,3 +578,37 @@ class TestTopKByValue:
             ).collect()
         )
         assert got == [(1, "a", 4.0, 1), (2, "a", 4.0, 2)]
+
+
+class TestWeightedSample:
+    """ES weighted sampling: heavier rows sample more often, exactness,
+    determinism, zero-weight exclusion."""
+
+    def test_heavy_rows_dominate(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import weighted_sample
+        # 10 rows of weight 1000, 190 of weight 1: a size-20 draw should
+        # be mostly heavy rows (each heavy row ~ guaranteed; the light
+        # mass totals 190 vs heavy 10000)
+        rows = [(i, 1000) for i in range(10)] + [(i, 1) for i in range(10, 200)]
+        df = spark.createDataFrame(rows, "id long, w long")
+        got = {r["id"] for r in weighted_sample(df, "id", "w", 20).collect()}
+        assert len(got) == 20
+        assert len(got & set(range(10))) >= 9  # nearly all heavy rows in
+
+    def test_deterministic_and_exact_k(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import weighted_sample
+        df = spark.createDataFrame(
+            [(i, (i % 7) + 1) for i in range(300)], "id long, w long"
+        )
+        a = sorted(tuple(r) for r in weighted_sample(df, "id", "w", 25).collect())
+        b = sorted(tuple(r) for r in weighted_sample(
+            df.repartition(11), "id", "w", 25).collect())
+        assert a == b and len(a) == 25
+
+    def test_nonpositive_weights_never_sample(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import weighted_sample
+        df = spark.createDataFrame(
+            [(1, 5), (2, 0), (3, -1), (4, None)], "id long, w long"
+        )
+        got = {r["id"] for r in weighted_sample(df, "id", "w", 10).collect()}
+        assert got == {1}
