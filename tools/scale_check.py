@@ -77,6 +77,8 @@ PROBES = [
     "golden_records", "json_flatten",
     # r5e: hashed embeddings, PMI, triangles, PSI
     "hashed_embeddings", "pmi_collocations", "triangles", "psi_drift",
+    # r5f: BM25, KMV rollup state, weighted sampling
+    "bm25_search", "distinct_rollup", "weighted_sample",
 ]
 
 SF1_TABLES = (
