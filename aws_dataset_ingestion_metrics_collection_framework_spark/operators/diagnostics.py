@@ -268,3 +268,49 @@ def cusum_changepoints(
             ).otherwise(F.lit(False))
         ).alias("is_changepoint"),
     )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square statistic for independence of two categorical
+    columns — the "is segment related to outcome" screen (feature
+    selection, A/B sanity, bias audits). Returns ONE row: (chi2, dof,
+    n_rows, n_a, n_b); compare chi2 against the χ² critical value for
+    dof at your α (the CDF itself is a table lookup, not an engine op).
+
+    Exact arithmetic: observed and marginal counts are integers; the
+    statistic Σ (O − E)²/E with E = row_total·col_total/N is one shared
+    double chain over those integers (rounded 6). Rows with NULL in
+    either column are excluded (a NULL category is a data-quality
+    question for `profile_table`, not a category).
+
+    Shape: one (a, b) contingency aggregation (map-side combined; cell
+    count = |A|×|B| — categorical by assumption), two marginal
+    re-aggregations of the CELL table (not the data), a 1-row total.
+    """
+    filtered = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    cells = filtered.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_o"))
+    ra = cells.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    cb = cells.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    tot = cells.agg(
+        F.sum("_o").alias("_n"),
+        F.countDistinct("_a").alias("_na"),
+        F.countDistinct("_b").alias("_nb"),
+    )
+    e = F.col("_ra").cast("double") * F.col("_cb") / F.col("_n")
+    term = (F.col("_o") - e) * (F.col("_o") - e) / e
+    return (
+        cells.join(ra, "_a")
+        .join(cb, "_b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(term), 6).alias("chi2"),
+            F.max((F.col("_na") - 1) * (F.col("_nb") - 1)).cast("long").alias("dof"),
+            F.max("_n").alias("n_rows"),
+            F.max("_na").cast("long").alias("n_a"),
+            F.max("_nb").cast("long").alias("n_b"),
+        )
+    )

@@ -3420,6 +3420,39 @@ ORDER BY rnk
 """
 
 
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event_type vs 6-hour day-band: one
+    contingency aggregation, exact integer cells, shared (O−E)²/E chain."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day_band", F.floor(F.hour("ts") / 6).cast("int")
+    )
+    return DIAG.chi_square_independence(ev, "event_type", "day_band")
+
+
+CHI_SQUARE_ORACLE = """
+WITH cells AS (
+  SELECT event_type AS a, CAST(FLOOR(hour(ts) / 6) AS INTEGER) AS b,
+         COUNT(*) AS o
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+),
+ra AS (SELECT a, SUM(o) AS r FROM cells GROUP BY a),
+cb AS (SELECT b, SUM(o) AS c FROM cells GROUP BY b),
+tot AS (
+  SELECT SUM(o) AS n, COUNT(DISTINCT a) AS na, COUNT(DISTINCT b) AS nb
+  FROM cells
+)
+SELECT ROUND(SUM((o - CAST(r AS DOUBLE) * c / n)
+                 * (o - CAST(r AS DOUBLE) * c / n)
+                 / (CAST(r AS DOUBLE) * c / n)), 6) AS chi2,
+       CAST(MAX((na - 1) * (nb - 1)) AS BIGINT) AS dof,
+       MAX(n) AS n_rows,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b
+FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -5255,6 +5288,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_rollup": q_distinct_rollup,
     # r5: weight-proportional sampling (Efraimidis–Spirakis keys)
     "weighted_sample": q_weighted_sample,
+    # r5: chi-square independence screen (exact contingency)
+    "chi_square": q_chi_square,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -5520,6 +5555,7 @@ ORACLES: dict[str, str] = {
     "bm25_search": BM25_SEARCH_ORACLE,
     "distinct_rollup": DISTINCT_ROLLUP_ORACLE,
     "weighted_sample": WEIGHTED_SAMPLE_ORACLE,
+    "chi_square": CHI_SQUARE_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

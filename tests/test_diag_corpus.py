@@ -205,3 +205,49 @@ class TestCusumChangepoints:
             self._df(spark, [5.0] * 30), ["k"], "ts", "v"
         )
         assert out.filter("is_changepoint").count() == 0
+
+
+class TestChiSquare:
+    """Chi-square independence: ~0 for independent columns, large for a
+    perfectly dependent pair; reference-value equality on a known table."""
+
+    def test_dependent_vs_independent(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.diagnostics import chi_square_independence
+        rows_dep = [(i, f"a{i % 3}", f"b{i % 3}") for i in range(300)]   # b == a
+        rows_ind = [(i, f"a{i % 3}", f"b{(i // 3) % 4}") for i in range(300)]
+        dep = chi_square_independence(
+            spark.createDataFrame(rows_dep, "id long, x string, y string"), "x", "y"
+        ).collect()[0]
+        ind = chi_square_independence(
+            spark.createDataFrame(rows_ind, "id long, x string, y string"), "x", "y"
+        ).collect()[0]
+        assert dep["chi2"] > 100 * (ind["chi2"] + 1e-9)
+        assert dep["dof"] == 4 and ind["dof"] == 6
+        assert abs(ind["chi2"]) < 1e-6  # balanced grid: exactly independent
+
+    def test_reference_value_2x2(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.diagnostics import chi_square_independence
+        # classic 2x2 with cells [[10, 20], [20, 10]]: chi2 = 60*(100-400)^2/(30*30*30*30)... 
+        # computed by the textbook formula: N(ad-bc)^2 / (r1 r2 c1 c2)
+        rows = (
+            [(0, "x", "p")] * 10 + [(0, "x", "q")] * 20
+            + [(0, "y", "p")] * 20 + [(0, "y", "q")] * 10
+        )
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (_, a, b) in enumerate(rows)],
+            "id long, x string, y string",
+        )
+        got = chi_square_independence(df, "x", "y").collect()[0]
+        n, a, b, c, d = 60, 10, 20, 20, 10
+        expect = n * (a * d - b * c) ** 2 / (30 * 30 * 30 * 30)
+        assert abs(got["chi2"] - expect) < 1e-6
+        assert got["dof"] == 1 and got["n_rows"] == 60
+
+    def test_nulls_excluded(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.diagnostics import chi_square_independence
+        df = spark.createDataFrame(
+            [(1, "a", "p"), (2, None, "q"), (3, "b", None), (4, "b", "q")],
+            "id long, x string, y string",
+        )
+        got = chi_square_independence(df, "x", "y").collect()[0]
+        assert got["n_rows"] == 2
