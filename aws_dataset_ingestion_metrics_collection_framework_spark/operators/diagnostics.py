@@ -314,3 +314,67 @@ def chi_square_independence(
             F.max("_nb").cast("long").alias("n_b"),
         )
     )
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], *, scale_bits: int = 10
+) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns — the feature
+    redundancy/leakage screen. One pass computes every Σx, Σx² and Σxy
+    (map-side combined; rows with a NULL in ANY of `cols` are excluded so
+    all pairs share one n — the listwise-deletion convention).
+
+        r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+
+    over 2^scale_bits-quantized integers (the engine's exactness recipe:
+    integer sums are order-free; the r chain is identical IEEE both
+    engines). Bounds: n·(x·2^bits)·(y·2^bits) must stay under 2⁶³ —
+    size scale_bits to the column magnitudes. Constant columns yield
+    NULL r (undefined, not 0). Output: (col_x, col_y, n, r) per
+    unordered pair, col_x < col_y by the input order.
+    """
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs at least two columns")
+    scale = float(1 << scale_bits)
+    filtered = df
+    for c in cols:
+        filtered = filtered.filter(F.col(c).isNotNull())
+    q = {
+        c: F.round(F.col(c).cast("double") * F.lit(scale)).cast("bigint")
+        for c in cols
+    }
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(q[c]).alias(f"_s_{c}"))
+        aggs.append(F.sum(q[c] * q[c]).alias(f"_ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum(q[a] * q[b]).alias(f"_sxy_{a}_{b}"))
+    stats = filtered.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            # the n·Σ products overflow int64 at modest sizes — compute in
+            # double FROM the exact integer sums (int64→double casts are
+            # correctly-rounded IEEE in both engines, so identical inputs
+            # give identical chains)
+            n_d = F.col("_n").cast("double")
+            sxy = F.col(f"_sxy_{a}_{b}").cast("double")
+            sa, sb = F.col(f"_s_{a}").cast("double"), F.col(f"_s_{b}").cast("double")
+            ssa, ssb = F.col(f"_ss_{a}").cast("double"), F.col(f"_ss_{b}").cast("double")
+            num = n_d * sxy - sa * sb
+            va = n_d * ssa - sa * sa
+            vb = n_d * ssb - sb * sb
+            r = F.when(
+                (va > 0) & (vb > 0),
+                F.round(num / F.sqrt(va * vb), 6),
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    F.col("_n").alias("n"),
+                    r.alias("r"),
+                )
+            )
+    return stats.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")

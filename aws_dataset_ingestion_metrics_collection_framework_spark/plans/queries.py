@@ -3453,6 +3453,67 @@ FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
 """
 
 
+def q_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over (value, hour, day-of-month)
+    derived from events — exact quantized sums, double chain from
+    identical integers (the overflow-safe variant)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.hour("ts").cast("double").alias("hour_of_day"),
+        F.dayofmonth("ts").cast("double").alias("day_of_month"),
+    )
+    return DIAG.correlation_matrix(
+        ev, ["value", "hour_of_day", "day_of_month"]
+    ).orderBy("col_x", "col_y")
+
+
+CORRELATIONS_ORACLE = """
+WITH q AS (
+  SELECT CAST(ROUND(CAST(value AS DOUBLE) * 1024) AS BIGINT) AS x,
+         CAST(ROUND(CAST(hour(ts) AS DOUBLE) * 1024) AS BIGINT) AS y,
+         CAST(ROUND(CAST(dayofmonth(ts) AS DOUBLE) * 1024) AS BIGINT) AS z
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+         SUM(x*x) AS ssx, SUM(y*y) AS ssy, SUM(z*z) AS ssz,
+         SUM(x*y) AS sxy, SUM(x*z) AS sxz, SUM(y*z) AS syz
+  FROM q
+)
+SELECT col_x, col_y, n, r FROM (
+  SELECT 'value' AS col_x, 'hour_of_day' AS col_y, n,
+         ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(ssx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(ssy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+  FROM s
+  UNION ALL
+  SELECT 'value', 'day_of_month', n,
+         ROUND((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(ssx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(ssz AS DOUBLE)
+                         - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 6)
+  FROM s
+  UNION ALL
+  SELECT 'hour_of_day', 'day_of_month', n,
+         ROUND((CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(ssy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(ssz AS DOUBLE)
+                         - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 6)
+  FROM s
+)
+ORDER BY col_x, col_y
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -5290,6 +5351,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     # r5: chi-square independence screen (exact contingency)
     "chi_square": q_chi_square,
+    # r5: Pearson correlation matrix (quantized exact sums)
+    "correlations": q_correlations,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -5556,6 +5619,7 @@ ORACLES: dict[str, str] = {
     "distinct_rollup": DISTINCT_ROLLUP_ORACLE,
     "weighted_sample": WEIGHTED_SAMPLE_ORACLE,
     "chi_square": CHI_SQUARE_ORACLE,
+    "correlations": CORRELATIONS_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

@@ -251,3 +251,39 @@ class TestChiSquare:
         )
         got = chi_square_independence(df, "x", "y").collect()[0]
         assert got["n_rows"] == 2
+
+
+class TestCorrelationMatrix:
+    def test_perfect_inverse_and_independent(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.diagnostics import correlation_matrix
+        rows = [(float(i), float(-2 * i + 7), float((i * 37) % 11))
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "a double, b double, c double")
+        out = {(r["col_x"], r["col_y"]): r["r"]
+               for r in correlation_matrix(df, ["a", "b", "c"]).collect()}
+        assert abs(out[("a", "b")] + 1.0) < 1e-6    # perfect inverse
+        assert abs(out[("a", "c")]) < 0.2           # scrambled residue
+
+    def test_constant_column_yields_null(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.diagnostics import correlation_matrix
+        df = spark.createDataFrame(
+            [(float(i), 5.0) for i in range(50)], "a double, b double"
+        )
+        r = correlation_matrix(df, ["a", "b"]).collect()[0]["r"]
+        assert r is None
+
+    def test_listwise_null_deletion(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.diagnostics import correlation_matrix
+        df = spark.createDataFrame(
+            [(1.0, 2.0), (None, 3.0), (2.0, None), (3.0, 6.0)],
+            "a double, b double",
+        )
+        r = correlation_matrix(df, ["a", "b"]).collect()[0]
+        assert r["n"] == 2
+
+    def test_needs_two_columns(self, spark):
+        import pytest as _pytest
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.diagnostics import correlation_matrix
+        df = spark.createDataFrame([(1.0,)], "a double")
+        with _pytest.raises(ValueError):
+            correlation_matrix(df, ["a"])
