@@ -897,20 +897,25 @@ def edit_distance_pairs(
     entity-resolution join (typo'd titles, OCR'd names, near-identical
     URLs) — WITHOUT an all-pairs comparison.
 
-    Scale path = the q-gram count filter (Gravano et al., VLDB'01):
+    Scale path = PassJoin segment filtering (Li/Deng/Feng, the standard
+    edit-distance join): partition every indexed string into ``k+1``
+    contiguous segments — at most k edits cannot touch them all
+    (pigeonhole), so for any pair within distance k, at least one
+    segment of one string appears VERBATIM in the other, at a start
+    offset shifted by at most k. Candidates therefore come from an
+    equi-join of (length, segment_idx, 64-bit substring hash): the
+    index side emits k+1 segment rows per string; the probe side emits
+    the ≤ (2k+1)·(k+1)·(2k+1) valid (partner length, segment, shift)
+    windows. Segments are ~|s|/(k+1) characters long — long enough to
+    stay selective even when the gram alphabet saturates (the earlier
+    q-gram count/prefix filters measured SUPERLINEAR at the third scale
+    point on a 31-word-vocabulary corpus precisely because every short
+    gram was hot; 10-char segments are not).
 
-    - **length filter**: ed(a,b) ≤ k ⇒ ||a|−|b|| ≤ k, inside the join
-      condition;
-    - **count filter**: a single edit destroys at most q positional
-      q-grams, so ed ≤ k ⇒ a and b share ≥ T = max(|a|,|b|)−q+1−k·q
-      positional q-grams at position offset ≤ k. Candidates come from an
-      inverted-index equi-join on the 64-bit gram hash with the position
-      and length predicates in the join condition, grouped and tested
-      against T — pairs sharing no gram never materialize.
-    - strings too short for the filter to bite (T ≤ 0, or shorter than a
-      single gram) are paired through a bounded length-bucket equi-join
-      (left side exploded to the 2k+1 admissible right lengths — no
-      cartesian product, plan-guard-compatible).
+    Strings shorter than k+1 characters cannot host k+1 nonempty
+    segments and pair through a bounded length-bucket equi-join instead.
+    The ``q`` parameter is retained for call compatibility and ignored
+    (the segment layout depends only on ``max_dist``).
 
     Both filters are complete (no false negatives), so after the exact
     ``levenshtein`` verification the output is IDENTICAL to the brute
@@ -920,9 +925,8 @@ def edit_distance_pairs(
     k = int(max_dist)
     if k < 0:
         raise ValueError(f"max_dist must be >= 0, got {k}")
-    if q < 2:
-        raise ValueError(f"q must be >= 2, got {q}")
-    short_bound = k * q + q - 1  # max(|a|,|b|) <= this  <=>  T <= 0
+    kp1 = k + 1
+    del q  # see docstring: layout depends only on max_dist
 
     base = materialize_once(
         df.select(
@@ -932,60 +936,79 @@ def edit_distance_pairs(
         ).filter(F.col(text_col).isNotNull())
     )
 
-    # Multiset q-gram elements (gram value, occurrence index) for strings
-    # long enough to have any. ed(a,b) ≤ k destroys at most k·q of a's
-    # grams, so the element-set overlap Σ_g min(cnt_a, cnt_b) is at least
-    # T = max(|a|,|b|)−q+1−k·q — which feeds the classic prefix-filter
-    # lemma (same machine as `ngram_jaccard_pairs_prefix`): under ANY
-    # global element order, two sets with overlap ≥ T share an element
-    # within their (size−T+1 ≤ k·q+1)-prefixes. Ordering elements by
-    # ascending global frequency makes prefix postings the RARE ones, so
-    # the candidate join volume is Σ(rare posting)² — not Σ(posting)²
-    # over hot grams (measured 10× better on the vocab-limited corpus;
-    # a position-offset predicate can NOT be applied to element matches,
-    # because edits may renumber earlier same-value occurrences).
-    elems = (
-        base.filter(F.col("n") >= q)
+    # segment layout for a string of length L: k+1 segments, the last
+    # (L % (k+1)) of them one char longer; closed forms (1-based):
+    #   len_i   = L DIV kp1 + (i >= kp1 - L % kp1)
+    #   start_i = 1 + i·(L DIV kp1) + max(0, i - (kp1 - L % kp1))
+    seg_len = (
+        lambda L, i: f"(({L}) DIV {kp1} + IF({i} >= {kp1} - ({L}) % {kp1}, 1, 0))"
+    )
+    seg_start = (
+        lambda L, i: f"(1 + ({i}) * (({L}) DIV {kp1}) + greatest(0, ({i}) - ({kp1} - ({L}) % {kp1})))"
+    )
+
+    idx = (
+        base.filter(F.col("n") >= kp1)
         .select(
             "doc",
             "n",
             F.explode(
-                F.expr(f"transform(sequence(1, n - {q} + 1), i -> substring(s, i, {q}))")
-            ).alias("gs"),
+                F.expr(
+                    f"transform(sequence(0, {k}), i -> struct("
+                    f"i AS i, substring(s, {seg_start('n', 'i')}, {seg_len('n', 'i')}) AS seg))"
+                )
+            ).alias("e"),
         )
-        .select("doc", "n", F.xxhash64("gs").alias("g"))
-        .withColumn(
-            "occ", F.row_number().over(Window.partitionBy("doc", "g").orderBy("g"))
+        .select(
+            F.col("doc").alias("doc_i"),
+            F.col("n").alias("n_i"),
+            F.col("e.i").alias("i"),
+            F.xxhash64("e.seg").alias("h"),
         )
     )
-    freq = elems.groupBy("g", "occ").agg(F.count(F.lit(1)).alias("f"))
-    prefix = (
-        elems.join(freq, ["g", "occ"])
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc").orderBy("f", "g", "occ")
-            ),
+    probe = (
+        base.select(
+            "doc",
+            "n",
+            "s",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(n - {k}, n + {k}), L -> "
+                    f"flatten(transform(sequence(0, {k}), i -> "
+                    f"filter(transform(sequence(-{k}, {k}), d -> struct("
+                    f"L AS L, i AS i, {seg_start('L', 'i')} + d AS st, {seg_len('L', 'i')} AS ln)), "
+                    f"x -> x.L >= {kp1} AND x.ln >= 1 AND x.st >= 1 AND x.st + x.ln - 1 <= n)"
+                    f"))))"
+                )
+            ).alias("w"),
         )
-        .filter(F.col("rn") <= k * q + 1)
-        .select("doc", "n", "g", "occ")
+        .select(
+            F.col("doc").alias("doc_p"),
+            F.col("n").alias("n_p"),
+            F.col("w.L").alias("L"),
+            F.col("w.i").alias("i"),
+            F.xxhash64(F.expr("substring(s, w.st, w.ln)")).alias("h"),
+        )
     )
-    prefix = materialize_once(prefix)
-    l, r = prefix.alias("l"), prefix.alias("r")
     cand_gram = (
-        l.join(
-            r,
-            (F.col("l.g") == F.col("r.g"))
-            & (F.col("l.occ") == F.col("r.occ"))
-            & (F.col("l.doc") < F.col("r.doc"))
-            & (F.abs(F.col("l.n") - F.col("r.n")) <= k),
+        probe.join(
+            idx,
+            (probe["L"] == idx["n_i"])
+            & (probe["i"] == idx["i"])
+            & (probe["h"] == idx["h"])
+            & (probe["doc_p"] != idx["doc_i"])
+            & (F.abs(probe["n_p"] - idx["n_i"]) <= k),
         )
-        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .select(
+            F.least("doc_p", "doc_i").alias("id_a"),
+            F.greatest("doc_p", "doc_i").alias("id_b"),
+        )
         .distinct()
     )
 
-    # Short-string bucket: every admissible pair via a length-key
-    # equi-join (left length exploded ±k), no gram support required.
+    # Tiny-string bucket (n <= k: cannot host k+1 nonempty segments):
+    # every admissible pair via a length-key equi-join.
+    short_bound = k
     shorts = base.filter(F.col("n") <= short_bound)
     sl = shorts.select(
         F.col("doc").alias("id_a"),
