@@ -115,3 +115,53 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("u").alias("n_users"))
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    state_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next state | current state) — the behavioral fingerprint behind
+    next-action prediction, funnel leak hunting ("where do sessions go
+    after 'view'?") and bot detection (machine traffic has unnaturally
+    peaked rows).
+
+    ``order_cols`` (default [ts_col]) must totally order each user's
+    events — a tie would make "next" partition-order-dependent. Output:
+    (from_state, to_state, n_transitions, p) with p = count/row-total
+    rounded to 6 (exact integer counts; one shared division). Each
+    user's last event has no successor and contributes no transition.
+
+    Shape: one user-keyed window (lead) + one (from, to) count with
+    map-side combine + a per-from-state total joined back — the count
+    table is |states|² rows, not data.
+    """
+    from pyspark.sql import Window
+
+    order_cols = order_cols or [ts_col]
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    pairs = (
+        df.withColumn("_next", F.lead(state_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(
+            F.col(state_col).alias("from_state"),
+            F.col("_next").alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_state").agg(
+        F.sum("n_transitions").alias("_t")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("_t"), 6).alias("p"),
+        )
+    )

@@ -3514,6 +3514,35 @@ ORDER BY col_x, col_y
 """
 
 
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions over per-user event sequences
+    ((ts, event_id) total order): exact counts, one shared division."""
+    ev = load_table(spark, sf_dir, "events")
+    return BH.transition_matrix(
+        ev, "user_id", "ts", "event_type", ["ts", "event_id"]
+    ).orderBy("from_state", "to_state")
+
+
+TRANSITION_MATRIX_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS from_state,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_state
+  FROM events
+),
+pairs AS (
+  SELECT from_state, to_state, COUNT(*) AS n_transitions
+  FROM seq WHERE to_state IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT from_state, SUM(n_transitions) AS t FROM pairs GROUP BY 1)
+SELECT p.from_state, p.to_state, p.n_transitions,
+       ROUND(p.n_transitions / t.t, 6) AS p
+FROM pairs p JOIN tot t USING (from_state)
+ORDER BY p.from_state, p.to_state
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -5353,6 +5382,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chi_square": q_chi_square,
     # r5: Pearson correlation matrix (quantized exact sums)
     "correlations": q_correlations,
+    # r5: Markov transition matrix over event sequences
+    "transition_matrix": q_transition_matrix,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -5620,6 +5651,7 @@ ORACLES: dict[str, str] = {
     "weighted_sample": WEIGHTED_SAMPLE_ORACLE,
     "chi_square": CHI_SQUARE_ORACLE,
     "correlations": CORRELATIONS_ORACLE,
+    "transition_matrix": TRANSITION_MATRIX_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

@@ -66,3 +66,41 @@ def test_cohort_retention_week_zero_equals_cohort_size(spark):
     assert ret[("2024-01-01", 1)] == 1
     assert ret[("2024-01-08", 0)] == 1
     assert ret[("2024-01-08", 2)] == 1
+
+
+class TestTransitionMatrix:
+    """Markov transitions: per-user sequencing, last-event exclusion,
+    probability normalization."""
+
+    def test_known_sequence(self, spark):
+        import datetime as dt
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.behavior import transition_matrix
+        t0 = dt.datetime(2024, 3, 1)
+        rows = []
+        # user 1: a->b->a->b ; user 2: a->a->c
+        for i, s in enumerate(["a", "b", "a", "b"]):
+            rows.append((1, t0 + dt.timedelta(minutes=i), i, s))
+        for i, s in enumerate(["a", "a", "c"]):
+            rows.append((2, t0 + dt.timedelta(minutes=i), 10 + i, s))
+        df = spark.createDataFrame(rows, "u long, ts timestamp, eid long, st string")
+        out = {(r["from_state"], r["to_state"]): (r["n_transitions"], r["p"])
+               for r in transition_matrix(df, "u", "ts", "st", ["ts", "eid"]).collect()}
+        assert out[("a", "b")] == (2, 0.5)
+        assert out[("a", "a")] == (1, 0.25)
+        assert out[("a", "c")] == (1, 0.25)
+        assert out[("b", "a")] == (1, 1.0)
+        assert ("b", "b") not in out and ("c", "a") not in out  # no cross-user
+
+    def test_probabilities_sum_to_one_per_row(self, spark):
+        import datetime as dt
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.behavior import transition_matrix
+        t0 = dt.datetime(2024, 3, 1)
+        rows = [(i % 7, t0 + dt.timedelta(minutes=i), i,
+                 ["x", "y", "z"][(i * 5) % 3]) for i in range(200)]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, eid long, st string")
+        out = transition_matrix(df, "u", "ts", "st", ["ts", "eid"]).collect()
+        sums = {}
+        for r in out:
+            sums[r["from_state"]] = sums.get(r["from_state"], 0.0) + r["p"]
+        for s, total in sums.items():
+            assert abs(total - 1.0) < 1e-4, s
