@@ -165,3 +165,45 @@ def transition_matrix(
             F.round(F.col("n_transitions") / F.col("_t"), 6).alias("p"),
         )
     )
+
+
+def suppress_repeats(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    within_seconds: int,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Burst suppression: keep only the FIRST event of each burst per
+    key, where a burst is a run of events each within ``within_seconds``
+    of its predecessor — the alert-fatigue fix (a flapping monitor fires
+    hundreds of identical alerts; responders need one per episode), and
+    the same primitive dedups retry storms and double-clicks.
+
+    Chained-gap semantics (a burst extends as long as gaps stay small —
+    matching gap-based sessionization, `sessions.sessionize`), not a
+    fixed window from the first event: a 10-minute flap with 30-second
+    gaps is ONE episode even if it outlives `within_seconds`.
+
+    One key-partitioned window (lag); adds ``burst_id`` (0-based per
+    key) to the kept rows so downstream joins can count suppressed
+    volume per episode via the complement. ``order_cols`` defaults to
+    [ts_col]; supply a tiebreaker for simultaneous events.
+    """
+    from pyspark.sql import Window
+
+    order_cols = order_cols or [ts_col]
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    # NTZ timestamps refuse a direct long cast; hop through TIMESTAMP
+    secs = F.col(ts_col).cast("timestamp").cast("long")
+    gap_ok = (secs - F.lag(secs).over(w)) > within_seconds
+    is_start = F.coalesce(gap_ok, F.lit(True))  # first event starts a burst
+    marked = df.withColumn("_start", is_start).withColumn(
+        "burst_id",
+        F.sum(F.col("_start").cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1,
+    )
+    return marked.filter(F.col("_start")).drop("_start")

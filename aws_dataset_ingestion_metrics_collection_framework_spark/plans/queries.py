@@ -3543,6 +3543,45 @@ ORDER BY p.from_state, p.to_state
 """
 
 
+def q_alert_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst suppression over error events per user (30-minute chained
+    gaps): one kept alert per flapping episode, with burst ids."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    out = BH.suppress_repeats(
+        ev.select("user_id", "ts", "event_id"),
+        ["user_id"], "ts", within_seconds=1800, order_cols=["ts", "event_id"],
+    )
+    return out.select("user_id", "event_id", "ts", "burst_id").orderBy(
+        "user_id", "burst_id"
+    )
+
+
+ALERT_SUPPRESS_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS gap
+  FROM events WHERE event_type = 'error'
+),
+marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS st
+  FROM e
+),
+runs AS (
+  SELECT *,
+         SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS burst_id
+  FROM marked
+)
+SELECT user_id, event_id, ts, burst_id
+FROM runs WHERE st = 1
+ORDER BY user_id, burst_id
+"""
+
+
 def q_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword-count estimate (whitespace tokens + GPT-2-style
     piece regex + chars-per-subword ceiling) over the PII-augmented corpus
@@ -5384,6 +5423,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "correlations": q_correlations,
     # r5: Markov transition matrix over event sequences
     "transition_matrix": q_transition_matrix,
+    # r5: alert burst suppression (chained-gap episodes)
+    "alert_suppress": q_alert_suppress,
     # never-driver-sampled block (judge-verified in r4; driver rows wanted)
     "importance_weights": q_importance_weights,
     "upsert_latest": q_upsert_latest,
@@ -5652,6 +5693,7 @@ ORACLES: dict[str, str] = {
     "chi_square": CHI_SQUARE_ORACLE,
     "correlations": CORRELATIONS_ORACLE,
     "transition_matrix": TRANSITION_MATRIX_ORACLE,
+    "alert_suppress": ALERT_SUPPRESS_ORACLE,
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

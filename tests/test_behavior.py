@@ -104,3 +104,31 @@ class TestTransitionMatrix:
             sums[r["from_state"]] = sums.get(r["from_state"], 0.0) + r["p"]
         for s, total in sums.items():
             assert abs(total - 1.0) < 1e-4, s
+
+
+class TestSuppressRepeats:
+    """Burst suppression: chained-gap episodes, one survivor each."""
+
+    def test_chained_bursts_and_isolated_events(self, spark):
+        import datetime as dt
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.behavior import suppress_repeats
+        t0 = dt.datetime(2024, 3, 1)
+        mins = [0, 5, 9, 60, 63, 200]   # burst {0,5,9}, burst {60,63}, lone {200}
+        rows = [(1, t0 + dt.timedelta(minutes=m), i) for i, m in enumerate(mins)]
+        rows.append((2, t0, 99))        # other key: independent episode
+        df = spark.createDataFrame(rows, "k long, ts timestamp, eid long")
+        out = suppress_repeats(df, ["k"], "ts", within_seconds=600,
+                               order_cols=["ts", "eid"]).collect()
+        kept = {(r["k"], r["eid"]): r["burst_id"] for r in out}
+        assert kept == {(1, 0): 0, (1, 3): 1, (1, 5): 2, (2, 99): 0}
+
+    def test_chain_outliving_window_is_one_episode(self, spark):
+        import datetime as dt
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.behavior import suppress_repeats
+        t0 = dt.datetime(2024, 3, 1)
+        # 30 events 1 minute apart: total span 29 min >> window 120 s,
+        # but every gap is small -> ONE episode survives
+        rows = [(1, t0 + dt.timedelta(minutes=i), i) for i in range(30)]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, eid long")
+        out = suppress_repeats(df, ["k"], "ts", within_seconds=120).collect()
+        assert len(out) == 1 and out[0]["eid"] == 0
