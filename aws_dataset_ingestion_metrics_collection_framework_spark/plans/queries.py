@@ -2472,7 +2472,7 @@ r AS (
            AS rate_ppm
   FROM c, b
 )
-SELECT d.doc_id, d.lang, d.n_chars, r.rate_ppm
+SELECT d.doc_id, d.lang, d.n_chars, CAST(r.rate_ppm AS BIGINT) AS rate_ppm
 FROM documents d JOIN r USING (lang)
 WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
       % 1000000 < rate_ppm
@@ -2662,8 +2662,10 @@ def q_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding normalization both ways — unit-L2 per vector (map-only
     left-fold sum of squares mirrored by DuckDB list_reduce) and
     per-dimension z-score (2^20-quantized integer sums → identical double
-    chains, the char_entropy discipline) — outputs as micro-unit BIGINT arrays so
-    the comparison is integer-exact."""
+    chains, the char_entropy discipline) — outputs as micro-unit BIGINT
+    vectors serialized to one canonical comma-joined string per row so the
+    comparison is integer-exact AND the driver's pandas canonicalizer can
+    hash it (list cells are unhashable)."""
     from ..operators.similarity import l2_normalize, zscore_embeddings
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2679,8 +2681,8 @@ def q_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.round("norm", 6).alias("norm"),
-            u.alias("unit_u"),
-            zu.alias("z_u"),
+            F.concat_ws(",", u).alias("unit_u"),
+            F.concat_ws(",", zu).alias("z_u"),
         )
         .orderBy("vec_id")
     )
@@ -2740,7 +2742,9 @@ zarr AS (
          list(CAST(ROUND(zv * 1000000) AS BIGINT) ORDER BY d) AS z_u
   FROM z GROUP BY vec_id
 )
-SELECT u.vec_id, u.norm, u.unit_u, zarr.z_u
+SELECT u.vec_id, u.norm,
+       array_to_string(u.unit_u, ',') AS unit_u,
+       array_to_string(zarr.z_u, ',') AS z_u
 FROM uarr u JOIN zarr USING (vec_id)
 ORDER BY u.vec_id
 """
@@ -3054,7 +3058,8 @@ firstlang AS (
   ) WHERE rn = 1
 ),
 aggs AS (
-  SELECT cluster, COUNT(*) AS n_members, SUM(n_chars) AS n_chars,
+  SELECT cluster, COUNT(*) AS n_members,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
          MIN(source) AS source
   FROM c GROUP BY cluster
 )
@@ -3099,7 +3104,8 @@ def q_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant): sign-hashed shingle counts, L2-normalized — reproduced
     bit-for-bit by DuckDB (integer accumulations; the only doubles are
     the final normalize, an identical chain both sides). Output as
-    micro-unit BIGINT arrays."""
+    micro-unit BIGINT vectors serialized to one comma-joined string per
+    row (driver's pandas hash cannot canonicalize list cells)."""
     from ..operators.similarity import hashed_doc_embeddings
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3108,8 +3114,11 @@ def q_hashed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select(
         "doc_id",
-        F.transform(
-            "embedding", lambda x: F.round(x * 1_000_000).cast("bigint")
+        F.concat_ws(
+            ",",
+            F.transform(
+                "embedding", lambda x: F.round(x * 1_000_000).cast("bigint")
+            ),
         ).alias("emb_u"),
     ).orderBy("doc_id")
 
@@ -3150,8 +3159,9 @@ nrm AS (
   FROM dense GROUP BY 1
 )
 SELECT d.doc_id,
-       list(CAST(ROUND(CASE WHEN n > 0 THEN w / n ELSE 0.0 END * 1000000)
-                 AS BIGINT) ORDER BY d.d) AS emb_u
+       array_to_string(
+         list(CAST(ROUND(CASE WHEN n > 0 THEN w / n ELSE 0.0 END * 1000000)
+                   AS BIGINT) ORDER BY d.d), ',') AS emb_u
 FROM dense d JOIN nrm ON nrm.doc_id = d.doc_id
 GROUP BY d.doc_id, n
 ORDER BY d.doc_id
@@ -3295,7 +3305,9 @@ terms AS (
 )
 SELECT slot, base_n, cur_n, psi_term FROM terms
 UNION ALL
-SELECT -1, SUM(base_n), SUM(cur_n), ROUND(SUM(psi_term), 6) FROM terms
+SELECT -1, CAST(SUM(base_n) AS BIGINT), CAST(SUM(cur_n) AS BIGINT),
+       ROUND(SUM(psi_term), 6)
+FROM terms
 ORDER BY slot
 """
 
