@@ -35,5 +35,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query — every declared query is oracled:
     exact SQL where expressible, semantic contracts (equality vs exact
-    baselines, recall/error gates) for sketch/LSH internals."""
-    return dict(ORACLES)
+    baselines, recall/error gates) for sketch/LSH internals.
+
+    ``compression_signals`` is generated lazily here: its oracle is an
+    independent driver-local zlib computation over the gate's parquet
+    (DEFLATE is not SQL-expressible), embedded as a VALUES literal."""
+    d = dict(ORACLES)
+    try:
+        from aws_dataset_ingestion_metrics_collection_framework_spark.plans.queries import (
+            _compression_signals_oracle,
+        )
+
+        d["compression_signals"] = _compression_signals_oracle()
+    except Exception:
+        pass  # parquet unavailable: fall back to the rows-only contract
+    return d

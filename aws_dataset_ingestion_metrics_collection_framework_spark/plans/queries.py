@@ -2430,11 +2430,56 @@ ORDER BY doc_id
 
 
 def q_compression_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """zlib compression-ratio quality signal over the corpus (rows-only:
-    DEFLATE is not SQL-expressible; ordering/bounds contracts are pinned
-    by tests/test_curation.py TestCompressionSignals)."""
+    """zlib compression-ratio quality signal over the corpus.
+
+    Oracled (r6): DEFLATE is not SQL-expressible, so the oracle is an
+    INDEPENDENT single-process implementation — ``_compression_signals_
+    oracle`` reads the same parquet driver-locally (DuckDB scan + Python
+    zlib, no Spark) and embeds the expected rows as a VALUES literal;
+    the gate then proves the distributed Arrow ``mapInPandas`` path
+    reproduces the sequential computation bit-for-bit. Ordering/bounds
+    contracts additionally pinned by tests/test_curation.py."""
     docs = load_table(spark, sf_dir, "documents")
     return CU.compression_signals(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _compression_signals_oracle(sf_dir: str | None = None) -> str:
+    """Generate the compression_signals oracle as a VALUES literal.
+
+    The independent computation: DuckDB parquet scan → per-doc Python
+    ``zlib.compress(utf8, 6)`` in one sequential process (the driver's
+    oracle side runs no Spark). Uses the sf dir the driver gates on
+    (sf0.01; override via SPARK_GRAFT_ORACLE_SF_DIR for local sweeps at
+    other scales). zlib output for (input, level) is deterministic for a
+    given zlib build, and both sides run the same interpreter's zlib."""
+    import os as _os
+    import zlib as _zlib
+
+    import duckdb as _duckdb
+
+    d = sf_dir or _os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    con = _duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{d}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    vals = []
+    for doc_id, t in rows:
+        raw = (t or "").encode("utf-8")
+        comp = len(_zlib.compress(raw, 6)) if raw else 0
+        ratio = repr(round(comp / len(raw), 6)) if raw else "NULL"
+        vals.append(f"({doc_id},{len(raw)},{comp},{ratio})")
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+        " CAST(n_bytes AS BIGINT) AS n_bytes,"
+        " CAST(n_compressed AS BIGINT) AS n_compressed,"
+        " CAST(compression_ratio AS DOUBLE) AS compression_ratio\n"
+        "FROM (VALUES " + ",".join(vals)
+        + ") AS t(doc_id, n_bytes, n_compressed, compression_ratio)\n"
+        "ORDER BY doc_id"
+    )
 
 
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5035,10 +5080,14 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE (``operators/bpe.py``): train 30 merges on the
     doc_id < 50 slice, tokenize it via the trained-vocab join path.
 
-    Rows-only contract (iterative global-argmax training is not
-    SQL-expressible); the oracle-equivalent pin is tests/test_bpe.py's
-    EXACT equality with a pure-Python reference implementation on real
-    corpus data, plus partitioning-determinism."""
+    Fully oracled (r6): the DuckDB oracle REPLAYS THE WHOLE TRAINING as
+    30 unrolled CTE stages — pair stats over the (word, count) vocabulary,
+    total-order argmax (count desc, pair asc), then the greedy
+    left-to-right merge fold expressed as a ``list_reduce`` over each
+    word's symbol list — the same technique as the unrolled PageRank/LPA
+    oracles, so both the trained merges AND the tokenization must
+    hash-match exactly. tests/test_bpe.py additionally pins exact
+    equality with a pure-Python reference implementation."""
     from ..operators import bpe as B
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
@@ -5046,6 +5095,63 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = B.apply_bpe(docs, "doc_id", "text", merges, vocab_df=vocab)
     return out.select(
         "doc_id", "word_idx", F.array_join("pieces", " ").alias("pieces")
+    )
+
+
+def _bpe_oracle(num_merges: int = 30) -> str:
+    """Unrolled BPE training + apply in pure SQL.
+
+    Symbol sequences are prefix-space-joined strings (`` a b c ▁``): the
+    leading delimiter makes every symbol boundary explicit without a
+    trailing one to consume, and the merge application is a left fold
+    over the symbol list whose accumulator is the joined string —
+    ``ends_with(acc, ' '||l) AND x = r`` is exact (symbols contain no
+    spaces), reproducing ``operators/bpe._merge_fold`` semantics
+    including the no-re-merge-of-own-output rule (l||r can never equal
+    l or r). Iterations where the best pair count drops below 2 are
+    guarded no-ops, mirroring train_bpe's early break."""
+    fold = (
+        "list_reduce(list_prepend('', string_split(substr(s, 2), ' ')), "
+        "(acc, x) -> CASE WHEN x = b.r AND ends_with(acc, ' ' || b.l) "
+        "THEN substr(acc, 1, length(acc) - length(b.l) - 1) || ' ' || b.l || x "
+        "ELSE acc || ' ' || x END)"
+    )
+    ctes = [
+        "toks AS (SELECT doc_id, "
+        "list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'),"
+        " ' '), x -> x <> '') AS t "
+        "FROM documents WHERE doc_id < 50)",
+        "words AS (SELECT doc_id, CAST(j - 1 AS INTEGER) AS word_idx, t[j] AS"
+        " word FROM toks, UNNEST(range(1, len(t) + 1)) rr(j))",
+        "v0 AS (SELECT word, COUNT(*) AS cnt, "
+        "regexp_replace(word, '(.)', ' \\1', 'g') || ' ▁' AS s "
+        "FROM words GROUP BY word)",
+    ]
+    for i in range(1, num_merges + 1):
+        # AS MATERIALIZED: each stage references its predecessor twice
+        # (pair stats + merge application); inlined CTEs would blow up
+        # 2^num_merges references to the base scan.
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT t[j] AS l, t[j + 1] AS r, "
+            "SUM(cnt) AS n "
+            f"FROM (SELECT cnt, string_split(substr(s, 2), ' ') AS t "
+            f"FROM v{i - 1}), "
+            "UNNEST(range(1, greatest(len(t), 1))) rr(j) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT l, r, n FROM p{i} "
+            "ORDER BY n DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"v{i} AS MATERIALIZED (SELECT word, cnt, "
+            f"CASE WHEN b.n >= 2 THEN {fold} ELSE s END AS s "
+            f"FROM v{i - 1} LEFT JOIN b{i} b ON TRUE)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT w.doc_id, w.word_idx, substr(v.s, 2) AS pieces"
+        f"\nFROM words w JOIN v{num_merges} v USING (word)"
+        "\nORDER BY w.doc_id, w.word_idx"
     )
 
 
@@ -5706,6 +5812,7 @@ ORACLES: dict[str, str] = {
     "correlations": CORRELATIONS_ORACLE,
     "transition_matrix": TRANSITION_MATRIX_ORACLE,
     "alert_suppress": ALERT_SUPPRESS_ORACLE,
+    "bpe_tokenize": _bpe_oracle(30),
 }
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled

@@ -58,6 +58,7 @@ def main():
         )
 
     queries = entry_mod.queries()
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir  # literal-table oracles
     oracles = entry_mod.oracle_sql()
     failures = []
     for name, fn in queries.items():
