@@ -5815,6 +5815,174 @@ ORACLES: dict[str, str] = {
     "bpe_tokenize": _bpe_oracle(30),
 }
 
+# ---- r6 sampling rotation: the driver's correctness sweep samples the
+# FIRST ~50 registry entries each round.  Priority this round:
+#   1. the 7 queries whose r5 driver rows failed on gate representation
+#      (HUGEINT dtype / unhashable arrays) or lacked an oracle -- all
+#      fixed or newly oracled this round and needing a green row;
+#   2. the 40 queries that have NEVER had a driver row (r1-r3 greens
+#      predate the driver files' rotation; judge-swept green in r5);
+#   3. everything else by staleness of its last driver row (r1, r2,
+#      r4, r5) so no query goes more than ~2 rounds unsampled.
+_R6_PRIORITY = [
+    'bpe_tokenize',
+    'compression_signals',
+    'corpus_mix',
+    'embedding_norm',
+    'golden_records',
+    'hashed_embeddings',
+    'psi_drift',
+    'chi_square',
+    'correlations',
+    'transition_matrix',
+    'alert_suppress',
+    'importance_weights',
+    'upsert_latest',
+    'scd2_history',
+    'token_estimate',
+    'semantic_dedup',
+    'skew_report',
+    'key_histogram',
+    'funnel',
+    'cohort_retention',
+    'dq_profile',
+    'dq_checks',
+    'interval_overlap',
+    'mad_outliers',
+    'pivot_events',
+    'image_phash_pairs',
+    'image_thumbnails',
+    'pii_scan',
+    'pii_redact',
+    'domain_report',
+    'stratified_sample',
+    'char_entropy',
+    'c4_clean',
+    'gopher_rules',
+    'corpus_pipeline',
+    'approx_distinct',
+    'approx_quantile',
+    'tfidf_top_terms',
+    'chunk_documents',
+    'repetition_stats',
+    'cosine_pairs_lsh',
+    'asof_join',
+    'range_bucket',
+    'window_distribution',
+    'grouping_sets_lineitem',
+    'set_ops_customers',
+    'window_range_interval',
+    'token_stats',
+    'text_quality',
+    'language_id',
+    'cosine_topk',
+    'cosine_pairs',
+    'session_window',
+    'multimodal_features',
+    'audio_features',
+    'frame_sample',
+    'dedup_exact_stats',
+    'dedup_exact_keep',
+    'ngram_jaccard',
+    'ngram_jaccard_allpairs',
+    'dedup_clusters',
+    'q01_pricing_summary',
+    'q03_shipping_priority',
+    'q05_local_supplier',
+    'q06_forecast_revenue',
+    'q10_returned_items',
+    'q04_order_priority',
+    'q16_parts_suppliers',
+    'q22_global_sales',
+    'q02_min_cost_supplier',
+    'q07_volume_shipping',
+    'q08_market_share',
+    'q09_product_profit',
+    'q11_important_balance',
+    'q12_priority_lines',
+    'q13_order_distribution',
+    'q14_promo_effect',
+    'q15_top_supplier',
+    'q17_small_qty_revenue',
+    'q18_large_volume',
+    'q19_discount_revenue',
+    'q20_part_promotion',
+    'q21_waiting_supplier',
+    'window_topn',
+    'window_moving_avg',
+    'window_rank',
+    'rollup_lineitem',
+    'cube_lineitem',
+    'business_scalars',
+    'metrics_day',
+    'metrics_day_p50',
+    'metrics_hour_dims',
+    'metrics_minute',
+    'metrics_latest',
+    'sla_daily',
+    'sla_transitions',
+    'sla_gap_fill',
+    'sla_table',
+    'sla_alerts',
+    'derived_keys',
+    'alarm_roundtrip',
+    'metric_defs_flat',
+    'sla_defs_flat',
+    'metric_defs_multi_account',
+    'dashboard_widgets',
+    'dashboard_report',
+    'dashboard_layout',
+    'decontaminate',
+    'paragraph_dedup',
+    'train_val_split',
+    'pack_sequences',
+    'minhash_pairs',
+    'simhash_pairs',
+    'fingerprint',
+    'lsh_ann',
+    'ivf_ann',
+    'sessionize',
+    'warc_ingest',
+    'jpeg_features',
+    'html_extract',
+    'url_dedup',
+    'kmv_overlap',
+    'corpus_shuffle',
+    'substring_dedup',
+    'quality_scores',
+    'web_pipeline',
+    'pagerank',
+    'perplexity',
+    'link_graph',
+    'value_histogram',
+    'resample_ffill',
+    'row_ids',
+    'quantize_embeddings',
+    'snapshot_diff',
+    'group_sample',
+    'fuzzy_join',
+    'incremental_rollup',
+    'unicode_normalize',
+    'exif_metadata',
+    'label_propagation',
+    'incremental_dedup',
+    'attribution',
+    'pseudonymize',
+    'json_flatten',
+    'rollup_percentile',
+    'seasonal_outliers',
+    'cusum',
+    'topk_value',
+    'group_split',
+    'pmi_collocations',
+    'triangles',
+    'bm25_search',
+    'distinct_rollup',
+    'weighted_sample',
+]
+assert set(_R6_PRIORITY) == set(QUERIES)
+QUERIES = {name: QUERIES[name] for name in _R6_PRIORITY}
+
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled
 # entries first) so a budget-bounded sweep sees the same priority whichever
 # dict it walks.  image_phash_pairs is intentionally absent (rows-only check).
