@@ -16,16 +16,14 @@ Semantics pinned here:
   spanning a run boundary would be SKIPPED, so pick a watermark that is
   unique-per-row (event ids, file mod times + paths) or accept slice-edge
   replay by bookmarking `max - epsilon`;
-- bookmarks are tiny JSON files beside the data, written with the
-  driver's LOCAL filesystem (os.path / open / os.replace) — per-JOB
-  metadata, not per-row state. An `s3://` or `hdfs://` bookmark_dir is
-  NOT supported by this implementation: on such paths `load` would
-  silently report "no bookmark" and `advance` would write to a local
-  directory literally named `s3:/...`. For object stores, route the
-  marker IO through the Hadoop FileSystem API
-  (`spark._jvm.org.apache.hadoop.fs.FileSystem`) — the rest of the
-  contract is unchanged. The same caveat applies to `streaming/cdc.py`'s
-  `_CURRENT` marker.
+- bookmarks are tiny JSON files beside the data, addressed by the same
+  URI scheme as the data: plain local paths use direct ``os`` IO; any
+  ``scheme://`` bookmark_dir (``file://``, ``hdfs://``, ``s3a://``, ...)
+  routes through the Hadoop FileSystem API via `sources/fsio.py`, using
+  the exact FileSystem/credentials Spark's own reads resolve — wherever
+  `spark.read.parquet(dir)` works, the bookmark beside it works. See
+  fsio's module docstring for the per-filesystem rename-commit
+  atomicity contract.
 
 At 100 TB the watermark filter must prune partitions: bookmark a column
 that prefixes the partition layout (e.g. the ingest date) so each
@@ -35,33 +33,31 @@ incremental run scans only new partitions, not the table history.
 from __future__ import annotations
 
 import json
-import os
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from . import fsio
 
 
 def _path(bookmark_dir: str, job: str) -> str:
-    return os.path.join(bookmark_dir, f"{job}.bookmark.json")
+    return fsio.urljoin(bookmark_dir, f"{job}.bookmark.json")
 
 
-def load(bookmark_dir: str, job: str):
+def load(bookmark_dir: str, job: str, spark: SparkSession | None = None):
     """The stored watermark bound for ``job`` (None before the first run)."""
-    p = _path(bookmark_dir, job)
-    if not os.path.exists(p):
-        return None
-    with open(p, "r", encoding="utf-8") as fh:
-        return json.load(fh)["watermark"]
+    raw = fsio.read_text(_path(bookmark_dir, job), spark)
+    return None if raw is None else json.loads(raw)["watermark"]
 
 
-def advance(bookmark_dir: str, job: str, watermark) -> None:
-    """Persist a new bound (atomic rename — readers never see a torn file).
+def advance(
+    bookmark_dir: str, job: str, watermark, spark: SparkSession | None = None
+) -> None:
+    """Persist a new bound (rename-commit — readers never see a torn file).
     Call AFTER the run's output write succeeds: advancing first would turn
     a crash into silent data loss; advancing after turns it into replay."""
-    os.makedirs(bookmark_dir, exist_ok=True)
-    tmp = _path(bookmark_dir, job) + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump({"watermark": watermark}, fh)
-    os.replace(tmp, _path(bookmark_dir, job))
+    fsio.write_text_atomic(
+        _path(bookmark_dir, job), json.dumps({"watermark": watermark}), spark
+    )
 
 
 def incremental_slice(
@@ -79,6 +75,6 @@ def incremental_slice(
         if new_mark is not None:
             advance(bmdir, "scrape", str(new_mark))
     """
-    last = load(bookmark_dir, job)
+    last = load(bookmark_dir, job, df.sparkSession)
     fresh = df if last is None else df.filter(F.col(watermark_col) > F.lit(last))
     return fresh, F.max(watermark_col).alias("watermark")

@@ -36,12 +36,17 @@ and makes the replay an explicit no-op.
 Storage: superseded version directories are pruned after each successful
 commit, keeping the immediately-previous version for readers that
 resolved the marker just before the repoint (their scan is already
-planned against concrete files). Disable with ``keep_history=True`` if
-you want every version retained for offline audit/time travel.
+planned against concrete files). ``keep_history=True`` retains versions
+for audit/time travel; pair it with ``retain_versions=N`` to bound the
+timeline to the newest N (unbounded growth otherwise — every batch adds
+a full snapshot copy).
 
-Marker and version paths use the driver's local filesystem (os.path /
-open) — for object-store snapshot paths route this through the Hadoop
-FileSystem API instead; see `sources/bookmarks.py` for the same caveat.
+Marker, version-listing and prune IO is scheme-aware via
+`sources/fsio.py`: plain local snapshot paths use direct ``os`` IO, and
+any ``scheme://`` path (``file://``, ``hdfs://``, ``s3a://``, ...) goes
+through the Hadoop FileSystem API with the same FileSystem instances
+Spark's own parquet reads resolve — snapshots work wherever the lake
+lives. See fsio's docstring for the rename-commit atomicity contract.
 
 At scale, replace the full-rewrite merge with a lakehouse table format's
 native MERGE (Delta/Iceberg/Hudi) — the operator seam is format-agnostic
@@ -51,46 +56,42 @@ with nothing but parquet directories.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.cdc import upsert_latest
+from ..sources import fsio
 
 CURRENT_MARKER = "_CURRENT"
 
 
-def _current_version(path: str) -> str | None:
+def _current_version(
+    path: str, spark: SparkSession | None = None
+) -> str | None:
     """Version name the `_CURRENT` marker points at, or None pre-commit."""
-    marker = os.path.join(path, CURRENT_MARKER)
-    if not os.path.exists(marker):
-        return None
-    with open(marker, "r", encoding="utf-8") as fh:
-        return fh.read().strip()
+    raw = fsio.read_text(fsio.urljoin(path, CURRENT_MARKER), spark)
+    return None if raw is None else raw.strip()
 
 
 def read_snapshot(spark: SparkSession, path: str) -> DataFrame | None:
     """Resolve the current snapshot version (tombstone rows included) via
     the marker file; None when no snapshot has been committed yet."""
-    version = _current_version(path)
+    version = _current_version(path, spark)
     if version is None:
         return None
-    return spark.read.parquet(os.path.join(path, version))
+    return spark.read.parquet(fsio.urljoin(path, version))
 
 
-def list_versions(path: str) -> list[int]:
+def list_versions(path: str, spark: SparkSession | None = None) -> list[int]:
     """Batch ids of retained snapshot versions, ascending. With
-    ``keep_history=True`` maintenance this is the full timeline; with
-    pruning it is {previous, current}."""
+    ``keep_history=True`` maintenance this is the full timeline (or the
+    newest ``retain_versions``); with pruning it is {previous, current}."""
     out = []
-    if os.path.isdir(path):
-        for name in os.listdir(path):
-            if name.startswith("_v") and name[2:].isdigit() and os.path.isdir(
-                os.path.join(path, name)
-            ):
-                out.append(int(name[2:]))
+    for name in fsio.list_names(path, spark):
+        if name.startswith("_v") and name[2:].isdigit() and fsio.is_dir(
+            fsio.urljoin(path, name), spark
+        ):
+            out.append(int(name[2:]))
     return sorted(out)
 
 
@@ -102,10 +103,10 @@ def read_snapshot_at(
     semantics, where a query pins the last commit at-or-before the
     requested point). None when no retained version qualifies; requires
     maintenance with ``keep_history=True`` for arbitrary lookback."""
-    eligible = [v for v in list_versions(path) if v <= batch_id]
+    eligible = [v for v in list_versions(path, spark) if v <= batch_id]
     if not eligible:
         return None
-    return spark.read.parquet(os.path.join(path, f"_v{eligible[-1]}"))
+    return spark.read.parquet(fsio.urljoin(path, f"_v{eligible[-1]}"))
 
 
 def read_live(
@@ -117,25 +118,26 @@ def read_live(
 
 
 def _commit_snapshot(df: DataFrame, path: str, version: str) -> None:
-    df.write.mode("overwrite").parquet(os.path.join(path, version))
-    tmp = os.path.join(path, CURRENT_MARKER + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(version)
-    os.replace(tmp, os.path.join(path, CURRENT_MARKER))  # atomic repoint
+    df.write.mode("overwrite").parquet(fsio.urljoin(path, version))
+    fsio.write_text_atomic(  # atomic repoint
+        fsio.urljoin(path, CURRENT_MARKER), version, df.sparkSession
+    )
 
 
-def _prune_versions(path: str, keep: set[str]) -> None:
+def _prune_versions(
+    path: str, keep: set[str], spark: SparkSession | None = None
+) -> None:
     """Delete superseded `_v*` snapshot directories not in ``keep``.
 
     ``keep`` always contains the just-committed version plus its immediate
     predecessor — a reader that resolved the marker right before the
     repoint still has concrete file paths planned against the predecessor.
     """
-    for name in os.listdir(path):
+    for name in fsio.list_names(path, spark):
         if name.startswith("_v") and name not in keep:
-            target = os.path.join(path, name)
-            if os.path.isdir(target):
-                shutil.rmtree(target, ignore_errors=True)
+            target = fsio.urljoin(path, name)
+            if fsio.is_dir(target, spark):
+                fsio.delete(target, recursive=True, spark=spark)
 
 
 def start_snapshot_maintenance(
@@ -148,17 +150,26 @@ def start_snapshot_maintenance(
     trigger_seconds: int | None = None,
     available_now: bool = False,
     keep_history: bool = False,
+    retain_versions: int | None = None,
 ) -> StreamingQuery:
     """Continuously merge a streaming changelog into the snapshot at
     ``snapshot_path``: per micro-batch, union the current snapshot with the
     batch, keep the max_by-version row per key, commit as a new version,
     repoint the marker, prune superseded versions (unless
-    ``keep_history``)."""
+    ``keep_history``).
+
+    ``retain_versions`` (version GC, only meaningful with
+    ``keep_history=True``): keep at most the newest N versions — the
+    time-travel window becomes the trailing N commits instead of
+    unbounded growth (each version is a FULL snapshot copy; a day of
+    10-second triggers is ~8 640 copies). N is floored at 2 so the
+    just-committed version's predecessor always survives for in-flight
+    readers; None keeps everything."""
     spark = changes.sparkSession
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         version = f"_v{batch_id}"
-        current = _current_version(snapshot_path)
+        current = _current_version(snapshot_path, spark)
         if current == version:
             # Crash landed between the marker repoint and the checkpoint
             # commit: this batch is already IN the current snapshot.
@@ -176,6 +187,16 @@ def start_snapshot_maintenance(
             _prune_versions(
                 snapshot_path,
                 keep={version} | ({current} if current else set()),
+                spark=spark,
+            )
+        elif retain_versions is not None:
+            newest = list_versions(snapshot_path, spark)[
+                -max(retain_versions, 2):
+            ]
+            _prune_versions(
+                snapshot_path,
+                keep={f"_v{v}" for v in newest},
+                spark=spark,
             )
 
     writer = (

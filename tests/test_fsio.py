@@ -1,0 +1,206 @@
+"""Scheme-aware marker/bookmark IO (sources/fsio): the same contracts
+that already hold on plain local paths must hold through the Hadoop
+FileSystem API — executed here over ``file://`` URIs, the scheme the
+sandbox has (s3a/hdfs resolve through the identical FileSystem seam)."""
+
+import json
+
+from pyspark.sql import functions as F, types as T
+
+from aws_dataset_ingestion_metrics_collection_framework_spark.sources import bookmarks as BM, fsio
+
+
+def _uri(p) -> str:
+    return "file://" + str(p)
+
+
+class TestFsioPrimitives:
+    def test_urljoin_preserves_scheme(self):
+        assert fsio.urljoin("file:///a/b/", "c", "d") == "file:///a/b/c/d"
+        assert fsio.urljoin("s3a://bucket/k", "_CURRENT") == (
+            "s3a://bucket/k/_CURRENT"
+        )
+        # plain local paths keep os.path semantics
+        assert fsio.urljoin("/a/b", "c") == "/a/b/c"
+
+    def test_write_read_roundtrip_file_uri(self, spark, tmp_path):
+        p = _uri(tmp_path / "meta" / "marker.txt")
+        assert fsio.read_text(p, spark) is None
+        fsio.write_text_atomic(p, "v1", spark)
+        assert fsio.read_text(p, spark) == "v1"
+        # overwrite commit (rename onto existing target)
+        fsio.write_text_atomic(p, "v2", spark)
+        assert fsio.read_text(p, spark) == "v2"
+        # no torn .tmp left behind after the rename commit
+        assert fsio.list_names(_uri(tmp_path / "meta"), spark) == ["marker.txt"]
+
+    def test_exists_isdir_list_delete(self, spark, tmp_path):
+        d = tmp_path / "dir"
+        d.mkdir()
+        (d / "a.txt").write_text("x")
+        u = _uri(d)
+        assert fsio.exists(u, spark) and fsio.is_dir(u, spark)
+        assert fsio.list_names(u, spark) == ["a.txt"]
+        assert not fsio.is_dir(_uri(d / "a.txt"), spark)
+        fsio.delete(u, recursive=True, spark=spark)
+        assert not fsio.exists(u, spark)
+        assert fsio.list_names(u, spark) == []
+
+    def test_unicode_payload(self, spark, tmp_path):
+        p = _uri(tmp_path / "u.json")
+        payload = json.dumps({"watermark": "2024-01-01T00:00:00 ▁é"})
+        fsio.write_text_atomic(p, payload, spark)
+        assert json.loads(fsio.read_text(p, spark)) == json.loads(payload)
+
+
+class TestBookmarksOverFileUri:
+    def test_advance_load_roundtrip(self, spark, tmp_path):
+        bmdir = _uri(tmp_path / "bm")
+        assert BM.load(bmdir, "job", spark) is None
+        BM.advance(bmdir, "job", "2024-01-05", spark)
+        assert BM.load(bmdir, "job", spark) == "2024-01-05"
+        BM.advance(bmdir, "job", "2024-01-09", spark)
+        assert BM.load(bmdir, "job", spark) == "2024-01-09"
+
+    def test_incremental_slice_never_skips_never_repeats(self, spark, tmp_path):
+        bmdir = _uri(tmp_path / "bm")
+        df = spark.createDataFrame(
+            [(i, f"r{i}") for i in range(10)], ["ts", "v"]
+        )
+        fresh, hi = BM.incremental_slice(df, "ts", bmdir, "job")
+        assert fresh.count() == 10
+        BM.advance(bmdir, "job", fresh.agg(hi).collect()[0][0], spark)
+        fresh2, _ = BM.incremental_slice(df, "ts", bmdir, "job")
+        assert fresh2.count() == 0  # closed-open: bound row not replayed
+
+
+class TestSnapshotMaintenanceOverFileUri:
+    """The full streaming CDC lifecycle with the snapshot addressed by a
+    file:// URI — marker commit, repoint, prune and the replay no-op
+    guard all through the Hadoop FileSystem API."""
+
+    SCHEMA = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("v", T.StringType()),
+    ])
+
+    def _run(self, spark, src, snap_uri, ckpt, **kw):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.streaming.cdc import (
+            start_snapshot_maintenance,
+        )
+
+        stream = spark.readStream.schema(self.SCHEMA).json(str(src))
+        q = start_snapshot_maintenance(
+            stream, snap_uri, str(ckpt), ["k"], ["seq"],
+            available_now=True, **kw,
+        )
+        q.awaitTermination(120)
+
+    def test_maintenance_and_replay_guard(self, spark, tmp_path):
+        import shutil
+
+        from aws_dataset_ingestion_metrics_collection_framework_spark.streaming import cdc as scdc
+
+        src = tmp_path / "changes"; src.mkdir()
+        snap_uri = _uri(tmp_path / "snapshot")
+        ckpt = tmp_path / "ckpt"
+
+        (src / "b1.json").write_text("\n".join(
+            json.dumps(r) for r in [
+                {"k": 1, "seq": 1, "op": "U", "v": "a"},
+                {"k": 2, "seq": 1, "op": "U", "v": "x"},
+            ]
+        ))
+        self._run(spark, src, snap_uri, ckpt)
+        assert scdc._current_version(snap_uri, spark) == "_v0"
+        live = {r["k"]: r["v"] for r in scdc.read_live(
+            spark, snap_uri, F.col("op") == "D").collect()}
+        assert live == {1: "a", 2: "x"}
+
+        # second batch through the same URI path: update + tombstone
+        (src / "b2.json").write_text("\n".join(
+            json.dumps(r) for r in [
+                {"k": 1, "seq": 2, "op": "U", "v": "a2"},
+                {"k": 2, "seq": 2, "op": "D", "v": None},
+            ]
+        ))
+        self._run(spark, src, snap_uri, ckpt)
+        live = {r["k"]: r["v"] for r in scdc.read_live(
+            spark, snap_uri, F.col("op") == "D").collect()}
+        assert live == {1: "a2"}
+        # prune kept {current, previous} — via the FS API listing
+        names = [n for n in fsio.list_names(snap_uri, spark)
+                 if n.startswith("_v")]
+        assert sorted(names) == ["_v0", "_v1"]
+
+        # crash between marker repoint and checkpoint commit → replay no-op
+        shutil.rmtree(ckpt)
+        before = {r["k"]: (r["seq"], r["v"]) for r in scdc.read_snapshot(
+            spark, snap_uri).collect()}
+        self._run(spark, src, snap_uri, ckpt)  # re-delivers as batch_id 0
+        assert scdc._current_version(snap_uri, spark) == "_v0"
+        after = {r["k"]: (r["seq"], r["v"]) for r in scdc.read_snapshot(
+            spark, snap_uri).collect()}
+        assert after == before
+
+
+class TestRetentionGC:
+    """keep_history=True + retain_versions bounds the time-travel window
+    (ADVICE: unbounded growth otherwise — one full snapshot per batch)."""
+
+    SCHEMA = TestSnapshotMaintenanceOverFileUri.SCHEMA
+
+    def test_history_bounded_to_retain_versions(self, spark, tmp_path):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.streaming.cdc import (
+            list_versions,
+            read_snapshot_at,
+            start_snapshot_maintenance,
+        )
+
+        src = tmp_path / "changes"; src.mkdir()
+        snap_dir = str(tmp_path / "snapshot")
+        ckpt = tmp_path / "ckpt"
+
+        for i in range(5):
+            (src / f"b{i}.json").write_text(json.dumps(
+                {"k": 1, "seq": i + 1, "op": "U", "v": f"v{i}"}
+            ))
+            stream = spark.readStream.schema(self.SCHEMA).json(str(src))
+            q = start_snapshot_maintenance(
+                stream, snap_dir, str(ckpt), ["k"], ["seq"],
+                available_now=True, keep_history=True, retain_versions=3,
+            )
+            q.awaitTermination(120)
+
+        versions = list_versions(snap_dir)
+        assert len(versions) == 3, versions  # bounded, not 5
+        assert versions == sorted(versions)[-3:]
+        # newest retained version still reads correctly; pruned one is gone
+        newest = {r["k"]: r["v"] for r in read_snapshot_at(
+            spark, snap_dir, versions[-1]).collect()}
+        assert newest == {1: "v4"}
+        assert read_snapshot_at(spark, snap_dir, versions[0] - 1) is None
+
+    def test_retain_floor_of_two(self, spark, tmp_path):
+        """retain_versions=1 still keeps the predecessor (reader safety)."""
+        from aws_dataset_ingestion_metrics_collection_framework_spark.streaming.cdc import (
+            list_versions,
+            start_snapshot_maintenance,
+        )
+
+        src = tmp_path / "changes"; src.mkdir()
+        snap_dir = str(tmp_path / "snapshot")
+        ckpt = tmp_path / "ckpt"
+        for i in range(3):
+            (src / f"b{i}.json").write_text(json.dumps(
+                {"k": 1, "seq": i + 1, "op": "U", "v": f"v{i}"}
+            ))
+            stream = spark.readStream.schema(self.SCHEMA).json(str(src))
+            q = start_snapshot_maintenance(
+                stream, snap_dir, str(ckpt), ["k"], ["seq"],
+                available_now=True, keep_history=True, retain_versions=1,
+            )
+            q.awaitTermination(120)
+        assert len(list_versions(snap_dir)) == 2
