@@ -385,15 +385,21 @@ def top_k_by_value(
     The naive `row_number() over (partition by g order by v)` shuffles
     and sorts every row of every group; at 100 TB a hot group is a
     straggler. Here the sort sees only candidates, and the prefilter is
-    EXACT (no replay branch needed): (1) global [min, max] (one 1-row
-    aggregate, broadcast); (2) per-(group, bin) integer counts over a
-    fixed grid — slim, map-side combined; (3) per group, the threshold
-    bin where the from-the-top cumulative count first reaches k (a
-    window over ≤ `bins` rows per group, not data) — every group's k-th
-    value provably lies at or beyond that bin edge, so filtering to it
-    can never undershoot; (4) a MAP-ONLY value filter, then the exact
-    (value, tiebreak) window over candidates. Expected candidates ≈ k +
-    one bin's worth per group.
+    EXACT (no replay branch needed): (1) PER-GROUP [min, max] (a slim
+    one-row-per-group aggregate, broadcast — r6: was a global grid,
+    under which a group whose values all landed in one global bin
+    degraded to a full-group sort); (2) per-(group, bin) integer counts
+    over the group's own grid — slim, map-side combined; (3) per group,
+    the threshold bin where the from-the-top cumulative count first
+    reaches k (a window over ≤ `bins` rows per group, not data) — every
+    group's k-th value provably lies at or beyond that bin edge, so
+    filtering to it can never undershoot; (4) a MAP-ONLY value filter,
+    then the exact (value, tiebreak) window over candidates. Expected
+    candidates ≈ k + one bin's worth per group, now independent of how
+    disparate the groups' value ranges are. Assumes the GROUP-BOUNDS
+    table fits a broadcast — the same assumption the threshold broadcast
+    already makes (true whenever per-group top-k is the right tool:
+    many-groups-tiny-groups degenerates to the plain window anyway).
 
     NULL values never rank (dropped, documented — a NULL is not a top
     value in either direction). Output: non-null input rows that made
@@ -407,11 +413,18 @@ def top_k_by_value(
         raise ValueError(f"bins must be >= 1, got {bins}")
     v = F.col(value_col).cast("double")
     data = df.filter(v.isNotNull())
-    bounds = data.agg(
-        F.min(v).alias("_lo"), F.max(v).alias("_hi")
-    )
-    # 1-row broadcast ride-along (the established 1-row crossJoin pattern)
-    withb = data.crossJoin(F.broadcast(bounds))
+    if group_cols:
+        bounds = data.groupBy(*group_cols).agg(
+            F.min(v).alias("_lo"), F.max(v).alias("_hi")
+        )
+        # slim per-group ride-along; inner join loses nothing (every
+        # surviving row's group has bounds by construction)
+        withb = data.join(F.broadcast(bounds), on=group_cols, how="inner")
+    else:
+        bounds = data.agg(F.min(v).alias("_lo"), F.max(v).alias("_hi"))
+        # 1-row broadcast ride-along (the established 1-row crossJoin
+        # pattern)
+        withb = data.crossJoin(F.broadcast(bounds))
     width = (F.col("_hi") - F.col("_lo")) / bins
     idx = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
         F.least(

@@ -793,8 +793,11 @@ def incremental_dedup(
     match preferred over near; ``jaccard`` = the reported near match's
     similarity (NULL for exact_dup/fresh). Self-duplicates WITHIN the
     batch are out of scope (run the self-join ops for that). The two id
-    spaces MUST be disjoint: the verification step unions both corpora
-    by id, so an id reused across sides would cross-wire texts.
+    spaces need NOT be disjoint (r6): the verification corpus tags every
+    id with its side ('n:'/'b:') before the union, so an id reused
+    across sides can never cross-wire texts; tags are stripped (and the
+    original id dtype restored) before the deterministic min-base-id
+    pick.
     """
     nid, bid = F.col(id_col).alias("new_id"), F.col(id_col).alias("base_id")
 
@@ -848,9 +851,31 @@ def incremental_dedup(
         .select(F.col("n.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
     )
-    both = new.select(id_col, text_col).unionByName(base.select(id_col, text_col))
+    # side-tagged union: 'n:'/'b:' prefixes keep an id reused across the
+    # two corpora from cross-wiring texts in the shared verify corpus
+    id_dtype = new.schema[id_col].dataType
+    both = new.select(
+        F.concat(F.lit("n:"), F.col(id_col).cast("string")).alias(id_col),
+        text_col,
+    ).unionByName(
+        base.select(
+            F.concat(F.lit("b:"), F.col(id_col).cast("string")).alias(id_col),
+            text_col,
+        )
+    )
+    cand_tagged = cand.select(
+        F.concat(F.lit("n:"), F.col("id_a").cast("string")).alias("id_a"),
+        F.concat(F.lit("b:"), F.col("id_b").cast("string")).alias("id_b"),
+    )
     near_pairs = jaccard_verify(
-        both, cand, id_col, text_col, k=k, threshold=threshold
+        both, cand_tagged, id_col, text_col, k=k, threshold=threshold
+    ).select(
+        # strip tags and restore the native dtype BEFORE the min-struct
+        # pick: a lexicographic min over tagged strings would reorder
+        # numeric ids ("b:10" < "b:9")
+        F.expr("substring(id_a, 3)").cast(id_dtype).alias("id_a"),
+        F.expr("substring(id_b, 3)").cast(id_dtype).alias("id_b"),
+        "jaccard",
     )
     near = (
         near_pairs.groupBy(F.col("id_a").alias("new_id"))

@@ -274,7 +274,9 @@ def psi_drift(
     Output: one row per bin slot (slot, base_n, cur_n, psi_term) plus the
     grand total row (slot = -1) — the per-bin terms ARE the diagnosis
     (which value range moved), the total is the gate. Exact integer
-    counts; the p/q chain is identical IEEE both engines.
+    counts; the p/q chain is identical IEEE both engines. An EMPTY base
+    or current side yields NULL psi_term/total (no distribution to
+    compare), never a fabricated finite PSI.
 
     Shape: two map-side-combined bin counts (slim), a ≤ bins+2-row join —
     neither input shuffles anything but bin ids.
@@ -315,8 +317,17 @@ def psi_drift(
     )
     eps = F.lit(eps_ppm) / F.lit(1_000_000.0)
     wt = joined.crossJoin(F.broadcast(tb))
-    p = F.greatest(F.col("base_n") / F.col("_tb"), eps)
-    q = F.greatest(F.col("cur_n") / F.col("_tc"), eps)
+    # An EMPTY side has no distribution to compare against: x/0 is NULL
+    # under non-ANSI Spark and greatest(NULL, eps) would silently floor
+    # every cell to eps, fabricating a finite PSI. Gate each ratio on a
+    # non-zero total so psi_term (and the slot=-1 sum) is NULL instead —
+    # the same empty-batch-logs-NULL contract as streaming/drift.py.
+    p = F.when(
+        F.col("_tb") > 0, F.greatest(F.col("base_n") / F.col("_tb"), eps)
+    )
+    q = F.when(
+        F.col("_tc") > 0, F.greatest(F.col("cur_n") / F.col("_tc"), eps)
+    )
     terms = wt.select(
         "slot", "base_n", "cur_n",
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),

@@ -4,15 +4,21 @@ JPEG is the dominant web image format, so a Common-Crawl-scale multimodal
 pipeline hits it immediately; this closes the gap flagged in the r4 review
 (PNG/BMP/GIF/WAV were already real, JPEG was absent). Scope:
 
-* **Decoder**: baseline sequential DCT (SOF0), 8-bit precision, grayscale
-  (1 component) and YCbCr (3 components) with arbitrary sampling factors
-  h,v ∈ {1,2,4} (4:4:4, 4:2:2, 4:2:0 all resolve), multiple DQT/DHT
-  segments, restart markers (DRI/RSTn). Entropy decode per T.81 §F.2:
-  canonical Huffman tables from DHT bits/values, DC prediction + EXTEND,
-  AC run/size with ZRL and EOB, dezigzag, dequantize, float IDCT
-  (orthonormal 8×8 DCT-III via one numpy basis matmul per block), level
-  shift, clamp. Progressive (SOF2) and arithmetic coding are out of scope
-  and yield None (the unknown-format contract, never an exception).
+* **Decoder**: baseline sequential DCT (SOF0) AND progressive DCT
+  (SOF2, r6 — a large fraction of real web JPEGs), 8-bit precision,
+  grayscale (1 component) and YCbCr (3 components) with arbitrary
+  sampling factors h,v ∈ {1,2,4} (4:4:4, 4:2:2, 4:2:0 all resolve),
+  multiple DQT/DHT segments, restart markers (DRI/RSTn). Entropy decode
+  per T.81 §F.2: canonical Huffman tables from DHT bits/values, DC
+  prediction + EXTEND, AC run/size with ZRL and EOB, dezigzag,
+  dequantize, float IDCT (orthonormal 8×8 DCT-III via one numpy basis
+  matmul per block), level shift, clamp. Progressive decode per Annex G:
+  spectral selection (per-scan [Ss, Se] bands), successive approximation
+  (DC bit-plane refinement via two's-complement OR; AC sign-magnitude
+  first/correction bits), EOB runs, non-interleaved single-component AC
+  scans over per-component block grids, restart handling per scan.
+  Arithmetic coding and hierarchical (SOF3+) stay out of scope and yield
+  None (the unknown-format contract, never an exception).
 * **Fixture encoder**: `synth_jpeg_bytes` emits a REAL baseline grayscale
   JFIF whose 8×8 blocks are constant values from a closed-form formula of
   (media_id, block_x, block_y), quantization table all-ones. A constant
@@ -22,6 +28,15 @@ pipeline hits it immediately; this closes the gap flagged in the r4 review
   same differential-testing trick as the PNG path (`synth_png_bytes`).
   The files use the standard Annex-K luminance Huffman tables, so the
   decoder's table machinery is exercised for real.
+  `synth_progressive_jpeg_bytes` (r6) emits the same block-constant
+  pattern as a REAL 4-scan SOF2 file (DC first at Al=1 + DC refinement,
+  AC band first at Al=1 + AC refinement) — same closed form, so the
+  same SQL oracle holds for the progressive path. For coefficients the
+  closed form can't cover, `encode_gray_coeffs_baseline` /
+  `encode_gray_coeffs_progressive` serialize ONE arbitrary coefficient
+  grid both ways; tests pin progressive-decode ≡ baseline-decode on
+  random grids — spectral bands, ZRL, EOB runs and correction bits all
+  exercised with nonzero AC history.
 
 Luma-only output: `decode_jpeg_gray_pixels` returns the Y plane (no color
 convert needed — JPEG stores luma natively), which is exactly what the
@@ -219,6 +234,298 @@ def synth_jpeg_bytes(media_id: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Coefficient-level grayscale encoders (baseline AND progressive) — the
+# differential-fixture machinery: one arbitrary integer coefficient grid
+# serialized both ways must decode identically (T.81 Annex F vs Annex G).
+# Coefficient grids are (bh, bw, 64) int arrays in ZIGZAG order, q=1.
+# ---------------------------------------------------------------------------
+
+
+def _headers_gray(w: int, h: int, sof_marker: bytes) -> bytes:
+    jfif = (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof = (
+        sof_marker
+        + struct.pack(">H", 11)
+        + bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([1, 1, 0x11, 0])
+    )
+    dht = _dht_segment(0x00, DC_LUM_BITS, DC_LUM_VALS) + _dht_segment(
+        0x10, AC_LUM_BITS, AC_LUM_VALS
+    )
+    return b"\xff\xd8" + jfif + dqt + sof + dht
+
+
+def _sos_header(comps: list[tuple[int, int, int]], ss: int, se: int,
+                ah: int, al: int) -> bytes:
+    body = bytes([len(comps)])
+    for cid, td, ta in comps:
+        body += bytes([cid, (td << 4) | ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_gray_coeffs_baseline(coeffs) -> bytes:
+    """Serialize a (bh, bw, 64) zigzag coefficient grid as a baseline
+    (SOF0) grayscale JFIF — general run/size AC coding with ZRL + EOB."""
+    import numpy as _np
+
+    blocks = _np.asarray(coeffs, dtype=_np.int64)
+    bh, bw, _ = blocks.shape
+    dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    bits = _BitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            blk = blocks[by, bx]
+            diff = int(blk[0]) - prev_dc
+            prev_dc = int(blk[0])
+            size = abs(diff).bit_length()
+            code, ln = dc_codes[size]
+            bits.write(code, ln)
+            if size:
+                bits.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+            last = 0
+            for k in range(63, 0, -1):
+                if blk[k]:
+                    last = k
+                    break
+            r = 0
+            for k in range(1, last + 1):
+                v = int(blk[k])
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bits.write(code, ln)
+                    r -= 16
+                s = abs(v).bit_length()
+                code, ln = ac_codes[(r << 4) | s]
+                bits.write(code, ln)
+                bits.write(v if v > 0 else v + (1 << s) - 1, s)
+                r = 0
+            if last < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bits.write(code, ln)
+    return (
+        _headers_gray(bw * 8, bh * 8, b"\xff\xc0")
+        + _sos_header([(1, 0, 0)], 0, 63, 0, 0)
+        + bits.flush()
+        + b"\xff\xd9"
+    )
+
+
+# Progressive AC Huffman table: Annex K's baseline AC table has no EOBn
+# symbols above EOB0 (progressive encoders ship custom tables), so the
+# fixture encoder defines its own — every symbol a progressive AC scan can
+# emit (EOBn r=0..14, ZRL, run/size r=0..15 × s=1..10), all at code length
+# 8 (176 codes, Kraft sum 176/256 < 1 — a valid canonical table the
+# decoder's generic DHT machinery must digest).
+PROG_AC_VALS = (
+    [r << 4 for r in range(15)]  # EOB0..EOB14
+    + [0xF0]                     # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+PROG_AC_BITS = [0] * 7 + [len(PROG_AC_VALS)] + [0] * 8
+
+
+class _EobState:
+    """EOB-run accumulator shared by the progressive AC encoders: runs of
+    end-of-band blocks collapse into one EOBn symbol; refinement scans
+    additionally buffer correction bits to emit after the flush."""
+
+    def __init__(self, bits: "_BitWriter", ac_codes) -> None:
+        self.bits = bits
+        self.ac = ac_codes
+        self.run = 0
+        self.pending: list[int] = []
+
+    def flush(self) -> None:
+        if self.run:
+            r = self.run.bit_length() - 1
+            code, ln = self.ac[r << 4]
+            self.bits.write(code, ln)
+            if r:
+                self.bits.write(self.run - (1 << r), r)
+            self.run = 0
+        for b in self.pending:
+            self.bits.write(b, 1)
+        self.pending = []
+
+    def add(self, correction_bits: list[int]) -> None:
+        self.run += 1
+        self.pending.extend(correction_bits)
+        if self.run == 32767:
+            self.flush()
+
+
+def _encode_ac_first_block(blk, ss, se, al, eob: _EobState) -> None:
+    ac, bits = eob.ac, eob.bits
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = abs(v) >> al
+        vals.append(t if v >= 0 else -t)
+    last = -1
+    for i, t in enumerate(vals):
+        if t:
+            last = i
+    if last < 0:
+        eob.add([])
+        return
+    eob.flush()
+    r = 0
+    for i in range(last + 1):
+        t = vals[i]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac[0xF0]
+            bits.write(code, ln)
+            r -= 16
+        s = abs(t).bit_length()
+        code, ln = ac[(r << 4) | s]
+        bits.write(code, ln)
+        bits.write(t if t > 0 else t + (1 << s) - 1, s)
+        r = 0
+    if last < se - ss:
+        eob.add([])
+
+
+def _encode_ac_refine_block(blk, ss, se, al, eob: _EobState) -> None:
+    """Annex G.1.2.3: newly-nonzero coefficients (|coeff|>>Al == 1) get a
+    run/size symbol + sign bit; history coefficients interleave one
+    correction bit each; zero runs count only zero-history positions.
+
+    ZRLs must be emitted AT EVERY nonzero coefficient once the zero run
+    exceeds 15 (not lazily at the next newly-nonzero one), and only up to
+    the last newly-nonzero position — this keeps each buffered correction
+    bit positionally inside the decoder's corresponding 16-zero skip
+    window; trailing runs past the last new coefficient fold into the EOB
+    run instead."""
+    ac, bits = eob.ac, eob.bits
+    last_new = -1  # last position that is newly nonzero at this precision
+    for k in range(ss, se + 1):
+        if abs(int(blk[k])) >> al == 1:
+            last_new = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= last_new:
+            eob.flush()
+            code, ln = ac[0xF0]
+            bits.write(code, ln)
+            r -= 16
+            for b in br:
+                bits.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        # newly nonzero at this precision
+        eob.flush()
+        code, ln = ac[(r << 4) | 1]
+        bits.write(code, ln)
+        bits.write(1 if v > 0 else 0, 1)
+        for b in br:
+            bits.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        eob.add(br)
+
+
+def encode_gray_coeffs_progressive(
+    coeffs,
+    scans: list[tuple[int, int, int, int]] | None = None,
+) -> bytes:
+    """Serialize a (bh, bw, 64) zigzag coefficient grid as a progressive
+    (SOF2) grayscale JFIF. ``scans`` = [(Ss, Se, Ah, Al), ...]; the
+    default splits DC and the full AC band each into a first pass at
+    Al=1 plus one refinement to Al=0. Every scan must keep standard
+    progressive legality (DC before its band's AC, Ah of a refinement ==
+    previous Al of the same band)."""
+    import numpy as _np
+
+    blocks = _np.asarray(coeffs, dtype=_np.int64)
+    bh, bw, _ = blocks.shape
+    if scans is None:
+        scans = [(0, 0, 0, 1), (1, 63, 0, 1), (0, 0, 1, 0), (1, 63, 1, 0)]
+    dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+    out = bytearray(_headers_gray(bw * 8, bh * 8, b"\xff\xc2"))
+    # redefine AC table 0 with the EOBn-capable progressive table (a
+    # later DHT legally supersedes the Annex-K one from the headers)
+    out += _dht_segment(0x10, PROG_AC_BITS, PROG_AC_VALS)
+    for ss, se, ah, al in scans:
+        out += _sos_header([(1, 0, 0)], ss, se, ah, al)
+        bits = _BitWriter()
+        if ss == 0:  # DC scan (grayscale: always non-interleaved here)
+            if ah == 0:
+                prev = 0
+                for by in range(bh):
+                    for bx in range(bw):
+                        t = int(blocks[by, bx, 0]) >> al  # arithmetic shift
+                        diff = t - prev
+                        prev = t
+                        size = abs(diff).bit_length()
+                        code, ln = dc_codes[size]
+                        bits.write(code, ln)
+                        if size:
+                            bits.write(
+                                diff if diff > 0 else diff + (1 << size) - 1,
+                                size,
+                            )
+            else:
+                for by in range(bh):
+                    for bx in range(bw):
+                        bits.write((int(blocks[by, bx, 0]) >> al) & 1, 1)
+        else:  # AC scan
+            eob = _EobState(bits, ac_codes)
+            for by in range(bh):
+                for bx in range(bw):
+                    if ah == 0:
+                        _encode_ac_first_block(blocks[by, bx], ss, se, al, eob)
+                    else:
+                        _encode_ac_refine_block(blocks[by, bx], ss, se, al, eob)
+            eob.flush()
+        out += bits.flush()
+    return bytes(out) + b"\xff\xd9"
+
+
+def synth_progressive_jpeg_bytes(media_id: int) -> bytes:
+    """The block-constant fixture pattern (`jpeg_block_value`, identical
+    dims/formula to `synth_jpeg_bytes`) as a REAL 4-scan progressive
+    JFIF: DC first at Al=1, AC 1..63 first at Al=1, DC refinement, AC
+    refinement. Constant blocks keep AC exactly zero, so the AC scans
+    exercise the EOB-run machinery end to end while the decode stays
+    bit-exact against the closed form — the same SQL oracle as the
+    baseline fixture applies verbatim."""
+    import numpy as _np
+
+    bw = 4 + media_id % 7
+    bh = 4 + media_id % 4
+    coeffs = _np.zeros((bh, bw, 64), dtype=_np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            c = jpeg_block_value(media_id, bx, by)
+            coeffs[by, bx, 0] = 8 * (c - 128)
+    return encode_gray_coeffs_progressive(coeffs)
+
+
+# ---------------------------------------------------------------------------
 # Baseline decoder
 # ---------------------------------------------------------------------------
 
@@ -328,10 +635,11 @@ def _decode_block(
 
 
 def decode_jpeg_gray_pixels(data: bytes) -> Tuple[int, int, Optional[bytes]]:
-    """(width, height, luma plane bytes) of a baseline JPEG; (0, 0, None)
-    for non-baseline / malformed input. The Y plane is returned at full
-    image resolution (nearest-upsampled if Y itself is subsampled, which
-    is rare); chroma components are entropy-decoded but not returned."""
+    """(width, height, luma plane bytes) of a baseline (SOF0) or
+    progressive (SOF2) JPEG; (0, 0, None) for other SOFs / malformed
+    input. The Y plane is returned at full image resolution
+    (nearest-upsampled if Y itself is subsampled, which is rare); chroma
+    components are entropy-decoded but not returned."""
     try:
         return _decode_gray(data)
     except Exception:
@@ -348,6 +656,8 @@ def _decode_gray(data: bytes) -> Tuple[int, int, Optional[bytes]]:
     comps: list[dict] = []
     w = h = 0
     restart_interval = 0
+    progressive = False
+    coeff_store: dict[int, np.ndarray] = {}
     while pos < len(data):
         if data[pos] != 0xFF:
             return 0, 0, None
@@ -384,9 +694,10 @@ def _decode_gray(data: bytes) -> Tuple[int, int, Optional[bytes]]:
                 vals = list(seg[i + 17 : i + 17 + n])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if seg[0] != 8:
                 return 0, 0, None  # only 8-bit precision
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             n_comp = seg[5]
             comps = []
@@ -395,23 +706,37 @@ def _decode_gray(data: bytes) -> Tuple[int, int, Optional[bytes]]:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return 0, 0, None  # non-baseline SOF (progressive etc.)
+            return 0, 0, None  # extended/lossless/arithmetic SOFs
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             n_scan = seg[0]
-            scan_sel = {}
+            scan_comps = []
             for c in range(n_scan):
                 cid, tabs = seg[1 + 2 * c : 3 + 2 * c]
-                scan_sel[cid] = (tabs >> 4, tabs & 0x0F)
+                scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
             pos = pos + 2 + seg_len
-            return _decode_scan(
-                data, pos, w, h, comps, scan_sel, quants, dc_tabs, ac_tabs,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    data, pos, w, h, comps,
+                    {cid: (td, ta) for cid, td, ta in scan_comps},
+                    quants, dc_tabs, ac_tabs, restart_interval,
+                )
+            ss, se = seg[1 + 2 * n_scan], seg[2 + 2 * n_scan]
+            approx = seg[3 + 2 * n_scan]
+            ah, al = approx >> 4, approx & 0x0F
+            if not coeff_store:
+                coeff_store = _init_coeff_store(w, h, comps)
+            pos = _progressive_scan(
+                data, pos, w, h, comps, scan_comps, ss, se, ah, al,
+                coeff_store, dc_tabs, ac_tabs, restart_interval,
             )
+            continue
         pos += 2 + seg_len
+    if progressive and coeff_store:
+        return _finish_progressive(w, h, comps, coeff_store, quants)
     return 0, 0, None
 
 
@@ -459,6 +784,252 @@ def _decode_scan(
             mcu += 1
     y_comp = comps[0]  # first component is luma (grayscale: the only one)
     plane = planes[y_comp["id"]] + 128.0
+    if y_comp["h"] != hmax or y_comp["v"] != vmax:
+        plane = plane.repeat(hmax // y_comp["h"], axis=1).repeat(
+            vmax // y_comp["v"], axis=0
+        )
+    luma = np.clip(np.rint(plane[:h, :w]), 0, 255).astype(np.uint8)
+    return w, h, luma.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) scan machinery — ITU-T.81 Annex G.2
+# ---------------------------------------------------------------------------
+
+
+def _grid_dims(w: int, h: int, comps: list[dict]) -> dict[int, tuple]:
+    """Per component id: (padded_bx, padded_by, true_bx, true_by) block
+    grid dims — padded to whole MCUs (interleaved scans index the padded
+    grid), true = ceil(component size / 8) (non-interleaved scans cover
+    only real blocks)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    out = {}
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        out[c["id"]] = (mcus_x * c["h"], mcus_y * c["v"], -(-cw // 8), -(-ch // 8))
+    return out
+
+
+def _init_coeff_store(w: int, h: int, comps: list[dict]) -> dict[int, np.ndarray]:
+    dims = _grid_dims(w, h, comps)
+    return {
+        cid: np.zeros((by, bx, 64), dtype=np.int64)
+        for cid, (bx, by, _, _) in dims.items()
+    }
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """Skip remaining entropy bytes (stuffing, pad, stray RSTn) up to the
+    next real marker."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _refine_nonzero(br: _BitReader, blk, lo: int, hi: int, p1: int) -> None:
+    """Correction bits for already-nonzero coefficients in [lo, hi]."""
+    for k in range(lo, hi + 1):
+        if blk[k]:
+            if br.read_bit() and not (abs(int(blk[k])) & p1):
+                blk[k] += p1 if blk[k] > 0 else -p1
+
+
+def _decode_dc_block_prog(br, blk, dc_tab, pred: int, ah: int, al: int) -> int:
+    if ah == 0:  # first pass: diff at Al precision, arithmetic scale-up
+        size = _read_huff_symbol(br, dc_tab)
+        diff = _extend(br.read_bits(size), size) if size else 0
+        pred += diff
+        blk[0] = pred << al
+        return pred
+    if br.read_bit():  # refinement: OR the next lower bit in
+        blk[0] = int(blk[0]) | (1 << al)
+    return pred
+
+
+def _decode_ac_first_prog(br, blk, ac_tab, ss, se, al, eobrun: int) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_huff_symbol(br, ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1  # EOBn: current block consumed here
+            if run:
+                eobrun += br.read_bits(run)
+            return eobrun
+        k += run
+        if k > se:
+            raise ValueError("AC run overflow (progressive)")
+        blk[k] = _extend(br.read_bits(size), size) * (1 << al)
+        k += 1
+    return 0
+
+
+def _decode_ac_refine_prog(br, blk, ac_tab, ss, se, al, eobrun: int) -> int:
+    p1 = 1 << al
+    if eobrun > 0:
+        _refine_nonzero(br, blk, ss, se, p1)
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_huff_symbol(br, ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        newval = 0
+        if size == 0:
+            if run != 15:  # EOBn: refine the rest of the band, then run
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += br.read_bits(run)
+                _refine_nonzero(br, blk, k, se, p1)
+                return eobrun
+            # ZRL: skip 16 zero-history positions (refining along the way)
+        else:
+            if size != 1:
+                raise ValueError("refinement size must be 1")
+            newval = p1 if br.read_bit() else -p1
+        while k <= se:
+            if blk[k]:
+                if br.read_bit() and not (abs(int(blk[k])) & p1):
+                    blk[k] += p1 if blk[k] > 0 else -p1
+            else:
+                run -= 1
+                if run < 0:
+                    break
+            k += 1
+        if newval and k <= se:
+            blk[k] = newval
+        k += 1
+    return 0
+
+
+def _progressive_scan(
+    data: bytes,
+    pos: int,
+    w: int,
+    h: int,
+    comps: list[dict],
+    scan_comps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    coeff_store: dict[int, np.ndarray],
+    dc_tabs: dict,
+    ac_tabs: dict,
+    restart_interval: int,
+) -> int:
+    """Process one progressive scan's entropy data; returns the position
+    of the next marker. DC scans may interleave components over the
+    MCU-padded grids; AC scans are single-component over the component's
+    true block grid (T.81 G.1.1.1)."""
+    # scan-header legality (G.1.1.1.1): a baseline-shaped scan (Ss=0,
+    # Se=63) inside an SOF2 file is malformed, not decodable-as-baseline
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and (len(scan_comps) != 1 or ss > se or se > 63):
+        raise ValueError("invalid progressive AC scan header")
+    if ah and al != ah - 1:
+        raise ValueError("successive approximation must refine one bit")
+    dims = _grid_dims(w, h, comps)
+    br = _BitReader(data, pos)
+    eobrun = 0
+    preds = {cid: 0 for cid, _, _ in scan_comps}
+    by_id = {c["id"]: c for c in comps}
+
+    if ss == 0 and len(scan_comps) > 1:  # interleaved DC scan
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        mcu = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    br.skip_rst()
+                    preds = {cid: 0 for cid, _, _ in scan_comps}
+                for cid, td, _ta in scan_comps:
+                    c = by_id[cid]
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            blk = coeff_store[cid][my * c["v"] + v, mx * c["h"] + hh]
+                            preds[cid] = _decode_dc_block_prog(
+                                br, blk, dc_tabs.get(td, {}), preds[cid], ah, al
+                            )
+                mcu += 1
+        return _next_marker_pos(data, br.pos)
+
+    # non-interleaved scan: one component, MCU = one block over true dims
+    cid, td, ta = scan_comps[0]
+    _, _, tbx, tby = dims[cid]
+    n = 0
+    for by in range(tby):
+        for bx in range(tbx):
+            if restart_interval and n and n % restart_interval == 0:
+                br.skip_rst()
+                preds[cid] = 0
+                eobrun = 0
+            blk = coeff_store[cid][by, bx]
+            if ss == 0:
+                preds[cid] = _decode_dc_block_prog(
+                    br, blk, dc_tabs.get(td, {}), preds[cid], ah, al
+                )
+            elif ah == 0:
+                eobrun = _decode_ac_first_prog(
+                    br, blk, ac_tabs[ta], ss, se, al, eobrun
+                )
+            else:
+                eobrun = _decode_ac_refine_prog(
+                    br, blk, ac_tabs[ta], ss, se, al, eobrun
+                )
+            n += 1
+    return _next_marker_pos(data, br.pos)
+
+
+def _finish_progressive(
+    w: int,
+    h: int,
+    comps: list[dict],
+    coeff_store: dict[int, np.ndarray],
+    quants: dict,
+) -> Tuple[int, int, Optional[bytes]]:
+    """Dequantize + IDCT the accumulated luma coefficients (chroma blocks
+    advanced the bit stream scan-by-scan but, as in the baseline path,
+    only the Y plane is returned)."""
+    y_comp = comps[0]
+    grid = coeff_store[y_comp["id"]]
+    quant = quants[y_comp["tq"]]
+    nby, nbx, _ = grid.shape
+    plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+    dq = grid.astype(np.float64) * quant  # both in zigzag order
+    blockf = np.zeros((8, 8), dtype=np.float64)
+    for by in range(nby):
+        for bx in range(nbx):
+            for i, zz in enumerate(ZIGZAG):
+                blockf[zz // 8][zz % 8] = dq[by, bx, i]
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _A.T @ blockf @ _A
+            )
+    plane += 128.0
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     if y_comp["h"] != hmax or y_comp["v"] != vmax:
         plane = plane.repeat(hmax // y_comp["h"], axis=1).repeat(
             vmax // y_comp["v"], axis=0

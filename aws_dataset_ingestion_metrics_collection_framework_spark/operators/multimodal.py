@@ -1009,7 +1009,7 @@ def synthesize_media(df: DataFrame, *, kind: str) -> DataFrame:
     ``df`` needs ``media_id`` (long); for ``kind='audio'`` also
     ``n_samples`` (int). Runs in a map-only ``mapInPandas`` stage.
     """
-    if kind in ("image", "jpeg"):
+    if kind in ("image", "jpeg", "jpeg_progressive"):
         schema = T.StructType(
             [
                 T.StructField("media_id", T.LongType(), False),
@@ -1018,6 +1018,8 @@ def synthesize_media(df: DataFrame, *, kind: str) -> DataFrame:
         )
         if kind == "jpeg":
             from .jpeg import synth_jpeg_bytes as synth
+        elif kind == "jpeg_progressive":
+            from .jpeg import synth_progressive_jpeg_bytes as synth
         else:
             synth = synth_png_bytes
 

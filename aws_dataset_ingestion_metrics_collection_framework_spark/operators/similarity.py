@@ -83,9 +83,8 @@ def random_hyperplane_bucket(vec: Column, *, n_planes: int = 8, seed: int = 7, d
 
     NOTE: literal planes inflate the query plan by n_planes × dim nodes —
     fine for one table, but multi-table bucketing should use
-    ``hyperplane_tables_df`` + ``bucketize_tables`` (planes as broadcast
-    DATA, O(1) plan size), which cut the 16-table plan's analysis/codegen
-    time ~4×."""
+    ``bucketize_tables`` (planes live in the Arrow UDF closure, O(1) plan
+    size), which cut the 16-table plan's analysis/codegen time ~4×."""
     planes = _plane_literals(dim, n_planes, seed)
     bits = []
     for p in planes:

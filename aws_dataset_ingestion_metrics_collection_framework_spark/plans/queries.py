@@ -3787,6 +3787,28 @@ def q_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG (SOF2) decode round trip (r6): the same
+    closed-form block-constant pattern as `jpeg_features`, but serialized
+    as a 4-scan progressive file — DC first pass at Al=1 + DC bit-plane
+    refinement, AC band first pass + refinement with EOB-run coding over
+    a custom EOBn-capable Huffman table (operators/jpeg.py Annex G
+    machinery). The decoder must accumulate coefficients across all four
+    scans and still invert the encode bit-exactly, so the SAME formula
+    oracle as the baseline fixture applies verbatim; pHash planted-dup
+    detection over progressive fixtures is pinned in tests/test_jpeg.py."""
+    from ..operators.multimodal import extract_image_features, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = synthesize_media(docs, kind="jpeg_progressive")
+    out = extract_image_features(media)
+    return out.select(
+        "media_id", "width", "height", F.round("mean_luma", 6).alias("mean_luma")
+    )
+
+
 JPEG_FEATURES_ORACLE = """
 WITH dims AS (
   SELECT doc_id, 4 + doc_id % 7 AS bw, 4 + doc_id % 4 AS bh,
@@ -5448,6 +5470,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_ingest": q_warc_ingest,
     # r5: baseline JPEG decode (bit-exact block-constant fixtures)
     "jpeg_features": q_jpeg_features,
+    "jpeg_progressive": q_jpeg_progressive,
     # r5: HTML -> text extraction (the WARC -> c4_clean bridge)
     "html_extract": q_html_extract,
     # r5: crawl-frontier URL canonicalization + dedup
@@ -5769,6 +5792,7 @@ ORACLES: dict[str, str] = {
     "frame_sample": FRAME_SAMPLE_ORACLE,
     "warc_ingest": WARC_INGEST_ORACLE,
     "jpeg_features": JPEG_FEATURES_ORACLE,
+    "jpeg_progressive": JPEG_FEATURES_ORACLE,
     "html_extract": HTML_EXTRACT_ORACLE,
     "url_dedup": URL_DEDUP_ORACLE,
     "kmv_overlap": KMV_OVERLAP_ORACLE,
@@ -5832,6 +5856,7 @@ _R6_PRIORITY = [
     'golden_records',
     'hashed_embeddings',
     'psi_drift',
+    'jpeg_progressive',
     'chi_square',
     'correlations',
     'transition_matrix',

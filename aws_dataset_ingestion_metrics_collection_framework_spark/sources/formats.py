@@ -103,12 +103,17 @@ def convert_to_parquet(
     mode: str = "error",
 ) -> DataFrame:
     """The land-then-convert step: CSV edge data rewritten as parquet so
-    every later scan gets pushdown/pruning; returns the corrupt rows
-    (written alongside under `<dest>/_corrupt` when any exist)."""
+    every later scan gets pushdown/pruning; returns the corrupt rows.
+
+    Corrupt rows are written NESTED under ``<dest>/_corrupt`` — the
+    underscore prefix makes the directory invisible to Spark's parquet
+    scans of ``dest`` (FileInputFormat hides ``_``/``.`` paths), so the
+    quarantine rides with the table without polluting reads. Written
+    unconditionally (possibly empty) so the conversion is a single CSV
+    pass — probing for bad rows first would rescan the source."""
     good, bad = read_csv_table(
         spark, src_csv, schema, header=header, delimiter=delimiter
     )
     good.write.mode(mode).parquet(dest)
-    if bad.limit(1).count() > 0:
-        bad.write.mode("overwrite").text(dest.rstrip("/") + "_corrupt")
+    bad.write.mode("overwrite").text(dest.rstrip("/") + "/_corrupt")
     return bad

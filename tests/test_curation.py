@@ -579,6 +579,26 @@ class TestTopKByValue:
         )
         assert got == [(1, "a", 4.0, 1), (2, "a", 4.0, 2)]
 
+    def test_disparate_group_ranges_stay_exact_and_pruned(self, spark):
+        """r6 ADVICE fix: the bin grid is PER-GROUP, so a group whose
+        values span [0, 1] while another spans [0, 1e9] still prefilters
+        (under the old global grid the narrow group collapsed into one
+        bin = a full-group sort). Exactness vs the naive window, plus a
+        direct prune check: with 4 bins, the narrow group's candidate
+        set must be smaller than the whole group."""
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.curation import top_k_by_value
+        import random
+        rng = random.Random(5)
+        rows = [(i, "narrow", rng.random()) for i in range(200)]
+        rows += [(1000 + i, "wide", rng.random() * 1e9) for i in range(200)]
+        got = sorted(
+            tuple(r) for r in top_k_by_value(
+                self._df(spark, rows), ["grp"], "v", 5,
+                tiebreak_col="id", bins=4,
+            ).collect()
+        )
+        assert got == self._naive(rows, 5)
+
 
 class TestWeightedSample:
     """ES weighted sampling: heavier rows sample more often, exactness,

@@ -778,7 +778,8 @@ class TestQuantizeInt8:
 
 class TestIncrementalDedup:
     """Cross-corpus classification: exact preferred, near detected, fresh
-    passes through; ids disjoint across sides by contract."""
+    passes through; id spaces may overlap across sides (side-tagged
+    verification corpus, r6)."""
 
     def _run(self, spark, new_rows, base_rows, **kw):
         from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dedup import incremental_dedup
@@ -813,6 +814,40 @@ class TestIncrementalDedup:
             [(100, "completely disjoint vocabulary for the base corpus")],
         )
         assert got[1][0] == "fresh"
+
+    def test_overlapping_id_spaces_do_not_cross_wire(self, spark):
+        """ADVICE fix: the SAME id on both sides with DIFFERENT texts.
+        Under the old shared-by-id verify corpus, new doc 1's text could
+        be cross-wired with base doc 1's — here new#1 near-matches
+        base#2 only, and new#1 vs base#1 (disjoint vocab) must NOT
+        match; new#3 is an exact dup of base#3's identical text."""
+        prose = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+        base = [
+            (1, "totally different words here entirely nothing shared "
+                "with anything else at all"),
+            (2, prose),
+            (3, "same bytes on both sides of the corpus boundary"),
+        ]
+        new = [
+            (1, prose + " extra"),  # id collides with base#1, text near base#2
+            (3, "same bytes on both sides of the corpus boundary"),
+            (4, "fresh zebra yak xylophone walrus vulture words"),
+        ]
+        got = self._run(spark, new, base)
+        assert got[1][0] == "near_dup" and got[1][1] == 2
+        assert got[3] == ("exact_dup", 3)
+        assert got[4][0] == "fresh"
+
+    def test_min_base_id_is_numeric_not_lexicographic(self, spark):
+        """Tag stripping must restore the id dtype BEFORE the min pick:
+        base ids {9, 10} both near-match → match_id must be 9 (numeric
+        min), not 10 ('b:10' < 'b:9' lexicographically)."""
+        prose = "one two three four five six seven eight nine ten " * 3
+        got = self._run(
+            spark, [(1, prose + " tail")], [(9, prose), (10, prose)]
+        )
+        assert got[1][0] == "near_dup" and got[1][1] == 9
 
 
 class TestEmbeddingNormalize:

@@ -175,3 +175,18 @@ class TestPsiDrift:
         df = self._df(spark, [1])
         with _pytest.raises(ValueError):
             psi_drift(df, df, "value", lo=1.0, hi=1.0)
+
+    def test_empty_side_yields_null_not_fabricated_psi(self, spark):
+        """ADVICE fix: an empty base or current side has no distribution
+        to compare — x/0 is NULL under non-ANSI Spark and the old
+        greatest(NULL, eps) floor fabricated a finite PSI. Every
+        psi_term (and the slot=-1 total) must be NULL; the exact counts
+        still report."""
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dq import psi_drift
+        full = self._df(spark, [1, 2, 3, 4])
+        empty = self._df(spark, []).filter("value is not null")
+        for b, c in ((empty, full), (full, empty)):
+            rows = psi_drift(b, c, "value", lo=0.0, hi=10.0, bins=10).collect()
+            assert all(r["psi_term"] is None for r in rows)
+            total = [r for r in rows if r["slot"] == -1][0]
+            assert total["base_n"] + total["cur_n"] == 4

@@ -57,8 +57,20 @@ class TestCsv:
         dest = str(tmp_path / "lake")
         bad = convert_to_parquet(spark, str(src), dest, SCHEMA)
         assert bad.count() == 1
+        # quarantine nests under the table; the _ prefix keeps it invisible
+        # to parquet scans of dest
         assert spark.read.parquet(dest).count() == 1
-        assert spark.read.text(dest + "_corrupt").count() == 1
+        assert spark.read.text(dest + "/_corrupt").count() == 1
+
+    def test_convert_all_good_leaves_empty_quarantine(self, spark, tmp_path):
+        src = tmp_path / "src2"
+        src.mkdir()
+        (src / "d.csv").write_text("id,name,score\n1,a,0.5\n2,b,1.0\n")
+        dest = str(tmp_path / "lake2")
+        bad = convert_to_parquet(spark, str(src), dest, SCHEMA)
+        assert bad.count() == 0
+        assert spark.read.parquet(dest).count() == 2
+        assert spark.read.text(dest + "/_corrupt").count() == 0
 
 
 class TestOrc:

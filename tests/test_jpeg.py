@@ -147,13 +147,140 @@ def test_restart_markers():
         assert (arr[:, i * 8 : (i + 1) * 8] == v).all(), (i, v)
 
 
-def test_progressive_and_garbage_rejected():
+def test_malformed_and_garbage_rejected():
+    # a baseline file with its SOF marker flipped to SOF2 is MALFORMED
+    # progressive (a DC scan may not span Se=63) — never decoded as either
     prog = synth_jpeg_bytes(3).replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_jpeg_gray_pixels(prog) == (0, 0, None)
     assert decode_jpeg_gray_pixels(b"\xff\xd8garbage") == (0, 0, None)
     assert decode_jpeg(b"not a jpeg")[2] is None
     truncated = synth_jpeg_bytes(5)[:-10]
     assert decode_jpeg_gray_pixels(truncated)[2] is None
+
+
+class TestProgressive:
+    """SOF2 decode (T.81 Annex G): the progressive serialization of a
+    coefficient grid must decode IDENTICALLY to its baseline
+    serialization — spectral selection, successive approximation, EOB
+    runs and refinement correction bits all exercised differentially."""
+
+    def test_fixture_equals_baseline_fixture(self):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.jpeg import (
+            synth_progressive_jpeg_bytes,
+        )
+
+        for mid in range(0, 100, 7):
+            b = decode_jpeg_gray_pixels(synth_jpeg_bytes(mid))
+            p = decode_jpeg_gray_pixels(synth_progressive_jpeg_bytes(mid))
+            assert p[2] is not None
+            assert b == p, mid
+
+    def test_random_coeff_grids_differential(self):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.jpeg import (
+            encode_gray_coeffs_baseline,
+            encode_gray_coeffs_progressive,
+        )
+
+        rng = np.random.default_rng(7)
+        for trial in range(25):
+            bh, bw = int(rng.integers(1, 6)), int(rng.integers(1, 6))
+            co = np.zeros((bh, bw, 64), dtype=np.int64)
+            co[..., 0] = rng.integers(-600, 600, size=(bh, bw))
+            for _ in range(bh * bw * 8):  # sparse AC incl. long zero runs
+                co[rng.integers(bh), rng.integers(bw),
+                   rng.integers(1, 64)] = rng.integers(-100, 100)
+            b = decode_jpeg_gray_pixels(encode_gray_coeffs_baseline(co))
+            p = decode_jpeg_gray_pixels(encode_gray_coeffs_progressive(co))
+            assert b[2] is not None and b == p, trial
+
+    def test_dense_grids_exercise_refinement_history(self):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.jpeg import (
+            encode_gray_coeffs_baseline,
+            encode_gray_coeffs_progressive,
+        )
+
+        rng = np.random.default_rng(11)
+        for trial in range(15):
+            co = rng.integers(-3, 4, size=(2, 3, 64))  # |coeff|∈{0..3}:
+            co[..., 0] = rng.integers(-200, 200, size=(2, 3))
+            # Al=1 first pass codes |c|>=2; refinement mixes correction
+            # bits with newly-nonzero |c|==1 — the G.1.2.3 hard path
+            b = decode_jpeg_gray_pixels(encode_gray_coeffs_baseline(co))
+            p = decode_jpeg_gray_pixels(encode_gray_coeffs_progressive(co))
+            assert b == p, trial
+
+    def test_spectral_band_splits_and_deep_approximation(self):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.jpeg import (
+            encode_gray_coeffs_baseline,
+            encode_gray_coeffs_progressive,
+        )
+
+        rng = np.random.default_rng(13)
+        scans = [
+            (0, 0, 0, 1), (1, 5, 0, 2), (6, 20, 0, 1), (21, 63, 0, 0),
+            (0, 0, 1, 0), (1, 5, 2, 1), (1, 5, 1, 0), (6, 20, 1, 0),
+        ]
+        for trial in range(10):
+            co = rng.integers(-80, 80, size=(3, 4, 64))
+            co[..., 0] = rng.integers(-500, 500, size=(3, 4))
+            b = decode_jpeg_gray_pixels(encode_gray_coeffs_baseline(co))
+            p = decode_jpeg_gray_pixels(
+                encode_gray_coeffs_progressive(co, scans)
+            )
+            assert b == p, trial
+
+    def test_truncated_progressive_yields_none(self):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.jpeg import (
+            synth_progressive_jpeg_bytes,
+        )
+
+        data = synth_progressive_jpeg_bytes(9)
+        assert decode_jpeg_gray_pixels(data[:-30])[2] is None
+
+    def test_spark_progressive_phash_planted_dups(self, spark):
+        """Planted-dup detection over PROGRESSIVE fixtures: every 10th id
+        reuses its predecessor's image; pHash over the SOF2 decode must
+        find exactly the planted pairs at distance 0 — and each id's
+        progressive pHash equals its baseline pHash (same pixels)."""
+        from pyspark.sql import functions as F
+
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dedup import (
+            hamming_pairs,
+        )
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.multimodal import (
+            extract_image_phash,
+            synthesize_media,
+        )
+
+        seeds = spark.range(0, 40).select(
+            F.col("id").alias("media_id"),
+            F.when(F.col("id") % 10 == 1, F.col("id") - 1)
+            .otherwise(F.col("id"))
+            .alias("seed"),
+        )
+        synth = synthesize_media(
+            seeds.select(F.col("seed").alias("media_id")).distinct(),
+            kind="jpeg_progressive",
+        ).withColumnRenamed("media_id", "seed")
+        payloads = seeds.join(synth, "seed").select("media_id", "payload")
+        hashed = extract_image_phash(payloads)
+        pairs = hamming_pairs(
+            hashed.filter(F.col("phash").isNotNull()), "media_id", "phash",
+            max_hamming=0,
+        )
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert got == {(i - 1, i) for i in range(1, 40) if i % 10 == 1}
+
+        base = synthesize_media(
+            seeds.select(F.col("seed").alias("media_id")).distinct(),
+            kind="jpeg",
+        )
+        hb = {r["media_id"]: r["phash"]
+              for r in extract_image_phash(base).collect()}
+        hp = {r["media_id"]: r["phash"] for r in hashed.collect()}
+        assert all(hp[i] == hb[seed]
+                   for i, seed in [(int(r["media_id"]), int(r["seed"]))
+                                   for r in seeds.collect()])
 
 
 @pytest.fixture(scope="module")
