@@ -1017,16 +1017,14 @@ def _finish_progressive(
     grid = coeff_store[y_comp["id"]]
     quant = quants[y_comp["tq"]]
     nby, nbx, _ = grid.shape
-    plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
     dq = grid.astype(np.float64) * quant  # both in zigzag order
-    blockf = np.zeros((8, 8), dtype=np.float64)
-    for by in range(nby):
-        for bx in range(nbx):
-            for i, zz in enumerate(ZIGZAG):
-                blockf[zz // 8][zz % 8] = dq[by, bx, i]
-            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                _A.T @ blockf @ _A
-            )
+    # dezigzag + IDCT for ALL blocks in two vectorized ops (the bit-serial
+    # entropy decode is the unavoidable Python loop; this isn't)
+    raster = np.zeros((nby, nbx, 64), dtype=np.float64)
+    raster[:, :, ZIGZAG] = dq
+    blocks = raster.reshape(nby, nbx, 8, 8)
+    spatial = np.einsum("ij,abjk,kl->abil", _A.T, blocks, _A)
+    plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
     plane += 128.0
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

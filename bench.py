@@ -114,6 +114,11 @@ HEADLINE = [
     # cross band join); attribution: the event-time range join
     "incremental_dedup",
     "attribution",
+    # round-6 additions: progressive-JPEG decode (4-scan SOF2 entropy
+    # decode + IDCT inside Arrow), BPE train+tokenize (30 vocabulary-table
+    # iterations + trained-vocab join) — each sets its own r6 baseline
+    "jpeg_progressive",
+    "bpe_tokenize",
 ]
 
 # Benched since r1 — the frozen cross-round comparison basket (see §3 above).
