@@ -450,13 +450,18 @@ def _encode_ac_refine_block(blk, ss, se, al, eob: _EobState) -> None:
 def encode_gray_coeffs_progressive(
     coeffs,
     scans: list[tuple[int, int, int, int]] | None = None,
+    *,
+    restart_interval: int = 0,
 ) -> bytes:
     """Serialize a (bh, bw, 64) zigzag coefficient grid as a progressive
     (SOF2) grayscale JFIF. ``scans`` = [(Ss, Se, Ah, Al), ...]; the
     default splits DC and the full AC band each into a first pass at
     Al=1 plus one refinement to Al=0. Every scan must keep standard
     progressive legality (DC before its band's AC, Ah of a refinement ==
-    previous Al of the same band)."""
+    previous Al of the same band). ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every N blocks WITHIN each scan — DC
+    predictors and EOB runs reset at every restart (an EOB run may never
+    cross a restart boundary)."""
     import numpy as _np
 
     blocks = _np.asarray(coeffs, dtype=_np.int64)
@@ -469,14 +474,23 @@ def encode_gray_coeffs_progressive(
     # redefine AC table 0 with the EOBn-capable progressive table (a
     # later DHT legally supersedes the Annex-K one from the headers)
     out += _dht_segment(0x10, PROG_AC_BITS, PROG_AC_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(
+            ">H", restart_interval
+        )
+    order = [(by, bx) for by in range(bh) for bx in range(bw)]
+    ri = restart_interval or len(order)
+    segments = [order[i : i + ri] for i in range(0, len(order), ri)] or [[]]
     for ss, se, ah, al in scans:
         out += _sos_header([(1, 0, 0)], ss, se, ah, al)
-        bits = _BitWriter()
-        if ss == 0:  # DC scan (grayscale: always non-interleaved here)
-            if ah == 0:
-                prev = 0
-                for by in range(bh):
-                    for bx in range(bw):
+        for gi, group in enumerate(segments):
+            if gi:
+                out += bytes([0xFF, 0xD0 + ((gi - 1) % 8)])
+            bits = _BitWriter()
+            if ss == 0:  # DC scan (grayscale: always non-interleaved here)
+                if ah == 0:
+                    prev = 0  # predictor resets at each restart
+                    for by, bx in group:
                         t = int(blocks[by, bx, 0]) >> al  # arithmetic shift
                         diff = t - prev
                         prev = t
@@ -488,20 +502,18 @@ def encode_gray_coeffs_progressive(
                                 diff if diff > 0 else diff + (1 << size) - 1,
                                 size,
                             )
-            else:
-                for by in range(bh):
-                    for bx in range(bw):
+                else:
+                    for by, bx in group:
                         bits.write((int(blocks[by, bx, 0]) >> al) & 1, 1)
-        else:  # AC scan
-            eob = _EobState(bits, ac_codes)
-            for by in range(bh):
-                for bx in range(bw):
+            else:  # AC scan
+                eob = _EobState(bits, ac_codes)
+                for by, bx in group:
                     if ah == 0:
                         _encode_ac_first_block(blocks[by, bx], ss, se, al, eob)
                     else:
                         _encode_ac_refine_block(blocks[by, bx], ss, se, al, eob)
-            eob.flush()
-        out += bits.flush()
+                eob.flush()
+            out += bits.flush()
     return bytes(out) + b"\xff\xd9"
 
 

@@ -229,6 +229,125 @@ class TestProgressive:
             )
             assert b == p, trial
 
+    def test_restart_markers_in_progressive_scans(self):
+        """DRI + RSTn inside SOF2 scans: DC predictors and EOB runs reset
+        at every restart; output still equals the baseline serialization."""
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.jpeg import (
+            encode_gray_coeffs_baseline,
+            encode_gray_coeffs_progressive,
+        )
+
+        rng = np.random.default_rng(23)
+        for ri in (1, 2, 5):
+            for trial in range(5):
+                bh, bw = int(rng.integers(2, 5)), int(rng.integers(2, 5))
+                co = np.zeros((bh, bw, 64), dtype=np.int64)
+                co[..., 0] = rng.integers(-600, 600, size=(bh, bw))
+                for _ in range(bh * bw * 6):
+                    co[rng.integers(bh), rng.integers(bw),
+                       rng.integers(1, 64)] = rng.integers(-60, 60)
+                b = decode_jpeg_gray_pixels(encode_gray_coeffs_baseline(co))
+                p = decode_jpeg_gray_pixels(encode_gray_coeffs_progressive(
+                    co, restart_interval=ri))
+                assert b[2] is not None and b == p, (ri, trial)
+
+    def test_color_444_interleaved_dc_and_per_component_ac(self):
+        """3-component 4:4:4 progressive: the DC scans interleave all
+        components per MCU (per-component predictors), the AC scans run
+        one component at a time; the decoded Y plane must equal an
+        independent numpy IDCT of the luma coefficient grid."""
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.jpeg import (
+            PROG_AC_BITS,
+            PROG_AC_VALS,
+            ZIGZAG,
+            _A,
+            _EobState,
+            _encode_ac_first_block,
+            _encode_ac_refine_block,
+            _sos_header,
+        )
+
+        rng = np.random.default_rng(31)
+        bh, bw = 2, 3
+        comps = [rng.integers(-60, 60, size=(bh, bw, 64)) for _ in range(3)]
+        for c in comps:
+            c[..., 0] = rng.integers(-400, 400, size=(bh, bw))
+
+        dc_codes = DC_CODES
+        ac_codes = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+        jfif = (b"\xff\xe0" + struct.pack(">H", 16)
+                + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1)
+                + b"\x00\x00")
+        dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+        sof2 = (b"\xff\xc2" + struct.pack(">H", 17) + bytes([8])
+                + struct.pack(">HH", bh * 8, bw * 8) + bytes([3])
+                + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+        dht = (_dht_segment(0x00, DC_LUM_BITS, DC_LUM_VALS)
+               + _dht_segment(0x10, PROG_AC_BITS, PROG_AC_VALS))
+        out = bytearray(b"\xff\xd8" + jfif + dqt + sof2 + dht)
+
+        # scan 1: interleaved DC first pass, Al=1
+        out += _sos_header([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 0, 1)
+        bits = _BitWriter()
+        preds = [0, 0, 0]
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(3):
+                    t = int(comps[ci][by, bx, 0]) >> 1
+                    diff = t - preds[ci]
+                    preds[ci] = t
+                    size = abs(diff).bit_length()
+                    code, ln = dc_codes[size]
+                    bits.write(code, ln)
+                    if size:
+                        bits.write(
+                            diff if diff > 0 else diff + (1 << size) - 1, size)
+        out += bits.flush()
+        # scans 2-4: per-component AC first pass, Al=1
+        for ci, cid in enumerate((1, 2, 3)):
+            out += _sos_header([(cid, 0, 0)], 1, 63, 0, 1)
+            bits = _BitWriter()
+            eob = _EobState(bits, ac_codes)
+            for by in range(bh):
+                for bx in range(bw):
+                    _encode_ac_first_block(comps[ci][by, bx], 1, 63, 1, eob)
+            eob.flush()
+            out += bits.flush()
+        # scan 5: interleaved DC refinement to Al=0
+        out += _sos_header([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 1, 0)
+        bits = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(3):
+                    bits.write(int(comps[ci][by, bx, 0]) & 1, 1)
+        out += bits.flush()
+        # scans 6-8: per-component AC refinement to Al=0
+        for ci, cid in enumerate((1, 2, 3)):
+            out += _sos_header([(cid, 0, 0)], 1, 63, 1, 0)
+            bits = _BitWriter()
+            eob = _EobState(bits, ac_codes)
+            for by in range(bh):
+                for bx in range(bw):
+                    _encode_ac_refine_block(comps[ci][by, bx], 1, 63, 0, eob)
+            eob.flush()
+            out += bits.flush()
+        data = bytes(out) + b"\xff\xd9"
+
+        w, h, gray = decode_jpeg_gray_pixels(data)
+        assert (w, h) == (bw * 8, bh * 8)
+        got = np.frombuffer(gray, dtype=np.uint8).reshape(h, w)
+        # independent expectation: dezigzag + IDCT of the luma grid
+        exp = np.zeros((h, w))
+        for by in range(bh):
+            for bx in range(bw):
+                blk = np.zeros((8, 8))
+                for i, zz in enumerate(ZIGZAG):
+                    blk[zz // 8][zz % 8] = comps[0][by, bx, i]
+                exp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = _A.T @ blk @ _A
+        exp = np.clip(np.rint(exp + 128.0), 0, 255).astype(np.uint8)
+        assert (got == exp).all()
+
     def test_truncated_progressive_yields_none(self):
         from aws_dataset_ingestion_metrics_collection_framework_spark.operators.jpeg import (
             synth_progressive_jpeg_bytes,
