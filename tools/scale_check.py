@@ -79,6 +79,11 @@ PROBES = [
     "hashed_embeddings", "pmi_collocations", "triangles", "psi_drift",
     # r5f: BM25, KMV rollup state, weighted sampling
     "bm25_search", "distinct_rollup", "weighted_sample",
+    # r6: progressive-JPEG decode (map-only Arrow, per-doc Python entropy
+    # decode — growth should be linear in docs), zlib compression signal
+    # (map-only Arrow). bpe_tokenize is NOT probed: its training slice is
+    # pinned to doc_id < 50 at every sf (constant work by design).
+    "jpeg_progressive", "compression_signals",
 ]
 
 SF1_TABLES = (
@@ -215,6 +220,8 @@ def main():
     else:
         small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
         big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+        if len(sys.argv) > 3:  # optional probe subset here too
+            probes = [p for p in PROBES if p in set(sys.argv[3:])]
 
     # ~sf1 probes build broadcast sides and window state an order of
     # magnitude past the bench SF; the default local driver heap (1g) is a
