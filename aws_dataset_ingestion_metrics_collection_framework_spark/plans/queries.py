@@ -4758,6 +4758,67 @@ def _synth_html_col() -> F.Column:
     )
 
 
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal / main-content extraction (r6 —
+    ``html.main_content``, the trafilatura/jusText step between raw HTML
+    and line cleaning) over the same synthesized messy pages as
+    `html_extract`: the nav bar must die by link density, the title/h1
+    stubs by minimum length, the prose paragraphs survive.
+
+    Like HTML_EXTRACT_ORACLE, the oracle does NOT mirror the regex chain:
+    it reconstructs every block's visible text and anchor-char count
+    independently from the documents table and replays only the two
+    integer rules — the split/strip/decode pipeline must invert the page
+    synthesis exactly."""
+    from ..operators import html as HT
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    pages = docs.select("doc_id", _synth_html_col().alias("html"))
+    return HT.main_content(pages, "doc_id", "html").orderBy("doc_id")
+
+
+MAIN_CONTENT_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 'Doc ' || doc_id AS t,
+         trim(substr(text, 1, 40)) AS p1,
+         trim(substr(text, 41, 80)) AS p2,
+         CASE WHEN length(text) > 120 THEN trim(substr(text, 121, 100000))
+              ELSE '' END AS p3
+  FROM documents WHERE doc_id < 400
+),
+b AS (
+  SELECT doc_id,
+         [{'txt': t, 'lc': 0},
+          {'txt': 'Home & About', 'lc': 9},
+          {'txt': t, 'lc': 0},
+          {'txt': p1, 'lc': 0},
+          {'txt': p2, 'lc': 0},
+          {'txt': 'Entities & <tags> "quoted''s" ok', 'lc': 0},
+          {'txt': p3, 'lc': 0}] AS blocks
+  FROM d
+),
+ne AS (
+  SELECT doc_id, list_filter(blocks, s -> s.txt <> '') AS blocks FROM b
+),
+c AS (
+  SELECT doc_id, blocks,
+         list_filter(blocks, s -> length(s.txt) >= 25
+                              AND s.lc * 100 <= length(s.txt) * 33) AS keep
+  FROM ne
+)
+SELECT doc_id,
+       COALESCE(array_to_string(list_transform(keep, s -> s.txt), chr(10)),
+                '') AS main_text,
+       CAST(len(blocks) AS INTEGER) AS n_blocks,
+       CAST(len(keep) AS INTEGER) AS n_content_blocks,
+       CAST(length(COALESCE(array_to_string(list_transform(keep, s -> s.txt),
+                                            chr(10)), '')) AS INTEGER)
+         AS n_chars_main
+FROM c
+ORDER BY doc_id
+"""
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML → text extraction (``operators/html.py``) over deterministic
     messy pages synthesized from documents: script/style/comment traps,
@@ -5471,6 +5532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5: baseline JPEG decode (bit-exact block-constant fixtures)
     "jpeg_features": q_jpeg_features,
     "jpeg_progressive": q_jpeg_progressive,
+    "main_content": q_main_content,
     # r5: HTML -> text extraction (the WARC -> c4_clean bridge)
     "html_extract": q_html_extract,
     # r5: crawl-frontier URL canonicalization + dedup
@@ -5793,6 +5855,7 @@ ORACLES: dict[str, str] = {
     "warc_ingest": WARC_INGEST_ORACLE,
     "jpeg_features": JPEG_FEATURES_ORACLE,
     "jpeg_progressive": JPEG_FEATURES_ORACLE,
+    "main_content": MAIN_CONTENT_ORACLE,
     "html_extract": HTML_EXTRACT_ORACLE,
     "url_dedup": URL_DEDUP_ORACLE,
     "kmv_overlap": KMV_OVERLAP_ORACLE,
@@ -5857,6 +5920,7 @@ _R6_PRIORITY = [
     'hashed_embeddings',
     'psi_drift',
     'jpeg_progressive',
+    'main_content',
     'chi_square',
     'correlations',
     'transition_matrix',

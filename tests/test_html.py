@@ -104,3 +104,80 @@ def test_extract_links(spark, html, want):
     df = spark.createDataFrame([(1, html)], "id int, html string")
     got = [(r["href"], r["anchor_text"]) for r in extract_links(df, "id", "html").collect()]
     assert got == want
+
+
+class TestMainContent:
+    """Boilerplate removal: the two deterministic rules (min length, max
+    link density) kill nav/footer/tag-cloud blocks and keep prose."""
+
+    def _run(self, spark, html, **kw):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.html import main_content
+
+        df = spark.createDataFrame([(1, html)], "id long, html string")
+        return main_content(df, "id", "html", **kw).collect()[0]
+
+    def test_nav_footer_killed_prose_kept(self, spark):
+        prose1 = ("This is a long enough paragraph of real prose content "
+                  "to keep around for sure.")
+        prose2 = ("Another paragraph with plenty of visible characters and "
+                  "just one <a href=\"/x\">link</a> inside it that stays "
+                  "below the density threshold.")
+        page = (
+            '<html><body>'
+            '<div class="nav"><a href="/a">Home</a> | <a href="/b">About us'
+            '</a> | <a href="/c">Contact</a></div>'
+            f'<p>{prose1}</p><p>short</p><p>{prose2}</p>'
+            '<div class="footer"><a href="/p">Privacy</a> '
+            '<a href="/t">Terms</a></div>'
+            '</body></html>'
+        )
+        r = self._run(spark, page)
+        # nav, prose1, short, prose2, footer (trailing </body></html> is
+        # tag-only -> empty -> not a block)
+        assert r["n_blocks"] == 5 and r["n_content_blocks"] == 2
+        lines = r["main_text"].split("\n")
+        assert lines[0] == prose1
+        assert "link inside it" in lines[1] and "<a" not in lines[1]
+        assert r["n_chars_main"] == len(r["main_text"])
+
+    def test_density_rule_is_exact_integer_boundary(self, spark):
+        # text 100 chars, anchor text exactly 33 -> kept (lc*100 == len*33
+        # iff len=100, lc=33); 34 -> dropped
+        filler = "x" * 67
+        for lc, kept in ((33, 1), (34, 0)):
+            body = f'<p><a href="/l">{"y" * lc}</a>{filler[:100 - lc]}</p>'
+            r = self._run(spark, f"<html><body>{body}</body></html>")
+            assert r["n_content_blocks"] == kept, (lc, kept)
+
+    def test_min_chars_rule_and_empty_page(self, spark):
+        r = self._run(spark, "<p>" + "a" * 24 + "</p>")
+        assert r["n_content_blocks"] == 0 and r["main_text"] == ""
+        r = self._run(spark, "<p>" + "a" * 25 + "</p>")
+        assert r["n_content_blocks"] == 1
+        r = self._run(spark, "<html><head></head><body></body></html>")
+        assert r["n_blocks"] == 0 and r["main_text"] == ""
+        assert r["n_chars_main"] == 0
+
+    def test_script_style_never_count_as_content(self, spark):
+        page = ('<html><head><style>body { color: red; /* long long long '
+                'comment that would pass the length rule */ }</style>'
+                '<script>var s = "a very long string constant that would '
+                'also pass the minimum length rule easily";</script>'
+                '</head><body><p>Real prose content that is long enough '
+                'to be kept by the extractor.</p></body></html>')
+        r = self._run(spark, page)
+        assert r["n_content_blocks"] == 1
+        assert r["main_text"].startswith("Real prose")
+
+    def test_entities_decoded_inside_blocks(self, spark):
+        page = ("<p>Entities &amp; &lt;tags&gt; &quot;quoted&#39;s&quot;"
+                "&nbsp;ok plus padding words here</p>")
+        r = self._run(spark, page)
+        assert r["main_text"] == (
+            'Entities & <tags> "quoted\'s" ok plus padding words here'
+        )
+
+    def test_tunable_thresholds(self, spark):
+        page = '<p>twelve chars</p>'
+        assert self._run(spark, page)["n_content_blocks"] == 0
+        assert self._run(spark, page, min_chars=5)["n_content_blocks"] == 1

@@ -83,7 +83,7 @@ PROBES = [
     # decode — growth should be linear in docs), zlib compression signal
     # (map-only Arrow). bpe_tokenize is NOT probed: its training slice is
     # pinned to doc_id < 50 at every sf (constant work by design).
-    "jpeg_progressive", "compression_signals",
+    "jpeg_progressive", "compression_signals", "main_content",
 ]
 
 SF1_TABLES = (
