@@ -1008,7 +1008,17 @@ def synthesize_media(df: DataFrame, *, kind: str) -> DataFrame:
 
     ``df`` needs ``media_id`` (long); for ``kind='audio'`` also
     ``n_samples`` (int). Runs in a map-only ``mapInPandas`` stage.
+
+    The id input is explicitly fanned out to the session's default
+    parallelism first: encoding is CPU-bound per ROW, but the slim id
+    table typically arrives as one or two small-file partitions, which
+    would serialize the whole synthesis (and every decode stage chained
+    on it) onto one core — measured 11.3 s → ~1.5 s at sf0.1 for the
+    progressive-JPEG round trip. A real pipeline reading payloads from a
+    many-file lake gets this parallelism from the scan; a generator has
+    to create it.
     """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     if kind in ("image", "jpeg", "jpeg_progressive"):
         schema = T.StructType(
             [

@@ -3878,10 +3878,16 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planted contract at sf0.1 with accidental distance-0 pairs. PNG /
     BMP pHash dispatch stays pinned by tests/test_phash.py goldens.
 
-    No SQL oracle: a 2-D DCT over decoded pixels is not expressible in
-    DuckDB — the driver's rows-only check applies; the pytest goldens
-    (tests/test_phash.py, tests/test_jpeg.py) pin hash determinism,
-    near-dup tolerance and the pipeline's pair output instead."""
+    Oracled (r6) by GROUND TRUTH rather than reimplementation: the 2-D
+    DCT itself is not SQL-expressible, but the planted-duplicate design
+    makes the EXPECTED OUTPUT closed-form — exactly the (doc_id-1,
+    doc_id) pairs at distance 0 for doc_id % 25 == 1, and nothing else
+    (the hash-mixed block patterns measured 0 accidental collisions
+    across 5000 ids; see synth_jpeg_bytes). A wrong decode, resize, DCT,
+    median or banding step either loses a planted pair or admits a
+    spurious one — both break the hash match. pytest goldens
+    (tests/test_phash.py, tests/test_jpeg.py) additionally pin hash
+    determinism and near-dup tolerance."""
     from ..operators.multimodal import extract_image_phash, synthesize_media
 
     seeds = load_table(spark, sf_dir, "documents").select(
@@ -3900,6 +3906,14 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.filter(F.col("phash").isNotNull()), "media_id", "phash",
         max_hamming=0,
     )
+
+
+IMAGE_PHASH_PAIRS_ORACLE = """
+SELECT doc_id - 1 AS id_a, doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM documents
+WHERE doc_id % 25 = 1 AND doc_id >= 1
+ORDER BY id_a
+"""
 
 
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5856,6 +5870,7 @@ ORACLES: dict[str, str] = {
     "jpeg_features": JPEG_FEATURES_ORACLE,
     "jpeg_progressive": JPEG_FEATURES_ORACLE,
     "main_content": MAIN_CONTENT_ORACLE,
+    "image_phash_pairs": IMAGE_PHASH_PAIRS_ORACLE,
     "html_extract": HTML_EXTRACT_ORACLE,
     "url_dedup": URL_DEDUP_ORACLE,
     "kmv_overlap": KMV_OVERLAP_ORACLE,
@@ -5921,6 +5936,7 @@ _R6_PRIORITY = [
     'psi_drift',
     'jpeg_progressive',
     'main_content',
+    'image_phash_pairs',
     'chi_square',
     'correlations',
     'transition_matrix',
@@ -5939,7 +5955,6 @@ _R6_PRIORITY = [
     'interval_overlap',
     'mad_outliers',
     'pivot_events',
-    'image_phash_pairs',
     'image_thumbnails',
     'pii_scan',
     'pii_redact',
@@ -6074,5 +6089,6 @@ QUERIES = {name: QUERIES[name] for name in _R6_PRIORITY}
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled
 # entries first) so a budget-bounded sweep sees the same priority whichever
-# dict it walks.  image_phash_pairs is intentionally absent (rows-only check).
+# dict it walks.  quality_scores is the single rows-only query left
+# (iterative LBFGS; contract in its docstring).
 ORACLES = {name: ORACLES[name] for name in QUERIES if name in ORACLES}
