@@ -587,3 +587,199 @@ def hashed_doc_embeddings(
         F.array_repeat(F.lit(0.0), dim).alias("embedding"),
     )
     return out.unionByName(empties)
+
+
+# --------------------------- product quantization ---------------------------
+
+
+def _pq_hash(hash_fn: str, col: Column) -> Column:
+    from .dedup import md5_60bit
+
+    return F.xxhash64(col) if hash_fn == "xx" else md5_60bit(col.cast("string"))
+
+
+def _pq_subslices(df: DataFrame, id_col: str, vec_col: str, m: int,
+                  scale_bits: int, out_id: str) -> DataFrame:
+    """(id, sub, svec) rows: the vector quantized to integer units and cut
+    into ``m`` equal subspaces (dim must divide by m — checked per row)."""
+    scale = F.lit(1 << scale_bits)
+    qv = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * scale).cast("long"),
+    )
+    d_sub = (F.size(qv) / m).cast("int")
+    return df.select(
+        F.col(id_col).alias(out_id), qv.alias("_qv"), d_sub.alias("_ds")
+    ).select(
+        out_id,
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("_ds").alias("_ds"),
+        F.col("_qv").alias("_qv"),
+    ).select(
+        out_id, "sub",
+        F.slice(
+            "_qv", F.col("sub") * F.col("_ds") + F.lit(1), F.col("_ds")
+        ).alias("svec"),
+    )
+
+
+def _pq_assign(slices: DataFrame, cents: DataFrame, id_name: str) -> DataFrame:
+    """Nearest centroid per (id, sub): exact integer squared-L2 argmin,
+    ties to the smaller centroid index. Centroids ride ONE broadcast row
+    of (sub, idx, cvec) structs (the IVF plan-size discipline)."""
+    cent_row = cents.agg(
+        F.array_sort(F.collect_list(F.struct("sub", "idx", "cvec"))).alias("_c")
+    )
+    mine = F.filter(F.col("_c"), lambda s: s["sub"] == F.col("sub"))
+    best = F.array_min(
+        F.transform(
+            mine,
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("svec"), s["cvec"], lambda a, b: a - b),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x * x,
+                ).alias("d2"),
+                s["idx"].alias("idx"),
+            ),
+        )
+    )
+    return (
+        slices.crossJoin(F.broadcast(cent_row))
+        .withColumn("_b", best)
+        .select(id_name, "sub", "svec",
+                F.col("_b.idx").alias("code"), F.col("_b.d2").alias("d2"))
+    )
+
+
+def pq_index(
+    corpus: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    scale_bits: int = 20,
+    hash_fn: str = "xx",
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization index (Jégou et al., TPAMI'11): cut each
+    vector into ``m`` subspaces, k-means each subspace independently
+    (deterministic seeding + one Lloyd step), store each vector as ``m``
+    one-byte-ish centroid codes — the 100 TB ANN memory plan: 64 float
+    dims become 4 codes (64× smaller candidate state than raw vectors).
+
+    Returns ``(centroids, codes)``: centroids (sub, idx, cvec
+    array<bigint>), codes (corpus_id, sub, code int).
+
+    Everything runs in integer fixed point (2^scale_bits units, floored
+    integer centroid means, exact BIGINT squared-L2, ties to the smaller
+    index) so training, encoding and ADC scoring are bit-identical across
+    engines, retries and partitionings — with ``hash_fn='md5'`` the WHOLE
+    pipeline (seeding included) replays in DuckDB SQL and the ANN query
+    is hash-exact oracled, the same discipline as `pagerank`/`bpe`.
+
+    Shape: seeds = one k-row TakeOrderedAndProject; assign = map-side
+    argmin against ONE broadcast centroid row; update = one
+    (sub, idx, pos)-keyed slim aggregate. Nothing quadratic, vectors
+    shuffle once per Lloyd step as (id, sub, 16-int) rows.
+    """
+    slices = _pq_subslices(corpus, corpus_id, vec_col, m, scale_bits, "cid")
+    seeds = (
+        corpus.select(
+            F.col(corpus_id).alias("cid"),
+            _pq_hash(hash_fn, F.col(corpus_id)).alias("_h"),
+        )
+        .orderBy("_h", "cid")
+        .limit(k)
+        .select(
+            "cid",
+            (F.row_number().over(Window.orderBy("_h", "cid")) - 1)
+            .cast("int").alias("idx"),
+        )
+    )
+    c0 = (
+        slices.join(F.broadcast(seeds), "cid")
+        .select("sub", "idx", F.col("svec").alias("cvec"))
+    )
+    assigned = _pq_assign(slices, c0, "cid")
+    # floored integer means keep centroids in the exact-integer domain;
+    # clusters emptied by the Lloyd step keep their seed centroid
+    upd = (
+        assigned.select("sub", "code", F.posexplode("svec").alias("pos", "x"))
+        .groupBy("sub", "code", "pos")
+        .agg(F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("cmean"))
+        .groupBy("sub", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cmean"))),
+                lambda s: s["cmean"],
+            ).alias("cvec_new")
+        )
+        .withColumnRenamed("code", "idx")
+    )
+    centroids = (
+        c0.join(upd, ["sub", "idx"], "left")
+        .select("sub", "idx", F.coalesce("cvec_new", "cvec").alias("cvec"))
+    )
+    codes = _pq_assign(slices, centroids, "cid").select(
+        F.col("cid").alias(corpus_id), "sub", "code"
+    )
+    return centroids, codes
+
+
+def pq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k_neighbors: int = 5,
+    m: int = 4,
+    k: int = 16,
+    scale_bits: int = 20,
+    hash_fn: str = "xx",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k: per query, one (m × k) integer
+    distance table against the trained centroids; every corpus vector is
+    scored as the SUM of m table lookups through its stored codes — no
+    corpus vector is ever touched at query time, which is the entire
+    100 TB point (the scan reads 4 ints per vector, not 64 floats).
+
+    Output: (query_id, neighbor_id, adc_dist, rank) — exact integer adc,
+    rank by (adc asc, neighbor asc), self excluded. The lookup is a slim
+    (sub, code) equi-join of the Q·m·k-row broadcast table against the
+    N·m-row code table + one (query, neighbor) sum — shuffle rows carry
+    three ints."""
+    centroids, codes = pq_index(
+        corpus, corpus_id=corpus_id, vec_col=vec_col,
+        m=m, k=k, scale_bits=scale_bits, hash_fn=hash_fn,
+    )
+    qslices = _pq_subslices(queries, query_id, vec_col, m, scale_bits,
+                            "query_id")
+    qtable = (
+        qslices.join(F.broadcast(centroids), "sub")
+        .select(
+            "query_id", "sub", F.col("idx").alias("code"),
+            F.aggregate(
+                F.zip_with(F.col("svec"), F.col("cvec"), lambda a, b: a - b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x * x,
+            ).alias("d2"),
+        )
+    )
+    scored = (
+        codes.withColumnRenamed(corpus_id, "neighbor_id")
+        .join(F.broadcast(qtable), ["sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc_dist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

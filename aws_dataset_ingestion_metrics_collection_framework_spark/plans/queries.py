@@ -4640,6 +4640,103 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (r6 — ``similarity.pq_ann_topk``): 4
+    subspaces × 16 centroids, deterministic md5 seeding, one Lloyd step
+    in integer fixed point, ADC top-5 for the vec_id < 10 queries.
+
+    Unlike `ivf_ann`'s recall contract, the ENTIRE pipeline here is
+    hash-exact oracled: integer units, floored integer centroid means
+    and exact BIGINT squared-L2 (ties to the smaller index) let DuckDB
+    replay seeding, training, encoding and ADC scoring verbatim — the
+    pagerank/bpe discipline applied to vector search."""
+    from ..operators.similarity import pq_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq_ann_topk(
+        emb.filter(F.col("vec_id") < 10), emb,
+        k_neighbors=5, m=4, k=16, hash_fn="md5",
+    )
+    return out.orderBy("query_id", "rank")
+
+
+PQ_ANN_ORACLE = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vals AS MATERIALIZED (
+  SELECT vec_id,
+         CAST((d - 1) // 16 AS INTEGER) AS sub,
+         CAST((d - 1) % 16 AS INTEGER) AS pos,
+         CAST(ROUND(e[d] * 1048576) AS BIGINT) AS x
+  FROM base, UNNEST(range(1, len(e) + 1)) r(d)
+),
+seeds AS MATERIALIZED (
+  SELECT vec_id AS cid,
+         CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS idx
+  FROM (SELECT vec_id,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+                 AS h
+        FROM base)
+  ORDER BY h, vec_id LIMIT 16
+),
+c0 AS MATERIALIZED (
+  SELECT v.sub, s.idx, v.pos, v.x AS c
+  FROM vals v JOIN seeds s ON v.vec_id = s.cid
+),
+d0 AS MATERIALIZED (
+  SELECT v.vec_id, v.sub, c.idx, SUM((v.x - c.c) * (v.x - c.c)) AS d2
+  FROM vals v JOIN c0 c ON c.sub = v.sub AND c.pos = v.pos
+  GROUP BY 1, 2, 3
+),
+a0 AS MATERIALIZED (
+  SELECT vec_id, sub, idx AS code FROM (
+    SELECT vec_id, sub, idx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, idx) AS rn
+    FROM d0) WHERE rn = 1
+),
+upd AS MATERIALIZED (
+  SELECT a.sub, a.code AS idx, v.pos,
+         CAST(FLOOR(CAST(SUM(v.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM a0 a JOIN vals v ON v.vec_id = a.vec_id AND v.sub = a.sub
+  GROUP BY 1, 2, 3
+),
+c1 AS MATERIALIZED (
+  SELECT c0.sub, c0.idx, c0.pos, COALESCE(u.c, c0.c) AS c
+  FROM c0 LEFT JOIN upd u
+    ON u.sub = c0.sub AND u.idx = c0.idx AND u.pos = c0.pos
+),
+d1 AS MATERIALIZED (
+  SELECT v.vec_id, v.sub, c.idx, SUM((v.x - c.c) * (v.x - c.c)) AS d2
+  FROM vals v JOIN c1 c ON c.sub = v.sub AND c.pos = v.pos
+  GROUP BY 1, 2, 3
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, sub, idx AS code FROM (
+    SELECT vec_id, sub, idx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, idx) AS rn
+    FROM d1) WHERE rn = 1
+),
+qt AS MATERIALIZED (
+  SELECT d1.vec_id AS query_id, d1.sub, d1.idx AS code, d1.d2
+  FROM d1 WHERE d1.vec_id < 10
+),
+adc AS (
+  SELECT q.query_id, k.vec_id AS neighbor_id, SUM(q.d2) AS adc_dist
+  FROM codes k JOIN qt q ON q.sub = k.sub AND q.code = k.code
+  WHERE k.vec_id <> q.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+       CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rn
+      FROM adc)
+WHERE rn <= 5
+ORDER BY query_id, rank
+"""
+
+
 def q_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path for cosine near-dup pairs (VERDICT r1 #3): multi-table
     hyperplane-LSH buckets + exact cosine verification, checked for FULL
@@ -5547,6 +5644,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jpeg_features": q_jpeg_features,
     "jpeg_progressive": q_jpeg_progressive,
     "main_content": q_main_content,
+    "pq_ann": q_pq_ann,
     # r5: HTML -> text extraction (the WARC -> c4_clean bridge)
     "html_extract": q_html_extract,
     # r5: crawl-frontier URL canonicalization + dedup
@@ -5871,6 +5969,7 @@ ORACLES: dict[str, str] = {
     "jpeg_progressive": JPEG_FEATURES_ORACLE,
     "main_content": MAIN_CONTENT_ORACLE,
     "image_phash_pairs": IMAGE_PHASH_PAIRS_ORACLE,
+    "pq_ann": PQ_ANN_ORACLE,
     "html_extract": HTML_EXTRACT_ORACLE,
     "url_dedup": URL_DEDUP_ORACLE,
     "kmv_overlap": KMV_OVERLAP_ORACLE,
@@ -5937,6 +6036,7 @@ _R6_PRIORITY = [
     'jpeg_progressive',
     'main_content',
     'image_phash_pairs',
+    'pq_ann',
     'chi_square',
     'correlations',
     'transition_matrix',

@@ -84,6 +84,8 @@ PROBES = [
     # (map-only Arrow). bpe_tokenize is NOT probed: its training slice is
     # pinned to doc_id < 50 at every sf (constant work by design).
     "jpeg_progressive", "compression_signals", "main_content",
+    # r6b: PQ ANN (slim code-table join + broadcast ADC table)
+    "pq_ann",
 ]
 
 SF1_TABLES = (
