@@ -1,0 +1,135 @@
+"""Cross-batch corpus dedup ingest (streaming/dedup.start_corpus_dedup_ingest):
+classify-against-all-history semantics, within-batch dedup, partition-
+versioned idempotence, and the replay guard (base = batch < current id)."""
+
+import json
+
+from pyspark.sql import functions as F, types as T
+
+from aws_dataset_ingestion_metrics_collection_framework_spark.streaming.dedup import (
+    start_corpus_dedup_ingest,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def _feed(src, name, rows):
+    (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def _run(spark, src, corpus, ckpt):
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = start_corpus_dedup_ingest(
+        stream, str(corpus), str(ckpt), "doc_id", "text", available_now=True
+    )
+    q.awaitTermination(120)
+
+
+def _log(spark, corpus):
+    return {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in spark.read.parquet(f"{corpus}/log").collect()
+    }
+
+
+def test_accumulated_history_dedup(spark, tmp_path):
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+
+    _feed(src, "b1.json", [
+        {"doc_id": 1, "text": "alpha beta gamma"},
+        {"doc_id": 2, "text": "delta epsilon zeta"},
+        {"doc_id": 3, "text": "alpha beta gamma"},   # within-batch dup of 1
+    ])
+    _run(spark, src, corpus, ckpt)
+    log = _log(spark, str(corpus))
+    assert log[1] == ("fresh", None)
+    assert log[2] == ("fresh", None)
+    assert log[3] == ("batch_dup", 1)
+
+    # batch 2: one dup of history, one fresh
+    _feed(src, "b2.json", [
+        {"doc_id": 10, "text": "delta epsilon zeta"},  # exact dup of 2
+        {"doc_id": 11, "text": "eta theta iota"},
+    ])
+    _run(spark, src, corpus, ckpt)
+    log = _log(spark, str(corpus))
+    assert log[10] == ("exact_dup", 2)
+    assert log[11] == ("fresh", None)
+
+    # batch 3: dup of a batch-2 landing — history keeps accumulating
+    _feed(src, "b3.json", [
+        {"doc_id": 20, "text": "eta theta iota"},
+    ])
+    _run(spark, src, corpus, ckpt)
+    log = _log(spark, str(corpus))
+    assert log[20] == ("exact_dup", 11)
+
+    # the corpus holds exactly the fresh docs, batch-partitioned
+    data = spark.read.parquet(f"{corpus}/data")
+    assert {r["doc_id"] for r in data.collect()} == {1, 2, 11}
+    assert {r["batch"] for r in data.collect()} == {0, 1}
+    # index is slim: id + 8-byte hash per landed doc
+    idx = spark.read.parquet(f"{corpus}/index")
+    assert idx.count() == 3 and set(idx.columns) == {"doc_id", "_h", "batch"}
+
+
+def test_replay_does_not_self_poison(spark, tmp_path):
+    """Crash between output landing and checkpoint commit: the replayed
+    batch (same batch_id) must classify against batch < id — its own
+    half-landed rows are invisible, so the rerun reproduces identical
+    results instead of marking every doc a dup of itself."""
+    import shutil
+
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+    _feed(src, "b1.json", [
+        {"doc_id": 1, "text": "alpha beta gamma"},
+        {"doc_id": 2, "text": "delta epsilon zeta"},
+    ])
+    _run(spark, src, corpus, ckpt)
+    before = _log(spark, str(corpus))
+    assert before[1][0] == "fresh" and before[2][0] == "fresh"
+
+    shutil.rmtree(ckpt)  # lose the checkpoint: batch re-delivered as id 0
+    _run(spark, src, corpus, ckpt)
+    after = _log(spark, str(corpus))
+    assert after == before
+    assert spark.read.parquet(f"{corpus}/data").count() == 2
+
+
+def test_matches_batch_incremental_dedup(spark, tmp_path):
+    """Stream ≡ batch: the streaming loop's batch-2 classifications equal
+    operators.dedup.incremental_dedup's exact path over (new=batch2,
+    base=batch1)."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dedup import incremental_dedup
+
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+    b1 = [{"doc_id": i, "text": f"common words plus token {i % 3}"}
+          for i in range(6)]
+    b2 = [{"doc_id": 100 + i, "text": f"common words plus token {i}"}
+          for i in range(5)]
+    _feed(src, "b1.json", b1)
+    _run(spark, src, corpus, ckpt)
+    _feed(src, "b2.json", b2)
+    _run(spark, src, corpus, ckpt)
+
+    log = _log(spark, str(corpus))
+    base = spark.read.parquet(f"{corpus}/data").filter("batch = 0").select(
+        "doc_id", "text"
+    )
+    new = spark.createDataFrame([(r["doc_id"], r["text"]) for r in b2],
+                                "doc_id long, text string")
+    ref = {
+        r["doc_id"]: (r["status"], r["match_id"])
+        for r in incremental_dedup(new, base, "doc_id", "text").collect()
+    }
+    for did, (status, match) in ref.items():
+        if status == "exact_dup":
+            assert log[did] == ("exact_dup", match)
+        elif status == "fresh":
+            assert log[did][0] == "fresh"
