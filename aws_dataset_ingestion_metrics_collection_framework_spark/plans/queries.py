@@ -5671,8 +5671,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_histogram": q_value_histogram,
     # r5: forward-fill grid resampling
     "resample_ffill": q_resample_ffill,
-    # r5: distributed BPE tokenizer training (rows-only: iterative
-    # global-argmax — pinned by tests/test_bpe.py reference equality)
+    # r5 (oracled r6): distributed BPE tokenizer training — the full
+    # 30-merge training replays as unrolled materialized CTEs in DuckDB
     "bpe_tokenize": q_bpe_tokenize,
     # r5: contiguous row ids via range-partition + offsets
     "row_ids": q_row_ids,
@@ -5688,7 +5688,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_rollup": q_incremental_rollup,
     # r5: NFC unicode normalization (pandas_udf; DuckDB nfc_normalize oracle)
     "unicode_normalize": q_unicode_normalize,
-    # r5: zlib compression-ratio signal (rows-only: DEFLATE not in SQL)
+    # r5 (oracled r6): zlib compression-ratio signal — independent
+    # driver-local zlib pass embedded as a VALUES-literal oracle
     "compression_signals": q_compression_signals,
     # r5: EXIF APP1/TIFF-IFD metadata round trip (id-arithmetic oracle)
     "exif_metadata": q_exif_metadata,
@@ -5755,8 +5756,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_overlap": q_interval_overlap,
     "mad_outliers": q_mad_outliers,
     "pivot_events": q_pivot_events,
-    # rows-only check: DCT over decoded pixels is not SQL-expressible
-    # (pytest goldens in tests/test_phash.py are the correctness pin)
+    # oracled r6 by GROUND TRUTH: the planted-pair contract is
+    # closed-form SQL even though the DCT itself is not
     "image_phash_pairs": q_image_phash_pairs,
     "image_thumbnails": q_image_thumbnails,
     # corpus curation (PII / domains / sampling / entropy)
