@@ -61,6 +61,22 @@ def test_matches_python_reference_on_corpus(spark, sf_dir):
     assert got_words == want_words
 
 
+def test_distributed_iterations_match_driver_path(spark, sf_dir):
+    """Size-adaptive execution pin (r6): threshold=0 forces the
+    distributed per-iteration path; it must produce byte-identical
+    merges AND final symbol tables to the driver-local loop (and hence
+    to the pure-Python reference) on real corpus data."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    m_local, v_local = B.train_bpe(docs, "text", num_merges=15)
+    m_dist, v_dist = B.train_bpe(
+        docs, "text", num_merges=15, driver_vocab_threshold=0
+    )
+    assert m_dist == m_local
+    wl = {r["word"]: list(r["syms"]) for r in v_local.collect()}
+    wd = {r["word"]: list(r["syms"]) for r in v_dist.collect()}
+    assert wd == wl
+
+
 def test_training_is_deterministic(spark):
     rows = [(i, "low lower lowest newer newest wide wider") for i in range(4)]
     df = spark.createDataFrame(rows, "id long, text string")
