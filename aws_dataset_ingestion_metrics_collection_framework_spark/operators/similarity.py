@@ -783,3 +783,78 @@ def pq_ann_topk(
         .filter(F.col("rank") <= k_neighbors)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+# --------------------------- hard-negative mining ---------------------------
+
+
+def mine_hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    positives: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    method: str = "brute",
+    **ann_kwargs,
+) -> DataFrame:
+    """Hard negatives for retrieval/embedding training: per query, the
+    ``k`` most-similar corpus items that are NOT labeled positives — the
+    standard contrastive-training data-prep step (easy random negatives
+    teach a model nothing once it separates topics; the negatives that
+    matter are the near-misses this mines).
+
+    ``positives``: (query_id, corpus_id) labeled pairs. ``method``:
+    ``'brute'`` (exact, broadcast queries — the oracle-checkable face) or
+    ``'lsh'`` (bucketed candidates at corpus scale). Ranking is dense
+    per query AFTER the positive/self exclusion, so the output is always
+    the top-k true negatives, not a top-k with holes.
+
+    Shape: the candidate generation is whatever the underlying searcher
+    does; the exclusion is one left_anti join against the (slim) label
+    pairs; re-ranking is the usual per-query window over ≤ a few·k rows.
+    """
+    overfetch = k + 1  # self-match occupies one slot in the underlying top-k
+    n_pos = None
+    if method == "brute":
+        # fetch enough that dropping positives+self still leaves k:
+        # positives per query are bounded by the label table (small);
+        # cap the overfetch at k + max positives per query + 1
+        n_pos = (
+            positives.groupBy(query_id).count().agg(F.max("count")).collect()[0][0]
+        )
+        overfetch = k + int(n_pos or 0) + 1
+        cand = brute_force_topk(
+            queries, corpus, query_id=query_id, corpus_id=corpus_id,
+            vec_col=vec_col, k=overfetch,
+        )
+    elif method == "lsh":
+        n_pos = (
+            positives.groupBy(query_id).count().agg(F.max("count")).collect()[0][0]
+        )
+        overfetch = k + int(n_pos or 0) + 1
+        cand = lsh_ann_topk(
+            queries, corpus, query_id=query_id, corpus_id=corpus_id,
+            vec_col=vec_col, k=overfetch, **ann_kwargs,
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    neg = cand.join(
+        positives.select(
+            F.col(query_id).alias("query_id"),
+            F.col(corpus_id).alias("neighbor_id"),
+        ),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("cosine", 6).alias("cosine"), "neg_rank")
+    )

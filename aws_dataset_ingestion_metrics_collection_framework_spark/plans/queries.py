@@ -1560,6 +1560,53 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (r6 — ``similarity.mine_hard_negatives``, the
+    contrastive-retrieval data-prep step): each query's labeled positive
+    is its exact nearest neighbor; the output is the 5 most-similar
+    corpus items BEYOND it (dense re-rank after the positive/self
+    exclusion). The oracle recomputes the full exact ranking and shifts
+    past rank 1 — the overfetch + anti-join + re-rank chain must land on
+    exactly those rows."""
+    from ..operators.similarity import brute_force_topk, mine_hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    positives = brute_force_topk(q, emb, k=1).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    out = mine_hard_negatives(
+        q.select(F.col("vec_id").alias("query_id"), "embedding"),
+        emb, positives, k=5,
+    )
+    return out.orderBy("query_id", "neg_rank")
+
+
+HARD_NEGATIVES_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+           AS cos_raw
+  FROM q, c WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine,
+       rank - 1 AS neg_rank
+FROM ranked WHERE rank BETWEEN 2 AND 6
+ORDER BY query_id, neg_rank
+"""
+
+
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
@@ -5645,6 +5692,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jpeg_progressive": q_jpeg_progressive,
     "main_content": q_main_content,
     "pq_ann": q_pq_ann,
+    "hard_negatives": q_hard_negatives,
     # r5: HTML -> text extraction (the WARC -> c4_clean bridge)
     "html_extract": q_html_extract,
     # r5: crawl-frontier URL canonicalization + dedup
@@ -5971,6 +6019,7 @@ ORACLES: dict[str, str] = {
     "main_content": MAIN_CONTENT_ORACLE,
     "image_phash_pairs": IMAGE_PHASH_PAIRS_ORACLE,
     "pq_ann": PQ_ANN_ORACLE,
+    "hard_negatives": HARD_NEGATIVES_ORACLE,
     "html_extract": HTML_EXTRACT_ORACLE,
     "url_dedup": URL_DEDUP_ORACLE,
     "kmv_overlap": KMV_OVERLAP_ORACLE,
@@ -6038,6 +6087,7 @@ _R6_PRIORITY = [
     'main_content',
     'image_phash_pairs',
     'pq_ann',
+    'hard_negatives',
     'chi_square',
     'correlations',
     'transition_matrix',

@@ -108,3 +108,57 @@ class TestPqAnn:
         for fn in ("xx", "md5"):
             out = pq_ann_topk(q, df, k_neighbors=4, m=4, k=8, hash_fn=fn)
             assert out.count() == 3 * 4
+
+
+class TestHardNegatives:
+    def test_positives_excluded_and_rank_dense(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+            brute_force_topk,
+            mine_hard_negatives,
+        )
+
+        df = _clustered(spark, n_clusters=4, per_cluster=10)
+        q = df.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        # positives: the top-2 exact neighbors per query
+        pos = brute_force_topk(
+            df.filter(F.col("vec_id") < 3), df, k=2
+        ).select("query_id", F.col("neighbor_id").alias("vec_id"))
+        out = mine_hard_negatives(q, df, pos, k=4)
+        rows = out.collect()
+        pos_set = {(r["query_id"], r["vec_id"]) for r in pos.collect()}
+        by_q = {}
+        for r in rows:
+            assert (r["query_id"], r["neighbor_id"]) not in pos_set
+            assert r["query_id"] != r["neighbor_id"]
+            by_q.setdefault(r["query_id"], []).append(r["neg_rank"])
+        for ranks in by_q.values():
+            assert sorted(ranks) == [1, 2, 3, 4]  # dense after exclusion
+        # negatives = exact ranks 3..6 (top-2 are the positives)
+        full = brute_force_topk(df.filter(F.col("vec_id") < 3), df, k=6)
+        want = {(r["query_id"], r["neighbor_id"])
+                for r in full.collect() if r["rank"] > 2}
+        got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        assert got == want
+
+    def test_lsh_method_produces_valid_negatives(self, spark):
+        from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        df = _clustered(spark, n_clusters=4, per_cluster=10, dim=16)
+        q = df.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        pos = spark.createDataFrame(
+            [(0, 1), (1, 2)], "query_id long, vec_id long"
+        )
+        out = mine_hard_negatives(
+            q, df, pos, k=3, method="lsh", n_planes=2, n_tables=8
+        )
+        rows = out.collect()
+        assert {(r["query_id"], r["neighbor_id"]) for r in rows}.isdisjoint(
+            {(0, 1), (1, 2)}
+        )
+        assert all(r["neg_rank"] <= 3 for r in rows)
