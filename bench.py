@@ -119,6 +119,11 @@ HEADLINE = [
     # iterations + trained-vocab join) — each sets its own r6 baseline
     "jpeg_progressive",
     "bpe_tokenize",
+    # r6b: PQ ANN (integer subspace k-means + broadcast ADC table + slim
+    # (sub, code) join) and hard-negative mining (bounded overfetch +
+    # anti-join exclusion over the brute path)
+    "pq_ann",
+    "hard_negatives",
 ]
 
 # Benched since r1 — the frozen cross-round comparison basket (see §3 above).
