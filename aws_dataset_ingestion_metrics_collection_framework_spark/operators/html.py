@@ -47,10 +47,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 _SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script\s*>"
 _STYLE_RE = r"(?is)<style\b[^>]*>.*?</style\s*>"
 _COMMENT_RE = r"(?s)<!--.*?-->"
-_BLOCK_CLOSE_RE = (
-    r"(?i)</(p|div|h[1-6]|li|tr|td|ul|ol|table|blockquote|title|section"
-    r"|article|header|footer)\s*>"
+_BLOCK_TAGS = (
+    "p|div|h[1-6]|li|tr|td|ul|ol|table|blockquote|title|section"
+    "|article|header|footer"
 )
+_BLOCK_CLOSE_RE = r"(?i)</(" + _BLOCK_TAGS + r")\s*>"
 _BR_RE = r"(?i)<br\s*/?\s*>"
 _TAG_RE = r"<[^>]*>"
 _HSPACE_RE = r"[ \t\r]+"
@@ -166,10 +167,8 @@ def html_to_text_oracle_sql(
 
 
 # block boundary = the same closers that become newlines in extract_text_col
-_BLOCK_SPLIT_RE = (
-    r"(?i)</(p|div|h[1-6]|li|tr|td|ul|ol|table|blockquote|title|section"
-    r"|article|header|footer)\s*>|<br\s*/?\s*>"
-)
+# (derived from the SAME tag list so the two can never drift)
+_BLOCK_SPLIT_RE = r"(?i)</(" + _BLOCK_TAGS + r")\s*>|<br\s*/?\s*>"
 
 
 def _block_text(b: Column) -> Column:

@@ -661,10 +661,12 @@ def pq_index(
     k: int = 16,
     scale_bits: int = 20,
     hash_fn: str = "xx",
+    lloyd_iters: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Product-quantization index (Jégou et al., TPAMI'11): cut each
     vector into ``m`` subspaces, k-means each subspace independently
-    (deterministic seeding + one Lloyd step), store each vector as ``m``
+    (deterministic seeding + ``lloyd_iters`` Lloyd steps; the oracled
+    query face pins the default of one), store each vector as ``m``
     one-byte-ish centroid codes — the 100 TB ANN memory plan: 64 float
     dims become 4 codes (64× smaller candidate state than raw vectors).
 
@@ -697,30 +699,38 @@ def pq_index(
             .cast("int").alias("idx"),
         )
     )
-    c0 = (
+    centroids = (
         slices.join(F.broadcast(seeds), "cid")
         .select("sub", "idx", F.col("svec").alias("cvec"))
     )
-    assigned = _pq_assign(slices, c0, "cid")
-    # floored integer means keep centroids in the exact-integer domain;
-    # clusters emptied by the Lloyd step keep their seed centroid
-    upd = (
-        assigned.select("sub", "code", F.posexplode("svec").alias("pos", "x"))
-        .groupBy("sub", "code", "pos")
-        .agg(F.floor(F.sum("x") / F.count(F.lit(1))).cast("long").alias("cmean"))
-        .groupBy("sub", "code")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cmean"))),
-                lambda s: s["cmean"],
-            ).alias("cvec_new")
+    for _ in range(lloyd_iters):
+        assigned = _pq_assign(slices, centroids, "cid")
+        # floored integer means keep centroids in the exact-integer
+        # domain; clusters emptied by a Lloyd step keep their previous
+        # centroid
+        upd = (
+            assigned.select(
+                "sub", "code", F.posexplode("svec").alias("pos", "x")
+            )
+            .groupBy("sub", "code", "pos")
+            .agg(
+                F.floor(F.sum("x") / F.count(F.lit(1)))
+                .cast("long").alias("cmean")
+            )
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cmean"))),
+                    lambda s: s["cmean"],
+                ).alias("cvec_new")
+            )
+            .withColumnRenamed("code", "idx")
         )
-        .withColumnRenamed("code", "idx")
-    )
-    centroids = (
-        c0.join(upd, ["sub", "idx"], "left")
-        .select("sub", "idx", F.coalesce("cvec_new", "cvec").alias("cvec"))
-    )
+        centroids = (
+            centroids.join(upd, ["sub", "idx"], "left")
+            .select("sub", "idx", F.coalesce("cvec_new", "cvec").alias("cvec"))
+            .localCheckpoint(eager=False)  # truncate per-iteration lineage
+        )
     codes = _pq_assign(slices, centroids, "cid").select(
         F.col("cid").alias(corpus_id), "sub", "code"
     )
