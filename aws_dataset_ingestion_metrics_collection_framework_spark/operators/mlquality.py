@@ -94,3 +94,122 @@ def quality_report(model, labeled: DataFrame, label_col: str) -> DataFrame:
     return spark.createDataFrame(
         [(float(round(auc, 4)), n, pos)], "auc double, n_train long, n_pos long"
     )
+
+
+# ------------------- exact fixed-point linear classifier -------------------
+
+
+def fit_linear_quality_exact(
+    labeled: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    *,
+    dim: int = 64,
+    iters: int = 5,
+    lr_shift: int = 14,
+    scale_bits: int = 20,
+) -> tuple[list[int], DataFrame]:
+    """Deterministic linear quality classifier — the engine-owned,
+    ORACLE-REPLAYABLE complement to the MLlib LBFGS face above.
+
+    Model: hashed bag-of-words (md5 bucket counts, ``dim`` buckets + a
+    bias slot) through a linear score, trained by ``iters`` full-batch
+    gradient steps with a HARD-SIGMOID link — the clipped-linear
+    approximation clamp(1/2 + z/4, 0, 1). The substitution is the whole
+    trick: exp() is not bit-identical across JVMs and libms, but the
+    hard sigmoid is piecewise linear, so with weights, counts, errors
+    and gradients all held in 2^-scale_bits integer units EVERY quantity
+    in training is an exact BIGINT — sums are order-independent, and the
+    learning-rate step is a floor-division by 2^lr_shift (exact in
+    doubles: both operands powers of two). Training is therefore
+    bit-identical across engines, retries and partitionings, and the
+    whole loop unrolls into DuckDB CTEs (see QUALITY_EXACT_ORACLE) —
+    closing the "iterative training is never oracle-checkable" gap
+    LBFGS genuinely has.
+
+    Shape per iteration: one logits aggregation (feats ⨝ broadcast
+    65-row weights), one gradient aggregation (feats ⨝ per-doc error,
+    both already doc-keyed) — the classic distributed full-batch GD
+    pair of shuffles; weights themselves are bounded planning data
+    (dim+1 rows) and ride the driver like BPE's merge list.
+
+    Returns (weights, scores_df): weights as the final integer list
+    (index dim = bias), scores_df = (id, label, logit_units, pred).
+    """
+    from .dedup import md5_60bit, tokenize
+
+    half = 1 << (scale_bits - 1)
+    one = 1 << scale_bits
+
+    toks = labeled.select(
+        F.col(id_col),
+        F.explode(tokenize(F.col(text_col))).alias("_w"),
+    )
+    feats = (
+        toks.groupBy(
+            id_col, F.pmod(md5_60bit(F.col("_w")), F.lit(dim)).alias("j")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+        .unionByName(
+            labeled.select(
+                F.col(id_col), F.lit(dim).alias("j"), F.lit(1).alias("x")
+            ).withColumn("j", F.col("j").cast("bigint"))
+        )
+        .select(id_col, F.col("j").cast("int").alias("j"),
+                F.col("x").cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    y = labeled.select(
+        F.col(id_col), (F.col(label_col).cast("long") * one).alias("_yu")
+    )
+
+    spark = labeled.sparkSession
+    weights = [0] * (dim + 1)
+    for _ in range(iters):
+        w_df = F.broadcast(spark.createDataFrame(
+            [(j, w) for j, w in enumerate(weights)], "j int, w long"
+        ))
+        logits = (
+            feats.join(w_df, "j")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("x") * F.col("w")).alias("_lg"))
+        )
+        p = F.least(
+            F.greatest(
+                F.lit(half) + F.floor(F.col("_lg") / F.lit(4.0)).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(one),
+        )
+        err = logits.join(y, id_col).select(
+            id_col, (F.col("_yu") - p).alias("_e")
+        )
+        grad_rows = (
+            feats.join(err, id_col)
+            .groupBy("j")
+            .agg(F.sum(F.col("x") * F.col("_e")).alias("g"))
+            .collect()
+        )
+        denom = float(1 << lr_shift)
+        import math
+
+        for r in grad_rows:
+            weights[r["j"]] += int(math.floor(r["g"] / denom))
+
+    w_df = F.broadcast(spark.createDataFrame(
+        [(j, w) for j, w in enumerate(weights)], "j int, w long"
+    ))
+    scores = (
+        feats.join(w_df, "j")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("x") * F.col("w")).alias("logit_units"))
+        .join(labeled.select(id_col, label_col), id_col)
+        .select(
+            id_col,
+            F.col(label_col).cast("int").alias("label"),
+            "logit_units",
+            (F.col("logit_units") > 0).cast("int").alias("pred"),
+        )
+    )
+    return weights, scores
