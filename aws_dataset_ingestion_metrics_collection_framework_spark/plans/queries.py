@@ -3550,7 +3550,7 @@ SELECT ROUND(SUM((o - CAST(r AS DOUBLE) * c / n)
                  * (o - CAST(r AS DOUBLE) * c / n)
                  / (CAST(r AS DOUBLE) * c / n)), 6) AS chi2,
        CAST(MAX((na - 1) * (nb - 1)) AS BIGINT) AS dof,
-       MAX(n) AS n_rows,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
        CAST(MAX(na) AS BIGINT) AS n_a,
        CAST(MAX(nb) AS BIGINT) AS n_b
 FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
@@ -3676,7 +3676,8 @@ marked AS (
 ),
 runs AS (
   SELECT *,
-         SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+         CAST(SUM(st) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS BIGINT)
            AS burst_id
   FROM marked
 )

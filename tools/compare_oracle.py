@@ -19,6 +19,7 @@ import duckdb
 import __spark_entry__ as entry_mod
 from aws_dataset_ingestion_metrics_collection_framework_spark import get_spark
 from aws_dataset_ingestion_metrics_collection_framework_spark.catalog import TESTDATA_TABLES
+from tools.oracle_dtypes import dtype_mismatches, duck_oracle_schema
 
 
 def normalize(v):
@@ -67,6 +68,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             spark_cols = [c.lower() for c in sdf.columns]
+            spark_schema = sdf.schema
             spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
@@ -86,6 +88,13 @@ def main():
         if sorted(spark_cols) != sorted(duck_cols):
             failures.append(name)
             print(f"FAIL {name}: columns differ\n  spark={spark_cols}\n  duck ={duck_cols}")
+            continue
+        # Dtype-strict: the driver's hash gate is dtype-sensitive (a
+        # DuckDB HUGEINT hash-mismatches a Spark BIGINT on equal values).
+        bad = dtype_mismatches(spark_schema, duck_oracle_schema(con, oracles[name]))
+        if bad:
+            failures.append(name)
+            print(f"FAIL {name}: dtype mismatch (gate-punishable): {bad}")
             continue
         if len(spark_rows) != len(duck_rows):
             failures.append(name)
