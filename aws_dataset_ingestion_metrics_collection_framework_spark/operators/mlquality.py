@@ -106,23 +106,30 @@ def fit_linear_quality_exact(
     label_col: str,
     *,
     dim: int = 64,
-    iters: int = 5,
-    lr_shift: int = 14,
+    iters: int = 10,
+    lr_shift: int = 6,
     scale_bits: int = 20,
+    bias_x: int = 16,
 ) -> tuple[list[int], DataFrame]:
     """Deterministic linear quality classifier — the engine-owned,
     ORACLE-REPLAYABLE complement to the MLlib LBFGS face above.
 
     Model: hashed bag-of-words (md5 bucket counts, ``dim`` buckets + a
-    bias slot) through a linear score, trained by ``iters`` full-batch
-    gradient steps with a HARD-SIGMOID link — the clipped-linear
-    approximation clamp(1/2 + z/4, 0, 1). The substitution is the whole
+    bias slot whose feature value is ``bias_x`` — scaled up so the
+    intercept learns at a rate comparable to the token weights, whose
+    effective step grows with Σx²) through a linear score, trained by
+    ``iters`` full-batch gradient steps with a HARD-SIGMOID link — the
+    clipped-linear approximation clamp(1/2 + z/4, 0, 1). The substitution is the whole
     trick: exp() is not bit-identical across JVMs and libms, but the
     hard sigmoid is piecewise linear, so with weights, counts, errors
     and gradients all held in 2^-scale_bits integer units EVERY quantity
     in training is an exact BIGINT — sums are order-independent, and the
-    learning-rate step is a floor-division by 2^lr_shift (exact in
-    doubles: both operands powers of two). Training is therefore
+    learning-rate step is floor(g / (n_docs · 2^lr_shift)): the gradient
+    is AVERAGED per example (the step stays bounded as the corpus grows —
+    a summed gradient oscillates at any fixed rate once n is large), and
+    the division is reproducible because both operands are
+    exactly-representable integers (< 2^53), so the IEEE-754 quotient is
+    correctly rounded identically in every engine. Training is therefore
     bit-identical across engines, retries and partitionings, and the
     whole loop unrolls into DuckDB CTEs (see QUALITY_EXACT_ORACLE) —
     closing the "iterative training is never oracle-checkable" gap
@@ -153,7 +160,7 @@ def fit_linear_quality_exact(
         .agg(F.count(F.lit(1)).alias("x"))
         .unionByName(
             labeled.select(
-                F.col(id_col), F.lit(dim).alias("j"), F.lit(1).alias("x")
+                F.col(id_col), F.lit(dim).alias("j"), F.lit(bias_x).alias("x")
             ).withColumn("j", F.col("j").cast("bigint"))
         )
         .select(id_col, F.col("j").cast("int").alias("j"),
@@ -165,6 +172,8 @@ def fit_linear_quality_exact(
     )
 
     spark = labeled.sparkSession
+    n_docs = labeled.count()
+    denom = float(n_docs << lr_shift)
     weights = [0] * (dim + 1)
     for _ in range(iters):
         w_df = F.broadcast(spark.createDataFrame(
@@ -191,7 +200,6 @@ def fit_linear_quality_exact(
             .agg(F.sum(F.col("x") * F.col("_e")).alias("g"))
             .collect()
         )
-        denom = float(1 << lr_shift)
         import math
 
         for r in grad_rows:
