@@ -601,13 +601,25 @@ def _pq_hash(hash_fn: str, col: Column) -> Column:
 def _pq_subslices(df: DataFrame, id_col: str, vec_col: str, m: int,
                   scale_bits: int, out_id: str) -> DataFrame:
     """(id, sub, svec) rows: the vector quantized to integer units and cut
-    into ``m`` equal subspaces (dim must divide by m — checked per row)."""
+    into ``m`` equal subspaces (dim must divide by m — checked per row;
+    the check is fused into the slice-width expression so Catalyst cannot
+    prune it, and a violating row fails the job rather than silently
+    truncating the trailing dim % m dimensions)."""
     scale = F.lit(1 << scale_bits)
     qv = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * scale).cast("long"),
     )
-    d_sub = (F.size(qv) / m).cast("int")
+    d_sub = F.when(
+        F.size(qv) % m == 0, (F.size(qv) / m).cast("int")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("PQ: vector dim "), F.size(qv).cast("string"),
+                F.lit(f" is not divisible by m={m}"),
+            )
+        ).cast("int")
+    )
     return df.select(
         F.col(id_col).alias(out_id), qv.alias("_qv"), d_sub.alias("_ds")
     ).select(

@@ -93,11 +93,18 @@ def start_corpus_dedup_ingest(
             F.xxhash64(F.col(text_col)).alias("_h"),
         ).localCheckpoint(eager=True)  # several passes below
 
-        try:
+        # Existence probe, NOT a bare try/except around the read: a
+        # transient read failure (object-store hiccup, permission blip)
+        # must fail the micro-batch so the checkpoint retries it — if it
+        # were swallowed as "first batch", every incoming doc would be
+        # classified fresh and duplicates would land in the corpus.
+        from ..sources import fsio
+
+        if fsio.exists(f"{corpus_path}/index", spark):
             base_idx = spark.read.parquet(f"{corpus_path}/index").filter(
                 F.col("batch") < batch_id
             )
-        except Exception:  # first batch ever: no index yet
+        else:  # first batch ever: no index yet
             base_idx = None
 
         if base_idx is not None:

@@ -162,3 +162,18 @@ class TestHardNegatives:
             {(0, 1), (1, 2)}
         )
         assert all(r["neg_rank"] <= 3 for r in rows)
+
+
+class TestPqDimCheck:
+    def test_indivisible_dim_raises(self, spark):
+        """dim % m != 0 must fail loudly, not silently truncate the tail
+        dimensions out of training/encoding/ADC scoring."""
+        import pytest as _pytest
+
+        df = spark.createDataFrame(
+            [(0, [0.1, 0.2, 0.3, 0.4, 0.5])],
+            "vec_id long, embedding array<double>",
+        )
+        with _pytest.raises(Exception) as ei:
+            pq_index(df, m=4, k=2)
+        assert "not divisible" in str(ei.value)
