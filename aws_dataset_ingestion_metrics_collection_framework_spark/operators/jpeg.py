@@ -47,6 +47,7 @@ blocks are still entropy-decoded to advance the bit stream correctly.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 from typing import Optional, Tuple
 
 import numpy as np
@@ -101,9 +102,31 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, for bit-serial decoding."""
-    return {(ln, c): s for s, (c, ln) in _canonical_codes(bits, vals).items()}
+def _decode_table(bits: list[int], vals: list[int]):
+    """Decoder table pair ``(fast, slow)``: ``fast`` maps an 8-bit lookahead
+    straight to ``(symbol, code_length)`` for every code of ≤ 8 bits (one
+    list index per symbol instead of a dict probe per bit — codes are short
+    in practice, so this is the hot path); ``slow`` is the full
+    (length, code) → symbol dict the bit-serial fallback walks for longer
+    codes. Construction is memoized on the table bytes: files overwhelmingly
+    reuse a handful of tables (the Annex K defaults and per-encoder
+    presets), and rebuilding them per payload was ~25% of decode time."""
+    return _decode_table_cached(bytes(bits), bytes(vals))
+
+
+@lru_cache(maxsize=256)
+def _decode_table_cached(bits: bytes, vals: bytes):
+    slow = {(ln, c): s for s, (c, ln) in _canonical_codes(list(bits), list(vals)).items()}
+    fast: list = [None] * 256
+    for (ln, c), s in slow.items():
+        if ln <= 8:
+            base = c << (8 - ln)
+            for i in range(1 << (8 - ln)):
+                fast[base | i] = (s, ln)
+    return fast, slow
+
+
+_EMPTY_HUFF = ([None] * 256, {})
 
 
 # Orthonormal 8×8 DCT basis: F = A f Aᵀ (forward), f = Aᵀ F A (inverse)
@@ -566,7 +589,10 @@ class _BitReader:
                 return False
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask to 64 bits: nbits never exceeds ~24, and an unmasked
+        # accumulator grows into a multi-kilobit int whose shifts slow
+        # every subsequent read on long entropy segments
+        self.acc = ((self.acc << 8) | b) & 0xFFFFFFFFFFFFFFFF
         self.nbits += 8
         return True
 
@@ -577,10 +603,27 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            if not self._fill():
+                raise EOFError("entropy segment exhausted")
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def peek8(self) -> int:
+        """Next 8 bits without consuming (zero-padded past segment end —
+        only malformed streams decode into the padding, and they fail the
+        consume-length check)."""
+        while self.nbits < 8:
+            if not self._fill():
+                return (self.acc << (8 - self.nbits)) & 0xFF
+        return (self.acc >> (self.nbits - 8)) & 0xFF
+
+    def consume(self, n: int) -> None:
+        if n > self.nbits:
+            raise EOFError("entropy segment exhausted")
+        self.nbits -= n
 
     def skip_rst(self) -> None:
         """Discard pad bits and consume the RSTn marker at the current
@@ -598,11 +641,16 @@ class _BitReader:
             self.pos += 2  # the FF Dn pair
 
 
-def _read_huff_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+def _read_huff_symbol(br: _BitReader, table) -> int:
+    fast, slow = table
+    hit = fast[br.peek8()]
+    if hit is not None:
+        br.consume(hit[1])
+        return hit[0]
     code = 0
     for length in range(1, 17):
         code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
+        sym = slow.get((length, code))
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code")
@@ -612,19 +660,16 @@ def _extend(v: int, size: int) -> int:
     return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
 
 
-def _decode_block(
-    br: _BitReader,
-    dc_tab: dict[tuple[int, int], int],
-    ac_tab: dict[tuple[int, int], int],
-    quant: np.ndarray,
-    pred: int,
-) -> tuple[np.ndarray, int]:
-    """One 8×8 block: returns (spatial pixels float64, new DC predictor)."""
-    coeffs = np.zeros(64, dtype=np.float64)
+def _decode_block_coeffs(br: _BitReader, dc_tab, ac_tab, out, pred: int) -> int:
+    """One 8×8 block's Huffman-coded coefficients into ``out`` (a length-64
+    zigzag-order view); returns the new DC predictor. Dequant/dezigzag/IDCT
+    are deliberately NOT here — they batch over all blocks at scan end
+    (``_blocks_to_plane``), leaving only the irreducibly bit-serial entropy
+    decode in the per-block Python loop."""
     size = _read_huff_symbol(br, dc_tab)
     diff = _extend(br.read_bits(size), size) if size else 0
     dc = pred + diff
-    coeffs[0] = dc
+    out[0] = dc
     k = 1
     while k < 64:
         rs = _read_huff_symbol(br, ac_tab)
@@ -637,13 +682,24 @@ def _decode_block(
         k += run
         if k > 63:
             raise ValueError("AC run overflow")
-        coeffs[k] = _extend(br.read_bits(size), size)
+        out[k] = _extend(br.read_bits(size), size)
         k += 1
-    block = np.zeros((8, 8), dtype=np.float64)
-    dq = coeffs * quant
-    for i, zz in enumerate(ZIGZAG):
-        block[zz // 8][zz % 8] = dq[i]
-    return _A.T @ block @ _A, dc
+    return dc
+
+
+def _blocks_to_plane(grid: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """(nby, nbx, 64) zigzag coefficient grid → level-shifted spatial plane:
+    dequant, dezigzag and IDCT for ALL blocks in three vectorized ops (the
+    bit-serial entropy decode is the unavoidable Python loop; this isn't)."""
+    nby, nbx = grid.shape[:2]
+    dq = grid.astype(np.float64) * quant  # both in zigzag order
+    raster = np.zeros((nby, nbx, 64), dtype=np.float64)
+    raster[:, :, ZIGZAG] = dq
+    blocks = raster.reshape(nby, nbx, 8, 8)
+    spatial = (_A.T @ blocks) @ _A  # broadcast matmul beats einsum at
+    # these grid sizes (einsum's subscript machinery dominated small images)
+    plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+    return plane + 128.0
 
 
 def decode_jpeg_gray_pixels(data: bytes) -> Tuple[int, int, Optional[bytes]]:
@@ -770,8 +826,8 @@ def _decode_scan(
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
+    coeffs = {
+        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64))
         for c in comps
     }
     preds = {c["id"]: 0 for c in comps}
@@ -786,16 +842,14 @@ def _decode_scan(
                 td, ta = scan_sel[c["id"]]
                 for v in range(c["v"]):
                     for hh in range(c["h"]):
-                        block, preds[c["id"]] = _decode_block(
+                        preds[c["id"]] = _decode_block_coeffs(
                             br, dc_tabs[td], ac_tabs[ta],
-                            quants[c["tq"]], preds[c["id"]],
+                            coeffs[c["id"]][my * c["v"] + v, mx * c["h"] + hh],
+                            preds[c["id"]],
                         )
-                        y0 = (my * c["v"] + v) * 8
-                        x0 = (mx * c["h"] + hh) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu += 1
     y_comp = comps[0]  # first component is luma (grayscale: the only one)
-    plane = planes[y_comp["id"]] + 128.0
+    plane = _blocks_to_plane(coeffs[y_comp["id"]], quants[y_comp["tq"]])
     if y_comp["h"] != hmax or y_comp["v"] != vmax:
         plane = plane.repeat(hmax // y_comp["h"], axis=1).repeat(
             vmax // y_comp["v"], axis=0
@@ -983,7 +1037,7 @@ def _progressive_scan(
                         for hh in range(c["h"]):
                             blk = coeff_store[cid][my * c["v"] + v, mx * c["h"] + hh]
                             preds[cid] = _decode_dc_block_prog(
-                                br, blk, dc_tabs.get(td, {}), preds[cid], ah, al
+                                br, blk, dc_tabs.get(td, _EMPTY_HUFF), preds[cid], ah, al
                             )
                 mcu += 1
         return _next_marker_pos(data, br.pos)
@@ -1001,7 +1055,7 @@ def _progressive_scan(
             blk = coeff_store[cid][by, bx]
             if ss == 0:
                 preds[cid] = _decode_dc_block_prog(
-                    br, blk, dc_tabs.get(td, {}), preds[cid], ah, al
+                    br, blk, dc_tabs.get(td, _EMPTY_HUFF), preds[cid], ah, al
                 )
             elif ah == 0:
                 eobrun = _decode_ac_first_prog(
@@ -1026,18 +1080,7 @@ def _finish_progressive(
     advanced the bit stream scan-by-scan but, as in the baseline path,
     only the Y plane is returned)."""
     y_comp = comps[0]
-    grid = coeff_store[y_comp["id"]]
-    quant = quants[y_comp["tq"]]
-    nby, nbx, _ = grid.shape
-    dq = grid.astype(np.float64) * quant  # both in zigzag order
-    # dezigzag + IDCT for ALL blocks in two vectorized ops (the bit-serial
-    # entropy decode is the unavoidable Python loop; this isn't)
-    raster = np.zeros((nby, nbx, 64), dtype=np.float64)
-    raster[:, :, ZIGZAG] = dq
-    blocks = raster.reshape(nby, nbx, 8, 8)
-    spatial = np.einsum("ij,abjk,kl->abil", _A.T, blocks, _A)
-    plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-    plane += 128.0
+    plane = _blocks_to_plane(coeff_store[y_comp["id"]], quants[y_comp["tq"]])
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if y_comp["h"] != hmax or y_comp["v"] != vmax:

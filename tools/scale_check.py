@@ -86,7 +86,36 @@ PROBES = [
     "jpeg_progressive", "compression_signals", "main_content",
     # r6b: PQ ANN (slim code-table join + broadcast ADC table)
     "pq_ann",
+    # r7: hard-negative mining on the LSH backend — the corpus-scale face
+    # (the registered query's brute face is the oracle face); candidate
+    # generation is the (table, bucket) equi-join, so growth should track
+    # bucket occupancy ~linearly, never the quadratic brute grid
+    "hard_negatives_lsh",
 ]
+
+
+def _probe_hard_negatives_lsh(spark, sf_dir):
+    """LSH-backend mine_hard_negatives with synthetic positives (id+1) —
+    keeps the probe timing pure LSH: no brute-force positive discovery."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import mine_hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    positives = q.select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") + 1).alias("vec_id"),
+    )
+    return mine_hard_negatives(
+        q.select(F.col("vec_id").alias("query_id"), "embedding"),
+        emb, positives, k=5, method="lsh", n_planes=8, n_tables=4,
+    )
+
+
+# Probes that exercise an operator configuration no registered query uses
+# (e.g. the non-oracle backend of a dual-backend operator).
+EXTRA_PROBES = {
+    "hard_negatives_lsh": _probe_hard_negatives_lsh,
+}
 
 SF1_TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -252,7 +281,8 @@ def main():
     for name in probes:
         ts = {}
         for label, d in (("small", small), ("big", big)):
-            QUERIES[name](spark, d).collect()          # warm (codegen + FS cache)
+            fn = QUERIES.get(name) or EXTRA_PROBES[name]
+            fn(spark, d).collect()          # warm (codegen + FS cache)
             # MIN of 2 timed runs, same rationale as bench.py: a single
             # post-warm-up run still drifts with whatever GC/compilation
             # debt the preceding probes left in the shared JVM (observed:
@@ -261,7 +291,7 @@ def main():
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                QUERIES[name](spark, d).collect()
+                fn(spark, d).collect()
                 best = min(best, time.perf_counter() - t0)
             ts[label] = best
         out[name] = {
