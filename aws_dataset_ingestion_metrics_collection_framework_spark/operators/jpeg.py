@@ -389,36 +389,32 @@ class _EobState:
 
 
 def _encode_ac_first_block(blk, ss, se, al, eob: _EobState) -> None:
+    # iterate only the nonzero band positions (vectorized threshold +
+    # nonzero): fixture blocks are sparse, and a 63-step Python loop per
+    # block per scan was the encoder's hot spot
     ac, bits = eob.ac, eob.bits
-    vals = []
-    for k in range(ss, se + 1):
-        v = int(blk[k])
-        t = abs(v) >> al
-        vals.append(t if v >= 0 else -t)
-    last = -1
-    for i, t in enumerate(vals):
-        if t:
-            last = i
-    if last < 0:
+    v = blk[ss : se + 1]
+    t = np.abs(v) >> al
+    nz = np.nonzero(t)[0]
+    if nz.size == 0:
         eob.add([])
         return
     eob.flush()
-    r = 0
-    for i in range(last + 1):
-        t = vals[i]
-        if t == 0:
-            r += 1
-            continue
+    prev = -1
+    for i in nz.tolist():
+        r = i - prev - 1
+        prev = i
         while r > 15:
             code, ln = ac[0xF0]
             bits.write(code, ln)
             r -= 16
-        s = abs(t).bit_length()
+        tv = int(t[i])
+        s = tv.bit_length()
         code, ln = ac[(r << 4) | s]
         bits.write(code, ln)
-        bits.write(t if t > 0 else t + (1 << s) - 1, s)
-        r = 0
-    if last < se - ss:
+        sv = tv if v[i] >= 0 else -tv
+        bits.write(sv if sv > 0 else sv + (1 << s) - 1, s)
+    if prev < se - ss:
         eob.add([])
 
 
@@ -433,20 +429,22 @@ def _encode_ac_refine_block(blk, ss, se, al, eob: _EobState) -> None:
     bit positionally inside the decoder's corresponding 16-zero skip
     window; trailing runs past the last new coefficient fold into the EOB
     run instead."""
+    # nonzero-only iteration (gaps between consecutive nonzero positions
+    # are exactly the zero-history runs the original per-k loop counted)
     ac, bits = eob.ac, eob.bits
-    last_new = -1  # last position that is newly nonzero at this precision
-    for k in range(ss, se + 1):
-        if abs(int(blk[k])) >> al == 1:
-            last_new = k
+    v = blk[ss : se + 1]
+    t = np.abs(v) >> al
+    nz = np.nonzero(t)[0]
+    ones = nz[t[nz] == 1]
+    last_new = int(ones[-1]) if ones.size else -1
     r = 0
     br: list[int] = []
-    for k in range(ss, se + 1):
-        v = int(blk[k])
-        t = abs(v) >> al
-        if t == 0:
-            r += 1
-            continue
-        while r > 15 and k <= last_new:
+    prev = -1
+    for i in nz.tolist():
+        r += i - prev - 1
+        prev = i
+        tv = int(t[i])
+        while r > 15 and i <= last_new:
             eob.flush()
             code, ln = ac[0xF0]
             bits.write(code, ln)
@@ -454,18 +452,19 @@ def _encode_ac_refine_block(blk, ss, se, al, eob: _EobState) -> None:
             for b in br:
                 bits.write(b, 1)
             br = []
-        if t > 1:
-            br.append(t & 1)
+        if tv > 1:
+            br.append(tv & 1)
             continue
         # newly nonzero at this precision
         eob.flush()
         code, ln = ac[(r << 4) | 1]
         bits.write(code, ln)
-        bits.write(1 if v > 0 else 0, 1)
+        bits.write(1 if v[i] > 0 else 0, 1)
         for b in br:
             bits.write(b, 1)
         br = []
         r = 0
+    r += (se - ss) - prev
     if r > 0 or br:
         eob.add(br)
 
