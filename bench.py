@@ -124,6 +124,11 @@ HEADLINE = [
     # anti-join exclusion over the brute path)
     "pq_ann",
     "hard_negatives",
+    # round-7 addition: fixed-point quality-classifier training (10
+    # full-batch GD iterations, each one logits + one gradient
+    # aggregation against a broadcast 65-row weight table) — sets its
+    # own r7 baseline
+    "quality_exact",
 ]
 
 # Benched since r1 — the frozen cross-round comparison basket (see §3 above).
