@@ -610,15 +610,19 @@ def _pq_subslices(df: DataFrame, id_col: str, vec_col: str, m: int,
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * scale).cast("long"),
     )
-    d_sub = F.when(
-        F.size(qv) % m == 0, (F.size(qv) / m).cast("int")
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("PQ: vector dim "), F.size(qv).cast("string"),
-                F.lit(f" is not divisible by m={m}"),
-            )
-        ).cast("int")
+    d_sub = (
+        F.when(qv.isNull(), F.lit(None).cast("int"))  # null vec: propagate,
+        # as before the check existed — a missing embedding is a data gap,
+        # not a wrong-dimension config error
+        .when(F.size(qv) % m == 0, (F.size(qv) / m).cast("int"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("PQ: vector dim "), F.size(qv).cast("string"),
+                    F.lit(f" is not divisible by m={m}"),
+                )
+            ).cast("int")
+        )
     )
     return df.select(
         F.col(id_col).alias(out_id), qv.alias("_qv"), d_sub.alias("_ds")

@@ -5594,14 +5594,19 @@ def q_quality_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", (F.col("n_chars") >= 300).cast("double")
     )
     _, scores = ML.fit_linear_quality_exact(
-        labeled, "doc_id", "text", "label", dim=64, iters=10, lr_shift=6
+        labeled, "doc_id", "text", "label", **_QE_PARAMS
     )
     return scores
 
 
+# The hash-exact contract requires the Spark training run and the unrolled
+# oracle to agree on EVERY hyperparameter; both sides draw from this one
+# dict so a tweak cannot silently desync them.
+_QE_PARAMS = dict(dim=64, iters=10, lr_shift=6, scale_bits=20, bias_x=16)
+
+
 def _quality_exact_oracle(
-    iters: int = 10, dim: int = 64, lr_shift: int = 6, scale_bits: int = 20,
-    bias_x: int = 16,
+    iters: int, dim: int, lr_shift: int, scale_bits: int, bias_x: int
 ) -> str:
     """Unrolled fixed-point linear-classifier training in pure SQL.
 
@@ -5664,7 +5669,7 @@ def _quality_exact_oracle(
     )
 
 
-QUALITY_EXACT_ORACLE = _quality_exact_oracle(10)
+QUALITY_EXACT_ORACLE = _quality_exact_oracle(**_QE_PARAMS)
 
 
 def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,7 +11,7 @@ late rows beyond the watermark are dropped by the engine upstream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 
 def dedup_stream(
@@ -93,17 +93,32 @@ def start_corpus_dedup_ingest(
             F.xxhash64(F.col(text_col)).alias("_h"),
         ).localCheckpoint(eager=True)  # several passes below
 
-        # Existence probe, NOT a bare try/except around the read: a
-        # transient read failure (object-store hiccup, permission blip)
-        # must fail the micro-batch so the checkpoint retries it — if it
-        # were swallowed as "first batch", every incoming doc would be
-        # classified fresh and duplicates would land in the corpus.
+        # Read the history index with an EXPLICIT schema, never a bare
+        # try/except around the read: schema inference would turn "no
+        # index yet" (first batch) and "index dir exists but only holds
+        # an uncommitted _temporary from a crashed write" into errors,
+        # while a bare except would also swallow transient read failures
+        # (object-store hiccup, permission blip) and classify every
+        # incoming doc as fresh, landing duplicates. With the schema
+        # pinned, both empty states read as zero rows and any genuine IO
+        # error still fails the micro-batch so the checkpoint retries it.
         from ..sources import fsio
 
         if fsio.exists(f"{corpus_path}/index", spark):
-            base_idx = spark.read.parquet(f"{corpus_path}/index").filter(
-                F.col("batch") < batch_id
+            idx_schema = T.StructType(
+                [
+                    b.schema[id_col],
+                    T.StructField("_h", T.LongType()),
+                    T.StructField("batch", T.IntegerType()),
+                ]
             )
+            base_idx = (
+                spark.read.schema(idx_schema)
+                .parquet(f"{corpus_path}/index")
+                .filter(F.col("batch") < batch_id)
+            )
+            if base_idx.isEmpty():  # crashed-first-write leftover only
+                base_idx = None
         else:  # first batch ever: no index yet
             base_idx = None
 

@@ -93,21 +93,31 @@ def main() -> None:
     q.awaitTermination(1800)
     wall = time.perf_counter() - t0
 
-    batches = [
-        {
-            "batch": i,
-            "rows": p["numInputRows"],
-            "ms": p["durationMs"]["triggerExecution"],
-            "history_rows": i * batch_rows,
-        }
-        for i, p in enumerate(
-            pr for pr in q.recentProgress if pr["numInputRows"] > 0
-        )
-    ]
     log = spark.read.parquet(f"{corpus}/log")
     counts = {r["status"]: r["n"] for r in
               log.groupBy("status").agg(F.count("*").alias("n")).collect()}
     idx_rows = spark.read.parquet(f"{corpus}/index").count()
+    # realized history per batch: cumulative FRESH landings (dup rows never
+    # enter the index, so i*batch_rows would overstate it by the dup rate)
+    fresh_by_batch = {
+        r["batch"]: r["n"]
+        for r in spark.read.parquet(f"{corpus}/index")
+        .groupBy("batch").agg(F.count("*").alias("n")).collect()
+    }
+    batches = []
+    hist = 0
+    for i, p in enumerate(
+        pr for pr in q.recentProgress if pr["numInputRows"] > 0
+    ):
+        batches.append(
+            {
+                "batch": i,
+                "rows": p["numInputRows"],
+                "ms": p["durationMs"]["triggerExecution"],
+                "history_rows": hist,
+            }
+        )
+        hist += fresh_by_batch.get(i, 0)
 
     print("| batch | history rows | batch ms |")
     print("| --- | --- | --- |")
