@@ -99,6 +99,73 @@ def quality_report(model, labeled: DataFrame, label_col: str) -> DataFrame:
 # ------------------- exact fixed-point linear classifier -------------------
 
 
+def _train_distributed(
+    spark, feats, y, id_col, dim, iters, denom, half, one, weights
+):
+    """The scale path: per iteration one logits aggregation (feats ⨝
+    broadcast (dim+1)-row weights), one gradient aggregation — the classic
+    distributed full-batch GD pair of shuffles."""
+    import math
+
+    for _ in range(iters):
+        w_df = F.broadcast(spark.createDataFrame(
+            [(j, w) for j, w in enumerate(weights)], "j int, w long"
+        ))
+        logits = (
+            feats.join(w_df, "j")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("x") * F.col("w")).alias("_lg"))
+        )
+        p = F.least(
+            F.greatest(
+                F.lit(half) + F.floor(F.col("_lg") / F.lit(4.0)).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(one),
+        )
+        err = logits.join(y, id_col).select(
+            id_col, (F.col("_yu") - p).alias("_e")
+        )
+        grad_rows = (
+            feats.join(err, id_col)
+            .groupBy("j")
+            .agg(F.sum(F.col("x") * F.col("_e")).alias("g"))
+            .collect()
+        )
+        for r in grad_rows:
+            weights[r["j"]] += int(math.floor(r["g"] / denom))
+    return weights
+
+
+def _train_driver_local(feats, y, id_col, dim, iters, denom, half, one):
+    """Small-exemplar fast path: identical fixed-point chain in numpy.
+    int64 ``np.add.at`` accumulation is exact and order-independent, the
+    hard-sigmoid is the same clamp, and the update divides the SAME int64
+    gradient by the SAME float denominator — bit-identical weights to
+    ``_train_distributed`` (pinned by test_mlquality parity test)."""
+    import numpy as np
+
+    pdf = feats.join(y, id_col).toPandas()
+    j_arr = pdf["j"].to_numpy(dtype=np.int64)
+    x_arr = pdf["x"].to_numpy(dtype=np.int64)
+    uniq, doc_idx = np.unique(pdf[id_col].to_numpy(), return_inverse=True)
+    yu = np.zeros(len(uniq), dtype=np.int64)
+    yu[doc_idx] = pdf["_yu"].to_numpy(dtype=np.int64)
+    w_arr = np.zeros(dim + 1, dtype=np.int64)
+    for _ in range(iters):
+        contrib = x_arr * w_arr[j_arr]
+        lg = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(lg, doc_idx, contrib)
+        p = np.minimum(
+            np.maximum(half + np.floor(lg / 4.0).astype(np.int64), 0), one
+        )
+        e = yu - p
+        grad = np.zeros(dim + 1, dtype=np.int64)
+        np.add.at(grad, j_arr, x_arr * e[doc_idx])
+        w_arr += np.floor(grad / denom).astype(np.int64)
+    return [int(v) for v in w_arr]
+
+
 def fit_linear_quality_exact(
     labeled: DataFrame,
     id_col: str,
@@ -110,6 +177,7 @@ def fit_linear_quality_exact(
     lr_shift: int = 6,
     scale_bits: int = 20,
     bias_x: int = 16,
+    driver_rows_max: int = 2_000_000,
 ) -> tuple[list[int], DataFrame]:
     """Deterministic linear quality classifier — the engine-owned,
     ORACLE-REPLAYABLE complement to the MLlib LBFGS face above.
@@ -140,6 +208,17 @@ def fit_linear_quality_exact(
     both already doc-keyed) — the classic distributed full-batch GD
     pair of shuffles; weights themselves are bounded planning data
     (dim+1 rows) and ride the driver like BPE's merge list.
+
+    Like BPE training (``operators/bpe.py``'s 200k-word threshold), the
+    iteration loop has a driver-local fast path: when the labeled slice is
+    small (≤ ``driver_rows_max`` bounded feature rows — exemplar sets are
+    small by construction), the slim (id, j, x) feature table is collected
+    once and the ``iters`` gradient steps run in numpy, replacing
+    3 shuffles × iters with one collect. The arithmetic is the SAME
+    integer fixed-point chain (int64 ``np.add.at`` accumulation — integer
+    sums are order-independent, so the result is bit-identical to the
+    distributed loop, pinned by tests), and above the threshold the
+    distributed loop runs unchanged.
 
     Returns (weights, scores_df): weights as the final integer list
     (index dim = bias), scores_df = (id, label, logit_units, pred).
@@ -175,35 +254,14 @@ def fit_linear_quality_exact(
     n_docs = labeled.count()
     denom = float(n_docs << lr_shift)
     weights = [0] * (dim + 1)
-    for _ in range(iters):
-        w_df = F.broadcast(spark.createDataFrame(
-            [(j, w) for j, w in enumerate(weights)], "j int, w long"
-        ))
-        logits = (
-            feats.join(w_df, "j")
-            .groupBy(id_col)
-            .agg(F.sum(F.col("x") * F.col("w")).alias("_lg"))
+    if 0 < n_docs * (dim + 1) <= driver_rows_max:
+        weights = _train_driver_local(
+            feats, y, id_col, dim, iters, denom, half, one
         )
-        p = F.least(
-            F.greatest(
-                F.lit(half) + F.floor(F.col("_lg") / F.lit(4.0)).cast("long"),
-                F.lit(0),
-            ),
-            F.lit(one),
+    else:
+        weights = _train_distributed(
+            spark, feats, y, id_col, dim, iters, denom, half, one, weights
         )
-        err = logits.join(y, id_col).select(
-            id_col, (F.col("_yu") - p).alias("_e")
-        )
-        grad_rows = (
-            feats.join(err, id_col)
-            .groupBy("j")
-            .agg(F.sum(F.col("x") * F.col("_e")).alias("g"))
-            .collect()
-        )
-        import math
-
-        for r in grad_rows:
-            weights[r["j"]] += int(math.floor(r["g"] / denom))
 
     w_df = F.broadcast(spark.createDataFrame(
         [(j, w) for j, w in enumerate(weights)], "j int, w long"

@@ -124,3 +124,20 @@ def test_exact_weights_shape_and_bias_slot(spark, exact_labeled):
     )
     assert len(w) == 17 and all(isinstance(x, int) for x in w)
     assert scores.columns == ["doc_id", "label", "logit_units", "pred"]
+
+
+def test_exact_driver_path_matches_distributed(spark, exact_labeled):
+    """The driver-local numpy fast path (small exemplar sets) must be
+    bit-identical to the distributed shuffle loop — same int64 fixed-point
+    chain, same float denominator, order-independent integer sums."""
+    kw = dict(dim=32, iters=3, lr_shift=6)
+    w_fast, s_fast = ML.fit_linear_quality_exact(
+        exact_labeled, "doc_id", "text", "label", **kw
+    )
+    w_dist, s_dist = ML.fit_linear_quality_exact(
+        exact_labeled, "doc_id", "text", "label", driver_rows_max=0, **kw
+    )
+    assert w_fast == w_dist
+    assert sorted(map(tuple, s_fast.collect())) == sorted(
+        map(tuple, s_dist.collect())
+    )
