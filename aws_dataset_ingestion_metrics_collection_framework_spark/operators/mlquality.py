@@ -177,7 +177,7 @@ def fit_linear_quality_exact(
     lr_shift: int = 6,
     scale_bits: int = 20,
     bias_x: int = 16,
-    driver_rows_max: int = 2_000_000,
+    driver_rows_max: int = 8_000_000,
 ) -> tuple[list[int], DataFrame]:
     """Deterministic linear quality classifier — the engine-owned,
     ORACLE-REPLAYABLE complement to the MLlib LBFGS face above.
@@ -244,6 +244,10 @@ def fit_linear_quality_exact(
         )
         .select(id_col, F.col("j").cast("int").alias("j"),
                 F.col("x").cast("long").alias("x"))
+        # one id-hash shuffle up front: every per-iteration join/groupBy in
+        # the distributed loop is doc-keyed, so the checkpointed
+        # partitioning is reused each iteration instead of re-exchanged
+        .repartition(F.col(id_col))
         .localCheckpoint(eager=False)
     )
     y = labeled.select(

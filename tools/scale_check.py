@@ -91,6 +91,11 @@ PROBES = [
     # generation is the (table, bucket) equi-join, so growth should track
     # bucket occupancy ~linearly, never the quadratic brute grid
     "hard_negatives_lsh",
+    # r7b: fixed-point quality training — crosses its driver-local
+    # threshold between sf0.1 (5k docs, numpy loop) and ~sf1 (50k docs,
+    # distributed shuffle pair per iteration): the probe measures BOTH
+    # faces and the handoff
+    "quality_exact",
 ]
 
 
