@@ -178,10 +178,18 @@ def start_corpus_dedup_ingest(
         fresh.select(id_col, text_col).write.mode("overwrite").parquet(
             f"{corpus_path}/data/batch={batch_id}"
         )
-        fresh.select(id_col, "_h").write.mode("overwrite").parquet(
-            f"{corpus_path}/index/batch={batch_id}"
-        )
-        log.write.mode("overwrite").parquet(
+        # slim outputs collapse to ONE file per batch: a 10M-row index
+        # partition is ~160 MB — fine as a single file — while inheriting
+        # the batch's 32-way partitioning would grow the per-batch
+        # listing cost of `index/` by 32× (the small-files problem is the
+        # first thing that drifts in the endurance bench). repartition,
+        # NOT coalesce: coalesce(1) would collapse the upstream
+        # classification join itself into one task, while the repartition
+        # shuffle moves only the slim output rows.
+        fresh.select(id_col, "_h").repartition(1).write.mode(
+            "overwrite"
+        ).parquet(f"{corpus_path}/index/batch={batch_id}")
+        log.repartition(1).write.mode("overwrite").parquet(
             f"{corpus_path}/log/batch={batch_id}"
         )
 
