@@ -40,18 +40,13 @@ _SCALAR = {"q14_promo_effect", "q17_small_qty_revenue", "q19_discount_revenue"}
 # express (each must say why and name its pytest correctness pin). Anything
 # NOT listed here must carry an oracle — silent rows-only regressions fail.
 ROWS_ONLY_ALLOWED = {
-    # 2-D DCT over decoded PNG pixels; pinned by tests/test_phash.py goldens
-    "image_phash_pairs",
     # iterative LBFGS training; pinned by tests/test_mlquality.py (AUC,
-    # holdout generalization, refit determinism)
+    # holdout generalization, refit determinism); its deterministic
+    # counterpart quality_exact is oracled hash-exact. Every other entry
+    # this set ever held (image_phash_pairs, bpe_tokenize,
+    # compression_signals) has since gained an oracle — reappearing here
+    # would be a regression the missing-check below no longer hides.
     "quality_scores",
-    # iterative global-argmax BPE training; pinned by tests/test_bpe.py
-    # EXACT equality with a pure-Python reference implementation
-    "bpe_tokenize",
-    # zlib DEFLATE sizes; pinned by tests/test_curation.py
-    # TestCompressionSignals (repetitive < prose < random ordering, bounds,
-    # determinism, UTF-8 byte accounting)
-    "compression_signals",
 }
 
 
