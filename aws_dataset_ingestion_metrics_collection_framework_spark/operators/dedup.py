@@ -656,20 +656,20 @@ def ngram_jaccard_pairs_prefix(
         F.col(id_col).alias("doc"),
         word_shingles(tokenize(F.col(text_col)), k).alias("sh"),
     )
-    sizes = sh.select("doc", F.size("sh").alias("n"))
     inv = materialize_once(
         sh.select("doc", F.explode("sh").alias("s")).select(
             "doc", F.xxhash64("s").alias("s")
         )
-    )  # referenced by the frequency count AND the ranked index build
-    freq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+    )  # the single stored corpus derivative everything below reads
+    # Global shingle frequency and per-doc set size both come from inv as
+    # WINDOW counts (shingles are distinct per doc, so the per-doc row
+    # count IS |set|): one shuffle by s, one by doc — replacing the old
+    # freq-aggregate + two joins + a second full tokenize pass for sizes.
+    wd = Window.partitionBy("doc")
     ranked = (
-        inv.join(freq, "s")
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("doc").orderBy("f", "s")),
-        )
-        .join(sizes, "doc")
+        inv.withColumn("f", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .withColumn("rn", F.row_number().over(wd.orderBy("f", "s")))
+        .withColumn("n", F.count(F.lit(1)).over(wd))
         # prefix length = n - ceil(t·n) + 1
         .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
         .select("doc", "s", "rn", "n")
