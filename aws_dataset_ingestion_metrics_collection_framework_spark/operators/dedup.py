@@ -830,19 +830,34 @@ def incremental_dedup(
         new[id_col] == F.col("new_id"), "left_anti",
     )
     rows_per_band = num_perm // bands
-    bn = band_signatures(
-        minhash_signatures_df(near_side, id_col, text_col, k=k, num_perm=num_perm, seed=seed),
-        bands=bands, rows_per_band=rows_per_band,
-    )
-    bb = cap_bucket_size(
+    # ONE signature build over the side-tagged union instead of one per
+    # side: same explode + num_perm min-aggregate pass, half the stage
+    # chains. The 'n:'/'b:' id prefixes (the r6 cross-wiring guard) double
+    # as the side marker the band split reads back; the tag never enters
+    # the signature math (only text shingles do), so the candidate set is
+    # identical to the per-side builds.
+    def _tag(side_df, prefix):
+        return side_df.select(
+            F.concat(F.lit(prefix), F.col(id_col).cast("string")).alias(id_col),
+            text_col,
+        )
+
+    bands_all = materialize_once(  # read by BOTH sides of the band join
         band_signatures(
-            minhash_signatures_df(base, id_col, text_col, k=k, num_perm=num_perm, seed=seed),
+            minhash_signatures_df(
+                _tag(near_side, "n:").unionByName(_tag(base, "b:")),
+                id_col, text_col, k=k, num_perm=num_perm, seed=seed,
+            ),
             bands=bands, rows_per_band=rows_per_band,
-        ),
+        )
+    )
+    bn = bands_all.filter(F.col("doc").startswith("n:"))
+    bb = cap_bucket_size(
+        bands_all.filter(F.col("doc").startswith("b:")),
         ["band", "bucket"],
         max_bucket_size,
     )
-    cand = (
+    cand_tagged = (
         bn.alias("n").join(
             bb.alias("b"),
             (F.col("n.band") == F.col("b.band"))
@@ -851,22 +866,10 @@ def incremental_dedup(
         .select(F.col("n.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
     )
-    # side-tagged union: 'n:'/'b:' prefixes keep an id reused across the
-    # two corpora from cross-wiring texts in the shared verify corpus
+    # the verify corpus carries the same tags (an id reused across the
+    # two corpora can never cross-wire texts)
     id_dtype = new.schema[id_col].dataType
-    both = new.select(
-        F.concat(F.lit("n:"), F.col(id_col).cast("string")).alias(id_col),
-        text_col,
-    ).unionByName(
-        base.select(
-            F.concat(F.lit("b:"), F.col(id_col).cast("string")).alias(id_col),
-            text_col,
-        )
-    )
-    cand_tagged = cand.select(
-        F.concat(F.lit("n:"), F.col("id_a").cast("string")).alias("id_a"),
-        F.concat(F.lit("b:"), F.col("id_b").cast("string")).alias("id_b"),
-    )
+    both = _tag(new, "n:").unionByName(_tag(base, "b:"))
     near_pairs = jaccard_verify(
         both, cand_tagged, id_col, text_col, k=k, threshold=threshold
     ).select(
