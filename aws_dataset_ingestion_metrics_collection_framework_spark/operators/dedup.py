@@ -378,9 +378,14 @@ def jaccard_verify(
         .distinct()
     )
     pruned = df.join(cand_ids, df[id_col] == cand_ids["_cid"], "left_semi")
-    sh = pruned.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(tokenize(F.col(text_col)), k).alias("sh"),
+    # store the pruned shingle table once: the two join sides key on
+    # different columns (id_a vs id_b), so their exchanges differ and
+    # Catalyst would otherwise run the prune + shingle chain per side
+    sh = materialize_once(
+        pruned.select(
+            F.col(id_col).alias("doc"),
+            word_shingles(tokenize(F.col(text_col)), k).alias("sh"),
+        )
     )
     a = sh.alias("a")
     b = sh.alias("b")
