@@ -56,6 +56,7 @@ def start_corpus_dedup_ingest(
     *,
     trigger_seconds: int | None = None,
     available_now: bool = False,
+    compact_every: int | None = None,
 ):
     """Continuous ingest dedup against ALL accumulated history — the
     daily-crawl loop (`operators.dedup.incremental_dedup`'s exact path)
@@ -84,6 +85,22 @@ def start_corpus_dedup_ingest(
     Collision safety mirrors the batch operator: the hash join only
     nominates candidates; texts are compared byte-for-byte for exactly
     the matched sliver (one semi-joined pruned scan of the corpus).
+
+    ``compact_every=N`` folds the slim index every N batches into
+    ``index_compact/upto=<id+1>/`` (all rows with ``batch`` ≤ the
+    compacting batch, ``batch`` kept as a data column) and deletes the
+    folded ``index/batch=*`` dirs plus older compact trees — bounding
+    the per-batch file-listing cost that otherwise grows linearly with
+    batch count (the 10⁴-batch term SCALE.md's endurance run measured).
+    Crash-safe by the same row-set argument as the batch writes: readers
+    always take the LARGEST ``upto`` tree and row-filter ``batch <
+    current``, and the per-batch tree is read only for ``batch ≥ upto``
+    — so any interleaving of a crashed compaction (new tree written,
+    old dirs not yet deleted, or vice versa) filters to the identical
+    base row set, and re-running the compaction is a pure overwrite +
+    re-delete. The ``data/`` tree is never compacted: texts are read
+    only for matched slivers, and folding data would rewrite the whole
+    corpus each cycle.
     """
     spark = docs.sparkSession
 
@@ -104,23 +121,47 @@ def start_corpus_dedup_ingest(
         # error still fails the micro-batch so the checkpoint retries it.
         from ..sources import fsio
 
-        if fsio.exists(f"{corpus_path}/index", spark):
-            idx_schema = T.StructType(
-                [
-                    b.schema[id_col],
-                    T.StructField("_h", T.LongType()),
-                    T.StructField("batch", T.IntegerType()),
-                ]
-            )
-            base_idx = (
+        idx_schema = T.StructType(
+            [
+                b.schema[id_col],
+                T.StructField("_h", T.LongType()),
+                T.StructField("batch", T.IntegerType()),
+            ]
+        )
+        # compacted history: the LARGEST upto tree wins (row-level batch
+        # filters below make any crash interleaving read the same base)
+        upto = max(
+            (
+                int(n.split("=", 1)[1])
+                for n in fsio.list_names(f"{corpus_path}/index_compact", spark)
+                if n.startswith("upto=")
+            ),
+            default=0,
+        )
+        parts = []
+        if upto:
+            parts.append(
                 spark.read.schema(idx_schema)
-                .parquet(f"{corpus_path}/index")
+                .parquet(f"{corpus_path}/index_compact/upto={upto}")
                 .filter(F.col("batch") < batch_id)
             )
-            if base_idx.isEmpty():  # crashed-first-write leftover only
+        if fsio.exists(f"{corpus_path}/index", spark):
+            parts.append(
+                spark.read.schema(idx_schema)
+                .parquet(f"{corpus_path}/index")
+                # batch >= upto: rows below upto live in the compact tree
+                # (residual not-yet-deleted folded dirs must not double)
+                .filter(
+                    (F.col("batch") < batch_id) & (F.col("batch") >= upto)
+                )
+            )
+        base_idx = None
+        if parts:
+            base_idx = parts[0] if len(parts) == 1 else parts[0].unionByName(
+                parts[1]
+            )
+            if base_idx.isEmpty():  # first batch / crashed-write leftover
                 base_idx = None
-        else:  # first batch ever: no index yet
-            base_idx = None
 
         if base_idx is not None:
             cand = (
@@ -192,6 +233,28 @@ def start_corpus_dedup_ingest(
         log.repartition(1).write.mode("overwrite").parquet(
             f"{corpus_path}/log/batch={batch_id}"
         )
+
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            new_upto = batch_id + 1
+            folded = spark.read.schema(idx_schema).parquet(
+                f"{corpus_path}/index"
+            ).filter((F.col("batch") < new_upto) & (F.col("batch") >= upto))
+            if upto:
+                folded = spark.read.schema(idx_schema).parquet(
+                    f"{corpus_path}/index_compact/upto={upto}"
+                ).filter(F.col("batch") < new_upto).unionByName(folded)
+            # write the new tree FIRST (overwrite-idempotent), then clean
+            # up — a crash at any point leaves a readable superset the
+            # row filters reduce to the same base
+            folded.repartition(1).write.mode("overwrite").parquet(
+                f"{corpus_path}/index_compact/upto={new_upto}"
+            )
+            for n in fsio.list_names(f"{corpus_path}/index_compact", spark):
+                if n.startswith("upto=") and int(n.split("=", 1)[1]) < new_upto:
+                    fsio.delete(f"{corpus_path}/index_compact/{n}", spark=spark)
+            for n in fsio.list_names(f"{corpus_path}/index", spark):
+                if n.startswith("batch=") and int(n.split("=", 1)[1]) < new_upto:
+                    fsio.delete(f"{corpus_path}/index/{n}", spark=spark)
 
     writer = (
         docs.writeStream.foreachBatch(process)

@@ -133,3 +133,88 @@ def test_matches_batch_incremental_dedup(spark, tmp_path):
             assert log[did] == ("exact_dup", match)
         elif status == "fresh":
             assert log[did][0] == "fresh"
+
+
+def _run_compact(spark, src, corpus, ckpt, every):
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = start_corpus_dedup_ingest(
+        stream, str(corpus), str(ckpt), "doc_id", "text",
+        available_now=True, compact_every=every,
+    )
+    q.awaitTermination(120)
+
+
+def test_compaction_preserves_classification(spark, tmp_path):
+    """With compact_every=2 the classify-against-all-history semantics are
+    unchanged across fold points, and the index tree actually shrinks to
+    one compact tree + only the not-yet-folded batch dirs."""
+    import os
+
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+
+    _feed(src, "b1.json", [{"doc_id": 1, "text": "alpha beta gamma"},
+                           {"doc_id": 2, "text": "delta epsilon zeta"}])
+    _run_compact(spark, src, corpus, ckpt, 2)
+    _feed(src, "b2.json", [{"doc_id": 10, "text": "eta theta iota"}])
+    _run_compact(spark, src, corpus, ckpt, 2)
+    _feed(src, "b3.json", [  # batch 2: triggers the fold, classifies first
+        {"doc_id": 20, "text": "alpha beta gamma"},   # dup of batch-0 doc 1
+        {"doc_id": 21, "text": "kappa lambda mu"},
+    ])
+    _run_compact(spark, src, corpus, ckpt, 2)
+    log = _log(spark, str(corpus))
+    assert log[20] == ("exact_dup", 1)
+    assert log[21] == ("fresh", None)
+
+    # fold happened at batch 2 → upto=3; folded batch dirs are gone
+    names = sorted(os.listdir(f"{corpus}/index_compact"))
+    assert names == ["upto=3"]
+    batch_dirs = [n for n in os.listdir(f"{corpus}/index")
+                  if n.startswith("batch=")]
+    assert batch_dirs == []
+
+    # batch 3 classifies against the COMPACTED history
+    _feed(src, "b4.json", [
+        {"doc_id": 30, "text": "eta theta iota"},      # dup of batch-1 doc 10
+        {"doc_id": 31, "text": "kappa lambda mu"},     # dup of batch-2 doc 21
+        {"doc_id": 32, "text": "nu xi omicron"},
+    ])
+    _run_compact(spark, src, corpus, ckpt, 2)
+    log = _log(spark, str(corpus))
+    assert log[30] == ("exact_dup", 10)
+    assert log[31] == ("exact_dup", 21)
+    assert log[32] == ("fresh", None)
+    # full corpus content is exactly the fresh docs across all batches
+    data = spark.read.parquet(f"{corpus}/data")
+    assert {r["doc_id"] for r in data.collect()} == {1, 2, 10, 21, 32}
+
+
+def test_compaction_crash_residue_is_harmless(spark, tmp_path):
+    """Crash interleaving: a folded batch dir that survived (delete never
+    ran) must not double-classify — the reader takes the compact tree and
+    only batch >= upto from the per-batch tree."""
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+    _feed(src, "b1.json", [{"doc_id": 1, "text": "alpha beta gamma"}])
+    _run_compact(spark, src, corpus, ckpt, 2)
+    _feed(src, "b2.json", [{"doc_id": 2, "text": "delta epsilon zeta"}])
+    _run_compact(spark, src, corpus, ckpt, 2)
+    _feed(src, "b3.json", [{"doc_id": 3, "text": "eta theta iota"}])
+    _run_compact(spark, src, corpus, ckpt, 2)  # fold at batch 2 → upto=3
+
+    # resurrect a folded dir with rows ALREADY in the compact tree
+    spark.createDataFrame(
+        [(1, spark.read.parquet(f"{corpus}/index_compact/upto=3")
+             .filter("doc_id = 1").collect()[0]["_h"])],
+        "doc_id long, _h long",
+    ).write.mode("overwrite").parquet(f"{corpus}/index/batch=0")
+
+    _feed(src, "b4.json", [
+        {"doc_id": 40, "text": "alpha beta gamma"},  # dup of resurrected doc
+        {"doc_id": 41, "text": "pi rho sigma"},
+    ])
+    _run_compact(spark, src, corpus, ckpt, 2)
+    log = _log(spark, str(corpus))
+    assert log[40] == ("exact_dup", 1)
+    assert log[41] == ("fresh", None)

@@ -11,7 +11,7 @@ deterministic earlier doc (cross-batch exact dups the ingest must catch);
 the rest are fresh. One parquet file per batch + maxFilesPerTrigger=1
 delivers exactly one batch per trigger.
 
-Usage: python tools/corpus_dedup_bench.py [n_batches] [batch_rows]
+Usage: python tools/corpus_dedup_bench.py [n_batches] [batch_rows] [compact_every]
 Prints a per-batch markdown table and ONE JSON summary line.
 """
 
@@ -47,6 +47,7 @@ def _gen_text(src_col):
 def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     batch_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    compact_every = int(sys.argv[3]) if len(sys.argv) > 3 else None
     dup_frac = 0.10
 
     spark = get_spark(app_name="corpus-dedup-bench")
@@ -88,7 +89,8 @@ def main() -> None:
     )
     t0 = time.perf_counter()
     q = start_corpus_dedup_ingest(
-        stream, corpus, ckpt, "doc_id", "text", available_now=True
+        stream, corpus, ckpt, "doc_id", "text", available_now=True,
+        compact_every=compact_every,
     )
     q.awaitTermination(1800)
     wall = time.perf_counter() - t0
@@ -128,6 +130,7 @@ def main() -> None:
     tail = [b["ms"] for b in batches[-3:]]
     summary = {
         "metric": "corpus_dedup_ingest",
+        "compact_every": compact_every,
         "n_batches": n_batches,
         "batch_rows": batch_rows,
         "wall_s": round(wall, 1),
