@@ -6168,75 +6168,17 @@ ORACLES: dict[str, str] = {
     "quality_exact": QUALITY_EXACT_ORACLE,
 }
 
-# ---- r7 sampling rotation: the driver's correctness sweep samples the
-# FIRST ~50 registry entries each round.  Priority this round:
-#   1. chi_square / alert_suppress (r6 hash-gate failures — oracle dtype
-#      fixed to BIGINT this round, need a green driver row) and
-#      quality_exact (new oracled face of the quality classifier);
-#   2. window_range_interval — the one query that has NEVER had a
-#      driver row;
-#   3. everything else by staleness of its last driver-green row
-#      (r1 < r2 < r4 < r5 < r6), with the §2 parity basket
-#      (metrics/sla/dashboards/defs/business/keys — r4-stale, flagged
-#      twice by the judge) and the TPC-H headliners ahead of the rest
-#      of the r4 cohort so every parity operator gets a row dated r7.
-_R7_PRIORITY = [
-    # -- fixed / new this round
-    'chi_square',
-    'alert_suppress',
-    'quality_exact',
-    # -- never driver-sampled
-    'window_range_interval',
-    # -- r1-stale
-    'token_stats',
-    'text_quality',
-    'language_id',
-    'cosine_topk',
-    'cosine_pairs',
-    'session_window',
-    'multimodal_features',
-    'audio_features',
-    'frame_sample',
-    # -- r2-stale
-    'dedup_exact_stats',
-    'dedup_exact_keep',
-    'ngram_jaccard',
-    'ngram_jaccard_allpairs',
-    'dedup_clusters',
-    # -- r4-stale §2 parity basket
-    'business_scalars',
-    'metrics_day',
-    'metrics_day_p50',
-    'metrics_hour_dims',
-    'metrics_minute',
-    'metrics_latest',
-    'sla_daily',
-    'sla_transitions',
-    'sla_gap_fill',
-    'sla_table',
-    'sla_alerts',
-    'derived_keys',
-    'alarm_roundtrip',
-    'metric_defs_flat',
-    'sla_defs_flat',
-    'metric_defs_multi_account',
-    'dashboard_widgets',
-    'dashboard_report',
-    'dashboard_layout',
-    # -- r4-stale TPC-H corpus (headliners inside the ~50-sample window)
-    'q01_pricing_summary',
-    'q03_shipping_priority',
-    'q05_local_supplier',
-    'q06_forecast_revenue',
-    'q10_returned_items',
-    'q04_order_priority',
-    'q16_parts_suppliers',
-    'q22_global_sales',
-    'q02_min_cost_supplier',
-    'q07_volume_shipping',
-    'q08_market_share',
-    'q09_product_profit',
-    'q11_important_balance',
+# ---- r9 sampling rotation: the driver's correctness sweep samples the
+# FIRST ~50 registry entries each round.  r7 AND r8 both sampled the same
+# head-of-list 50 (the §2 parity basket + TPC-H headliners + the r7 fixes),
+# so the other 109 queries' newest driver rows date from r5/r6.  This round
+# rotates them to the head, oldest evidence first: the r4-stale cohort that
+# sat just outside the r7/r8 window (q12–q21, window fns, rollup/cube,
+# decontaminate/paragraph_dedup/train_val_split/pack_sequences), then the
+# r5 wave, then the r6 wave; the 50 queries with fresh r7+r8 rows move to
+# the tail.
+_R9_PRIORITY = [
+    # -- r4-stale (sat just outside the r7/r8 ~50-sample window)
     'q12_priority_lines',
     'q13_order_distribution',
     'q14_promo_effect',
@@ -6246,7 +6188,6 @@ _R7_PRIORITY = [
     'q19_discount_revenue',
     'q20_part_promotion',
     'q21_waiting_supplier',
-    # -- r4-stale remainder
     'window_topn',
     'window_moving_avg',
     'window_rank',
@@ -6300,8 +6241,7 @@ _R7_PRIORITY = [
     'bm25_search',
     'distinct_rollup',
     'weighted_sample',
-    # -- r6-fresh (sampled last round; chi_square/alert_suppress moved
-    #    to the head above)
+    # -- r6-stale
     'bpe_tokenize',
     'compression_signals',
     'corpus_mix',
@@ -6350,14 +6290,65 @@ _R7_PRIORITY = [
     'window_distribution',
     'grouping_sets_lineitem',
     'set_ops_customers',
+    # -- r7+r8-fresh (driver-green BOTH of the last two rounds; tail)
+    'chi_square',
+    'alert_suppress',
+    'quality_exact',
+    'window_range_interval',
+    'token_stats',
+    'text_quality',
+    'language_id',
+    'cosine_topk',
+    'cosine_pairs',
+    'session_window',
+    'multimodal_features',
+    'audio_features',
+    'frame_sample',
+    'dedup_exact_stats',
+    'dedup_exact_keep',
+    'ngram_jaccard',
+    'ngram_jaccard_allpairs',
+    'dedup_clusters',
+    'business_scalars',
+    'metrics_day',
+    'metrics_day_p50',
+    'metrics_hour_dims',
+    'metrics_minute',
+    'metrics_latest',
+    'sla_daily',
+    'sla_transitions',
+    'sla_gap_fill',
+    'sla_table',
+    'sla_alerts',
+    'derived_keys',
+    'alarm_roundtrip',
+    'metric_defs_flat',
+    'sla_defs_flat',
+    'metric_defs_multi_account',
+    'dashboard_widgets',
+    'dashboard_report',
+    'dashboard_layout',
+    'q01_pricing_summary',
+    'q03_shipping_priority',
+    'q05_local_supplier',
+    'q06_forecast_revenue',
+    'q10_returned_items',
+    'q04_order_priority',
+    'q16_parts_suppliers',
+    'q22_global_sales',
+    'q02_min_cost_supplier',
+    'q07_volume_shipping',
+    'q08_market_share',
+    'q09_product_profit',
+    'q11_important_balance',
 ]
-if set(_R7_PRIORITY) != set(QUERIES) or len(_R7_PRIORITY) != len(QUERIES):
+if set(_R9_PRIORITY) != set(QUERIES) or len(_R9_PRIORITY) != len(QUERIES):
     raise RuntimeError(
         "priority rotation out of sync with QUERIES: missing="
-        f"{sorted(set(QUERIES) - set(_R7_PRIORITY))} extra="
-        f"{sorted(set(_R7_PRIORITY) - set(QUERIES))}"
+        f"{sorted(set(QUERIES) - set(_R9_PRIORITY))} extra="
+        f"{sorted(set(_R9_PRIORITY) - set(QUERIES))}"
     )
-QUERIES = {name: QUERIES[name] for name in _R7_PRIORITY}
+QUERIES = {name: QUERIES[name] for name in _R9_PRIORITY}
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled
 # entries first) so a budget-bounded sweep sees the same priority whichever
