@@ -5576,6 +5576,45 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ML.score_quality(model, docs, "doc_id").select("doc_id", "predicted")
 
 
+def q_quality_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLED face of the quality classifier's FEATURE stage: the
+    hashed bag-of-words projection (tokenize → 60-bit md5 bucket mod dim
+    → per-doc counts) as its own registry entry, returning the exact
+    (doc_id, j, x) feature rows ``fit_linear_quality_exact`` trains on.
+
+    Adjudication note (r7 verdict task 4): the MLlib face
+    (``quality_scores``) featurizes via HashingTF — murmur3, which DuckDB
+    cannot compute — so ITS projection stays pinned by pytest, while this
+    entry makes the engine-owned projection (the one the oracled
+    ``quality_exact`` trainer consumes) hash-exact against SQL. Scale
+    shape: one tokenize pass + one (doc, bucket) aggregation — map-side
+    combinable, no join, no driver stage."""
+    from ..operators.dedup import md5_60bit, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("_w")
+    )
+    return (
+        toks.groupBy(
+            "doc_id",
+            F.pmod(md5_60bit(F.col("_w")), F.lit(64)).cast("int").alias("j"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+
+
+QUALITY_TF_ORACLE = """
+WITH toks AS (SELECT doc_id,
+  unnest(list_filter(string_split(regexp_replace(trim(text),
+  '\\s+', ' ', 'g'), ' '), x -> x <> '')) AS t FROM documents)
+SELECT doc_id,
+       CAST(('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS INTEGER) AS j,
+       CAST(COUNT(*) AS BIGINT) AS x
+FROM toks GROUP BY 1, 2
+"""
+
+
 def q_quality_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ORACLED face of model-based quality scoring
     (``mlquality.fit_linear_quality_exact``): a hashed bag-of-words linear
@@ -5803,6 +5842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5: MLlib quality classifier (rows-only: iterative LBFGS, not
     # SQL-expressible — pinned by tests/test_mlquality.py)
     "quality_scores": q_quality_scores,
+    "quality_tf": q_quality_tf,
     # r7: fixed-point linear quality classifier — iterative training held
     # to a hash-exact unrolled-CTE oracle (the oracled face of
     # quality_scores; pagerank/bpe_tokenize contract)
@@ -6166,6 +6206,7 @@ ORACLES: dict[str, str] = {
     "alert_suppress": ALERT_SUPPRESS_ORACLE,
     "bpe_tokenize": _bpe_oracle(30),
     "quality_exact": QUALITY_EXACT_ORACLE,
+    "quality_tf": QUALITY_TF_ORACLE,
 }
 
 # ---- r9 sampling rotation: the driver's correctness sweep samples the
@@ -6212,6 +6253,7 @@ _R9_PRIORITY = [
     'corpus_shuffle',
     'substring_dedup',
     'quality_scores',
+    'quality_tf',
     'web_pipeline',
     'pagerank',
     'perplexity',

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from ..sources import fsio
+
 
 def dedup_stream(
     df: DataFrame,
@@ -47,6 +49,61 @@ def dedup_stream(
     )
 
 
+def _bucket_expr(n_buckets: int):
+    """The ONE bucket function both the compaction writer and the probe
+    reader use: pmod keeps it non-negative for negative xxhash64 values.
+    Any drift between write-side and read-side bucketing silently loses
+    dup matches, so both sides call this."""
+    return F.pmod(F.col("_h"), F.lit(n_buckets)).cast("int")
+
+
+def _read_compact_tree(spark, tree: str, idx_schema, probe=None):
+    """Read one ``index_compact/upto=N`` tree, partition-pruned to the
+    buckets the probe batch can possibly match.
+
+    Layouts understood:
+    - bucketed (current writer): ``bucket=<k>/`` subdirs + an ``_nb`` meta
+      file holding the bucket count. With a probe, only the probe's own
+      buckets are opened (explicit sub-paths + basePath — Spark never
+      lists the other bucket dirs); without one, all buckets.
+    - legacy flat tree (pre-bucketing) — read whole.
+    - bucketed but ``_nb`` missing (crash between parquet commit and meta
+      write): all buckets read — a correct superset, never a miss.
+
+    Returns None when pruning proves no row can match (probe hits only
+    absent buckets).
+    """
+    children = fsio.list_names(tree, spark)
+    bucket_dirs = {n for n in children if n.startswith("bucket=")}
+    if not bucket_dirs:
+        return spark.read.schema(idx_schema).parquet(tree)
+    sel = sorted(bucket_dirs)
+    # pruning below ~8 buckets can't beat the cost of the distinct-bucket
+    # job it needs — read small trees whole
+    if probe is not None and len(bucket_dirs) > 8:
+        nb_txt = fsio.read_text(f"{tree}/_nb", spark)
+        if nb_txt:
+            nb = int(nb_txt)
+            hit = {
+                r[0]
+                for r in probe.select(_bucket_expr(nb).alias("_bk"))
+                .distinct()
+                .collect()
+            }
+            sel = [n for n in sel if int(n.split("=", 1)[1]) in hit]
+            if not sel:
+                return None
+    schema_b = T.StructType(
+        list(idx_schema) + [T.StructField("bucket", T.IntegerType())]
+    )
+    return (
+        spark.read.schema(schema_b)
+        .option("basePath", tree)
+        .parquet(*[f"{tree}/{n}" for n in sel])
+        .drop("bucket")
+    )
+
+
 def start_corpus_dedup_ingest(
     docs: DataFrame,
     corpus_path: str,
@@ -57,6 +114,8 @@ def start_corpus_dedup_ingest(
     trigger_seconds: int | None = None,
     available_now: bool = False,
     compact_every: int | None = None,
+    bucket_target_rows: int = 1_000_000,
+    first_batch_id: int = 0,
 ):
     """Continuous ingest dedup against ALL accumulated history — the
     daily-crawl loop (`operators.dedup.incremental_dedup`'s exact path)
@@ -64,15 +123,32 @@ def start_corpus_dedup_ingest(
     document against the corpus built by all PRIOR batches, land only
     the fresh ones, and log every classification.
 
-    Layout under ``corpus_path`` (all reads/writes partition-pruned on
-    the ``batch`` column):
+    Layout under ``corpus_path``:
 
-    - ``data/batch=<id>/``  — the fresh documents each batch landed;
+    - ``data/batch=<id>/``  — the fresh documents each batch landed,
+      sorted by id within files so candidate-id point lookups prune
+      parquet row groups via min/max stats;
     - ``index/batch=<id>/`` — their slim (id, xxhash64) rows: future
       batches join THIS (8-byte keys), never the corpus texts;
+    - ``index_compact/upto=<N>/bucket=<k>/`` — the folded history index,
+      HASH-BUCKETED: ``_nb`` (a meta file beside the buckets) records the
+      bucket count, chosen at fold time as ceil(rows / bucket_target_rows)
+      so per-bucket volume stays constant as history grows;
     - ``log/batch=<id>/``   — (id, status, match_id) per incoming doc:
       ``fresh`` | ``exact_dup`` (vs corpus, min matching id) |
       ``batch_dup`` (vs an earlier row of the same batch).
+
+    Why buckets: a flat compact tree makes every micro-batch scan the
+    ENTIRE history index — linear in corpus age. Bucketed, the probe
+    opens only the buckets the incoming hashes land in: per-batch read
+    volume is ~min(distinct incoming hashes, n_buckets) × bucket_target
+    rows — proportional to BATCH size, flat in history decades (measured
+    in SCALE.md's endurance probe). The same idea applied to the text
+    verification: candidate index rows carry their landing batch, so the
+    corpus-text read opens only ``data/batch=<b>`` dirs that actually
+    hold a candidate (explicit paths — no full-tree partition listing,
+    which was the measured per-batch drift term at 10³ batches) and
+    pushes the candidate ids down as an IN filter for row-group pruning.
 
     Exactly-once WITHOUT marker files: every write is an overwrite of
     the batch's own partition directory (idempotent under re-delivery),
@@ -84,27 +160,38 @@ def start_corpus_dedup_ingest(
 
     Collision safety mirrors the batch operator: the hash join only
     nominates candidates; texts are compared byte-for-byte for exactly
-    the matched sliver (one semi-joined pruned scan of the corpus).
+    the matched sliver.
 
     ``compact_every=N`` folds the slim index every N batches into
     ``index_compact/upto=<id+1>/`` (all rows with ``batch`` ≤ the
     compacting batch, ``batch`` kept as a data column) and deletes the
     folded ``index/batch=*`` dirs plus older compact trees — bounding
     the per-batch file-listing cost that otherwise grows linearly with
-    batch count (the 10⁴-batch term SCALE.md's endurance run measured).
-    Crash-safe by the same row-set argument as the batch writes: readers
-    always take the LARGEST ``upto`` tree and row-filter ``batch <
-    current``, and the per-batch tree is read only for ``batch ≥ upto``
-    — so any interleaving of a crashed compaction (new tree written,
-    old dirs not yet deleted, or vice versa) filters to the identical
-    base row set, and re-running the compaction is a pure overwrite +
-    re-delete. The ``data/`` tree is never compacted: texts are read
-    only for matched slivers, and folding data would rewrite the whole
-    corpus each cycle.
+    batch count. Crash-safe on two mechanisms: (1) readers accept only
+    compact trees whose parquet job COMMITTED (``_SUCCESS`` present) and
+    take the largest committed ``upto`` — a tree a crashed compaction
+    half-wrote is invisible, and because deletions run strictly after
+    commit, the previous committed tree plus the per-batch dirs it would
+    have folded are all still present, so the base row set is unchanged;
+    (2) row-level filters (compact tree rows ``batch < upto`` of the
+    per-batch read) make any leftover not-yet-deleted folded dir
+    harmless. Re-running a compaction is a pure overwrite + re-delete.
+    The ``data/`` tree is never compacted: texts are read only for
+    matched slivers, and folding data would rewrite the whole corpus
+    each cycle.
+
+    ``first_batch_id`` bootstraps the stream ATOP an imported corpus:
+    when ``corpus_path`` already holds batches [0, first_batch_id) — a
+    one-time batch import of an existing lake, laid out as ``data/
+    batch=*`` plus a committed ``index_compact/upto=first_batch_id``
+    tree — the stream's own numbering starts above them, so every
+    imported batch satisfies ``batch < current`` and classifies as prior
+    history from the very first trigger.
     """
     spark = docs.sparkSession
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
+    def process(batch_df: DataFrame, stream_batch_id: int) -> None:
+        batch_id = stream_batch_id + first_batch_id
         b = batch_df.select(
             F.col(id_col), F.col(text_col),
             F.xxhash64(F.col(text_col)).alias("_h"),
@@ -119,8 +206,6 @@ def start_corpus_dedup_ingest(
         # incoming doc as fresh, landing duplicates. With the schema
         # pinned, both empty states read as zero rows and any genuine IO
         # error still fails the micro-batch so the checkpoint retries it.
-        from ..sources import fsio
-
         idx_schema = T.StructType(
             [
                 b.schema[id_col],
@@ -128,23 +213,31 @@ def start_corpus_dedup_ingest(
                 T.StructField("batch", T.IntegerType()),
             ]
         )
-        # compacted history: the LARGEST upto tree wins (row-level batch
-        # filters below make any crash interleaving read the same base)
+        # compacted history: the largest COMMITTED upto tree wins (the
+        # _SUCCESS gate; see docstring crash-safety contract). The bare
+        # largest-upto fallback only fires when NO tree carries a marker
+        # — a deployment that disabled success markers globally — never
+        # after a crashed fold, whose predecessor tree keeps its marker.
+        compact_root = f"{corpus_path}/index_compact"
+        trees = [
+            n
+            for n in fsio.list_names(compact_root, spark)
+            if n.startswith("upto=")
+        ]
+        committed = [
+            n for n in trees if fsio.exists(f"{compact_root}/{n}/_SUCCESS", spark)
+        ]
         upto = max(
-            (
-                int(n.split("=", 1)[1])
-                for n in fsio.list_names(f"{corpus_path}/index_compact", spark)
-                if n.startswith("upto=")
-            ),
+            (int(n.split("=", 1)[1]) for n in (committed or trees)),
             default=0,
         )
         parts = []
         if upto:
-            parts.append(
-                spark.read.schema(idx_schema)
-                .parquet(f"{corpus_path}/index_compact/upto={upto}")
-                .filter(F.col("batch") < batch_id)
+            cdf = _read_compact_tree(
+                spark, f"{compact_root}/upto={upto}", idx_schema, probe=b
             )
+            if cdf is not None:
+                parts.append(cdf.filter(F.col("batch") < batch_id))
         if fsio.exists(f"{corpus_path}/index", spark):
             parts.append(
                 spark.read.schema(idx_schema)
@@ -160,24 +253,69 @@ def start_corpus_dedup_ingest(
             base_idx = parts[0] if len(parts) == 1 else parts[0].unionByName(
                 parts[1]
             )
-            if base_idx.isEmpty():  # first batch / crashed-write leftover
-                base_idx = None
 
+        cand = None
         if base_idx is not None:
             cand = (
                 b.join(
-                    base_idx.select(F.col(id_col).alias("_bid"), "_h"), "_h"
+                    base_idx.select(
+                        F.col(id_col).alias("_bid"),
+                        "_h",
+                        F.col("batch").alias("_bb"),
+                    ),
+                    "_h",
                 )
-                .select(id_col, "_bid")
+                .select(id_col, "_bid", "_bb")
+                # slim (candidates only); pinned because the batch-dir and
+                # candidate-id collects below plus the verify join would
+                # otherwise re-run the probe join three times
+                .localCheckpoint(eager=True)
             )
-            base_txt = (
-                spark.read.parquet(f"{corpus_path}/data")
-                .filter(F.col("batch") < batch_id)
-                .join(
-                    cand.select(F.col("_bid").alias(id_col)).distinct(),
-                    id_col, "left_semi",
+            # ONE bounded collect serves both prunings: candidate ids (IN
+            # pushdown) and their landing batches (explicit data paths).
+            # Over the cap, both fall back to join-based pruning together.
+            cand_keys = cand.select("_bid", "_bb").distinct().limit(
+                20_001
+            ).collect()
+            cand_batches = sorted({r["_bb"] for r in cand_keys})
+        if cand is not None and cand_batches:
+            # Text verification reads ONLY the batch dirs holding a
+            # candidate — explicit sub-paths, so Spark never lists the
+            # full data/ tree (the measured per-batch drift term). An
+            # index row with batch=k guarantees data/batch=k committed:
+            # within an attempt data lands before index, and replays
+            # overwrite both.
+            capped = len(cand_keys) <= 20_000
+            if capped and len(cand_batches) <= 4096:
+                base_src = (
+                    spark.read.option("basePath", f"{corpus_path}/data")
+                    .parquet(
+                        *[
+                            f"{corpus_path}/data/batch={v}"
+                            for v in cand_batches
+                        ]
+                    )
                 )
-                .select(F.col(id_col).alias("_bid"), F.col(text_col).alias("_bt"))
+            else:  # degenerate cross-history dup storm: full read is
+                # cheaper than ten-thousand explicit paths
+                base_src = spark.read.parquet(f"{corpus_path}/data").filter(
+                    F.col("batch") < batch_id
+                )
+            # candidate ids as an IN filter when bounded: pushed to the
+            # parquet scan, prunes row groups via min/max stats (data is
+            # written id-sorted). Above the bound, a broadcast-able
+            # semi-join does the same work without a driver-side list.
+            if capped:
+                ids = {r["_bid"] for r in cand_keys}
+                pruned = base_src.filter(F.col(id_col).isin(list(ids)))
+            else:
+                pruned = base_src.join(
+                    cand.select(F.col("_bid").alias(id_col)).distinct(),
+                    id_col,
+                    "left_semi",
+                )
+            base_txt = pruned.select(
+                F.col(id_col).alias("_bid"), F.col(text_col).alias("_bt")
             )
             exact = (
                 cand.join(base_txt, "_bid")
@@ -216,9 +354,11 @@ def start_corpus_dedup_ingest(
         fresh = b.join(
             log.filter(F.col("status") == "fresh"), id_col, "left_semi"
         )
-        fresh.select(id_col, text_col).write.mode("overwrite").parquet(
-            f"{corpus_path}/data/batch={batch_id}"
-        )
+        # id-sorted within files → row-group min/max stats make the
+        # candidate-id IN pushdown above actually skip
+        fresh.select(id_col, text_col).sortWithinPartitions(id_col).write.mode(
+            "overwrite"
+        ).parquet(f"{corpus_path}/data/batch={batch_id}")
         # slim outputs collapse to ONE file per batch: a 10M-row index
         # partition is ~160 MB — fine as a single file — while inheriting
         # the batch's 32-way partitioning would grow the per-batch
@@ -240,18 +380,35 @@ def start_corpus_dedup_ingest(
                 f"{corpus_path}/index"
             ).filter((F.col("batch") < new_upto) & (F.col("batch") >= upto))
             if upto:
-                folded = spark.read.schema(idx_schema).parquet(
-                    f"{corpus_path}/index_compact/upto={upto}"
-                ).filter(F.col("batch") < new_upto).unionByName(folded)
-            # write the new tree FIRST (overwrite-idempotent), then clean
-            # up — a crash at any point leaves a readable superset the
-            # row filters reduce to the same base
-            folded.repartition(1).write.mode("overwrite").parquet(
-                f"{corpus_path}/index_compact/upto={new_upto}"
+                prev = _read_compact_tree(
+                    spark, f"{compact_root}/upto={upto}", idx_schema
+                )
+                folded = prev.filter(F.col("batch") < new_upto).unionByName(
+                    folded
+                )
+            folded = folded.localCheckpoint(eager=True)  # count + write
+            rows = folded.count()
+            # bucket count scales WITH history so per-bucket volume stays
+            # ~bucket_target_rows — the invariant that keeps per-batch
+            # probe reads proportional to batch size, not corpus age
+            nb_new = max(1, -(-rows // bucket_target_rows))
+            # write the new tree FIRST (readers ignore it until _SUCCESS
+            # lands at job commit), then the meta, then clean up — a
+            # crash at any point leaves the previous committed tree and
+            # the dirs it folds intact
+            (
+                folded.withColumn("bucket", _bucket_expr(nb_new))
+                .repartition(nb_new, "bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(f"{compact_root}/upto={new_upto}")
             )
-            for n in fsio.list_names(f"{corpus_path}/index_compact", spark):
+            fsio.write_text_atomic(
+                f"{compact_root}/upto={new_upto}/_nb", str(nb_new), spark
+            )
+            for n in fsio.list_names(compact_root, spark):
                 if n.startswith("upto=") and int(n.split("=", 1)[1]) < new_upto:
-                    fsio.delete(f"{corpus_path}/index_compact/{n}", spark=spark)
+                    fsio.delete(f"{compact_root}/{n}", spark=spark)
             for n in fsio.list_names(f"{corpus_path}/index", spark):
                 if n.startswith("batch=") and int(n.split("=", 1)[1]) < new_upto:
                     fsio.delete(f"{corpus_path}/index/{n}", spark=spark)

@@ -41,8 +41,13 @@ _SCALAR = {"q14_promo_effect", "q17_small_qty_revenue", "q19_discount_revenue"}
 # NOT listed here must carry an oracle — silent rows-only regressions fail.
 ROWS_ONLY_ALLOWED = {
     # iterative LBFGS training; pinned by tests/test_mlquality.py (AUC,
-    # holdout generalization, refit determinism); its deterministic
-    # counterpart quality_exact is oracled hash-exact. Every other entry
+    # holdout generalization, refit determinism). Why it stays: its
+    # HashingTF projection is murmur3, which DuckDB cannot compute, and
+    # the LBFGS weights are float iterations — so BOTH stages are
+    # non-oracle-expressible as-is. The oracled coverage of the same
+    # capability is quality_exact (full fixed-point training, hash-exact)
+    # plus quality_tf (the engine-owned hashed-count projection the exact
+    # trainer consumes). Every other entry
     # this set ever held (image_phash_pairs, bpe_tokenize,
     # compression_signals) has since gained an oracle — reappearing here
     # would be a regression the missing-check below no longer hides.

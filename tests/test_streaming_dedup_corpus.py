@@ -218,3 +218,84 @@ def test_compaction_crash_residue_is_harmless(spark, tmp_path):
     log = _log(spark, str(corpus))
     assert log[40] == ("exact_dup", 1)
     assert log[41] == ("fresh", None)
+
+
+def test_bucketed_compaction_layout_and_probe(spark, tmp_path):
+    """bucket_target_rows=1 forces one bucket per history row at the fold:
+    the compact tree must come out hash-bucketed (bucket=<k>/ subdirs +
+    _nb meta), and classification against the bucketed history — where
+    the probe reads ONLY the incoming batch's buckets — must be identical
+    to the flat-tree semantics."""
+    import os
+
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+
+    def run(every=2):
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        q = start_corpus_dedup_ingest(
+            stream, str(corpus), str(ckpt), "doc_id", "text",
+            available_now=True, compact_every=every, bucket_target_rows=1,
+        )
+        q.awaitTermination(120)
+
+    _feed(src, "b1.json", [{"doc_id": 1, "text": "alpha beta gamma"},
+                           {"doc_id": 2, "text": "delta epsilon zeta"}])
+    run()
+    _feed(src, "b2.json", [{"doc_id": 10, "text": "eta theta iota"}])
+    run()
+    _feed(src, "b3.json", [{"doc_id": 20, "text": "kappa lambda mu"}])
+    run()  # fold at batch 2 → upto=3, 4 history rows → 4 buckets
+
+    tree = f"{corpus}/index_compact/upto=3"
+    buckets = sorted(n for n in os.listdir(tree) if n.startswith("bucket="))
+    with open(f"{tree}/_nb") as fh:
+        nb = int(fh.read())
+    assert nb == 4
+    assert 1 <= len(buckets) <= 4  # hash collisions may merge buckets
+    assert os.path.exists(f"{tree}/_SUCCESS")
+
+    # dups of each pre-fold batch + a fresh doc, classified via the
+    # bucket-pruned probe
+    _feed(src, "b4.json", [
+        {"doc_id": 30, "text": "alpha beta gamma"},   # dup of batch-0 doc 1
+        {"doc_id": 31, "text": "eta theta iota"},     # dup of batch-1 doc 10
+        {"doc_id": 32, "text": "kappa lambda mu"},    # dup of batch-2 doc 20
+        {"doc_id": 33, "text": "nu xi omicron"},      # fresh
+    ])
+    run()
+    log = _log(spark, str(corpus))
+    assert log[30] == ("exact_dup", 1)
+    assert log[31] == ("exact_dup", 10)
+    assert log[32] == ("exact_dup", 20)
+    assert log[33] == ("fresh", None)
+
+
+def test_uncommitted_compact_tree_is_ignored(spark, tmp_path):
+    """A compact tree a crashed fold half-wrote (dir exists, no _SUCCESS)
+    must be invisible: the reader takes the largest COMMITTED upto.
+    Without the gate, an empty upto=9 would shadow the real history
+    (per-batch filter batch >= 9 drops everything) and every dup would
+    land again as fresh."""
+    import os
+
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+    _feed(src, "b1.json", [{"doc_id": 1, "text": "alpha beta gamma"}])
+    _run_compact(spark, src, corpus, ckpt, 2)
+    _feed(src, "b2.json", [{"doc_id": 2, "text": "delta epsilon zeta"}])
+    _run_compact(spark, src, corpus, ckpt, 2)
+    _feed(src, "b3.json", [{"doc_id": 3, "text": "eta theta iota"}])
+    _run_compact(spark, src, corpus, ckpt, 2)  # committed fold → upto=3
+    assert os.path.exists(f"{corpus}/index_compact/upto=3/_SUCCESS")
+
+    os.makedirs(f"{corpus}/index_compact/upto=9")  # crashed-fold residue
+
+    _feed(src, "b4.json", [
+        {"doc_id": 40, "text": "alpha beta gamma"},  # dup of folded doc 1
+        {"doc_id": 41, "text": "pi rho sigma"},
+    ])
+    _run_compact(spark, src, corpus, ckpt, 2)
+    log = _log(spark, str(corpus))
+    assert log[40] == ("exact_dup", 1)
+    assert log[41] == ("fresh", None)

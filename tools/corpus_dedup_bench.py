@@ -13,6 +13,18 @@ delivers exactly one batch per trigger.
 
 Usage: python tools/corpus_dedup_bench.py [n_batches] [batch_rows] [compact_every]
 Prints a per-batch markdown table and ONE JSON summary line.
+
+Decades mode — the flat-probe-vs-history-decades evidence:
+
+    python tools/corpus_dedup_bench.py decades [hist1 hist2 ...] \
+        [--batch-rows N] [--probe-batches N] [--bucket-target N] [--flat]
+
+For each history size H: seed a corpus of H docs directly (data/batch=*
+dirs + a committed hash-bucketed index_compact tree + _nb meta — the
+same layout a compact_every fold writes), then stream probe batches over
+it via ``first_batch_id`` and report per-batch trigger ms. ``--flat``
+seeds a single-bucket tree (bucket_target_rows=H) — the A/B baseline
+whose probe cost grows linearly with H.
 """
 
 from __future__ import annotations
@@ -42,6 +54,152 @@ def _gen_text(src_col):
         F.pmod(F.xxhash64(src_col * 31 + F.lit(k)), F.lit(997)).cast("string"),
     )
     return F.concat_ws(" ", *[word(k) for k in range(15)])
+
+
+def _seed_history(spark, corpus: str, hist_rows: int, per_batch: int,
+                  bucket_target: int) -> int:
+    """Materialize an imported corpus of ``hist_rows`` docs: data/batch=*
+    (id-sorted files) + one committed bucketed compact tree — byte-wise
+    the layout a compact_every fold leaves behind. Returns the batch
+    count K (= the stream's first_batch_id)."""
+    k = max(1, -(-hist_rows // per_batch))
+    docs = spark.range(hist_rows).select(
+        F.col("id").alias("doc_id"),
+        _gen_text(F.col("id")).alias("text"),
+        (F.col("id") / per_batch).cast("int").alias("batch"),
+    )
+    (
+        docs.repartition(k, "batch")
+        .sortWithinPartitions("doc_id")
+        .write.partitionBy("batch")
+        .mode("overwrite")
+        .parquet(f"{corpus}/data")
+    )
+    nb = max(1, -(-hist_rows // bucket_target))
+    idx = docs.select(
+        "doc_id", F.xxhash64("text").alias("_h"), "batch"
+    ).withColumn("bucket", F.pmod(F.col("_h"), F.lit(nb)).cast("int"))
+    tree = f"{corpus}/index_compact/upto={k}"
+    (
+        idx.repartition(nb, "bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(tree)
+    )
+    with open(f"{tree}/_nb", "w") as fh:
+        fh.write(str(nb))
+    return k
+
+
+def decades() -> None:
+    rest = sys.argv[2:]
+    flat = "--flat" in rest
+    opts = {"--batch-rows": 2_000, "--probe-batches": 8,
+            "--bucket-target": 50_000}
+    positional = []
+    i = 0
+    while i < len(rest):
+        if rest[i] in opts:
+            opts[rest[i]] = int(rest[i + 1])
+            i += 2
+        elif rest[i] == "--flat":
+            i += 1
+        else:
+            positional.append(int(rest[i]))
+            i += 1
+    hists = positional or [40_000, 400_000, 4_000_000]
+    batch_rows = opts["--batch-rows"]
+    n_probe = opts["--probe-batches"]
+    bucket_target = opts["--bucket-target"]
+    seed_per_batch = 40_000
+    dup_frac = 0.10
+
+    spark = get_spark(app_name="corpus-dedup-decades")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
+
+    results = []
+    for hist in hists:
+        root = tempfile.mkdtemp(prefix="corpus_dedup_decades_")
+        src_dir, corpus, ckpt = (
+            os.path.join(root, d) for d in ("in", "corpus", "ckpt")
+        )
+        os.makedirs(src_dir)
+        target = hist if flat else bucket_target
+        k = _seed_history(spark, corpus, hist, seed_per_batch, target)
+
+        for b in range(n_probe):
+            did = F.col("id") + F.lit(hist + b * batch_rows)
+            is_dup = (
+                F.pmod(F.xxhash64(did * 7 + 13), F.lit(1000))
+                < F.lit(int(dup_frac * 1000))
+            )
+            src = F.when(
+                is_dup, F.pmod(F.xxhash64(did * 11 + 5), F.lit(hist))
+            ).otherwise(did)
+            (
+                spark.range(batch_rows)
+                .select(did.alias("doc_id"), _gen_text(src).alias("text"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(src_dir, f"b{b:03d}"))
+            )
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        q = start_corpus_dedup_ingest(
+            stream, corpus, ckpt, "doc_id", "text", available_now=True,
+            bucket_target_rows=target, first_batch_id=k,
+        )
+        q.awaitTermination(1800)
+        ms = [
+            p["durationMs"]["triggerExecution"]
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+        dups = spark.read.parquet(f"{corpus}/log").filter(
+            "status = 'exact_dup'"
+        ).count()
+        warm = ms[1:] or ms  # batch 0 pays session/stream warmup
+        results.append(
+            {
+                "history_rows": hist,
+                "n_buckets": max(1, -(-hist // target)),
+                "probe_batches": len(ms),
+                "batch_ms_warm_avg": round(sum(warm) / len(warm)),
+                "batch_ms": ms,
+                "exact_dups_found": dups,
+            }
+        )
+        shutil.rmtree(root, ignore_errors=True)
+
+    print("| history rows | buckets | warm avg batch ms | dups found |")
+    print("| --- | --- | --- | --- |")
+    for r in results:
+        print(
+            f"| {r['history_rows']} | {r['n_buckets']} | "
+            f"{r['batch_ms_warm_avg']} | {r['exact_dups_found']} |"
+        )
+    first, last = results[0], results[-1]
+    print(json.dumps({
+        "metric": "corpus_dedup_probe_decades",
+        "mode": "flat" if flat else "bucketed",
+        "batch_rows": batch_rows,
+        "bucket_target_rows": bucket_target,
+        "growth_ratio_total": round(
+            last["batch_ms_warm_avg"] / first["batch_ms_warm_avg"], 2
+        ),
+        "decades": round(
+            __import__("math").log10(
+                last["history_rows"] / first["history_rows"]
+            ), 1
+        ),
+        "results": results,
+    }))
 
 
 def main() -> None:
@@ -147,4 +305,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "decades":
+        decades()
+    else:
+        main()
