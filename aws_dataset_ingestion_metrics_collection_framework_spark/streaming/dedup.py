@@ -116,6 +116,7 @@ def start_corpus_dedup_ingest(
     compact_every: int | None = None,
     bucket_target_rows: int = 1_000_000,
     first_batch_id: int = 0,
+    verify_collect_cap: int = 20_000,
 ):
     """Continuous ingest dedup against ALL accumulated history — the
     daily-crawl loop (`operators.dedup.incremental_dedup`'s exact path)
@@ -149,6 +150,12 @@ def start_corpus_dedup_ingest(
     hold a candidate (explicit paths — no full-tree partition listing,
     which was the measured per-batch drift term at 10³ batches) and
     pushes the candidate ids down as an IN filter for row-group pruning.
+    Candidates are driver-bounded by ``verify_collect_cap`` (default
+    20k ≈ 1 MB of (id, batch) keys): under it, ONE bounded collect runs
+    the probe join once and doubles as the verify join's broadcast side;
+    over it (a degenerate cross-history dup storm), the plan falls back
+    to a checkpointed candidate table and join-based pruning — same
+    rows, no driver list.
 
     Exactly-once WITHOUT marker files: every write is an overwrite of
     the batch's own partition directory (idempotent under re-delivery),
@@ -256,27 +263,37 @@ def start_corpus_dedup_ingest(
 
         cand = None
         if base_idx is not None:
-            cand = (
-                b.join(
-                    base_idx.select(
-                        F.col(id_col).alias("_bid"),
-                        "_h",
-                        F.col("batch").alias("_bb"),
-                    ),
+            cand_plan = b.join(
+                base_idx.select(
+                    F.col(id_col).alias("_bid"),
                     "_h",
+                    F.col("batch").alias("_bb"),
+                ),
+                "_h",
+            ).select(id_col, "_bid", "_bb")
+            # ONE bounded collect runs the probe join exactly once and
+            # serves THREE consumers: candidate ids (IN pushdown),
+            # landing batches (explicit data paths), and — when bounded —
+            # the verify join's cand side itself, rebuilt as a LOCAL
+            # relation (broadcast, no shuffle, no re-execution). Only the
+            # over-cap dup storm pays for a checkpoint + re-collect.
+            cand_keys = cand_plan.limit(verify_collect_cap + 1).collect()
+            if len(cand_keys) > verify_collect_cap:
+                cand = cand_plan.localCheckpoint(eager=True)
+                cand_keys = cand.select("_bid", "_bb").distinct().limit(
+                    verify_collect_cap + 1
+                ).collect()
+            elif cand_keys:
+                cand = spark.createDataFrame(
+                    cand_keys,
+                    T.StructType(
+                        [
+                            b.schema[id_col],
+                            T.StructField("_bid", b.schema[id_col].dataType),
+                            T.StructField("_bb", T.IntegerType()),
+                        ]
+                    ),
                 )
-                .select(id_col, "_bid", "_bb")
-                # slim (candidates only); pinned because the batch-dir and
-                # candidate-id collects below plus the verify join would
-                # otherwise re-run the probe join three times
-                .localCheckpoint(eager=True)
-            )
-            # ONE bounded collect serves both prunings: candidate ids (IN
-            # pushdown) and their landing batches (explicit data paths).
-            # Over the cap, both fall back to join-based pruning together.
-            cand_keys = cand.select("_bid", "_bb").distinct().limit(
-                20_001
-            ).collect()
             cand_batches = sorted({r["_bb"] for r in cand_keys})
         if cand is not None and cand_batches:
             # Text verification reads ONLY the batch dirs holding a
@@ -285,7 +302,7 @@ def start_corpus_dedup_ingest(
             # index row with batch=k guarantees data/batch=k committed:
             # within an attempt data lands before index, and replays
             # overwrite both.
-            capped = len(cand_keys) <= 20_000
+            capped = len(cand_keys) <= verify_collect_cap
             if capped and len(cand_batches) <= 4096:
                 base_src = (
                     spark.read.option("basePath", f"{corpus_path}/data")

@@ -299,3 +299,34 @@ def test_uncommitted_compact_tree_is_ignored(spark, tmp_path):
     log = _log(spark, str(corpus))
     assert log[40] == ("exact_dup", 1)
     assert log[41] == ("fresh", None)
+
+
+def test_over_cap_dup_storm_falls_back_to_join_pruning(spark, tmp_path):
+    """verify_collect_cap=2 forces the over-cap path on a 5-dup batch:
+    candidate verification must switch from the driver-collected IN list
+    to the checkpointed-candidate semi-join and classify identically."""
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        q = start_corpus_dedup_ingest(
+            stream, str(corpus), str(ckpt), "doc_id", "text",
+            available_now=True, verify_collect_cap=2,
+        )
+        q.awaitTermination(120)
+
+    texts = [f"w{i} x{i} y{i}" for i in range(5)]
+    _feed(src, "b1.json", [
+        {"doc_id": i, "text": texts[i]} for i in range(5)
+    ])
+    run()
+    # 5 history dups (over the cap of 2) + 1 fresh
+    _feed(src, "b2.json", [
+        {"doc_id": 100 + i, "text": texts[i]} for i in range(5)
+    ] + [{"doc_id": 200, "text": "fresh only text"}])
+    run()
+    log = _log(spark, str(corpus))
+    for i in range(5):
+        assert log[100 + i] == ("exact_dup", i)
+    assert log[200] == ("fresh", None)
