@@ -257,11 +257,18 @@ def main() -> None:
     counts = {r["status"]: r["n"] for r in
               log.groupBy("status").agg(F.count("*").alias("n")).collect()}
     idx_rows = spark.read.parquet(f"{corpus}/index").count()
+    compact_root = f"{corpus}/index_compact"
+    if os.path.isdir(compact_root):
+        for n in os.listdir(compact_root):  # residual + committed trees
+            idx_rows += spark.read.parquet(f"{compact_root}/{n}").count()
     # realized history per batch: cumulative FRESH landings (dup rows never
     # enter the index, so i*batch_rows would overstate it by the dup rate)
+    # count fresh landings from log/ (never compacted) — index/ loses its
+    # folded batch=* dirs after each compact_every cycle, which zeroed the
+    # history column for every pre-fold batch in earlier revisions
     fresh_by_batch = {
         r["batch"]: r["n"]
-        for r in spark.read.parquet(f"{corpus}/index")
+        for r in log.filter(F.col("status") == "fresh")
         .groupBy("batch").agg(F.count("*").alias("n")).collect()
     }
     batches = []
