@@ -330,3 +330,50 @@ def test_over_cap_dup_storm_falls_back_to_join_pruning(spark, tmp_path):
     for i in range(5):
         assert log[100 + i] == ("exact_dup", i)
     assert log[200] == ("fresh", None)
+
+
+def test_first_batch_id_bootstraps_over_imported_corpus(spark, tmp_path):
+    """A one-time batch import (data/batch=* + committed bucketed compact
+    tree, the layout a compact_every fold writes) becomes prior history
+    from the stream's FIRST trigger when first_batch_id points above it."""
+    import os
+    from pyspark.sql import Row
+
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+
+    # import two batches' worth of docs the way a fold would lay them out
+    imported = [(1, "alpha beta gamma", 0), (2, "delta epsilon zeta", 1)]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t, batch=b) for i, t, b in imported]
+    ).withColumn("batch", F.col("batch").cast("int"))  # index schema is int
+    (docs.repartition(2, "batch").sortWithinPartitions("doc_id")
+         .write.partitionBy("batch").mode("overwrite")
+         .parquet(f"{corpus}/data"))
+    tree = f"{corpus}/index_compact/upto=2"
+    idx = docs.select(
+        "doc_id", F.xxhash64("text").alias("_h"), "batch"
+    ).withColumn("bucket", F.pmod(F.col("_h"), F.lit(2)).cast("int"))
+    (idx.repartition(2, "bucket").write.partitionBy("bucket")
+        .mode("overwrite").parquet(tree))
+    with open(f"{tree}/_nb", "w") as fh:
+        fh.write("2")
+    assert os.path.exists(f"{tree}/_SUCCESS")
+
+    _feed(src, "b1.json", [
+        {"doc_id": 50, "text": "alpha beta gamma"},   # dup of imported 1
+        {"doc_id": 51, "text": "delta epsilon zeta"}, # dup of imported 2
+        {"doc_id": 52, "text": "brand new text"},
+    ])
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = start_corpus_dedup_ingest(
+        stream, str(corpus), str(ckpt), "doc_id", "text",
+        available_now=True, first_batch_id=2,
+    )
+    q.awaitTermination(120)
+    log = _log(spark, str(corpus))
+    assert log[50] == ("exact_dup", 1)
+    assert log[51] == ("exact_dup", 2)
+    assert log[52] == ("fresh", None)
+    # the stream's own landing went ABOVE the imported range
+    assert os.path.isdir(f"{corpus}/data/batch=2")
