@@ -96,6 +96,10 @@ PROBES = [
     # distributed shuffle pair per iteration): the probe measures BOTH
     # faces and the handoff
     "quality_exact",
+    # r9: the oracled hashed-count feature projection — one tokenize pass
+    # + one (doc, bucket) map-side-combinable aggregate; growth should
+    # track token volume 1:1
+    "quality_tf",
 ]
 
 
