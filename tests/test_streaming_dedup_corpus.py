@@ -377,3 +377,53 @@ def test_first_batch_id_bootstraps_over_imported_corpus(spark, tmp_path):
     assert log[52] == ("fresh", None)
     # the stream's own landing went ABOVE the imported range
     assert os.path.isdir(f"{corpus}/data/batch=2")
+
+
+def test_randomized_stream_matches_reference_model(spark, tmp_path):
+    """Seeded random stream vs an independent driver-side reference model,
+    with every scale knob forced hostile at once: per-row buckets
+    (bucket_target_rows=1), folds every 2 batches, and a verify cap of 5
+    so some batches take the over-cap join path and others the bounded
+    broadcast path. Classification must equal the model's regardless."""
+    import random
+
+    rng = random.Random(909)
+    pool = [f"text {i} {'pad ' * (i % 3)}" for i in range(18)]
+
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        q = start_corpus_dedup_ingest(
+            stream, str(corpus), str(ckpt), "doc_id", "text",
+            available_now=True, compact_every=2, bucket_target_rows=1,
+            verify_collect_cap=5,
+        )
+        q.awaitTermination(180)
+
+    # reference model: corpus maps text -> min FRESH id that landed it
+    corpus_ref: dict[str, int] = {}
+    expected: dict[int, tuple[str, int | None]] = {}
+    next_id = 0
+    for b in range(6):
+        rows = []
+        for _ in range(rng.randint(3, 12)):
+            rows.append({"doc_id": next_id, "text": rng.choice(pool)})
+            next_id += 1
+        seen_in_batch: dict[str, int] = {}
+        for r in rows:
+            t = r["text"]
+            if t in corpus_ref:
+                expected[r["doc_id"]] = ("exact_dup", corpus_ref[t])
+            elif t in seen_in_batch:
+                expected[r["doc_id"]] = ("batch_dup", seen_in_batch[t])
+            else:
+                expected[r["doc_id"]] = ("fresh", None)
+                seen_in_batch[t] = r["doc_id"]
+        for t, i in seen_in_batch.items():
+            corpus_ref[t] = i
+        _feed(src, f"b{b}.json", rows)
+        run()
+
+    assert _log(spark, str(corpus)) == expected
