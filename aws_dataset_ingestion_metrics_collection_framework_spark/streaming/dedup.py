@@ -11,7 +11,7 @@ late rows beyond the watermark are dropped by the engine upstream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from ..sources import fsio
 
@@ -346,31 +346,32 @@ def start_corpus_dedup_ingest(
                 "match_id", F.col(id_col)
             )
 
-        # within-batch dups: first (min id) per identical text survives
-        w_min = b.groupBy(text_col).agg(F.min(id_col).alias("_keep"))
-        batch_dup = (
-            b.join(w_min, text_col)
-            .filter(F.col(id_col) != F.col("_keep"))
-            .select(id_col, F.col("_keep").alias("batch_match"))
-        )
-
+        # within-batch dups: first (min id) per identical text survives.
+        # ONE window shuffle (partition by text) replaces the former
+        # groupBy(text) + join-back-on-text pair, and the classified rows
+        # keep text + _h so every write below is a pure filter+project
+        # over the pinned result — no per-write semi-join back to the
+        # batch. The price is pinning the batch's texts twice (b and
+        # log); both are exactly batch-sized, never history-sized.
+        keep = F.min(id_col).over(Window.partitionBy(text_col))
         log = (
-            b.select(id_col)
-            .join(exact, id_col, "left")
-            .join(batch_dup, id_col, "left")
+            b.withColumn("_keep", keep)
+            .join(exact, id_col, "left")  # exact is candidate-sized: AQE
+            # broadcasts it under the classification window's shuffle
             .select(
-                id_col,
+                id_col, text_col, "_h",
                 F.when(F.col("match_id").isNotNull(), F.lit("exact_dup"))
-                .when(F.col("batch_match").isNotNull(), F.lit("batch_dup"))
+                .when(F.col(id_col) != F.col("_keep"), F.lit("batch_dup"))
                 .otherwise(F.lit("fresh"))
                 .alias("status"),
-                F.coalesce("match_id", "batch_match").alias("match_id"),
+                F.coalesce(
+                    "match_id",
+                    F.when(F.col(id_col) != F.col("_keep"), F.col("_keep")),
+                ).alias("match_id"),
             )
         ).localCheckpoint(eager=True)  # classification pinned pre-write
 
-        fresh = b.join(
-            log.filter(F.col("status") == "fresh"), id_col, "left_semi"
-        )
+        fresh = log.filter(F.col("status") == "fresh")
         # id-sorted within files → row-group min/max stats make the
         # candidate-id IN pushdown above actually skip
         fresh.select(id_col, text_col).sortWithinPartitions(id_col).write.mode(
@@ -387,9 +388,9 @@ def start_corpus_dedup_ingest(
         fresh.select(id_col, "_h").repartition(1).write.mode(
             "overwrite"
         ).parquet(f"{corpus_path}/index/batch={batch_id}")
-        log.repartition(1).write.mode("overwrite").parquet(
-            f"{corpus_path}/log/batch={batch_id}"
-        )
+        log.select(id_col, "status", "match_id").repartition(1).write.mode(
+            "overwrite"
+        ).parquet(f"{corpus_path}/log/batch={batch_id}")
 
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             new_upto = batch_id + 1
