@@ -818,7 +818,12 @@ def incremental_dedup(
         hash_pairs.select("base_id").distinct(),
         base[id_col] == F.col("base_id"), "left_semi",
     ).select(bid, F.col(text_col).alias("_tb"))
-    exact = (
+    # materialize_once: `exact` is consumed TWICE (near-side anti-join
+    # below + final assembly) and its subtree re-scans new AND base for
+    # the nt/bt semi-joins — without pinning, Catalyst pays that corpus
+    # scan pair per consumer. The pinned result is one slim row per
+    # exact-dup doc.
+    exact = materialize_once(
         hash_pairs.join(nt, "new_id").join(bt, "base_id")
         .filter(F.col("_tn") == F.col("_tb"))
         .groupBy("new_id")
