@@ -67,11 +67,23 @@ def connected_components(
     if algorithm != "hash_to_min":
         raise ValueError(f"unknown algorithm {algorithm!r}: use 'hash_to_min' or 'star'")
 
-    comp = vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
     sym = sym.localCheckpoint(eager=False)
+
+    # Iterate over edge-TOUCHED vertices only: labels of edge-less vertices
+    # can never change, so shuffling the whole corpus through every round
+    # would make loop cost O(|corpus| * diameter) instead of
+    # O(|edges| * diameter). In a near-dup graph the touched set is a small
+    # fraction of the corpus; singletons get their total assignment from
+    # the single left join at the end (same contract as the star path).
+    comp = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -93,7 +105,11 @@ def connected_components(
         )
         comp = new_comp
         if changed == 0:
-            return comp
+            return (
+                vertices.select(F.col(id_col).alias("id"))
+                .join(comp, "id", "left")
+                .select("id", F.coalesce("component", "id").alias("component"))
+            )
     raise ConvergenceError(
         f"hash_to_min did not converge in {max_iter} rounds (graph diameter "
         f"exceeds max_iter); raise max_iter or use algorithm='star' "
