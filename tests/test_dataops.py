@@ -333,6 +333,24 @@ def test_connected_components_long_chain_raises_not_partial(spark):
     assert comp == {i: 0 for i in range(n)}
 
 
+def test_connected_components_clips_to_vertex_set(spark):
+    """Both algorithms return one row per `vertices` row and nothing else:
+    edge endpoints absent from `vertices` influence labels but do not
+    appear in the output (the r9 hash_to_min rewrite unified this with the
+    star path's left-join contract)."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.graph import connected_components
+
+    # vertex 5 and 7 connect only THROUGH the out-of-set endpoint 6
+    vertices = spark.createDataFrame([(5,), (7,), (9,)], "id long")
+    edges = spark.createDataFrame([(5, 6), (6, 7)], "id_a long, id_b long")
+    for algo in ("hash_to_min", "star"):
+        comp = {
+            r["id"]: r["component"]
+            for r in connected_components(vertices, edges, algorithm=algo).collect()
+        }
+        assert comp == {5: 5, 7: 5, 9: 9}, algo
+
+
 def test_tfidf_top_terms(spark):
     from aws_dataset_ingestion_metrics_collection_framework_spark.operators.textops import tf_idf_top_terms
 
