@@ -332,6 +332,52 @@ def test_over_cap_dup_storm_falls_back_to_join_pruning(spark, tmp_path):
     assert log[200] == ("fresh", None)
 
 
+def test_missing_nb_meta_reads_all_buckets(spark, tmp_path):
+    """Crash window between the compact tree's parquet job commit and the
+    _nb meta write: the tree is committed (_SUCCESS present) so readers
+    select it, but without _nb the probe cannot bucket-prune — it must
+    read ALL buckets (a correct superset), never miss a dup. Requires >8
+    buckets so the pruning branch (the one that consults _nb) is live."""
+    import os
+
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        q = start_corpus_dedup_ingest(
+            stream, str(corpus), str(ckpt), "doc_id", "text",
+            available_now=True, compact_every=2, bucket_target_rows=1,
+        )
+        q.awaitTermination(120)
+
+    _feed(src, "b1.json", [
+        {"doc_id": i, "text": f"alpha{i} beta{i} gamma{i}"} for i in range(20)
+    ])
+    run()
+    _feed(src, "b2.json", [{"doc_id": 100, "text": "delta epsilon zeta"}])
+    run()
+    _feed(src, "b3.json", [{"doc_id": 200, "text": "eta theta iota"}])
+    run()  # fold at batch 2 → upto=3, 22 history rows → nb=22
+
+    tree = f"{corpus}/index_compact/upto=3"
+    assert os.path.exists(f"{tree}/_SUCCESS")
+    buckets = [n for n in os.listdir(tree) if n.startswith("bucket=")]
+    assert len(buckets) > 8, "precondition: pruning branch must be live"
+    os.remove(f"{tree}/_nb")  # the simulated crash: commit happened, meta didn't
+
+    _feed(src, "b4.json", [
+        {"doc_id": 300, "text": "alpha7 beta7 gamma7"},  # dup of folded doc 7
+        {"doc_id": 301, "text": "delta epsilon zeta"},   # dup of folded doc 100
+        {"doc_id": 302, "text": "pi rho sigma"},         # fresh
+    ])
+    run()
+    log = _log(spark, str(corpus))
+    assert log[300] == ("exact_dup", 7)
+    assert log[301] == ("exact_dup", 100)
+    assert log[302] == ("fresh", None)
+
+
 def test_first_batch_id_bootstraps_over_imported_corpus(spark, tmp_path):
     """A one-time batch import (data/batch=* + committed bucketed compact
     tree, the layout a compact_every fold writes) becomes prior history
