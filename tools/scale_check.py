@@ -100,6 +100,11 @@ PROBES = [
     # + one (doc, bucket) map-side-combinable aggregate; growth should
     # track token volume 1:1
     "quality_tf",
+    # r9b: embedding-space dedup end to end (hyperplane-LSH bucketing →
+    # within-bucket cosine verify → edge-touched connected components) —
+    # growth should track bucket-occupancy pair volume, never the
+    # all-pairs grid, and the CC loop shuffles only edge endpoints
+    "semantic_dedup",
 ]
 
 
