@@ -1082,7 +1082,7 @@ def embedding_near_dup_pairs(
     vec_col: str,
     *,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | str = 8,
     n_tables: int = 1,
     seed: int = 7,
 ) -> DataFrame:
@@ -1095,8 +1095,27 @@ def embedding_near_dup_pairs(
     need few planes/tables; moderate thresholds (θ near π/3) want fewer
     planes and more independent tables. Candidate generation cost is linear
     in n_tables; verification is deduped across tables.
+
+    PLANE COUNT MUST SCALE WITH THE CORPUS: within-bucket pair volume is
+    ~n²/2^n_planes per table, so a fixed plane count goes quadratic as the
+    corpus grows (measured: 200k vectors at the default 8 planes = ~780
+    docs/bucket = 28× the 20k wall time; at 14 planes the same corpus is
+    linear — SCALE.md r9e). ``n_planes='auto'`` sizes it as
+    ceil(log2(count / 16)) clamped to [8, 24] — bucket occupancy pinned
+    near 16 regardless of corpus size — at the cost of one count job and
+    corpus-size-dependent output for sub-threshold pairs (identical-vector
+    pairs collide under EVERY plane count; only partial-similarity recall
+    shifts, so pair more planes with more tables when thresholds are
+    moderate). The numeric default stays 8 so small-corpus results are
+    reproducible run to run.
     """
     from .similarity import bucketize_tables, cosine_similarity
+
+    if n_planes == "auto":
+        n = df.count()
+        n_planes = min(24, max(8, (max(n, 1) * 2 - 1).bit_length() - 5))
+    elif not isinstance(n_planes, int):
+        raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
 
     # The bucket join and candidate dedup move ONLY (doc, tbl, bucket) —
     # 24-byte rows — never the vectors: with n_tables tables each vector
@@ -1136,7 +1155,7 @@ def semantic_dedup(
     vec_col: str,
     *,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | str = 8,
     n_tables: int = 1,
     seed: int = 7,
     max_iter: int = 25,

@@ -45,6 +45,49 @@ def test_semantic_dedup_groups_and_keeps_min(spark):
     assert kept == {0, 10, 20}
 
 
+def test_semantic_dedup_auto_planes(spark):
+    """n_planes='auto' pins bucket occupancy ~16 via ceil(log2(n/16))
+    clamped to [8, 24]: ≤4096 rows resolves to exactly the numeric
+    default 8 (bit-identical output), a larger corpus resolves higher,
+    and identical-vector dups are found under EVERY plane count (they
+    collide in all buckets)."""
+    import pytest
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dedup import embedding_near_dup_pairs
+
+    base = [1.0] + [0.0] * 7
+    rows = [(0, base), (1, base), (10, [0.0, 1.0] + [0.0] * 6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got_auto = sorted(
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, "vec_id", "embedding",
+                                          n_planes="auto").collect()
+    )
+    got_8 = sorted(
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, "vec_id", "embedding",
+                                          n_planes=8).collect()
+    )
+    assert got_auto == got_8 == [(0, 1)]
+
+    # 5000 rows → ceil(log2(5000/16)) = 9 planes; planted identical pair
+    big = spark.range(5000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            (F.pmod(F.xxhash64(
+                F.when(F.col("id") == 4999, F.lit(0)).otherwise(F.col("id"))
+                * 8 + F.lit(j)), F.lit(1001)) / 1000.0).cast("double")
+            for j in range(8)
+        ]).alias("embedding"),
+    )
+    pairs = semantic_dedup(big, "vec_id", "embedding", n_planes="auto")
+    res = {r["vec_id"]: r["cluster_rep"] for r in pairs.collect()}
+    assert res[4999] == 0 and res[0] == 0
+    assert len(res) == 5000
+
+    with pytest.raises(ValueError):
+        embedding_near_dup_pairs(df, "vec_id", "embedding", n_planes="bogus")
+
+
 class TestPmiCollocations:
     """PMI: tight pairs outrank frequent-but-independent ones; hapax
     suppression via min_count."""
