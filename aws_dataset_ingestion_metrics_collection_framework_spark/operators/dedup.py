@@ -1109,11 +1109,10 @@ def embedding_near_dup_pairs(
     moderate). The numeric default stays 8 so small-corpus results are
     reproducible run to run.
     """
-    from .similarity import bucketize_tables, cosine_similarity
+    from .similarity import auto_planes, bucketize_tables, cosine_similarity
 
     if n_planes == "auto":
-        n = df.count()
-        n_planes = min(24, max(8, (max(n, 1) * 2 - 1).bit_length() - 5))
+        n_planes = auto_planes(df.count())
     elif not isinstance(n_planes, int):
         raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
 

@@ -77,6 +77,16 @@ def _plane_literals(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def auto_planes(count: int) -> int:
+    """Plane count pinning expected LSH bucket occupancy near 16 for a
+    ``count``-row corpus: ceil(log2(count/16)), clamped to [8, 24]. A
+    FIXED plane count leaves within-bucket verification growing
+    ~n²/2^planes per table — measured 28× for 10× data at 200k vectors
+    under the default 8 planes (SCALE.md r9e); occupancy-pinned planes
+    keep candidate volume O(n·occupancy) at any corpus size."""
+    return min(24, max(8, (max(int(count), 1) * 2 - 1).bit_length() - 5))
+
+
 def random_hyperplane_bucket(vec: Column, *, n_planes: int = 8, seed: int = 7, dim: int = 64) -> Column:
     """LSH bucket id = sign-bit string of ``n_planes`` random projections.
     Plane vectors are deterministic literals (no data pass needed).
@@ -176,7 +186,7 @@ def build_ivf_index(
     *,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 16,
+    n_lists: int | str = 16,
     kmeans_iters: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF (inverted-file) index: partition the corpus into ``n_lists``
@@ -193,7 +203,20 @@ def build_ivf_index(
     centroids (one map-side pass over the corpus); update = per-(list,
     position) mean via ``posexplode`` + groupBy — shuffle volume is
     O(corpus × dim) numbers, the classic distributed k-means shape.
+
+    LIST COUNT MUST SCALE WITH THE CORPUS: probing n_probe of n_lists
+    cells reads ~n·n_probe/n_lists vectors per query, so a fixed 16 lists
+    means every query scans a fixed FRACTION of the corpus — linear
+    per-query cost. ``n_lists='auto'`` applies the standard IVF sizing,
+    ~sqrt(corpus), clamped to [16, 4096] (4096 × 64-dim doubles ≈ 2 MB —
+    the broadcast centroid row stays sane; beyond 4096 lists, train on a
+    sample and re-shard, which is out of this operator's scope). One
+    count job.
     """
+    if n_lists == "auto":
+        n_lists = min(4096, max(16, math.isqrt(corpus.count())))
+    elif not isinstance(n_lists, int):
+        raise ValueError(f"n_lists must be an int or 'auto', got {n_lists!r}")
     c = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).cast("array<double>").alias("v"))
     seeds = (
         c.withColumn("_h", F.xxhash64(F.col("cid")))
@@ -205,27 +228,34 @@ def build_ivf_index(
     centroids = seeds
 
     def assign(cents: DataFrame) -> DataFrame:
-        # Centroids travel as DATA in a broadcast one-row array, not as plan
-        # literals: n_lists × dim no longer inflates the query plan (the r1
-        # review's plan-size risk), and the argmax stays a map-side pass —
-        # no per-row centroid duplication, no shuffle.
-        cent_arr_df = cents.agg(
-            F.array_sort(F.collect_list(F.struct("list_id", "centroid"))).alias("_cents")
-        )
-        best = F.array_max(
-            F.transform(
-                F.col("_cents"),
-                lambda s: F.struct(
-                    cosine_similarity(F.col("v"), s["centroid"]).alias("cos"),
-                    s["list_id"].alias("list_id"),
-                ),
-            )
-        )
-        return (
-            c.crossJoin(F.broadcast(cent_arr_df))
-            .withColumn("_best", best)
-            .select("cid", "v", F.col("_best.list_id").alias("list_id"))
-        )
+        # The assign pass is O(corpus × n_lists × dim) multiply-adds —
+        # at the 'auto' sqrt(n) list count the interpreted-HOF argmax
+        # formulation becomes the index-build bottleneck (measured: DNF
+        # in 10 min at 200k × 447 lists). Same cure as bucketize_tables:
+        # ONE Arrow-batched BLAS matmul per batch, centroids shipped once
+        # in the UDF closure (≤4096 × 64 doubles ≈ 2 MB — bounded by the
+        # same clamp that bounds the broadcast row). Map-only, zero
+        # shuffle, exactly as before. Ties break toward the LARGEST
+        # list_id — parity with the struct-max the HOF formulation used.
+        rows = cents.orderBy("list_id").collect()
+        lids = np.array([r["list_id"] for r in rows], dtype="int64")
+        mat = np.array([r["centroid"] for r in rows], dtype="float64")
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        cn = mat / norms[:, None]
+
+        @F.pandas_udf("int")
+        def best_list(vs: pd.Series) -> pd.Series:
+            V = np.array(vs.tolist(), dtype="float64")
+            if V.size == 0:
+                return pd.Series([], dtype="int32")
+            vn = np.linalg.norm(V, axis=1)
+            vn[vn == 0] = 1.0
+            sims = (V / vn[:, None]) @ cn.T
+            idx = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)
+            return pd.Series(lids[idx].astype("int32"))
+
+        return c.withColumn("list_id", best_list(F.col("v")))
 
     assignments = assign(centroids)
     for _ in range(kmeans_iters):
@@ -255,7 +285,7 @@ def ivf_ann_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_lists: int = 16,
+    n_lists: int | str = 16,
     n_probe: int = 4,
     kmeans_iters: int = 1,
 ) -> DataFrame:
@@ -266,7 +296,10 @@ def ivf_ann_topk(
     n_probe (n_probe = n_lists degenerates to exact search). The list join is
     a shuffle-partitioned equi-join on list_id — no cross join — and the
     centroid table rides a broadcast one-row array (plan size stays O(1)
-    however large n_lists × dim grows).
+    however large n_lists × dim grows). ``n_lists='auto'`` = ~sqrt(corpus)
+    (see :func:`build_ivf_index`): with a FIXED list count every query
+    scans a fixed fraction of the corpus; with sqrt sizing the probed
+    volume per query is ~n_probe·sqrt(n).
     """
     centroids, assignments = build_ivf_index(
         corpus, corpus_id=corpus_id, vec_col=vec_col, n_lists=n_lists, kmeans_iters=kmeans_iters
@@ -322,7 +355,7 @@ def lsh_ann_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int | str = 8,
     n_tables: int = 4,
     seed: int = 7,
 ) -> DataFrame:
@@ -333,8 +366,16 @@ def lsh_ann_topk(
 
     Recall ≈ 1-(1-p^n_planes)^n_tables with p = 1-θ/π per plane: fewer
     planes → bigger buckets (cost↑ recall↑); more tables → recall↑ at
-    linear candidate-generation cost.
+    linear candidate-generation cost. ``n_planes='auto'`` sizes planes
+    from the CORPUS count so per-query candidate volume stays
+    ~16·n_tables regardless of corpus size (one count job; see
+    :func:`auto_planes` — a fixed plane count makes per-query cost grow
+    linearly with the corpus instead).
     """
+    if n_planes == "auto":
+        n_planes = auto_planes(corpus.count())
+    elif not isinstance(n_planes, int):
+        raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
 
     q = bucketize_tables(
         queries, id_col=query_id, id_name="query_id", vec_col=vec_col, keep_vec="qv",

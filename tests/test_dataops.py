@@ -167,6 +167,44 @@ def test_ivf_ann_recall_and_exact_degeneration(spark, sf_dir):
     assert full_nn == exact_nn
 
 
+def test_ann_auto_sizing(spark, sf_dir):
+    """'auto' parameter sizing: lsh n_planes and ivf n_lists resolve from
+    the corpus count (clamped to their floors on a small corpus, so 'auto'
+    here equals the defaults' candidate structure), and bogus strings
+    raise instead of silently bucketing everything together."""
+    import pytest
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        auto_planes,
+        build_ivf_index,
+        ivf_ann_topk,
+        lsh_ann_topk,
+    )
+
+    # the sizing law itself
+    assert auto_planes(1) == 8 and auto_planes(4096) == 8
+    assert auto_planes(4097) == 9
+    assert auto_planes(20_000) == 11 and auto_planes(200_000) == 14
+    assert auto_planes(10**12) == 24  # clamp
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    # small corpus → auto clamps to the floors; results must be well-formed
+    out = lsh_ann_topk(queries, emb, k=1, n_planes="auto", n_tables=6).collect()
+    assert all(r["rank"] == 1 and r["neighbor_id"] != r["query_id"] for r in out)
+    centroids, assignments = build_ivf_index(emb, n_lists="auto")
+    n_lists = centroids.count()
+    n_corpus = emb.count()
+    assert 16 <= n_lists <= max(16, int(n_corpus ** 0.5) + 1)
+    out = ivf_ann_topk(queries, emb, k=1, n_lists="auto", n_probe=4).collect()
+    assert all(r["rank"] == 1 for r in out)
+
+    with pytest.raises(ValueError):
+        lsh_ann_topk(queries, emb, n_planes="bogus")
+    with pytest.raises(ValueError):
+        build_ivf_index(emb, n_lists="bogus")
+
+
 def test_embedding_near_dup(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dup = emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label").limit(5)
