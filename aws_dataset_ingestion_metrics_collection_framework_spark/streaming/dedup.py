@@ -11,6 +11,9 @@ late rows beyond the watermark are dropped by the engine upstream.
 
 from __future__ import annotations
 
+import json
+import time
+
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from ..sources import fsio
@@ -50,49 +53,131 @@ def dedup_stream(
 
 
 def _bucket_expr(n_buckets: int):
-    """The ONE bucket function both the compaction writer and the probe
-    reader use: pmod keeps it non-negative for negative xxhash64 values.
-    Any drift between write-side and read-side bucketing silently loses
-    dup matches, so both sides call this."""
+    """The ONE bucket function both the run writers and the probe reader
+    use: pmod keeps it non-negative for negative xxhash64 values. Any
+    drift between write-side and read-side bucketing silently loses dup
+    matches, so both sides call this. Python-side equivalent for a
+    driver-held hash h is ``h % n_buckets`` (Python's % is already
+    non-negative for a positive modulus, unlike Java's)."""
     return F.pmod(F.col("_h"), F.lit(n_buckets)).cast("int")
 
 
-def _read_compact_tree(spark, tree: str, idx_schema, probe=None):
-    """Read one ``index_compact/upto=N`` tree, partition-pruned to the
-    buckets the probe batch can possibly match.
+def _committed_runs(spark, compact_root: str) -> list[dict]:
+    """Discover the COMMITTED history runs under ``index_compact`` and run
+    the resumable cleanup of anything a committed run already folded.
 
-    Layouts understood:
-    - bucketed (current writer): ``bucket=<k>/`` subdirs + an ``_nb`` meta
-      file holding the bucket count. With a probe, only the probe's own
-      buckets are opened (explicit sub-paths + basePath — Spark never
-      lists the other bucket dirs); without one, all buckets.
-    - legacy flat tree (pre-bucketing) — read whole.
-    - bucketed but ``_nb`` missing (crash between parquet commit and meta
-      write): all buckets read — a correct superset, never a miss.
+    Two layouts are understood:
 
-    Returns None when pruning proves no row can match (probe hits only
-    absent buckets).
+    - ``run=<name>/`` (current): committed iff its ``_meta`` JSON exists —
+      ``_meta`` is written strictly after the parquet job completes, so it
+      is a commit gate that works even on deployments that disable
+      ``_SUCCESS`` markers. A run dir without ``_meta`` is a crashed
+      half-write and is IGNORED entirely: its inputs (per-batch index dirs
+      or predecessor runs) were deleted only after ``_meta``, so they are
+      all still present and the base row set is unchanged; the stream's
+      replay of the crashed fold overwrites the dir and re-commits it.
+    - ``upto=<N>/`` (legacy single-tree layout): committed iff ``_SUCCESS``
+      OR ``_nb`` exists (``_nb`` doubles as the marker-disabled gate — it
+      too was written post-commit). Only the LARGEST committed legacy tree
+      is live (legacy trees are cumulative [0, N)); it participates as a
+      frozen base run ``[0, N)`` that new runs never merge into (merging
+      it would need an O(history) row count + rewrite — exactly the cost
+      this layout removes; a legacy corpus keeps its base tree and
+      accumulates tiered runs above it). An UNCOMMITTED legacy dir — e.g.
+      the FIRST-ever fold crashed mid-write with no predecessor tree — is
+      ignored, never elected: electing it would set ``upto`` to the
+      crashed tree's id and hide all intact ``index/batch=*`` history.
+
+    Resumable cleanup: every committed run records the dirs it folded in
+    ``_meta["folds"]``. Any such victim still on disk is a crash residue
+    (output committed, input delete never ran) — it is dropped from the
+    live set and deleted here, so a crashed fold's cleanup completes on
+    the next call no matter where the crash landed.
     """
-    children = fsio.list_names(tree, spark)
-    bucket_dirs = {n for n in children if n.startswith("bucket=")}
+    runs: list[dict] = []
+    legacy: list[dict] = []
+    for n in fsio.list_names(compact_root, spark):
+        path = f"{compact_root}/{n}"
+        if n.startswith("run="):
+            meta_txt = fsio.read_text(f"{path}/_meta", spark)
+            if meta_txt is None:
+                continue  # uncommitted half-write: invisible
+            m = json.loads(meta_txt)
+            runs.append(
+                {
+                    "name": n,
+                    "path": path,
+                    "nb": m["nb"],
+                    "rows": m["rows"],
+                    "lo": m["lo"],
+                    "hi": m["hi"],
+                    "folds": m.get("folds", []),
+                    "legacy": False,
+                }
+            )
+        elif n.startswith("upto="):
+            hi = int(n.split("=", 1)[1])
+            nb_txt = fsio.read_text(f"{path}/_nb", spark)
+            if nb_txt is None and not fsio.exists(f"{path}/_SUCCESS", spark):
+                continue  # uncommitted legacy half-write: invisible
+            legacy.append(
+                {
+                    "name": n,
+                    "path": path,
+                    "nb": int(nb_txt) if nb_txt else None,
+                    "rows": None,
+                    "lo": 0,
+                    "hi": hi,
+                    "folds": [],
+                    "legacy": True,
+                }
+            )
+    if legacy:
+        runs.append(max(legacy, key=lambda r: r["hi"]))
+    victims = {v for r in runs for v in r["folds"]}
+    live = [r for r in runs if r["name"] not in victims]
+    for v in victims:
+        if fsio.exists(f"{compact_root}/{v}", spark):
+            fsio.delete(f"{compact_root}/{v}", spark=spark)
+    return live
+
+
+def _read_run(spark, run: dict, idx_schema, probe_hashes=None):
+    """Read one committed run, partition-pruned to the buckets the probe
+    batch can possibly match.
+
+    ``probe_hashes`` is the driver-collected (capped) distinct xxhash64
+    list of the incoming batch: per run, the hit buckets are computed
+    driver-side (``h % nb``) and only those ``bucket=<k>/`` sub-paths are
+    opened (explicit paths + basePath — Spark never lists the other
+    bucket dirs). One collect thus prunes EVERY run, instead of one
+    distinct-bucket Spark job per run per micro-batch. Pruning below ~8
+    buckets can't beat just reading the run, so small runs read whole.
+
+    Layouts: bucketed (``bucket=<k>/`` subdirs); legacy flat tree — read
+    whole; bucketed but nb unknown (legacy ``_nb`` lost in a crash
+    window): all buckets read — a correct superset, never a miss.
+
+    Returns None when pruning proves no row can match, or the run is
+    known-empty.
+    """
+    if run["rows"] == 0:
+        return None
+    tree = run["path"]
+    bucket_dirs = {
+        n for n in fsio.list_names(tree, spark) if n.startswith("bucket=")
+    }
     if not bucket_dirs:
-        return spark.read.schema(idx_schema).parquet(tree)
+        if run["rows"] is None:  # legacy flat tree
+            return spark.read.schema(idx_schema).parquet(tree)
+        return None  # committed-empty run (all-dup window): nothing to read
     sel = sorted(bucket_dirs)
-    # pruning below ~8 buckets can't beat the cost of the distinct-bucket
-    # job it needs — read small trees whole
-    if probe is not None and len(bucket_dirs) > 8:
-        nb_txt = fsio.read_text(f"{tree}/_nb", spark)
-        if nb_txt:
-            nb = int(nb_txt)
-            hit = {
-                r[0]
-                for r in probe.select(_bucket_expr(nb).alias("_bk"))
-                .distinct()
-                .collect()
-            }
-            sel = [n for n in sel if int(n.split("=", 1)[1]) in hit]
-            if not sel:
-                return None
+    nb = run["nb"]
+    if probe_hashes is not None and nb and nb > 8:
+        hit = {h % nb for h in probe_hashes}
+        sel = [n for n in sel if int(n.split("=", 1)[1]) in hit]
+        if not sel:
+            return None
     schema_b = T.StructType(
         list(idx_schema) + [T.StructField("bucket", T.IntegerType())]
     )
@@ -102,6 +187,32 @@ def _read_compact_tree(spark, tree: str, idx_schema, probe=None):
         .parquet(*[f"{tree}/{n}" for n in sel])
         .drop("bucket")
     )
+
+
+def _pick_merge_group(runs: list[dict]) -> list[dict] | None:
+    """Binary-counter tiering: merge whenever ≥2 runs share a size tier
+    (tier = bit_length of the row count), smallest tier first.
+
+    Equal-ish window runs behave like incrementing a binary counter —
+    two W-row runs fold to one 2W run, two 2W runs to one 4W run — so at
+    any moment at most ~1 run lives per tier: the live run count AND the
+    number of times any row is rewritten are both O(log(total ingested /
+    window)). That bound is what makes the fold independent of corpus
+    AGE: a fold's merge work is a function of recently ingested volume,
+    with geometrically rarer (and geometrically larger) promotions — the
+    classic size-tiered LSM amortization — instead of the previous
+    layout's rewrite-everything-every-fold O(history) term. Legacy base
+    trees (rows unknown without an O(history) count) never merge.
+    """
+    tiers: dict[int, list[dict]] = {}
+    for r in runs:
+        if r["rows"] is None:
+            continue
+        tiers.setdefault(max(r["rows"], 1).bit_length(), []).append(r)
+    cand = [g for g in tiers.values() if len(g) >= 2]
+    if not cand:
+        return None
+    return min(cand, key=lambda g: sum(r["rows"] for r in g))
 
 
 def start_corpus_dedup_ingest(
@@ -117,6 +228,9 @@ def start_corpus_dedup_ingest(
     bucket_target_rows: int = 1_000_000,
     first_batch_id: int = 0,
     verify_collect_cap: int = 20_000,
+    max_merges_per_fold: int = 4,
+    probe_hash_cap: int = 131_072,
+    metrics: dict | None = None,
 ):
     """Continuous ingest dedup against ALL accumulated history — the
     daily-crawl loop (`operators.dedup.incremental_dedup`'s exact path)
@@ -131,10 +245,14 @@ def start_corpus_dedup_ingest(
       parquet row groups via min/max stats;
     - ``index/batch=<id>/`` — their slim (id, xxhash64) rows: future
       batches join THIS (8-byte keys), never the corpus texts;
-    - ``index_compact/upto=<N>/bucket=<k>/`` — the folded history index,
-      HASH-BUCKETED: ``_nb`` (a meta file beside the buckets) records the
-      bucket count, chosen at fold time as ceil(rows / bucket_target_rows)
-      so per-bucket volume stays constant as history grows;
+    - ``index_compact/run=<name>/bucket=<k>/`` — the folded history
+      index as a TIERED LSM of immutable hash-bucketed runs. Each run
+      carries a ``_meta`` JSON (bucket count ``nb`` chosen at write time
+      as ceil(rows / bucket_target_rows), ``rows``, covered batch range
+      ``[lo, hi)``, and ``folds`` — the dirs it superseded). ``run=w<N>``
+      is the window run fold N wrote; ``run=m<N>.<i>`` a merge output.
+      Legacy single-tree ``upto=<N>`` layouts are still read (and serve
+      as a frozen base run);
     - ``log/batch=<id>/``   — (id, status, match_id) per incoming doc:
       ``fresh`` | ``exact_dup`` (vs corpus, min matching id) |
       ``batch_dup`` (vs an earlier row of the same batch).
@@ -143,19 +261,38 @@ def start_corpus_dedup_ingest(
     ENTIRE history index — linear in corpus age. Bucketed, the probe
     opens only the buckets the incoming hashes land in: per-batch read
     volume is ~min(distinct incoming hashes, n_buckets) × bucket_target
-    rows — proportional to BATCH size, flat in history decades (measured
-    in SCALE.md's endurance probe). The same idea applied to the text
-    verification: candidate index rows carry their landing batch, so the
-    corpus-text read opens only ``data/batch=<b>`` dirs that actually
-    hold a candidate (explicit paths — no full-tree partition listing,
-    which was the measured per-batch drift term at 10³ batches) and
-    pushes the candidate ids down as an IN filter for row-group pruning.
-    Candidates are driver-bounded by ``verify_collect_cap`` (default
-    20k ≈ 1 MB of (id, batch) keys): under it, ONE bounded collect runs
-    the probe join once and doubles as the verify join's broadcast side;
-    over it (a degenerate cross-history dup storm), the plan falls back
-    to a checkpointed candidate table and join-based pruning — same
-    rows, no driver list.
+    rows per live run — proportional to BATCH size, flat in history
+    decades (measured in SCALE.md's endurance probe). One capped driver
+    collect of the batch's distinct hashes prunes every run at once.
+    The same idea applies to text verification: candidate index rows
+    carry their landing batch, so the corpus-text read opens only
+    ``data/batch=<b>`` dirs that actually hold a candidate (explicit
+    paths — no full-tree partition listing) and pushes the candidate ids
+    down as an IN filter for row-group pruning. Candidates are
+    driver-bounded by ``verify_collect_cap`` (default 20k ≈ 1 MB of
+    (id, batch) keys): under it, ONE bounded collect runs the probe join
+    once and doubles as the verify join's broadcast side; over it (a
+    degenerate cross-history dup storm), the plan falls back to a
+    checkpointed candidate table and join-based pruning — same rows, no
+    driver list.
+
+    Why a TIERED LSM and not a single tree: rewriting one cumulative
+    tree per fold costs O(history) every ``compact_every`` batches — the
+    corpus-age-proportional term this layout removes. Instead a fold
+    (1) writes the new window as its own small run — O(window) — then
+    (2) merges runs sharing a size tier (binary-counter rule, see
+    ``_pick_merge_group``): run count stays O(log ingest), each row is
+    rewritten O(log ingest) times total, and a fold's cost is a function
+    of recently-ingested volume — never of corpus age. (The obvious
+    alternative — appending each window into a single tree's existing
+    buckets with local bucket splits — does NOT work at window ≪ bucket
+    count: every fold drops a tiny file into ~min(window, nb) buckets,
+    so either file counts explode or per-bucket compaction rewrites
+    bucket_target rows for every ~1 appended row — O(folds) write
+    amplification. Tiering is the structure whose amplification is
+    logarithmic.) ``max_merges_per_fold`` caps how far a promotion
+    cascade runs within one fold; a deferred merge re-triggers next fold
+    since sizes are unchanged.
 
     Exactly-once WITHOUT marker files: every write is an overwrite of
     the batch's own partition directory (idempotent under re-delivery),
@@ -165,35 +302,46 @@ def start_corpus_dedup_ingest(
     against its own half-landed rows (the self-dup poisoning a naive
     append suffers).
 
+    Crash safety of the fold itself rests on three mechanisms:
+    (1) COMMIT GATES — a run is visible only once its ``_meta`` lands,
+    and ``_meta`` is written strictly after the parquet job; inputs are
+    deleted strictly after the output's ``_meta``. A crash at any point
+    leaves the previous committed base row set fully intact (possibly
+    alongside a committed-but-not-yet-cleaned output).
+    (2) RESUMABLE CLEANUP — each run's ``_meta["folds"]`` names its
+    inputs; any input still on disk at the next read is deleted then.
+    (3) DUP TOLERANCE — in the crash window where an output AND its
+    inputs are briefly both visible, index rows are duplicated; that is
+    provably harmless here (a dup candidate verifies to the same text
+    match and the classification takes min(match_id)), and merges bound
+    accumulation by exact-row dropDuplicates. Replayed folds are
+    idempotent: the window run is skipped if already committed (an
+    unguarded rewrite would refold an EMPTY window over committed rows),
+    and merge outputs are deterministic pure functions of their inputs.
+
     Collision safety mirrors the batch operator: the hash join only
     nominates candidates; texts are compared byte-for-byte for exactly
     the matched sliver.
 
-    ``compact_every=N`` folds the slim index every N batches into
-    ``index_compact/upto=<id+1>/`` (all rows with ``batch`` ≤ the
-    compacting batch, ``batch`` kept as a data column) and deletes the
-    folded ``index/batch=*`` dirs plus older compact trees — bounding
-    the per-batch file-listing cost that otherwise grows linearly with
-    batch count. Crash-safe on two mechanisms: (1) readers accept only
-    compact trees whose parquet job COMMITTED (``_SUCCESS`` present) and
-    take the largest committed ``upto`` — a tree a crashed compaction
-    half-wrote is invisible, and because deletions run strictly after
-    commit, the previous committed tree plus the per-batch dirs it would
-    have folded are all still present, so the base row set is unchanged;
-    (2) row-level filters (compact tree rows ``batch < upto`` of the
-    per-batch read) make any leftover not-yet-deleted folded dir
-    harmless. Re-running a compaction is a pure overwrite + re-delete.
-    The ``data/`` tree is never compacted: texts are read only for
-    matched slivers, and folding data would rewrite the whole corpus
-    each cycle.
+    ``compact_every=N`` folds every N batches as above and deletes the
+    folded ``index/batch=*`` dirs — bounding the per-batch file-listing
+    cost that otherwise grows linearly with batch count. The ``data/``
+    tree is never compacted: texts are read only for matched slivers,
+    and folding data would rewrite the whole corpus each cycle.
 
     ``first_batch_id`` bootstraps the stream ATOP an imported corpus:
     when ``corpus_path`` already holds batches [0, first_batch_id) — a
     one-time batch import of an existing lake, laid out as ``data/
-    batch=*`` plus a committed ``index_compact/upto=first_batch_id``
-    tree — the stream's own numbering starts above them, so every
-    imported batch satisfies ``batch < current`` and classifies as prior
-    history from the very first trigger.
+    batch=*`` plus a committed index run (either layout) — the stream's
+    own numbering starts above them, so every imported batch satisfies
+    ``batch < current`` and classifies as prior history from the very
+    first trigger.
+
+    ``metrics`` (optional dict, driver-side) collects per-fold
+    instrumentation: ``metrics["fold"]`` grows one entry per executed
+    fold with wall ms, window rows, merge input rows, and the live run
+    count — the hook ``tools/corpus_dedup_bench.py`` uses to publish
+    fold-cost-vs-history-decades evidence.
     """
     spark = docs.sparkSession
 
@@ -220,36 +368,33 @@ def start_corpus_dedup_ingest(
                 T.StructField("batch", T.IntegerType()),
             ]
         )
-        # compacted history: the largest COMMITTED upto tree wins (the
-        # _SUCCESS gate; see docstring crash-safety contract). The bare
-        # largest-upto fallback only fires when NO tree carries a marker
-        # — a deployment that disabled success markers globally — never
-        # after a crashed fold, whose predecessor tree keeps its marker.
         compact_root = f"{corpus_path}/index_compact"
-        trees = [
-            n
-            for n in fsio.list_names(compact_root, spark)
-            if n.startswith("upto=")
-        ]
-        committed = [
-            n for n in trees if fsio.exists(f"{compact_root}/{n}/_SUCCESS", spark)
-        ]
-        upto = max(
-            (int(n.split("=", 1)[1]) for n in (committed or trees)),
-            default=0,
-        )
-        parts = []
-        if upto:
-            cdf = _read_compact_tree(
-                spark, f"{compact_root}/upto={upto}", idx_schema, probe=b
+        runs = _committed_runs(spark, compact_root)
+        upto = max((r["hi"] for r in runs), default=0)
+
+        # one capped collect of the batch's distinct hashes prunes the
+        # buckets of EVERY run (batches beyond the cap read runs whole —
+        # a correct superset; at that batch size pruning saves little)
+        probe_hashes = None
+        if any(r["nb"] and r["nb"] > 8 for r in runs):
+            hrows = (
+                b.select("_h").distinct().limit(probe_hash_cap + 1).collect()
             )
-            if cdf is not None:
-                parts.append(cdf.filter(F.col("batch") < batch_id))
+            if len(hrows) <= probe_hash_cap:
+                probe_hashes = [r[0] for r in hrows]
+
+        parts = []
+        for run in runs:
+            rdf = _read_run(spark, run, idx_schema, probe_hashes)
+            if rdf is not None:
+                # batch < batch_id: the replay guard (a replayed fold's
+                # own prior-attempt rows are invisible)
+                parts.append(rdf.filter(F.col("batch") < batch_id))
         if fsio.exists(f"{corpus_path}/index", spark):
             parts.append(
                 spark.read.schema(idx_schema)
                 .parquet(f"{corpus_path}/index")
-                # batch >= upto: rows below upto live in the compact tree
+                # batch >= upto: rows below upto live in the runs
                 # (residual not-yet-deleted folded dirs must not double)
                 .filter(
                     (F.col("batch") < batch_id) & (F.col("batch") >= upto)
@@ -257,9 +402,9 @@ def start_corpus_dedup_ingest(
             )
         base_idx = None
         if parts:
-            base_idx = parts[0] if len(parts) == 1 else parts[0].unionByName(
-                parts[1]
-            )
+            base_idx = parts[0]
+            for p in parts[1:]:
+                base_idx = base_idx.unionByName(p)
 
         cand = None
         if base_idx is not None:
@@ -393,43 +538,116 @@ def start_corpus_dedup_ingest(
         ).parquet(f"{corpus_path}/log/batch={batch_id}")
 
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            t_fold = time.perf_counter()
             new_upto = batch_id + 1
-            folded = spark.read.schema(idx_schema).parquet(
-                f"{corpus_path}/index"
-            ).filter((F.col("batch") < new_upto) & (F.col("batch") >= upto))
-            if upto:
-                prev = _read_compact_tree(
-                    spark, f"{compact_root}/upto={upto}", idx_schema
+            wname = f"run=w{new_upto}"
+            window_rows = 0
+
+            def _write_run(df, name: str, rows: int, lo: int, hi: int,
+                           folds: list[str]) -> dict:
+                nb = max(1, -(-rows // bucket_target_rows))
+                path = f"{compact_root}/{name}"
+                # parquet job first (readers ignore the dir until _meta
+                # lands), THEN the meta — a crash between leaves the dir
+                # invisible and every input intact
+                (
+                    df.withColumn("bucket", _bucket_expr(nb))
+                    .repartition(nb, "bucket")
+                    .write.partitionBy("bucket")
+                    .mode("overwrite")
+                    .parquet(path)
                 )
-                folded = prev.filter(F.col("batch") < new_upto).unionByName(
-                    folded
+                fsio.write_text_atomic(
+                    f"{path}/_meta",
+                    json.dumps({"nb": nb, "rows": rows, "lo": lo, "hi": hi,
+                                "folds": folds}),
+                    spark,
                 )
-            folded = folded.localCheckpoint(eager=True)  # count + write
-            rows = folded.count()
-            # bucket count scales WITH history so per-bucket volume stays
-            # ~bucket_target_rows — the invariant that keeps per-batch
-            # probe reads proportional to batch size, not corpus age
-            nb_new = max(1, -(-rows // bucket_target_rows))
-            # write the new tree FIRST (readers ignore it until _SUCCESS
-            # lands at job commit), then the meta, then clean up — a
-            # crash at any point leaves the previous committed tree and
-            # the dirs it folds intact
-            (
-                folded.withColumn("bucket", _bucket_expr(nb_new))
-                .repartition(nb_new, "bucket")
-                .write.partitionBy("bucket")
-                .mode("overwrite")
-                .parquet(f"{compact_root}/upto={new_upto}")
-            )
-            fsio.write_text_atomic(
-                f"{compact_root}/upto={new_upto}/_nb", str(nb_new), spark
-            )
-            for n in fsio.list_names(compact_root, spark):
-                if n.startswith("upto=") and int(n.split("=", 1)[1]) < new_upto:
-                    fsio.delete(f"{compact_root}/{n}", spark=spark)
+                return {"name": name, "path": path, "nb": nb, "rows": rows,
+                        "lo": lo, "hi": hi, "folds": folds, "legacy": False}
+
+            # (1) the window run: O(window), skipped on a replay whose
+            # prior attempt already committed it (the window read below
+            # would come back empty — an unguarded rewrite would replace
+            # the committed rows with nothing)
+            if upto < new_upto and not fsio.exists(
+                f"{compact_root}/{wname}/_meta", spark
+            ):
+                window = (
+                    spark.read.schema(idx_schema)
+                    .parquet(f"{corpus_path}/index")
+                    .filter(
+                        (F.col("batch") < new_upto) & (F.col("batch") >= upto)
+                    )
+                    .localCheckpoint(eager=True)  # count + write
+                )
+                window_rows = window.count()
+                runs.append(
+                    _write_run(window, wname, window_rows, upto, new_upto, [])
+                )
+                upto = new_upto
+            # folded per-batch index dirs: delete strictly after commit
             for n in fsio.list_names(f"{corpus_path}/index", spark):
-                if n.startswith("batch=") and int(n.split("=", 1)[1]) < new_upto:
+                if n.startswith("batch=") and int(n.split("=", 1)[1]) < upto:
                     fsio.delete(f"{corpus_path}/index/{n}", spark=spark)
+
+            # (2) tier maintenance: binary-counter merges, smallest tier
+            # first, at most max_merges_per_fold promotions per fold
+            merged_rows = 0
+            next_m = 0
+            for _ in range(max_merges_per_fold):
+                group = _pick_merge_group(runs)
+                if group is None:
+                    break
+                # name must not collide with any COMMITTED run — a
+                # replayed fold whose prior attempt committed m<N>.0
+                # would otherwise emit an output that lists itself in
+                # folds (self-cleanup = data loss) or overwrites a live
+                # input mid-plan
+                taken = {r["name"] for r in runs}
+                while f"run=m{new_upto}.{next_m}" in taken:
+                    next_m += 1
+                mname = f"run=m{new_upto}.{next_m}"
+                mparts = [
+                    p
+                    for r in group
+                    if (p := _read_run(spark, r, idx_schema)) is not None
+                ]
+                if mparts:
+                    mdf = mparts[0]
+                    for p in mparts[1:]:
+                        mdf = mdf.unionByName(p)
+                    # exact-row dedup bounds crash-window duplicates; the
+                    # key includes batch so two legit landings of the
+                    # same id (same doc id, different text/epoch) survive
+                    mdf = mdf.dropDuplicates(
+                        [id_col, "_h", "batch"]
+                    ).localCheckpoint(eager=True)
+                    rows = mdf.count()
+                else:
+                    mdf = spark.createDataFrame([], idx_schema)
+                    rows = 0
+                merged_rows += rows
+                out = _write_run(
+                    mdf, mname, rows,
+                    min(r["lo"] for r in group),
+                    max(r["hi"] for r in group),
+                    [r["name"] for r in group],
+                )
+                for r in group:  # inputs die strictly after the commit
+                    fsio.delete(r["path"], spark=spark)
+                runs = [r for r in runs if r not in group] + [out]
+
+            if metrics is not None:
+                metrics.setdefault("fold", []).append(
+                    {
+                        "batch": batch_id,
+                        "ms": round((time.perf_counter() - t_fold) * 1000),
+                        "window_rows": window_rows,
+                        "merged_rows": merged_rows,
+                        "n_runs": len(runs),
+                    }
+                )
 
     writer = (
         docs.writeStream.foreachBatch(process)

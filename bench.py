@@ -29,6 +29,21 @@ MEASUREMENT METHODOLOGY (r5 — closes the drift thread open since r2):
    basket; the full-suite total moves with coverage growth and is not a
    round-over-round performance signal. Per-query r1 baselines live in
    BASELINE.md.
+
+4. **Load gate (r10 — makes window contamination un-relitigable).** Two
+   rounds (r7, r9) recorded suite-wide regressions that same-day quiet
+   A/B re-runs fully exonerated: the driver's bench window overlapped
+   other host activity (loadavg ≈ 3+). The bench now samples
+   os.getloadavg() before starting: if 1-min load > $BENCH_LOAD_GATE
+   (default 1.0) it WAITS up to $BENCH_LOAD_WAIT seconds (default 300)
+   for the host to go quiet, and the emitted JSON always carries
+   `loadavg_start` / `loadavg_end` plus a boolean `load_contaminated`
+   (start still above the gate after the wait) — so a hot-window run is
+   tagged in the artifact itself instead of being adjudicated
+   forensically a round later. Only the START sample gates: once the
+   bench is running, loadavg measures the bench's own local[32]
+   workers, so mid-run and end samples are self-inflated (the end
+   sample is recorded for forensics, never judged against the gate).
 """
 
 from __future__ import annotations
@@ -191,6 +206,13 @@ def worker(name: str) -> None:
     print(json.dumps({"query": name, "sec": round(best, 3), "rows": nrows}))
 
 
+def _load1() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # platforms without getloadavg
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -198,6 +220,17 @@ def main() -> None:
     repeat = max(1, int(os.environ.get("BENCH_REPEAT", "2")))
     isolate = os.environ.get("BENCH_ISOLATE", "1") != "0"
     only = sys.argv[1:] or HEADLINE
+
+    # load gate (see methodology §4): wait for a quiet window, then tag
+    gate = float(os.environ.get("BENCH_LOAD_GATE", "1.0"))
+    wait_budget = float(os.environ.get("BENCH_LOAD_WAIT", "300"))
+    waited = 0.0
+    while _load1() > gate >= 0 and waited < wait_budget:
+        if verbose:
+            print(f"# load {_load1()} > gate {gate}; waiting...", file=sys.stderr)
+        time.sleep(15)
+        waited += 15
+    loadavg_start = _load1()
 
     timings: dict[str, float] = {}
     if isolate:
@@ -236,6 +269,11 @@ def main() -> None:
                 "repeat": repeat,
                 "isolation": "subprocess-per-query" if isolate else "shared-session",
                 "r1_subset_sec": r1_subset,
+                "loadavg_start": loadavg_start,
+                "loadavg_end": _load1(),
+                "load_gate": gate,
+                "load_wait_s": waited,
+                "load_contaminated": bool(loadavg_start > gate >= 0),
             }
         )
     )

@@ -167,9 +167,9 @@ def test_compaction_preserves_classification(spark, tmp_path):
     assert log[20] == ("exact_dup", 1)
     assert log[21] == ("fresh", None)
 
-    # fold happened at batch 2 → upto=3; folded batch dirs are gone
+    # fold happened at batch 2 → window run w3; folded batch dirs are gone
     names = sorted(os.listdir(f"{corpus}/index_compact"))
-    assert names == ["upto=3"]
+    assert names == ["run=w3"]
     batch_dirs = [n for n in os.listdir(f"{corpus}/index")
                   if n.startswith("batch=")]
     assert batch_dirs == []
@@ -203,9 +203,9 @@ def test_compaction_crash_residue_is_harmless(spark, tmp_path):
     _feed(src, "b3.json", [{"doc_id": 3, "text": "eta theta iota"}])
     _run_compact(spark, src, corpus, ckpt, 2)  # fold at batch 2 → upto=3
 
-    # resurrect a folded dir with rows ALREADY in the compact tree
+    # resurrect a folded dir with rows ALREADY in the window run
     spark.createDataFrame(
-        [(1, spark.read.parquet(f"{corpus}/index_compact/upto=3")
+        [(1, spark.read.parquet(f"{corpus}/index_compact/run=w3")
              .filter("doc_id = 1").collect()[0]["_h"])],
         "doc_id long, _h long",
     ).write.mode("overwrite").parquet(f"{corpus}/index/batch=0")
@@ -222,8 +222,8 @@ def test_compaction_crash_residue_is_harmless(spark, tmp_path):
 
 def test_bucketed_compaction_layout_and_probe(spark, tmp_path):
     """bucket_target_rows=1 forces one bucket per history row at the fold:
-    the compact tree must come out hash-bucketed (bucket=<k>/ subdirs +
-    _nb meta), and classification against the bucketed history — where
+    the window run must come out hash-bucketed (bucket=<k>/ subdirs +
+    _meta json), and classification against the bucketed history — where
     the probe reads ONLY the incoming batch's buckets — must be identical
     to the flat-tree semantics."""
     import os
@@ -247,11 +247,12 @@ def test_bucketed_compaction_layout_and_probe(spark, tmp_path):
     _feed(src, "b3.json", [{"doc_id": 20, "text": "kappa lambda mu"}])
     run()  # fold at batch 2 → upto=3, 4 history rows → 4 buckets
 
-    tree = f"{corpus}/index_compact/upto=3"
+    tree = f"{corpus}/index_compact/run=w3"
     buckets = sorted(n for n in os.listdir(tree) if n.startswith("bucket="))
-    with open(f"{tree}/_nb") as fh:
-        nb = int(fh.read())
-    assert nb == 4
+    with open(f"{tree}/_meta") as fh:
+        meta = json.load(fh)
+    assert meta["nb"] == 4 and meta["rows"] == 4
+    assert (meta["lo"], meta["hi"]) == (0, 3)
     assert 1 <= len(buckets) <= 4  # hash collisions may merge buckets
     assert os.path.exists(f"{tree}/_SUCCESS")
 
@@ -272,11 +273,11 @@ def test_bucketed_compaction_layout_and_probe(spark, tmp_path):
 
 
 def test_uncommitted_compact_tree_is_ignored(spark, tmp_path):
-    """A compact tree a crashed fold half-wrote (dir exists, no _SUCCESS)
-    must be invisible: the reader takes the largest COMMITTED upto.
-    Without the gate, an empty upto=9 would shadow the real history
-    (per-batch filter batch >= 9 drops everything) and every dup would
-    land again as fresh."""
+    """Crashed-fold residue — a legacy upto= dir with no commit marker AND
+    a run= dir with no _meta — must be invisible: the reader takes only
+    COMMITTED runs. Without the gate, an empty upto=9 would shadow the
+    real history (per-batch filter batch >= 9 drops everything) and every
+    dup would land again as fresh."""
     import os
 
     src = tmp_path / "in"; src.mkdir()
@@ -286,10 +287,11 @@ def test_uncommitted_compact_tree_is_ignored(spark, tmp_path):
     _feed(src, "b2.json", [{"doc_id": 2, "text": "delta epsilon zeta"}])
     _run_compact(spark, src, corpus, ckpt, 2)
     _feed(src, "b3.json", [{"doc_id": 3, "text": "eta theta iota"}])
-    _run_compact(spark, src, corpus, ckpt, 2)  # committed fold → upto=3
-    assert os.path.exists(f"{corpus}/index_compact/upto=3/_SUCCESS")
+    _run_compact(spark, src, corpus, ckpt, 2)  # committed fold → run=w3
+    assert os.path.exists(f"{corpus}/index_compact/run=w3/_meta")
 
-    os.makedirs(f"{corpus}/index_compact/upto=9")  # crashed-fold residue
+    os.makedirs(f"{corpus}/index_compact/upto=9")    # crashed legacy fold
+    os.makedirs(f"{corpus}/index_compact/run=w9")    # crashed run write
 
     _feed(src, "b4.json", [
         {"doc_id": 40, "text": "alpha beta gamma"},  # dup of folded doc 1
@@ -299,6 +301,37 @@ def test_uncommitted_compact_tree_is_ignored(spark, tmp_path):
     log = _log(spark, str(corpus))
     assert log[40] == ("exact_dup", 1)
     assert log[41] == ("fresh", None)
+
+
+def test_first_fold_crash_is_never_elected(spark, tmp_path):
+    """The FIRST-ever fold crashes mid-write (upto=N dir exists with no
+    _SUCCESS and no _nb, and there is NO prior committed tree): the
+    crashed dir must be ignored entirely — upto stays 0, the intact
+    index/batch=* history classifies incoming dups, and the batch dirs
+    survive. (Electing the crashed tree would set upto to its id, hide
+    all per-batch history behind the batch >= upto filter, and land every
+    dup as fresh — permanent silent loss of dedup history.)"""
+    import os
+
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+    _feed(src, "b1.json", [{"doc_id": 1, "text": "alpha beta gamma"}])
+    _run(spark, src, corpus, ckpt)  # no compaction: history = batch dirs
+
+    # the simulated crash: a bare half-written tree, no marker, no meta,
+    # no predecessor — in BOTH layouts
+    os.makedirs(f"{corpus}/index_compact/upto=1")
+    os.makedirs(f"{corpus}/index_compact/run=w1")
+
+    _feed(src, "b2.json", [
+        {"doc_id": 10, "text": "alpha beta gamma"},  # dup of batch-0 doc 1
+        {"doc_id": 11, "text": "pi rho sigma"},
+    ])
+    _run(spark, src, corpus, ckpt)
+    log = _log(spark, str(corpus))
+    assert log[10] == ("exact_dup", 1)
+    assert log[11] == ("fresh", None)
+    assert os.path.isdir(f"{corpus}/index/batch=0")  # history survived
 
 
 def test_over_cap_dup_storm_falls_back_to_join_pruning(spark, tmp_path):
@@ -332,12 +365,62 @@ def test_over_cap_dup_storm_falls_back_to_join_pruning(spark, tmp_path):
     assert log[200] == ("fresh", None)
 
 
-def test_missing_nb_meta_reads_all_buckets(spark, tmp_path):
-    """Crash window between the compact tree's parquet job commit and the
-    _nb meta write: the tree is committed (_SUCCESS present) so readers
-    select it, but without _nb the probe cannot bucket-prune — it must
+def test_legacy_tree_missing_nb_reads_all_buckets(spark, tmp_path):
+    """A LEGACY (pre-LSM) compact tree whose _nb meta was lost in a crash
+    window but whose parquet job committed (_SUCCESS present) must still
+    be selected, and without nb the probe cannot bucket-prune — it must
     read ALL buckets (a correct superset), never miss a dup. Requires >8
-    buckets so the pruning branch (the one that consults _nb) is live."""
+    buckets so the pruning branch (the one that needs nb) is live."""
+    import os
+    from pyspark.sql import Row
+
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+
+    # seed an imported legacy corpus: 20 docs, bucket per row
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha{i} beta{i} gamma{i}", batch=0)
+         for i in range(20)]
+    ).withColumn("batch", F.col("batch").cast("int"))
+    (docs.repartition(1).sortWithinPartitions("doc_id")
+         .write.partitionBy("batch").mode("overwrite")
+         .parquet(f"{corpus}/data"))
+    tree = f"{corpus}/index_compact/upto=1"
+    idx = docs.select(
+        "doc_id", F.xxhash64("text").alias("_h"), "batch"
+    ).withColumn("bucket", F.pmod(F.col("_h"), F.lit(20)).cast("int"))
+    (idx.repartition(20, "bucket").write.partitionBy("bucket")
+        .mode("overwrite").parquet(tree))
+    # the simulated crash: parquet committed, _nb never written
+    assert os.path.exists(f"{tree}/_SUCCESS")
+    buckets = [n for n in os.listdir(tree) if n.startswith("bucket=")]
+    assert len(buckets) > 8, "precondition: pruning branch must be live"
+    assert not os.path.exists(f"{tree}/_nb")
+
+    _feed(src, "b1.json", [
+        {"doc_id": 300, "text": "alpha7 beta7 gamma7"},  # dup of legacy doc 7
+        {"doc_id": 301, "text": "alpha3 beta3 gamma3"},  # dup of legacy doc 3
+        {"doc_id": 302, "text": "pi rho sigma"},         # fresh
+    ])
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = start_corpus_dedup_ingest(
+        stream, str(corpus), str(ckpt), "doc_id", "text",
+        available_now=True, first_batch_id=1,
+    )
+    q.awaitTermination(120)
+    log = _log(spark, str(corpus))
+    assert log[300] == ("exact_dup", 7)
+    assert log[301] == ("exact_dup", 3)
+    assert log[302] == ("fresh", None)
+
+
+def test_tiered_merge_bounds_runs_and_preserves_history(spark, tmp_path):
+    """compact_every=1 with equal-size batches drives the binary-counter
+    tiering: same-tier window runs must merge (inputs deleted, one output
+    run with a folds list), the live run count stays logarithmic instead
+    of one-run-per-fold, and classification against the merged history is
+    unchanged — including dups of docs whose index rows have been through
+    multiple promotions."""
     import os
 
     src = tmp_path / "in"; src.mkdir()
@@ -347,35 +430,89 @@ def test_missing_nb_meta_reads_all_buckets(spark, tmp_path):
         stream = spark.readStream.schema(SCHEMA).json(str(src))
         q = start_corpus_dedup_ingest(
             stream, str(corpus), str(ckpt), "doc_id", "text",
-            available_now=True, compact_every=2, bucket_target_rows=1,
+            available_now=True, compact_every=1, bucket_target_rows=2,
         )
         q.awaitTermination(120)
 
-    _feed(src, "b1.json", [
-        {"doc_id": i, "text": f"alpha{i} beta{i} gamma{i}"} for i in range(20)
-    ])
-    run()
-    _feed(src, "b2.json", [{"doc_id": 100, "text": "delta epsilon zeta"}])
-    run()
-    _feed(src, "b3.json", [{"doc_id": 200, "text": "eta theta iota"}])
-    run()  # fold at batch 2 → upto=3, 22 history rows → nb=22
+    # batches 0..3: two fresh docs each → folds at 1,2,3
+    for b in range(4):
+        _feed(src, f"b{b}.json", [
+            {"doc_id": 10 * b, "text": f"unique text {b} zero"},
+            {"doc_id": 10 * b + 1, "text": f"unique text {b} one"},
+        ])
+        run()
 
-    tree = f"{corpus}/index_compact/upto=3"
-    assert os.path.exists(f"{tree}/_SUCCESS")
-    buckets = [n for n in os.listdir(tree) if n.startswith("bucket=")]
-    assert len(buckets) > 8, "precondition: pruning branch must be live"
-    os.remove(f"{tree}/_nb")  # the simulated crash: commit happened, meta didn't
+    root = f"{corpus}/index_compact"
+    names = sorted(os.listdir(root))
+    # fold@1 → w2(4 rows); fold@2 → w3(2); fold@3 → w4(2) then the
+    # cascade: w3+w4 → m4.0(4), w2+m4.0 → m4.1(8). Inputs must be gone.
+    assert names == ["run=m4.1"], names
+    with open(f"{root}/run=m4.1/_meta") as fh:
+        meta = json.load(fh)
+    assert meta["rows"] == 8 and (meta["lo"], meta["hi"]) == (0, 4)
+    assert set(meta["folds"]) == {"run=w2", "run=m4.0"}
 
+    # batch 4: dups of batch-0 and batch-3 docs (both live only in the
+    # twice-promoted merge run) + a fresh doc
     _feed(src, "b4.json", [
-        {"doc_id": 300, "text": "alpha7 beta7 gamma7"},  # dup of folded doc 7
-        {"doc_id": 301, "text": "delta epsilon zeta"},   # dup of folded doc 100
-        {"doc_id": 302, "text": "pi rho sigma"},         # fresh
+        {"doc_id": 100, "text": "unique text 0 zero"},
+        {"doc_id": 101, "text": "unique text 3 one"},
+        {"doc_id": 102, "text": "never seen before"},
     ])
     run()
     log = _log(spark, str(corpus))
-    assert log[300] == ("exact_dup", 7)
-    assert log[301] == ("exact_dup", 100)
-    assert log[302] == ("fresh", None)
+    assert log[100] == ("exact_dup", 0)
+    assert log[101] == ("exact_dup", 31)
+    assert log[102] == ("fresh", None)
+
+
+def test_merge_crash_input_residue_is_cleaned_and_harmless(spark, tmp_path):
+    """Crash window between a merge output's _meta commit and the input
+    deletes: a resurrected input run (still committed, still readable)
+    must be dropped from the live set by the folds-list cleanup — its
+    rows never double-classify — and the residue dir itself is deleted
+    on the next micro-batch (resumable cleanup)."""
+    import os
+
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        q = start_corpus_dedup_ingest(
+            stream, str(corpus), str(ckpt), "doc_id", "text",
+            available_now=True, compact_every=1, bucket_target_rows=2,
+        )
+        q.awaitTermination(120)
+
+    for b in range(4):
+        _feed(src, f"b{b}.json", [
+            {"doc_id": 10 * b, "text": f"unique text {b} zero"},
+            {"doc_id": 10 * b + 1, "text": f"unique text {b} one"},
+        ])
+        run()
+    root = f"{corpus}/index_compact"
+    assert sorted(os.listdir(root)) == ["run=m4.1"]
+
+    # resurrect a folded input as a COMMITTED run carrying a real row of
+    # the live history (the nastiest residue: readable, overlapping)
+    row = spark.read.parquet(f"{root}/run=m4.1").filter("doc_id = 0")
+    victim = f"{root}/run=w2"
+    row.select("doc_id", "_h", "batch").withColumn(
+        "bucket", F.lit(0)
+    ).write.partitionBy("bucket").mode("overwrite").parquet(victim)
+    with open(f"{victim}/_meta", "w") as fh:
+        json.dump({"nb": 1, "rows": 1, "lo": 0, "hi": 2, "folds": []}, fh)
+
+    _feed(src, "b4.json", [
+        {"doc_id": 100, "text": "unique text 0 zero"},  # dup of doc 0
+        {"doc_id": 101, "text": "never seen before"},
+    ])
+    run()
+    log = _log(spark, str(corpus))
+    assert log[100] == ("exact_dup", 0)
+    assert log[101] == ("fresh", None)
+    assert not os.path.exists(victim)  # resumable cleanup finished the fold
 
 
 def test_first_batch_id_bootstraps_over_imported_corpus(spark, tmp_path):

@@ -17,14 +17,18 @@ Prints a per-batch markdown table and ONE JSON summary line.
 Decades mode — the flat-probe-vs-history-decades evidence:
 
     python tools/corpus_dedup_bench.py decades [hist1 hist2 ...] \
-        [--batch-rows N] [--probe-batches N] [--bucket-target N] [--flat]
+        [--batch-rows N] [--probe-batches N] [--bucket-target N] [--flat] \
+        [--compact-every N]
 
 For each history size H: seed a corpus of H docs directly (data/batch=*
-dirs + a committed hash-bucketed index_compact tree + _nb meta — the
-same layout a compact_every fold writes), then stream probe batches over
-it via ``first_batch_id`` and report per-batch trigger ms. ``--flat``
-seeds a single-bucket tree (bucket_target_rows=H) — the A/B baseline
-whose probe cost grows linearly with H.
+dirs + a committed hash-bucketed index tree — readable as a legacy base
+run), then stream probe batches over it via ``first_batch_id`` and
+report per-batch trigger ms. ``--flat`` seeds a single-bucket tree
+(bucket_target_rows=H) — the A/B baseline whose probe cost grows
+linearly with H. ``--compact-every N`` also folds every N probe batches
+and reports FOLD wall ms per fold — the evidence that the tiered-LSM
+fold cost is a function of the probe window, not of H (the old
+single-tree fold rewrote all H rows every cycle).
 """
 
 from __future__ import annotations
@@ -95,7 +99,7 @@ def decades() -> None:
     rest = sys.argv[2:]
     flat = "--flat" in rest
     opts = {"--batch-rows": 2_000, "--probe-batches": 8,
-            "--bucket-target": 50_000}
+            "--bucket-target": 50_000, "--compact-every": 0}
     positional = []
     i = 0
     while i < len(rest):
@@ -111,6 +115,7 @@ def decades() -> None:
     batch_rows = opts["--batch-rows"]
     n_probe = opts["--probe-batches"]
     bucket_target = opts["--bucket-target"]
+    compact_every = opts["--compact-every"] or None
     seed_per_batch = 40_000
     dup_frac = 0.10
 
@@ -151,9 +156,11 @@ def decades() -> None:
             .option("recursiveFileLookup", "true")
             .parquet(src_dir)
         )
+        fold_metrics: dict = {}
         q = start_corpus_dedup_ingest(
             stream, corpus, ckpt, "doc_id", "text", available_now=True,
             bucket_target_rows=target, first_batch_id=k,
+            compact_every=compact_every, metrics=fold_metrics,
         )
         q.awaitTermination(1800)
         ms = [
@@ -165,31 +172,44 @@ def decades() -> None:
             "status = 'exact_dup'"
         ).count()
         warm = ms[1:] or ms  # batch 0 pays session/stream warmup
-        results.append(
-            {
-                "history_rows": hist,
-                "n_buckets": max(1, -(-hist // target)),
-                "probe_batches": len(ms),
-                "batch_ms_warm_avg": round(sum(warm) / len(warm)),
-                "batch_ms": ms,
-                "exact_dups_found": dups,
-            }
-        )
+        folds = fold_metrics.get("fold", [])
+        entry = {
+            "history_rows": hist,
+            "n_buckets": max(1, -(-hist // target)),
+            "probe_batches": len(ms),
+            "batch_ms_warm_avg": round(sum(warm) / len(warm)),
+            "batch_ms": ms,
+            "exact_dups_found": dups,
+        }
+        if folds:
+            entry["fold_ms_avg"] = round(
+                sum(f["ms"] for f in folds) / len(folds)
+            )
+            entry["fold_ms_max"] = max(f["ms"] for f in folds)
+            entry["folds"] = folds
+        results.append(entry)
         shutil.rmtree(root, ignore_errors=True)
 
-    print("| history rows | buckets | warm avg batch ms | dups found |")
-    print("| --- | --- | --- | --- |")
+    cols = "| history rows | buckets | warm avg batch ms | dups found |"
+    if compact_every:
+        cols = cols[:-1] + " fold ms avg | fold ms max |"
+    print(cols)
+    print("| --- | --- | --- | --- |" + (" --- | --- |" if compact_every else ""))
     for r in results:
-        print(
+        line = (
             f"| {r['history_rows']} | {r['n_buckets']} | "
             f"{r['batch_ms_warm_avg']} | {r['exact_dups_found']} |"
         )
+        if compact_every:
+            line += f" {r.get('fold_ms_avg', '-')} | {r.get('fold_ms_max', '-')} |"
+        print(line)
     first, last = results[0], results[-1]
-    print(json.dumps({
+    summary = {
         "metric": "corpus_dedup_probe_decades",
         "mode": "flat" if flat else "bucketed",
         "batch_rows": batch_rows,
         "bucket_target_rows": bucket_target,
+        "compact_every": compact_every,
         "growth_ratio_total": round(
             last["batch_ms_warm_avg"] / first["batch_ms_warm_avg"], 2
         ),
@@ -199,7 +219,12 @@ def decades() -> None:
             ), 1
         ),
         "results": results,
-    }))
+    }
+    if compact_every and "fold_ms_avg" in first and "fold_ms_avg" in last:
+        summary["fold_growth_ratio_total"] = round(
+            last["fold_ms_avg"] / max(first["fold_ms_avg"], 1), 2
+        )
+    print(json.dumps(summary))
 
 
 def main() -> None:
@@ -246,9 +271,10 @@ def main() -> None:
         .parquet(src_dir)
     )
     t0 = time.perf_counter()
+    fold_metrics: dict = {}
     q = start_corpus_dedup_ingest(
         stream, corpus, ckpt, "doc_id", "text", available_now=True,
-        compact_every=compact_every,
+        compact_every=compact_every, metrics=fold_metrics,
     )
     q.awaitTermination(1800)
     wall = time.perf_counter() - t0
@@ -259,8 +285,14 @@ def main() -> None:
     idx_rows = spark.read.parquet(f"{corpus}/index").count()
     compact_root = f"{corpus}/index_compact"
     if os.path.isdir(compact_root):
-        for n in os.listdir(compact_root):  # residual + committed trees
-            idx_rows += spark.read.parquet(f"{compact_root}/{n}").count()
+        for n in os.listdir(compact_root):  # residual + committed runs
+            # explicit schema: a committed-empty run dir has no parquet
+            # files to infer from
+            idx_rows += (
+                spark.read.schema("doc_id long, _h long, batch int")
+                .parquet(f"{compact_root}/{n}")
+                .count()
+            )
     # realized history per batch: cumulative FRESH landings (dup rows never
     # enter the index, so i*batch_rows would overstate it by the dup rate)
     # count fresh landings from log/ (never compacted) — index/ loses its
@@ -273,29 +305,46 @@ def main() -> None:
     }
     batches = []
     hist = 0
+    fold_by_batch = {
+        f["batch"]: f for f in fold_metrics.get("fold", [])
+    }
     for i, p in enumerate(
         pr for pr in q.recentProgress if pr["numInputRows"] > 0
     ):
-        batches.append(
-            {
-                "batch": i,
-                "rows": p["numInputRows"],
-                "ms": p["durationMs"]["triggerExecution"],
-                "history_rows": hist,
-            }
-        )
+        entry = {
+            "batch": i,
+            "rows": p["numInputRows"],
+            "ms": p["durationMs"]["triggerExecution"],
+            "history_rows": hist,
+        }
+        if i in fold_by_batch:
+            f = fold_by_batch[i]
+            entry["fold_ms"] = f["ms"]
+            entry["fold_window_rows"] = f["window_rows"]
+            entry["fold_merged_rows"] = f["merged_rows"]
+            entry["n_runs"] = f["n_runs"]
+        batches.append(entry)
         hist += fresh_by_batch.get(i, 0)
 
-    print("| batch | history rows | batch ms |")
-    print("| --- | --- | --- |")
+    print("| batch | history rows | batch ms | fold ms | merged rows | runs |")
+    print("| --- | --- | --- | --- | --- | --- |")
     for b in batches:
-        print(f"| {b['batch']} | {b['history_rows']} | {b['ms']} |")
+        print(
+            f"| {b['batch']} | {b['history_rows']} | {b['ms']} | "
+            f"{b.get('fold_ms', '-')} | {b.get('fold_merged_rows', '-')} | "
+            f"{b.get('n_runs', '-')} |"
+        )
 
     head = [b["ms"] for b in batches[1:4]]
     tail = [b["ms"] for b in batches[-3:]]
+    folds = fold_metrics.get("fold", [])
     summary = {
         "metric": "corpus_dedup_ingest",
         "compact_every": compact_every,
+        "fold_ms_avg": (
+            round(sum(f["ms"] for f in folds) / len(folds)) if folds else None
+        ),
+        "fold_ms_max": max((f["ms"] for f in folds), default=None),
         "n_batches": n_batches,
         "batch_rows": batch_rows,
         "wall_s": round(wall, 1),
