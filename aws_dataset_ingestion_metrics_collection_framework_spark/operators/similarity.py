@@ -218,8 +218,21 @@ def build_ivf_index(
     elif not isinstance(n_lists, int):
         raise ValueError(f"n_lists must be an int or 'auto', got {n_lists!r}")
     c = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).cast("array<double>").alias("v"))
+    # null/ragged contract: malformed vectors (null, or a dimension that
+    # disagrees with the corpus) are excluded from seeding and centroid
+    # updates and assign to a NULL list_id — degraded, never a crash.
+    # The reference dimension is the first non-null row's (one
+    # short-circuiting job); a corpus whose vectors genuinely disagree in
+    # dim is caught here rather than as a numpy shape error mid-build.
+    first = c.filter(F.col("v").isNotNull()).select(F.size("v")).first()
+    if first is None:
+        raise ValueError("build_ivf_index: corpus has no non-null vectors")
+    ref_dim = first[0]
+    well_formed = c.filter(
+        F.col("v").isNotNull() & (F.size("v") == ref_dim)
+    )
     seeds = (
-        c.withColumn("_h", F.xxhash64(F.col("cid")))
+        well_formed.withColumn("_h", F.xxhash64(F.col("cid")))
         .orderBy("_h")
         .limit(n_lists)
         .withColumn("list_id", (F.row_number().over(Window.orderBy("_h")) - 1).cast("int"))
@@ -244,23 +257,37 @@ def build_ivf_index(
         norms[norms == 0] = 1.0
         cn = mat / norms[:, None]
 
+        dim = mat.shape[1]
+
         @F.pandas_udf("int")
         def best_list(vs: pd.Series) -> pd.Series:
-            V = np.array(vs.tolist(), dtype="float64")
-            if V.size == 0:
-                return pd.Series([], dtype="int32")
-            vn = np.linalg.norm(V, axis=1)
-            vn[vn == 0] = 1.0
-            sims = (V / vn[:, None]) @ cn.T
-            idx = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)
-            return pd.Series(lids[idx].astype("int32"))
+            # null/ragged guard: a malformed embedding row (null, or a
+            # dimension that disagrees with the centroids) degrades to a
+            # null list_id — the same never-probed fate the pre-matmul
+            # HOF argmax gave it — instead of a ValueError in np.array()
+            # failing the whole assign job
+            mask = np.fromiter(
+                (v is not None and len(v) == dim for v in vs),
+                dtype=bool,
+                count=len(vs),
+            )
+            out = pd.array([None] * len(vs), dtype="Int32")
+            if mask.any():
+                V = np.array([v for v, m in zip(vs, mask) if m], dtype="float64")
+                vn = np.linalg.norm(V, axis=1)
+                vn[vn == 0] = 1.0
+                sims = (V / vn[:, None]) @ cn.T
+                idx = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)
+                out[mask] = lids[idx].astype("int32")
+            return pd.Series(out)
 
         return c.withColumn("list_id", best_list(F.col("v")))
 
     assignments = assign(centroids)
     for _ in range(kmeans_iters):
         updated = (
-            assignments.select("list_id", F.posexplode("v").alias("pos", "x"))
+            assignments.filter(F.col("list_id").isNotNull())  # null/ragged
+            .select("list_id", F.posexplode("v").alias("pos", "x"))
             .groupBy("list_id", "pos")
             .agg(F.avg("x").alias("m"))
             .groupBy("list_id")

@@ -18,6 +18,7 @@ throughout so Spark and DuckDB hash-match bit-for-bit:
 from __future__ import annotations
 
 import json
+import math
 import os
 from typing import Callable
 
@@ -4200,6 +4201,46 @@ FROM reach GROUP BY id
 """
 
 
+def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on the SHIPPED SCALE PATH — ``n_planes='auto'`` (the
+    occupancy law that fixed the measured 28×/decade within-bucket blowup
+    at fixed planes; SCALE.md r9e). The registered ``semantic_dedup``
+    face pins 2 planes × 16 tables so the exact-closure oracle holds;
+    auto sizing deliberately sheds moderate-cosine candidates, so THIS
+    face uses the corpus-size-free PLANTED-TWIN contract instead: every
+    corpus vector gets a bit-identical twin (same buckets at any plane
+    count), threshold 0.999999 makes twin pairs the ONLY edges (testdata
+    has no duplicate embeddings), and each twin must resolve to its
+    original as cluster representative with keep=false — pipeline
+    (bucketize → verify → connected components → rep election) attested
+    end to end under auto sizing."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+    )
+    twins = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    out = D.semantic_dedup(
+        emb.unionByName(twins), "vec_id", "embedding",
+        threshold=0.999999, n_planes="auto", n_tables=2,
+    )
+    return out.filter(F.col("vec_id") >= 1_000_000).select(
+        "vec_id",
+        (
+            (F.col("cluster_rep") == F.col("vec_id") - 1_000_000)
+            & (~F.col("keep"))
+        ).alias("twin_clustered"),
+    )
+
+
+SEMANTIC_DEDUP_AUTO_ORACLE = """
+SELECT vec_id + 1000000 AS vec_id, TRUE AS twin_clustered
+FROM embeddings WHERE vec_id < 200
+"""
+
+
 # --------------------------------------------------------------------------
 # Dashboard report generation (step 8 — F5 dedup, C1/C3 derivations)
 # --------------------------------------------------------------------------
@@ -4685,6 +4726,79 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_ANN_ORACLE = """
 SELECT CAST(COUNT(*) AS INTEGER) AS n_queries, TRUE AS recall_ok
 FROM embeddings WHERE vec_id < 10
+"""
+
+
+def q_ivf_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN on the SHIPPED SCALE PATH — ``n_lists='auto'`` (~sqrt(n)
+    Voronoi cells, the sizing that keeps per-query probed volume
+    ~n_probe·sqrt(n) instead of a fixed fraction of the corpus; see
+    ``build_ivf_index``). The registered ``ivf_ann`` face pins numeric
+    defaults for oracle corpus-independence; THIS face driver-attests the
+    auto sizing itself. Gate: aggregate recall@5 vs exact brute force
+    ≥ 0.8 — corpus-size-free because n_probe is derived from the same
+    auto formula (probe 90% of the auto list count; on isotropic test
+    embeddings expected recall ≈ n_probe/n_lists = 0.9, so the 0.8 gate
+    holds with margin and deterministic seeding makes it reproducible)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_lists = min(4096, max(16, math.isqrt(emb.count())))
+    n_probe = max(1, math.ceil(0.9 * n_lists))
+    queries = emb.filter(F.col("vec_id") < 10)
+    ann = SIM.ivf_ann_topk(queries, emb, k=5, n_lists="auto", n_probe=n_probe)
+    brute = SIM.brute_force_topk(queries, emb, k=5)
+    hits = (
+        brute.alias("b")
+        .join(
+            ann.alias("a"),
+            (F.col("b.query_id") == F.col("a.query_id"))
+            & (F.col("b.neighbor_id") == F.col("a.neighbor_id")),
+            "left",
+        )
+        .agg(
+            F.countDistinct(F.col("b.query_id")).cast("int").alias("n_queries"),
+            (F.count(F.col("a.neighbor_id")) / F.count(F.lit(1))).alias("recall"),
+        )
+    )
+    return hits.select("n_queries", (F.col("recall") >= 0.8).alias("recall_ok"))
+
+
+IVF_ANN_AUTO_ORACLE = """
+SELECT CAST(COUNT(*) AS INTEGER) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
+
+def q_lsh_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN on the SHIPPED SCALE PATH — ``n_planes='auto'``
+    (occupancy-pinned plane count, the sizing that keeps within-bucket
+    verification O(n·occupancy) instead of n²/2^planes; see
+    ``auto_planes``). Gate: PLANTED-TWIN recovery, the corpus-size-free
+    contract — each query is a bit-identical copy of a corpus vector, so
+    it lands in exactly the same bucket in every table at ANY plane
+    count and its cosine-1.0 twin must come back as the top-1 neighbor.
+    (A fixed recall gate on isotropic noise would NOT survive auto
+    sizing: more planes deliberately shed far-apart candidates — recall
+    on cosine≈0.3 'neighbors' is the wrong contract for the scale path;
+    exact recovery of true near-duplicates is the right one. The
+    testdata has no duplicate embeddings, so top-1 is unambiguous.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    ann = SIM.lsh_ann_topk(twins, emb, k=1, n_planes="auto", n_tables=4)
+    return ann.select(
+        "query_id",
+        (
+            (F.col("rank") == 1)
+            & (F.col("neighbor_id") == F.col("query_id") - 1_000_000)
+            & (F.col("cosine") > 0.999999)
+        ).alias("twin_top1"),
+    )
+
+
+LSH_ANN_AUTO_ORACLE = """
+SELECT vec_id + 1000000 AS query_id, TRUE AS twin_top1
+FROM embeddings WHERE vec_id < 25
 """
 
 
@@ -5576,6 +5690,12 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ML.score_quality(model, docs, "doc_id").select("doc_id", "predicted")
 
 
+# The hash-exact contract requires the Spark training run and the unrolled
+# oracle to agree on EVERY hyperparameter; both sides draw from this one
+# dict so a tweak cannot silently desync them.
+_QE_PARAMS = dict(dim=64, iters=10, lr_shift=6, scale_bits=20, bias_x=16)
+
+
 def q_quality_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ORACLED face of the quality classifier's FEATURE stage: the
     hashed bag-of-words projection (tokenize → 60-bit md5 bucket mod dim
@@ -5598,7 +5718,10 @@ def q_quality_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         toks.groupBy(
             "doc_id",
-            F.pmod(md5_60bit(F.col("_w")), F.lit(64)).cast("int").alias("j"),
+            # modulus comes from the SAME dict quality_exact trains with —
+            # a future dim change cannot desync the two faces (r9 ADVICE)
+            F.pmod(md5_60bit(F.col("_w")), F.lit(_QE_PARAMS["dim"]))
+            .cast("int").alias("j"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
     )
@@ -5609,10 +5732,10 @@ WITH toks AS (SELECT doc_id,
   unnest(list_filter(string_split(regexp_replace(trim(text),
   '\\s+', ' ', 'g'), ' '), x -> x <> '')) AS t FROM documents)
 SELECT doc_id,
-       CAST(('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS INTEGER) AS j,
+       CAST(('0x' || substr(md5(t), 1, 15))::BIGINT % {dim} AS INTEGER) AS j,
        CAST(COUNT(*) AS BIGINT) AS x
 FROM toks GROUP BY 1, 2
-"""
+""".format(dim=_QE_PARAMS["dim"])
 
 
 def q_quality_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5638,10 +5761,6 @@ def q_quality_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scores
 
 
-# The hash-exact contract requires the Spark training run and the unrolled
-# oracle to agree on EVERY hyperparameter; both sides draw from this one
-# dict so a tweak cannot silently desync them.
-_QE_PARAMS = dict(dim=64, iters=10, lr_shift=6, scale_bits=20, bias_x=16)
 
 
 def _quality_exact_oracle(
@@ -5819,7 +5938,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "fingerprint": q_fingerprint,
     "lsh_ann": q_lsh_ann,
+    "lsh_ann_auto": q_lsh_ann_auto,
     "ivf_ann": q_ivf_ann,
+    "ivf_ann_auto": q_ivf_ann_auto,
     "sessionize": q_sessionize,
     # r5: WARC source (Common-Crawl entry point) — never driver-sampled yet
     "warc_ingest": q_warc_ingest,
@@ -5936,6 +6057,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_history": q_scd2_history,
     "token_estimate": q_token_estimate,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_auto": q_semantic_dedup_auto,
     "skew_report": q_skew_report,
     "key_histogram": q_key_histogram,
     "funnel": q_funnel,
@@ -6108,6 +6230,7 @@ ORACLES: dict[str, str] = {
     "scd2_history": SCD2_HISTORY_ORACLE,
     "token_estimate": _token_estimate_oracle(),
     "semantic_dedup": SEMANTIC_DEDUP_ORACLE,
+    "semantic_dedup_auto": SEMANTIC_DEDUP_AUTO_ORACLE,
     "skew_report": SKEW_REPORT_ORACLE,
     "key_histogram": KEY_HISTOGRAM_ORACLE,
     "funnel": FUNNEL_ORACLE,
@@ -6146,7 +6269,9 @@ ORACLES: dict[str, str] = {
     "simhash_pairs": SIMHASH_PAIRS_ORACLE,
     "fingerprint": FINGERPRINT_ORACLE,
     "lsh_ann": LSH_ANN_ORACLE,
+    "lsh_ann_auto": LSH_ANN_AUTO_ORACLE,
     "ivf_ann": IVF_ANN_ORACLE,
+    "ivf_ann_auto": IVF_ANN_AUTO_ORACLE,
     "sessionize": SESSIONIZE_ORACLE,
     "asof_join": ASOF_JOIN_ORACLE,
     "range_bucket": RANGE_BUCKET_ORACLE,
@@ -6209,68 +6334,21 @@ ORACLES: dict[str, str] = {
     "quality_tf": QUALITY_TF_ORACLE,
 }
 
-# ---- r9 sampling rotation: the driver's correctness sweep samples the
-# FIRST ~50 registry entries each round.  r7 AND r8 both sampled the same
-# head-of-list 50 (the §2 parity basket + TPC-H headliners + the r7 fixes),
-# so the other 109 queries' newest driver rows date from r5/r6.  This round
-# rotates them to the head, oldest evidence first: the r4-stale cohort that
-# sat just outside the r7/r8 window (q12–q21, window fns, rollup/cube,
-# decontaminate/paragraph_dedup/train_val_split/pack_sequences), then the
-# r5 wave, then the r6 wave; the 50 queries with fresh r7+r8 rows move to
-# the tail.
-_R9_PRIORITY = [
-    # -- r4-stale (sat just outside the r7/r8 ~50-sample window)
-    'q12_priority_lines',
-    'q13_order_distribution',
-    'q14_promo_effect',
-    'q15_top_supplier',
-    'q17_small_qty_revenue',
-    'q18_large_volume',
-    'q19_discount_revenue',
-    'q20_part_promotion',
-    'q21_waiting_supplier',
-    'window_topn',
-    'window_moving_avg',
-    'window_rank',
-    'rollup_lineitem',
-    'cube_lineitem',
-    'decontaminate',
-    'paragraph_dedup',
-    'train_val_split',
-    'pack_sequences',
-    # -- r5-stale
-    'minhash_pairs',
-    'simhash_pairs',
-    'fingerprint',
-    'lsh_ann',
-    'ivf_ann',
-    'sessionize',
-    'warc_ingest',
-    'jpeg_features',
-    'html_extract',
-    'url_dedup',
-    'kmv_overlap',
-    'corpus_shuffle',
-    'substring_dedup',
-    'quality_scores',
-    'quality_tf',
-    'web_pipeline',
-    'pagerank',
-    'perplexity',
-    'link_graph',
-    'value_histogram',
-    'resample_ffill',
-    'row_ids',
-    'quantize_embeddings',
-    'snapshot_diff',
-    'group_sample',
-    'fuzzy_join',
-    'incremental_rollup',
-    'unicode_normalize',
-    'exif_metadata',
-    'label_propagation',
-    'incremental_dedup',
-    'attribution',
+# ---- r10 sampling rotation: the driver's correctness sweep samples the
+# FIRST ~50 registry entries each round.  r9 sampled the head-50 of
+# _R9_PRIORITY (the r4-stale cohort + the first 32 of the r5 wave, through
+# 'attribution').  This round rotates the 110 queries WITHOUT an r9 driver
+# row to the head, oldest evidence first: the 3 never-sampled r10
+# additions (auto-sized ANN faces), the unsampled r5-stale block
+# (pseudonymize..weighted_sample), the whole r6-stale block
+# (bpe_tokenize..set_ops_customers), then the r7+r8-fresh tail; the 50
+# queries with fresh r9 rows move to the very end.
+_R10_PRIORITY = [
+    # -- never driver-sampled (new in r10: shipped-scale-path ANN faces)
+    'lsh_ann_auto',
+    'ivf_ann_auto',
+    'semantic_dedup_auto',
+    # -- r5-stale, unsampled by the r9 window
     'pseudonymize',
     'json_flatten',
     'rollup_percentile',
@@ -6332,7 +6410,7 @@ _R9_PRIORITY = [
     'window_distribution',
     'grouping_sets_lineitem',
     'set_ops_customers',
-    # -- r7+r8-fresh (driver-green BOTH of the last two rounds; tail)
+    # -- r7+r8-fresh (no r9 row; newer evidence than the blocks above)
     'chi_square',
     'alert_suppress',
     'quality_exact',
@@ -6383,14 +6461,65 @@ _R9_PRIORITY = [
     'q08_market_share',
     'q09_product_profit',
     'q11_important_balance',
+    # -- r9-sampled (driver-green this past round; tail)
+    'q12_priority_lines',
+    'q13_order_distribution',
+    'q14_promo_effect',
+    'q15_top_supplier',
+    'q17_small_qty_revenue',
+    'q18_large_volume',
+    'q19_discount_revenue',
+    'q20_part_promotion',
+    'q21_waiting_supplier',
+    'window_topn',
+    'window_moving_avg',
+    'window_rank',
+    'rollup_lineitem',
+    'cube_lineitem',
+    'decontaminate',
+    'paragraph_dedup',
+    'train_val_split',
+    'pack_sequences',
+    'minhash_pairs',
+    'simhash_pairs',
+    'fingerprint',
+    'lsh_ann',
+    'ivf_ann',
+    'sessionize',
+    'warc_ingest',
+    'jpeg_features',
+    'html_extract',
+    'url_dedup',
+    'kmv_overlap',
+    'corpus_shuffle',
+    'substring_dedup',
+    'quality_scores',
+    'quality_tf',
+    'web_pipeline',
+    'pagerank',
+    'perplexity',
+    'link_graph',
+    'value_histogram',
+    'resample_ffill',
+    'row_ids',
+    'quantize_embeddings',
+    'snapshot_diff',
+    'group_sample',
+    'fuzzy_join',
+    'incremental_rollup',
+    'unicode_normalize',
+    'exif_metadata',
+    'label_propagation',
+    'incremental_dedup',
+    'attribution',
 ]
-if set(_R9_PRIORITY) != set(QUERIES) or len(_R9_PRIORITY) != len(QUERIES):
+if set(_R10_PRIORITY) != set(QUERIES) or len(_R10_PRIORITY) != len(QUERIES):
     raise RuntimeError(
         "priority rotation out of sync with QUERIES: missing="
-        f"{sorted(set(QUERIES) - set(_R9_PRIORITY))} extra="
-        f"{sorted(set(_R9_PRIORITY) - set(QUERIES))}"
+        f"{sorted(set(QUERIES) - set(_R10_PRIORITY))} extra="
+        f"{sorted(set(_R10_PRIORITY) - set(QUERIES))}"
     )
-QUERIES = {name: QUERIES[name] for name in _R9_PRIORITY}
+QUERIES = {name: QUERIES[name] for name in _R10_PRIORITY}
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled
 # entries first) so a budget-bounded sweep sees the same priority whichever

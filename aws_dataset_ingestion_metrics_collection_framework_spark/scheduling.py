@@ -111,22 +111,53 @@ def next_fire(expr: str, after: _dt.datetime, *, limit_days: int = 366) -> _dt.d
     return None
 
 
-def due_work(definition_set, at: _dt.datetime) -> dict:
+def due_work(
+    definition_set,
+    at: _dt.datetime,
+    *,
+    running: "list[str] | set[str] | None" = None,
+    max_concurrent: int = 1,
+) -> dict:
     """What should run at tick ``at``:
 
     - ``business_sets``: metric-set names whose ``schedule`` cron matches
       (the per-set Glue-job analog — run ``run_business_metrics`` for each);
     - ``scrape_frequencies``: frequencies whose standing rule matches (run
-      ``scrape_metrics``/``scrape_sla_table`` for each).
+      ``scrape_metrics``/``scrape_sla_table`` for each);
+    - ``deferred_sets``: due metric-set names HELD BACK by the concurrency
+      guard (re-offered at the next tick their slot frees up).
+
+    Concurrency guard — parity with the reference, which pins
+    ``max_concurrent_runs=1`` per business-metric Glue job
+    (stacks/metrics_streamer.py:243, cdk_constructs/glue_job_construct.py:244):
+    a due metric set with ``max_concurrent`` runs already in flight
+    (occurrences of its name in ``running`` — pass a LIST to count
+    overlapping runs) is deferred, not re-offered, exactly as Glue
+    queues a run that would exceed the cap. ``max_concurrent`` raises
+    the per-set cap for engines that can overlap runs. The batch runner
+    in this repo is sequential by construction, so with the default
+    arguments the guard is also what the runner's structure already
+    guarantees — ``running`` matters for external/async schedulers.
 
     ``definition_set`` is a ``dsl.loader.DefinitionSet`` (or anything with
     ``.definitions[*].metric_sets[*]`` carrying ``name``/``schedule``).
     """
-    business = []
+    running = list(running or [])
+    business, deferred = [], []
     for definition in getattr(definition_set, "definitions", []):
         for metric_set in definition.metric_sets:
             sched = getattr(metric_set, "schedule", None)
-            if sched and cron_matches(sched, at) and metric_set.name not in business:
-                business.append(metric_set.name)
+            name = metric_set.name
+            if not (sched and cron_matches(sched, at)):
+                continue
+            if name in business or name in deferred:
+                continue
+            # a set with max_concurrent runs already in flight defers
+            in_flight = sum(1 for r in running if r == name)
+            (business if in_flight < max_concurrent else deferred).append(name)
     freqs = [f for f, c in FREQUENCY_CRONS.items() if cron_matches(c, at)]
-    return {"business_sets": business, "scrape_frequencies": freqs}
+    return {
+        "business_sets": business,
+        "scrape_frequencies": freqs,
+        "deferred_sets": deferred,
+    }

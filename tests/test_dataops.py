@@ -205,6 +205,28 @@ def test_ann_auto_sizing(spark, sf_dir):
         build_ivf_index(emb, n_lists="bogus")
 
 
+def test_ivf_assign_tolerates_null_and_ragged_vectors(spark):
+    """A null or wrong-dimension embedding row must degrade to a null
+    list_id (dropped by downstream probes — the pre-matmul HOF argmax
+    contract), never raise ValueError inside the Arrow assign worker and
+    fail the whole index build."""
+    from pyspark.sql import Row
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import build_ivf_index
+
+    good = [Row(vec_id=i, embedding=[float(i), float(i % 3), 1.0, 0.5])
+            for i in range(12)]
+    bad = [Row(vec_id=100, embedding=None),
+           Row(vec_id=101, embedding=[1.0, 2.0])]  # ragged: dim 2, not 4
+    emb = spark.createDataFrame(
+        good + bad, "vec_id long, embedding array<double>"
+    )
+    _, assignments = build_ivf_index(emb, n_lists=4)
+    rows = {r["vec_id"]: r["list_id"] for r in assignments.collect()}
+    assert rows[100] is None and rows[101] is None
+    assert all(rows[i] is not None for i in range(12))
+
+
 def test_embedding_near_dup(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dup = emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label").limit(5)

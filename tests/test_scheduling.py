@@ -75,6 +75,25 @@ def test_due_work():
     at_noon = due_work(ds, dt.datetime(2026, 1, 1, 12, 0))
     assert at_noon["business_sets"] == ["hourly_checks"]
     assert at_noon["scrape_frequencies"] == ["hour", "minute"]
+    assert at_noon["deferred_sets"] == []
+
+    # concurrency guard (reference parity: max_concurrent_runs=1 per
+    # business-metric job): a due set still running from an earlier tick
+    # defers instead of double-launching; others are unaffected
+    guarded = due_work(
+        ds, dt.datetime(2026, 1, 1, 0, 0), running=["daily_rollups"]
+    )
+    assert guarded["business_sets"] == ["hourly_checks"]
+    assert guarded["deferred_sets"] == ["daily_rollups"]
+    # a raised cap re-admits it; two overlapping runs defer again
+    assert due_work(
+        ds, dt.datetime(2026, 1, 1, 0, 0),
+        running=["daily_rollups"], max_concurrent=2,
+    )["business_sets"] == ["daily_rollups", "hourly_checks"]
+    assert due_work(
+        ds, dt.datetime(2026, 1, 1, 0, 0),
+        running=["daily_rollups", "daily_rollups"], max_concurrent=2,
+    )["deferred_sets"] == ["daily_rollups"]
 
 
 def test_stream_channel_adapters(spark):

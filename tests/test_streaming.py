@@ -652,7 +652,17 @@ def test_kafka_channel_option_contract(spark):
         assert "kafka" in msg.lower() and (
             "Failed to find data source" in msg or "DATA_SOURCE_NOT_FOUND" in msg
         ), f"unexpected kafka adapter failure: {msg}"
-        pytest.skip("spark-sql-kafka connector not on classpath (documented)")
+        pytest.skip(
+            "spark-sql-kafka connector not on classpath and this sandbox "
+            "has no network (Maven Central unreachable — verified r10). "
+            "One-command fix on a connected host: start the session with "
+            "spark.jars.packages="
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 "
+            "(pulls kafka-clients + spark-token-provider-kafka-0-10 + "
+            "commons-pool2 transitively); this test then asserts the "
+            "adapter builds a streaming plan with the one-string-value "
+            "shape — no broker needed, load() connects lazily at start()."
+        )
     assert raw.isStreaming and raw.columns == ["value"]
     assert raw.schema["value"].dataType.simpleString() == "string"
 
