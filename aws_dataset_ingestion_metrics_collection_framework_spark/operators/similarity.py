@@ -315,6 +315,7 @@ def ivf_ann_topk(
     n_lists: int | str = 16,
     n_probe: int = 4,
     kmeans_iters: int = 1,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` nearest inverted lists
     per query, exact cosine within the probed lists only.
@@ -327,10 +328,26 @@ def ivf_ann_topk(
     (see :func:`build_ivf_index`): with a FIXED list count every query
     scans a fixed fraction of the corpus; with sqrt sizing the probed
     volume per query is ~n_probe·sqrt(n).
+
+    ``index``: a prebuilt ``(centroids, assignments)`` pair — THE way to
+    query at scale. Without it, every call re-derives the index from
+    ``corpus``, and because ``assignments`` is unmaterialized lineage the
+    candidate join re-runs the Arrow assign matmul over the FULL corpus
+    per action (measured: ~30 s of the 42 s query phase at 2M × 64-dim —
+    SCALE.md r10). Build once with :func:`build_ivf_index`, persist
+    ``assignments`` (parquet partitioned by ``list_id``, so probes prune
+    partitions; or cache for a session), and pass the pair here: the
+    per-query-batch cost is then ~n_probe · corpus/n_lists rows read —
+    the √n economics IVF exists for. ``n_lists``/``kmeans_iters`` are
+    ignored when ``index`` is given; ``assignments`` must carry
+    (corpus_id, vec_col, list_id) and ``centroids`` (list_id, centroid).
     """
-    centroids, assignments = build_ivf_index(
-        corpus, corpus_id=corpus_id, vec_col=vec_col, n_lists=n_lists, kmeans_iters=kmeans_iters
-    )
+    if index is not None:
+        centroids, assignments = index
+    else:
+        centroids, assignments = build_ivf_index(
+            corpus, corpus_id=corpus_id, vec_col=vec_col, n_lists=n_lists, kmeans_iters=kmeans_iters
+        )
     cent_arr_df = centroids.agg(
         F.array_sort(F.collect_list(F.struct("list_id", "centroid"))).alias("_cents")
     )
@@ -357,8 +374,21 @@ def ivf_ann_topk(
         )
         .drop("_cents")
     )
-    cand = probes.join(
-        assignments.select(
+    # probes (queries × n_probe rows) is DEFINITIONALLY the small side —
+    # broadcast it explicitly. Without the hint, Catalyst's static size
+    # estimate of the corpus branch (an ArrowEvalPython projection whose
+    # stats are unreliable) can land under autoBroadcastJoinThreshold and
+    # broadcast the CORPUS assignments instead — measured at 200k × 64-dim
+    # vectors: driver "Not enough memory to build and broadcast" (r10).
+    # The explicit isnotnull pre-filter matters too: the join would infer
+    # it as a key constraint anyway, but the inferred filter lands BELOW
+    # the UDF-extraction boundary and makes Catalyst evaluate the Arrow
+    # assign matmul twice per corpus row (eval → filter → re-eval); with
+    # the filter written on the already-projected column the plan keeps a
+    # single eval. Null list_ids are malformed-vector rows (see
+    # build_ivf_index) — unprobeable by construction.
+    cand = F.broadcast(probes).join(
+        assignments.filter(F.col("list_id").isNotNull()).select(
             F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"
         ),
         "list_id",
@@ -413,7 +443,15 @@ def lsh_ann_topk(
         n_tables=n_tables, n_planes=n_planes, seed=seed,
     )
     pairs = (
-        q.join(c, ["tbl", "bucket"])
+        # the query side (|queries| × n_tables rows) is the small side by
+        # contract — broadcast it explicitly rather than trusting static
+        # size estimates of the corpus branch (an ArrowEvalPython +
+        # posexplode projection whose stats are unreliable; the IVF
+        # candidate join measurably mis-broadcast its CORPUS side from
+        # the same shape — see ivf_ann_topk). Corpus-vs-corpus near-dup
+        # search belongs to embedding_near_dup_pairs, which keeps the
+        # shuffle join.
+        F.broadcast(q).join(c, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "qv", "cv")
         .dropDuplicates(["query_id", "neighbor_id"])

@@ -205,6 +205,35 @@ def test_ann_auto_sizing(spark, sf_dir):
         build_ivf_index(emb, n_lists="bogus")
 
 
+def test_ivf_prebuilt_index_matches_inline_build(spark, sf_dir, tmp_path):
+    """ivf_ann_topk(index=...) — the build-once/query-many scale path —
+    must return exactly what the inline-build call returns when the index
+    was persisted (parquet partitioned by list_id, the layout whose
+    partition pruning gives probes their sqrt(n) read volume) and read
+    back."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    inline = ivf_ann_topk(queries, emb, k=3, n_lists=8, n_probe=8).collect()
+
+    centroids, assignments = build_ivf_index(emb, n_lists=8)
+    (assignments.write.partitionBy("list_id").mode("overwrite")
+     .parquet(str(tmp_path / "ivf_assign")))
+    centroids.write.mode("overwrite").parquet(str(tmp_path / "ivf_cents"))
+    idx = (
+        spark.read.parquet(str(tmp_path / "ivf_cents")),
+        spark.read.parquet(str(tmp_path / "ivf_assign")),
+    )
+    prebuilt = ivf_ann_topk(queries, emb, k=3, n_probe=8, index=idx).collect()
+
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(prebuilt, key=key) == sorted(inline, key=key)
+
+
 def test_ivf_assign_tolerates_null_and_ragged_vectors(spark):
     """A null or wrong-dimension embedding row must degrade to a null
     list_id (dropped by downstream probes — the pre-matmul HOF argmax
