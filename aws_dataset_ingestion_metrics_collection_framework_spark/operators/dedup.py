@@ -1127,7 +1127,15 @@ def embedding_near_dup_pairs(
             n_tables=n_tables, n_planes=n_planes, seed=seed,
         )
     )
-    l, r = bucketed.alias("l"), bucketed.alias("r")
+    # Every join below is corpus × corpus — pin SORT-MERGE explicitly.
+    # Catalyst's static size estimates are unreliable through the Arrow
+    # bucketize branch and the checkpoint re-attach: measured at 200k ×
+    # 64-dim vectors, the unpinned plan broadcast BOTH full id→vector maps
+    # (~110 MB each, under a 64 MB threshold) and the bucket table — the
+    # same misestimate class that OOM'd the IVF candidate join (SCALE.md
+    # r10). A corpus-sized broadcast is never the right plan here at any
+    # scale worth having; the merge hint costs a sort of slim rows.
+    l, r = bucketed.alias("l"), bucketed.alias("r").hint("merge")
     cands = (
         l.join(
             r,
@@ -1141,8 +1149,8 @@ def embedding_near_dup_pairs(
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
+        cands.join(va.hint("merge"), "id_a")
+        .join(vb.hint("merge"), "id_b")
         .select("id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"))
     )
     return pairs.filter(F.col("cosine") >= threshold)
