@@ -466,6 +466,72 @@ def test_tiered_merge_bounds_runs_and_preserves_history(spark, tmp_path):
     assert log[102] == ("fresh", None)
 
 
+def test_legacy_tree_migrates_in_place_under_lsm_folds(spark, tmp_path):
+    """A corpus compacted by the pre-r10 single-tree layout (committed
+    upto=N tree + _nb) keeps working unmodified when the stream resumes
+    with LSM folds: the legacy tree serves as the frozen base run (never
+    merged — counting its rows would be the O(history) pass the LSM
+    removes), new window runs tier among themselves above it, and
+    classification sees both."""
+    import os
+    from pyspark.sql import Row
+
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+
+    # the r9-layout corpus: data/batch=0,1 + committed upto=2 tree
+    imported = [(1, "alpha beta gamma", 0), (2, "delta epsilon zeta", 1)]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t, batch=b) for i, t, b in imported]
+    ).withColumn("batch", F.col("batch").cast("int"))
+    (docs.repartition(2, "batch").sortWithinPartitions("doc_id")
+         .write.partitionBy("batch").mode("overwrite")
+         .parquet(f"{corpus}/data"))
+    tree = f"{corpus}/index_compact/upto=2"
+    idx = docs.select(
+        "doc_id", F.xxhash64("text").alias("_h"), "batch"
+    ).withColumn("bucket", F.pmod(F.col("_h"), F.lit(2)).cast("int"))
+    (idx.repartition(2, "bucket").write.partitionBy("bucket")
+        .mode("overwrite").parquet(tree))
+    with open(f"{tree}/_nb", "w") as fh:
+        fh.write("2")
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        q = start_corpus_dedup_ingest(
+            stream, str(corpus), str(ckpt), "doc_id", "text",
+            available_now=True, compact_every=1, bucket_target_rows=2,
+            first_batch_id=2,
+        )
+        q.awaitTermination(120)
+
+    # three streamed batches: folds at 3 and 4 create w-runs that merge
+    # among themselves while the legacy tree stays untouched
+    _feed(src, "b1.json", [{"doc_id": 10, "text": "eta theta iota"},
+                           {"doc_id": 11, "text": "kappa lambda mu"}])
+    run()
+    _feed(src, "b2.json", [
+        {"doc_id": 20, "text": "alpha beta gamma"},  # dup of LEGACY doc 1
+        {"doc_id": 21, "text": "eta theta iota"},    # dup of streamed doc 10
+        {"doc_id": 22, "text": "nu xi omicron"},
+    ])
+    run()
+    _feed(src, "b3.json", [
+        {"doc_id": 30, "text": "delta epsilon zeta"},  # dup of LEGACY doc 2
+        {"doc_id": 31, "text": "nu xi omicron"},       # dup of streamed 22
+    ])
+    run()
+    log = _log(spark, str(corpus))
+    assert log[20] == ("exact_dup", 1)
+    assert log[21] == ("exact_dup", 10)
+    assert log[30] == ("exact_dup", 2)
+    assert log[31] == ("exact_dup", 22)
+    assert log[11] == ("fresh", None) and log[22] == ("fresh", None)
+    names = sorted(os.listdir(f"{corpus}/index_compact"))
+    assert "upto=2" in names  # legacy base untouched
+    assert any(n.startswith("run=") for n in names)  # LSM runs above it
+
+
 def test_merge_crash_input_residue_is_cleaned_and_harmless(spark, tmp_path):
     """Crash window between a merge output's _meta commit and the input
     deletes: a resurrected input run (still committed, still readable)
