@@ -93,6 +93,22 @@ def _committed_runs(spark, compact_root: str) -> list[dict]:
     (output committed, input delete never ran) — it is dropped from the
     live set and deleted here, so a crashed fold's cleanup completes on
     the next call no matter where the crash landed.
+
+    SLICED merges (``max_fold_rows``): a big merge executes one
+    hash-congruence slice per fold, each slice its own committed run
+    ``run=m<N>.<i>.s<j>`` whose ``_meta["part"]`` records
+    ``{id, slice, of, inputs}``. A COMPLETE slice set (all ``of`` slices
+    committed) is returned as ONE virtual run — the slices partition the
+    hash space, so for tiering and probing the set is indistinguishable
+    from the single run an unsliced merge would have written (same total
+    bucket count; a probe opens only matched buckets of matched slices).
+    An INCOMPLETE set's slices stay visible for probing (their rows
+    temporarily duplicate the still-live inputs — harmless, see the
+    dup-tolerance contract) but both the slices and their inputs are
+    marked busy so tiering never touches a merge in flight.
+
+    Returns ``(runs, pending)`` where pending lists the in-flight sliced
+    merges ``{id, of, have, inputs, lo, hi}``.
     """
     runs: list[dict] = []
     legacy: list[dict] = []
@@ -112,6 +128,7 @@ def _committed_runs(spark, compact_root: str) -> list[dict]:
                     "lo": m["lo"],
                     "hi": m["hi"],
                     "folds": m.get("folds", []),
+                    "part": m.get("part"),
                     "legacy": False,
                 }
             )
@@ -129,6 +146,7 @@ def _committed_runs(spark, compact_root: str) -> list[dict]:
                     "lo": 0,
                     "hi": hi,
                     "folds": [],
+                    "part": None,
                     "legacy": True,
                 }
             )
@@ -139,7 +157,54 @@ def _committed_runs(spark, compact_root: str) -> list[dict]:
     for v in victims:
         if fsio.exists(f"{compact_root}/{v}", spark):
             fsio.delete(f"{compact_root}/{v}", spark=spark)
-    return live
+
+    # group slice parts into virtual runs / pending merges
+    by_id: dict[str, list[dict]] = {}
+    out: list[dict] = []
+    for r in live:
+        if r["part"]:
+            by_id.setdefault(r["part"]["id"], []).append(r)
+        else:
+            out.append(r)
+    pending: list[dict] = []
+    for pid, ps in sorted(by_id.items()):
+        ps.sort(key=lambda p: p["part"]["slice"])
+        of = ps[0]["part"]["of"]
+        if len(ps) == of:  # complete: one virtual run
+            out.append(
+                {
+                    "name": pid,
+                    "path": None,
+                    "nb": None,
+                    "rows": sum(p["rows"] for p in ps),
+                    "lo": min(p["lo"] for p in ps),
+                    "hi": max(p["hi"] for p in ps),
+                    "folds": [],
+                    "part": None,
+                    "legacy": False,
+                    "parts": ps,
+                }
+            )
+        else:  # in flight: probe-visible, merge-busy
+            for p in ps:
+                p["busy"] = True
+                out.append(p)
+            pending.append(
+                {
+                    "id": pid,
+                    "of": of,
+                    "have": {p["part"]["slice"] for p in ps},
+                    "inputs": ps[0]["part"]["inputs"],
+                    "lo": min(p["lo"] for p in ps),
+                    "hi": max(p["hi"] for p in ps),
+                }
+            )
+    busy_inputs = {name for p in pending for name in p["inputs"]}
+    for r in out:
+        names = {q["name"] for q in r.get("parts", [])} | {r["name"]}
+        if names & busy_inputs:
+            r["busy"] = True
+    return out, pending
 
 
 def _read_run(spark, run: dict, idx_schema, probe_hashes=None):
@@ -160,7 +225,25 @@ def _read_run(spark, run: dict, idx_schema, probe_hashes=None):
 
     Returns None when pruning proves no row can match, or the run is
     known-empty.
+
+    A VIRTUAL run (a complete slice set, see ``_committed_runs``) reads
+    as the union of its parts — each part is itself bucket-pruned, and
+    the parts partition the hash space, so total opened buckets equal
+    the single-run layout's.
     """
+    if run.get("parts"):
+        parts = [
+            p
+            for part in run["parts"]
+            if (p := _read_run(spark, part, idx_schema, probe_hashes))
+            is not None
+        ]
+        if not parts:
+            return None
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
     if run["rows"] == 0:
         return None
     tree = run["path"]
@@ -189,6 +272,46 @@ def _read_run(spark, run: dict, idx_schema, probe_hashes=None):
     )
 
 
+def _read_run_class(spark, run: dict, idx_schema, j: int, of: int):
+    """Rows of one hash congruence class (``pmod(_h, of) == j``) from a
+    physical run — the slice-merge read path.
+
+    When ``of`` divides the run's bucket count (always true for runs this
+    module wrote with ``max_fold_rows`` set: bucket counts are powers of
+    two and ``of`` is clamped to divide the smallest input), the class is
+    exactly the buckets ``b ≡ j (mod of)`` — explicit sub-paths, reading
+    1/of of the run. Otherwise (legacy/pre-pow2 runs) the whole run is
+    read with a row-level pmod filter — correct, just not pruned; the
+    one-time migration cost of slicing over an old layout.
+    """
+    if run["rows"] == 0:
+        return None
+    tree = run["path"]
+    bucket_dirs = {
+        n for n in fsio.list_names(tree, spark) if n.startswith("bucket=")
+    }
+    nb = run["nb"]
+    if bucket_dirs and nb and nb % of == 0:
+        sel = sorted(
+            n for n in bucket_dirs if int(n.split("=", 1)[1]) % of == j
+        )
+        if not sel:
+            return None
+        schema_b = T.StructType(
+            list(idx_schema) + [T.StructField("bucket", T.IntegerType())]
+        )
+        return (
+            spark.read.schema(schema_b)
+            .option("basePath", tree)
+            .parquet(*[f"{tree}/{n}" for n in sel])
+            .drop("bucket")
+        )
+    whole = _read_run(spark, run, idx_schema)
+    if whole is None:
+        return None
+    return whole.filter(F.pmod(F.col("_h"), F.lit(of)) == j)
+
+
 def _pick_merge_group(runs: list[dict]) -> list[dict] | None:
     """Binary-counter tiering: merge whenever ≥2 runs share a size tier
     (tier = bit_length of the row count), smallest tier first.
@@ -206,7 +329,7 @@ def _pick_merge_group(runs: list[dict]) -> list[dict] | None:
     """
     tiers: dict[int, list[dict]] = {}
     for r in runs:
-        if r["rows"] is None:
+        if r["rows"] is None or r.get("busy"):
             continue
         tiers.setdefault(max(r["rows"], 1).bit_length(), []).append(r)
     cand = [g for g in tiers.values() if len(g) >= 2]
@@ -229,6 +352,7 @@ def start_corpus_dedup_ingest(
     first_batch_id: int = 0,
     verify_collect_cap: int = 20_000,
     max_merges_per_fold: int = 4,
+    max_fold_rows: int | None = None,
     probe_hash_cap: int = 131_072,
     metrics: dict | None = None,
 ):
@@ -293,6 +417,24 @@ def start_corpus_dedup_ingest(
     logarithmic.) ``max_merges_per_fold`` caps how far a promotion
     cascade runs within one fold; a deferred merge re-triggers next fold
     since sizes are unchanged.
+
+    ``max_fold_rows`` additionally bounds the WORST-CASE single fold: a
+    merge whose inputs exceed it executes as hash-congruence SLICES, one
+    per fold — slice ``j`` holds the rows with ``pmod(_h, of) == j``,
+    read bucket-aligned (bucket counts are powers of two and ``of``
+    divides them) and committed as its own run ``run=m<N>.<i>.s<j>``.
+    A complete slice set is equivalent to the single run an unsliced
+    merge would write (the slices partition the hash space; same total
+    bucket count) and participates in tiering as one virtual run, so
+    slicing adds NO write amplification — it only spreads the same write
+    across ``of`` folds. While a sliced merge is in flight its inputs
+    and slices stay probe-visible (rows briefly duplicated — harmless)
+    and merge-busy; the final slice lists the inputs in ``folds``, so
+    input retirement rides the same resumable cleanup as unsliced
+    merges, and a crash at ANY slice resumes at the next missing one.
+    The effective floor of the cap is ~(#inputs × bucket_target_rows):
+    ``of`` is clamped to divide every input's bucket count. Default
+    None = unsliced (amortized-bounded folds only).
 
     Exactly-once WITHOUT marker files: every write is an overwrite of
     the batch's own partition directory (idempotent under re-delivery),
@@ -369,7 +511,7 @@ def start_corpus_dedup_ingest(
             ]
         )
         compact_root = f"{corpus_path}/index_compact"
-        runs = _committed_runs(spark, compact_root)
+        runs, pending = _committed_runs(spark, compact_root)
         upto = max((r["hi"] for r in runs), default=0)
 
         # one capped collect of the batch's distinct hashes prunes the
@@ -544,8 +686,13 @@ def start_corpus_dedup_ingest(
             window_rows = 0
 
             def _write_run(df, name: str, rows: int, lo: int, hi: int,
-                           folds: list[str]) -> dict:
-                nb = max(1, -(-rows // bucket_target_rows))
+                           folds: list[str], part: dict | None = None) -> dict:
+                # bucket count = next power of two ≥ rows/target: buckets
+                # stay within [target/2, target] AND any slice factor
+                # `of` (itself a power of two ≤ nb) divides nb, keeping
+                # slice reads bucket-aligned
+                nb = 1 << max(0, (max(1, -(-rows // bucket_target_rows)) - 1)
+                              .bit_length())
                 path = f"{compact_root}/{name}"
                 # parquet job first (readers ignore the dir until _meta
                 # lands), THEN the meta — a crash between leaves the dir
@@ -557,14 +704,30 @@ def start_corpus_dedup_ingest(
                     .mode("overwrite")
                     .parquet(path)
                 )
+                meta = {"nb": nb, "rows": rows, "lo": lo, "hi": hi,
+                        "folds": folds}
+                if part:
+                    meta["part"] = part
                 fsio.write_text_atomic(
-                    f"{path}/_meta",
-                    json.dumps({"nb": nb, "rows": rows, "lo": lo, "hi": hi,
-                                "folds": folds}),
-                    spark,
+                    f"{path}/_meta", json.dumps(meta), spark
                 )
                 return {"name": name, "path": path, "nb": nb, "rows": rows,
-                        "lo": lo, "hi": hi, "folds": folds, "legacy": False}
+                        "lo": lo, "hi": hi, "folds": folds, "part": part,
+                        "legacy": False}
+
+            def _materialize_merge(parts_dfs):
+                if parts_dfs:
+                    mdf = parts_dfs[0]
+                    for p in parts_dfs[1:]:
+                        mdf = mdf.unionByName(p)
+                    # exact-row dedup bounds crash-window duplicates; the
+                    # key includes batch so two legit landings of the
+                    # same id (same doc id, different text/epoch) survive
+                    mdf = mdf.dropDuplicates(
+                        [id_col, "_h", "batch"]
+                    ).localCheckpoint(eager=True)
+                    return mdf, mdf.count()
+                return spark.createDataFrame([], idx_schema), 0
 
             # (1) the window run: O(window), skipped on a replay whose
             # prior attempt already committed it (the window read below
@@ -591,63 +754,155 @@ def start_corpus_dedup_ingest(
                 if n.startswith("batch=") and int(n.split("=", 1)[1]) < upto:
                     fsio.delete(f"{corpus_path}/index/{n}", spark=spark)
 
-            # (2) tier maintenance: binary-counter merges, smallest tier
-            # first, at most max_merges_per_fold promotions per fold
+            # (2a) an in-flight SLICED merge advances ONE slice per fold
+            # (work ≈ total/of ≤ max_fold_rows); only one sliced merge is
+            # ever in flight, so per-fold merge work stays bounded. The
+            # final slice carries the inputs in its folds list — the
+            # existing resumable-cleanup machinery then retires them.
             merged_rows = 0
-            next_m = 0
-            for _ in range(max_merges_per_fold):
-                group = _pick_merge_group(runs)
-                if group is None:
-                    break
-                # name must not collide with any COMMITTED run — a
-                # replayed fold whose prior attempt committed m<N>.0
-                # would otherwise emit an output that lists itself in
-                # folds (self-cleanup = data loss) or overwrites a live
-                # input mid-plan
-                taken = {r["name"] for r in runs}
-                while f"run=m{new_upto}.{next_m}" in taken:
-                    next_m += 1
-                mname = f"run=m{new_upto}.{next_m}"
-                mparts = [
-                    p
-                    for r in group
-                    if (p := _read_run(spark, r, idx_schema)) is not None
+            slice_info = None
+            if pending:
+                p = pending[0]
+                j = min(set(range(p["of"])) - p["have"])
+                phys_map = {
+                    q["name"]: q
+                    for r in runs
+                    for q in (r.get("parts") or [r])
+                }
+                missing = [n for n in p["inputs"] if n not in phys_map]
+                if missing:
+                    # protocol violation: inputs are deleted only via the
+                    # final slice's folds, and the set is incomplete
+                    raise RuntimeError(
+                        f"sliced merge {p['id']}: input run(s) vanished "
+                        f"with slices incomplete: {missing}"
+                    )
+                class_dfs = [
+                    d
+                    for n in p["inputs"]
+                    if (
+                        d := _read_run_class(
+                            spark, phys_map[n], idx_schema, j, p["of"]
+                        )
+                    )
+                    is not None
                 ]
-                if mparts:
-                    mdf = mparts[0]
-                    for p in mparts[1:]:
-                        mdf = mdf.unionByName(p)
-                    # exact-row dedup bounds crash-window duplicates; the
-                    # key includes batch so two legit landings of the
-                    # same id (same doc id, different text/epoch) survive
-                    mdf = mdf.dropDuplicates(
-                        [id_col, "_h", "batch"]
-                    ).localCheckpoint(eager=True)
-                    rows = mdf.count()
-                else:
-                    mdf = spark.createDataFrame([], idx_schema)
-                    rows = 0
-                merged_rows += rows
-                out = _write_run(
-                    mdf, mname, rows,
-                    min(r["lo"] for r in group),
-                    max(r["hi"] for r in group),
-                    [r["name"] for r in group],
+                mdf, rows = _materialize_merge(class_dfs)
+                last = len(p["have"]) + 1 == p["of"]
+                _write_run(
+                    mdf, f"run={p['id']}.s{j}", rows, p["lo"], p["hi"],
+                    list(p["inputs"]) if last else [],
+                    part={"id": p["id"], "slice": j, "of": p["of"],
+                          "inputs": list(p["inputs"])},
                 )
-                for r in group:  # inputs die strictly after the commit
-                    fsio.delete(r["path"], spark=spark)
-                runs = [r for r in runs if r not in group] + [out]
+                merged_rows += rows
+                if last:  # inputs die strictly after the final commit
+                    for n in p["inputs"]:
+                        fsio.delete(f"{compact_root}/{n}", spark=spark)
+                slice_info = {"id": p["id"], "slice": j, "of": p["of"],
+                              "done": last}
+            else:
+                # (2b) tier maintenance: binary-counter merges, smallest
+                # tier first, at most max_merges_per_fold promotions per
+                # fold; a group over max_fold_rows STARTS a sliced merge
+                # (slice 0 now, one more per subsequent fold) instead of
+                # paying the whole merge in one fold
+                next_m = 0
+                for _ in range(max_merges_per_fold):
+                    group = _pick_merge_group(runs)
+                    if group is None:
+                        break
+                    phys = [
+                        q for r in group for q in (r.get("parts") or [r])
+                    ]
+                    total = sum(q["rows"] for q in phys)
+                    # name must not collide with any COMMITTED run — a
+                    # replayed fold whose prior attempt committed m<N>.0
+                    # would otherwise emit an output that lists itself in
+                    # folds (self-cleanup = data loss) or overwrites a
+                    # live input mid-plan. Slice dirs of the same id
+                    # collide too (run=<id>.s0), so both forms gate.
+                    taken = {
+                        q["name"]
+                        for r in runs
+                        for q in (r.get("parts") or [r])
+                    } | {r["name"] for r in runs}
+                    while (
+                        f"run=m{new_upto}.{next_m}" in taken
+                        or f"run=m{new_upto}.{next_m}.s0" in taken
+                    ):
+                        next_m += 1
+                    mid = f"m{new_upto}.{next_m}"
+                    if max_fold_rows and total > max_fold_rows:
+                        # slice factor: smallest power of two bringing
+                        # per-slice rows under the cap, clamped to divide
+                        # every input's bucket count (all powers of two
+                        # for runs this module wrote; the clamp floors
+                        # the effective cap at ~inputs × bucket_target)
+                        need = 1 << max(
+                            1, (-(-total // max_fold_rows) - 1).bit_length()
+                        )
+                        div = min(
+                            (q["nb"] & -q["nb"] for q in phys if q["rows"]),
+                            default=1,
+                        )
+                        of = min(need, div)
+                        if of >= 2:
+                            inputs = [q["name"] for q in phys]
+                            class_dfs = [
+                                d
+                                for q in phys
+                                if (
+                                    d := _read_run_class(
+                                        spark, q, idx_schema, 0, of
+                                    )
+                                )
+                                is not None
+                            ]
+                            mdf, rows = _materialize_merge(class_dfs)
+                            _write_run(
+                                mdf, f"run={mid}.s0", rows,
+                                min(q["lo"] for q in phys),
+                                max(q["hi"] for q in phys),
+                                [],
+                                part={"id": mid, "slice": 0, "of": of,
+                                      "inputs": inputs},
+                            )
+                            merged_rows += rows
+                            slice_info = {"id": mid, "slice": 0, "of": of,
+                                          "done": False}
+                            break  # one in-flight sliced merge at a time
+                        # of < 2: inputs too coarse to slice — fall
+                        # through to the unsliced merge (loud in metrics:
+                        # merged_rows > max_fold_rows)
+                    mparts = [
+                        d
+                        for q in phys
+                        if (d := _read_run(spark, q, idx_schema)) is not None
+                    ]
+                    mdf, rows = _materialize_merge(mparts)
+                    merged_rows += rows
+                    out = _write_run(
+                        mdf, f"run={mid}", rows,
+                        min(r["lo"] for r in group),
+                        max(r["hi"] for r in group),
+                        [q["name"] for q in phys],
+                    )
+                    for q in phys:  # inputs die strictly after the commit
+                        fsio.delete(q["path"], spark=spark)
+                    runs = [r for r in runs if r not in group] + [out]
 
             if metrics is not None:
-                metrics.setdefault("fold", []).append(
-                    {
-                        "batch": batch_id,
-                        "ms": round((time.perf_counter() - t_fold) * 1000),
-                        "window_rows": window_rows,
-                        "merged_rows": merged_rows,
-                        "n_runs": len(runs),
-                    }
-                )
+                entry = {
+                    "batch": batch_id,
+                    "ms": round((time.perf_counter() - t_fold) * 1000),
+                    "window_rows": window_rows,
+                    "merged_rows": merged_rows,
+                    "n_runs": len(runs),
+                }
+                if slice_info:
+                    entry["slice"] = slice_info
+                metrics.setdefault("fold", []).append(entry)
 
     writer = (
         docs.writeStream.foreachBatch(process)

@@ -676,3 +676,112 @@ def test_randomized_stream_matches_reference_model(spark, tmp_path):
         run()
 
     assert _log(spark, str(corpus)) == expected
+
+
+def _run_sliced(spark, src, corpus, ckpt, metrics=None):
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = start_corpus_dedup_ingest(
+        stream, str(corpus), str(ckpt), "doc_id", "text",
+        available_now=True, compact_every=1, bucket_target_rows=2,
+        max_fold_rows=4, metrics=metrics,
+    )
+    q.awaitTermination(120)
+
+
+def test_sliced_merge_bounds_fold_and_preserves_classification(spark, tmp_path):
+    """max_fold_rows=4: the 8-row promotion (w2 + m4.0) must execute as
+    hash-congruence slices across TWO folds — slice 0 at the fold that
+    started it, slice 1 at the next — with classification correct while
+    the merge is in flight (rows live in inputs + partial slices) and
+    after completion (inputs retired, slice set = one virtual run)."""
+    import os
+
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+    metrics: dict = {}
+
+    for b in range(4):  # folds at 1,2,3: w2(4), then m4.0(4)=w3+w4, then
+        _feed(src, f"b{b}.json", [  # the 8-row group starts slicing
+            {"doc_id": 10 * b, "text": f"unique text {b} zero"},
+            {"doc_id": 10 * b + 1, "text": f"unique text {b} one"},
+        ])
+        _run_sliced(spark, src, corpus, ckpt, metrics)
+
+    root = f"{corpus}/index_compact"
+    names = sorted(os.listdir(root))
+    # slice 0 committed, inputs still alive (merge in flight)
+    assert "run=m4.1.s0" in names and "run=w2" in names and "run=m4.0" in names
+    folds = metrics["fold"]
+    assert folds[-1]["slice"] == {"id": "m4.1", "slice": 0, "of": 2,
+                                  "done": False}
+    # per-fold merge work stays bounded: each merge OP is ≤ the cap, and
+    # a fold does at most the cap-bounded small merges plus ONE slice —
+    # here ≤ 2 ops × 4 rows, where the unsliced 8-row promotion alone
+    # (plus the small merge) would have been 12
+    assert all(f["merged_rows"] <= 8 for f in folds)
+
+    # mid-flight classification: dups of rows living in inputs AND in the
+    # committed slice must still be caught
+    _feed(src, "b4.json", [
+        {"doc_id": 100, "text": "unique text 0 zero"},   # in w2/slices
+        {"doc_id": 101, "text": "unique text 2 one"},    # in m4.0
+        {"doc_id": 102, "text": "brand new"},
+    ])
+    _run_sliced(spark, src, corpus, ckpt, metrics)  # fold@4: slice 1 (last)
+    log = _log(spark, str(corpus))
+    assert log[100] == ("exact_dup", 0)
+    assert log[101] == ("exact_dup", 21)
+    assert log[102] == ("fresh", None)
+    names = sorted(os.listdir(root))
+    assert "run=m4.1.s0" in names and "run=m4.1.s1" in names
+    assert "run=w2" not in names and "run=m4.0" not in names  # retired
+    assert metrics["fold"][-1]["slice"]["done"] is True
+
+    # post-completion classification via the virtual run
+    _feed(src, "b5.json", [
+        {"doc_id": 200, "text": "unique text 1 zero"},  # only in the slices
+        {"doc_id": 201, "text": "brand new"},           # dup of batch-4 doc
+    ])
+    _run_sliced(spark, src, corpus, ckpt, metrics)
+    log = _log(spark, str(corpus))
+    assert log[200] == ("exact_dup", 10)
+    assert log[201] == ("exact_dup", 102)
+
+
+def test_sliced_merge_uncommitted_slice_residue_is_rewritten(spark, tmp_path):
+    """Crash hygiene for sliced merges: an uncommitted slice dir (no
+    _meta — a crashed half-write of the NEXT slice) is invisible to the
+    reader, the pending merge still resumes at that slice (overwriting
+    the residue), the final slice carries the inputs in folds, and the
+    inputs retire. Classification of a dup whose row lives in the
+    crashed slice's hash class is unaffected throughout."""
+    import os
+
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+
+    for b in range(4):
+        _feed(src, f"b{b}.json", [
+            {"doc_id": 10 * b, "text": f"unique text {b} zero"},
+            {"doc_id": 10 * b + 1, "text": f"unique text {b} one"},
+        ])
+        _run_sliced(spark, src, corpus, ckpt)
+    root = f"{corpus}/index_compact"
+    assert os.path.isdir(f"{root}/run=m4.1.s0")
+
+    # crashed half-write of slice 1: dir exists, no _meta
+    os.makedirs(f"{root}/run=m4.1.s1")
+
+    # drive one more batch: the pending merge resumes at slice 1 despite
+    # the residue (overwrite), completes, and retires its inputs
+    _feed(src, "b4.json", [{"doc_id": 100, "text": "unique text 3 one"}])
+    _run_sliced(spark, src, corpus, ckpt)
+    log = _log(spark, str(corpus))
+    assert log[100] == ("exact_dup", 31)
+    names = sorted(os.listdir(root))
+    assert "run=w2" not in names and "run=m4.0" not in names
+    with open(f"{root}/run=m4.1.s1/_meta") as fh:
+        meta = json.load(fh)
+    assert meta["part"] == {"id": "m4.1", "slice": 1, "of": 2,
+                            "inputs": ["run=w2", "run=m4.0"]}
+    assert set(meta["folds"]) == {"run=w2", "run=m4.0"}

@@ -11,7 +11,7 @@ deterministic earlier doc (cross-batch exact dups the ingest must catch);
 the rest are fresh. One parquet file per batch + maxFilesPerTrigger=1
 delivers exactly one batch per trigger.
 
-Usage: python tools/corpus_dedup_bench.py [n_batches] [batch_rows] [compact_every]
+Usage: python tools/corpus_dedup_bench.py [n_batches] [batch_rows] [compact_every] [max_fold_rows] [bucket_target]
 Prints a per-batch markdown table and ONE JSON summary line.
 
 Decades mode — the flat-probe-vs-history-decades evidence:
@@ -231,6 +231,8 @@ def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     batch_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
     compact_every = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    max_fold_rows = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    bucket_target = int(sys.argv[5]) if len(sys.argv) > 5 else 1_000_000
     dup_frac = 0.10
 
     spark = get_spark(app_name="corpus-dedup-bench")
@@ -274,7 +276,8 @@ def main() -> None:
     fold_metrics: dict = {}
     q = start_corpus_dedup_ingest(
         stream, corpus, ckpt, "doc_id", "text", available_now=True,
-        compact_every=compact_every, metrics=fold_metrics,
+        compact_every=compact_every, max_fold_rows=max_fold_rows,
+        bucket_target_rows=bucket_target, metrics=fold_metrics,
     )
     q.awaitTermination(1800)
     wall = time.perf_counter() - t0
@@ -323,6 +326,8 @@ def main() -> None:
             entry["fold_window_rows"] = f["window_rows"]
             entry["fold_merged_rows"] = f["merged_rows"]
             entry["n_runs"] = f["n_runs"]
+            if "slice" in f:
+                entry["slice"] = f["slice"]
         batches.append(entry)
         hist += fresh_by_batch.get(i, 0)
 
@@ -341,6 +346,8 @@ def main() -> None:
     summary = {
         "metric": "corpus_dedup_ingest",
         "compact_every": compact_every,
+        "max_fold_rows": max_fold_rows,
+        "bucket_target_rows": bucket_target,
         "fold_ms_avg": (
             round(sum(f["ms"] for f in folds) / len(folds)) if folds else None
         ),
