@@ -518,7 +518,11 @@ def start_corpus_dedup_ingest(
         # buckets of EVERY run (batches beyond the cap read runs whole —
         # a correct superset; at that batch size pruning saves little)
         probe_hashes = None
-        if any(r["nb"] and r["nb"] > 8 for r in runs):
+        if any(
+            q["nb"] and q["nb"] > 8
+            for r in runs
+            for q in (r.get("parts") or [r])
+        ):
             hrows = (
                 b.select("_h").distinct().limit(probe_hash_cap + 1).collect()
             )
