@@ -415,6 +415,7 @@ def lsh_ann_topk(
     n_planes: int | str = 8,
     n_tables: int = 4,
     seed: int = 7,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ≥1 of
     ``n_tables`` independent hyperplane tables; exact cosine + top-k within
@@ -428,7 +429,25 @@ def lsh_ann_topk(
     ~16·n_tables regardless of corpus size (one count job; see
     :func:`auto_planes` — a fixed plane count makes per-query cost grow
     linearly with the corpus instead).
+
+    ``index``: a prebuilt corpus bucket table — the build-once/query-many
+    path, mirroring ``ivf_ann_topk(index=...)``. Build it once with
+    ``bucketize_tables(corpus, id_col=<corpus_id>, id_name="neighbor_id",
+    vec_col=<vec_col>, keep_vec="cv", n_tables=..., n_planes=...,
+    seed=...)``, persist (parquet partitioned by ``tbl, bucket`` so the
+    candidate join prunes partitions), and pass it back here WITH THE
+    SAME numeric ``n_planes``/``n_tables``/``seed`` used at build time —
+    the query side must hash into identical buckets, so
+    ``n_planes='auto'`` (whose resolution depends on the corpus count at
+    call time) raises when an index is given. Without an index every
+    call re-runs the corpus bucketize matmul from lineage, exactly like
+    the unindexed IVF path.
     """
+    if index is not None and n_planes == "auto":
+        raise ValueError(
+            "n_planes='auto' cannot be used with a prebuilt index: pass "
+            "the numeric plane count the index was built with"
+        )
     if n_planes == "auto":
         n_planes = auto_planes(corpus.count())
     elif not isinstance(n_planes, int):
@@ -438,10 +457,21 @@ def lsh_ann_topk(
         queries, id_col=query_id, id_name="query_id", vec_col=vec_col, keep_vec="qv",
         n_tables=n_tables, n_planes=n_planes, seed=seed,
     )
-    c = bucketize_tables(
-        corpus, id_col=corpus_id, id_name="neighbor_id", vec_col=vec_col, keep_vec="cv",
-        n_tables=n_tables, n_planes=n_planes, seed=seed,
-    )
+    if index is not None:
+        # normalize the bucket dtype: reading a tbl/bucket-partitioned
+        # parquet index back infers the bit-string bucket as INT (leading
+        # zeros dropped — "01" comes back as 1, and at 24 planes the
+        # decimal reading even outgrows bigint). lpad(cast) reconstructs
+        # the exact sign-bit string for any round trip and is a no-op
+        # when the string survived.
+        c = index.withColumn(
+            "bucket", F.lpad(F.col("bucket").cast("string"), n_planes, "0")
+        ).withColumn("tbl", F.col("tbl").cast("int"))
+    else:
+        c = bucketize_tables(
+            corpus, id_col=corpus_id, id_name="neighbor_id", vec_col=vec_col, keep_vec="cv",
+            n_tables=n_tables, n_planes=n_planes, seed=seed,
+        )
     pairs = (
         # the query side (|queries| × n_tables rows) is the small side by
         # contract — broadcast it explicitly rather than trusting static

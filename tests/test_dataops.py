@@ -234,6 +234,42 @@ def test_ivf_prebuilt_index_matches_inline_build(spark, sf_dir, tmp_path):
     assert sorted(prebuilt, key=key) == sorted(inline, key=key)
 
 
+def test_lsh_prebuilt_index_matches_inline_build(spark, sf_dir, tmp_path):
+    """lsh_ann_topk(index=...) — the persisted corpus bucket table — must
+    return exactly what the inline-bucketize call returns when the index
+    was written (parquet partitioned by tbl/bucket, the layout whose
+    partition pruning keeps probe reads occupancy-sized) and read back.
+    'auto' planes with a prebuilt index must raise (the resolution
+    depends on call-time corpus count, desyncing query-side buckets)."""
+    import pytest
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        bucketize_tables,
+        lsh_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    inline = lsh_ann_topk(queries, emb, k=3, n_planes=2, n_tables=8).collect()
+
+    bucketed = bucketize_tables(
+        emb, id_col="vec_id", id_name="neighbor_id", vec_col="embedding",
+        keep_vec="cv", n_tables=8, n_planes=2,
+    )
+    (bucketed.write.partitionBy("tbl", "bucket").mode("overwrite")
+     .parquet(str(tmp_path / "lsh_idx")))
+    idx = spark.read.parquet(str(tmp_path / "lsh_idx"))
+    prebuilt = lsh_ann_topk(
+        queries, emb, k=3, n_planes=2, n_tables=8, index=idx
+    ).collect()
+
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(prebuilt, key=key) == sorted(inline, key=key)
+
+    with pytest.raises(ValueError):
+        lsh_ann_topk(queries, emb, n_planes="auto", index=idx)
+
+
 def test_ivf_assign_tolerates_null_and_ragged_vectors(spark):
     """A null or wrong-dimension embedding row must degrade to a null
     list_id (dropped by downstream probes — the pre-matmul HOF argmax
