@@ -1,0 +1,113 @@
+"""ANN auto-sizing scale probe (SCALE.md r10 evidence): measures the IVF
+build-once/query-many path and the LSH planted-twin query path on
+generated corpora across size decades.
+
+Usage:
+    python tools/ann_scale_probe.py ivf [n ...]   # default 200000 2000000
+    python tools/ann_scale_probe.py lsh [n ...]
+
+ivf: builds the index with n_lists='auto' (~sqrt(n)), persists it the way
+production would (assignments parquet partitioned by list_id → probes
+prune partitions), and times the indexed query path min-of-2 — the
+sqrt(n) economics check. lsh: n_planes='auto' with 20 planted bit-twin
+queries (recovery is exact at any plane count) — the occupancy check.
+
+Needs a fat local driver: the generated corpus is localCheckpointed
+(2M × 64-dim ≈ 1 GB of storage memory).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from aws_dataset_ingestion_metrics_collection_framework_spark import get_spark
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators import similarity as SIM
+
+
+def _gen(spark, n):
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: (
+            (F.pmod(F.xxhash64(F.col("id") * 64 + j), F.lit(2001)) - 1000)
+            .cast("double") / 1000.0
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    ).localCheckpoint(eager=True)
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "ivf"
+    sizes = [int(a) for a in sys.argv[2:]] or [200_000, 2_000_000]
+    spark = get_spark(app_name=f"ann-scale-{mode}",
+                      extra_conf={"spark.driver.memory": "16g"})
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
+    out = []
+    for n in sizes:
+        emb = _gen(spark, n)
+        if mode == "ivf":
+            queries = emb.filter(F.col("vec_id") < 20)
+            t0 = time.perf_counter()
+            cents, assigns = SIM.build_ivf_index(emb, n_lists="auto")
+            root = tempfile.mkdtemp(prefix="ivf_idx_")
+            assigns.write.partitionBy("list_id").mode("overwrite").parquet(
+                root + "/assign")
+            cents.write.mode("overwrite").parquet(root + "/cents")
+            t_build = time.perf_counter() - t0
+            idx = (spark.read.parquet(root + "/cents"),
+                   spark.read.parquet(root + "/assign"))
+            times = []
+            for _ in range(2):
+                t1 = time.perf_counter()
+                rows = SIM.ivf_ann_topk(
+                    queries, emb, k=5, n_probe=8, index=idx
+                ).collect()
+                times.append(time.perf_counter() - t1)
+            out.append({"n": n, "n_lists": idx[0].count(),
+                        "build_persist_s": round(t_build, 1),
+                        "query_indexed_s": round(min(times), 2),
+                        "topk_rows": len(rows)})
+            shutil.rmtree(root, ignore_errors=True)
+        else:
+            twins = emb.filter(F.col("vec_id") < 20).select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+            times, rows = [], []
+            for _ in range(2):
+                t1 = time.perf_counter()
+                rows = SIM.lsh_ann_topk(
+                    twins, emb, k=1, n_planes="auto", n_tables=4
+                ).collect()
+                times.append(time.perf_counter() - t1)
+            ok = sum(
+                1 for r in rows
+                if r["rank"] == 1
+                and r["neighbor_id"] == r["query_id"] - 10_000_000
+            )
+            out.append({"n": n, "auto_planes": SIM.auto_planes(n),
+                        "lsh_query_s": round(min(times), 2),
+                        "twins_recovered": f"{ok}/20"})
+        print(json.dumps(out[-1]), flush=True)
+    if len(out) >= 2:
+        a, b = out[0], out[-1]
+        key = "query_indexed_s" if mode == "ivf" else "lsh_query_s"
+        print(json.dumps({
+            "metric": f"{mode}_auto_scale",
+            "query_growth": round(max(b[key], 0.01) / max(a[key], 0.01), 2),
+            "decades": round(math.log10(b["n"] / a["n"]), 1),
+        }))
+
+
+if __name__ == "__main__":
+    main()
