@@ -6334,69 +6334,14 @@ ORACLES: dict[str, str] = {
     "quality_tf": QUALITY_TF_ORACLE,
 }
 
-# ---- r10 sampling rotation: the driver's correctness sweep samples the
-# FIRST ~50 registry entries each round.  r9 sampled the head-50 of
-# _R9_PRIORITY (the r4-stale cohort + the first 32 of the r5 wave, through
-# 'attribution').  This round rotates the 110 queries WITHOUT an r9 driver
-# row to the head, oldest evidence first: the 3 never-sampled r10
-# additions (auto-sized ANN faces), the unsampled r5-stale block
-# (pseudonymize..weighted_sample), the whole r6-stale block
-# (bpe_tokenize..set_ops_customers), then the r7+r8-fresh tail; the 50
-# queries with fresh r9 rows move to the very end.
-_R10_PRIORITY = [
-    # -- never driver-sampled (new in r10: shipped-scale-path ANN faces)
-    'lsh_ann_auto',
-    'ivf_ann_auto',
-    'semantic_dedup_auto',
-    # -- r5-stale, unsampled by the r9 window
-    'pseudonymize',
-    'json_flatten',
-    'rollup_percentile',
-    'seasonal_outliers',
-    'cusum',
-    'topk_value',
-    'group_split',
-    'pmi_collocations',
-    'triangles',
-    'bm25_search',
-    'distinct_rollup',
-    'weighted_sample',
-    # -- r6-stale
-    'bpe_tokenize',
-    'compression_signals',
-    'corpus_mix',
-    'embedding_norm',
-    'golden_records',
-    'hashed_embeddings',
-    'psi_drift',
-    'jpeg_progressive',
-    'main_content',
-    'image_phash_pairs',
-    'pq_ann',
-    'hard_negatives',
-    'correlations',
-    'transition_matrix',
-    'importance_weights',
-    'upsert_latest',
-    'scd2_history',
-    'token_estimate',
-    'semantic_dedup',
-    'skew_report',
-    'key_histogram',
-    'funnel',
-    'cohort_retention',
-    'dq_profile',
-    'dq_checks',
-    'interval_overlap',
-    'mad_outliers',
-    'pivot_events',
-    'image_thumbnails',
-    'pii_scan',
-    'pii_redact',
-    'domain_report',
-    'stratified_sample',
-    'char_entropy',
-    'c4_clean',
+# ---- r11 sampling rotation: the driver samples the FIRST ~50 registry
+# entries each round.  r10 sampled the head-50 of the r10 rotation; this
+# round moves the 63 queries with NO r9/r10 driver row to the head,
+# oldest driver evidence first (13 last sampled r6, then the 50 last
+# sampled r8), followed by the r9-sampled 50, with the r10-sampled 50
+# (freshest evidence) at the tail.
+_R11_PRIORITY = [
+    # -- no r9/r10 driver row: last sampled r6
     'gopher_rules',
     'corpus_pipeline',
     'approx_distinct',
@@ -6410,7 +6355,7 @@ _R10_PRIORITY = [
     'window_distribution',
     'grouping_sets_lineitem',
     'set_ops_customers',
-    # -- r7+r8-fresh (no r9 row; newer evidence than the blocks above)
+    # -- no r9/r10 driver row: last sampled r8
     'chi_square',
     'alert_suppress',
     'quality_exact',
@@ -6461,7 +6406,7 @@ _R10_PRIORITY = [
     'q08_market_share',
     'q09_product_profit',
     'q11_important_balance',
-    # -- r9-sampled (driver-green this past round; tail)
+    # -- r9-sampled (driver-green r9)
     'q12_priority_lines',
     'q13_order_distribution',
     'q14_promo_effect',
@@ -6512,14 +6457,65 @@ _R10_PRIORITY = [
     'label_propagation',
     'incremental_dedup',
     'attribution',
+    # -- r10-sampled (driver-green this past round; tail)
+    'lsh_ann_auto',
+    'ivf_ann_auto',
+    'semantic_dedup_auto',
+    'pseudonymize',
+    'json_flatten',
+    'rollup_percentile',
+    'seasonal_outliers',
+    'cusum',
+    'topk_value',
+    'group_split',
+    'pmi_collocations',
+    'triangles',
+    'bm25_search',
+    'distinct_rollup',
+    'weighted_sample',
+    'bpe_tokenize',
+    'compression_signals',
+    'corpus_mix',
+    'embedding_norm',
+    'golden_records',
+    'hashed_embeddings',
+    'psi_drift',
+    'jpeg_progressive',
+    'main_content',
+    'image_phash_pairs',
+    'pq_ann',
+    'hard_negatives',
+    'correlations',
+    'transition_matrix',
+    'importance_weights',
+    'upsert_latest',
+    'scd2_history',
+    'token_estimate',
+    'semantic_dedup',
+    'skew_report',
+    'key_histogram',
+    'funnel',
+    'cohort_retention',
+    'dq_profile',
+    'dq_checks',
+    'interval_overlap',
+    'mad_outliers',
+    'pivot_events',
+    'image_thumbnails',
+    'pii_scan',
+    'pii_redact',
+    'domain_report',
+    'stratified_sample',
+    'char_entropy',
+    'c4_clean',
 ]
-if set(_R10_PRIORITY) != set(QUERIES) or len(_R10_PRIORITY) != len(QUERIES):
+if set(_R11_PRIORITY) != set(QUERIES) or len(_R11_PRIORITY) != len(QUERIES):
     raise RuntimeError(
         "priority rotation out of sync with QUERIES: missing="
-        f"{sorted(set(QUERIES) - set(_R10_PRIORITY))} extra="
-        f"{sorted(set(_R10_PRIORITY) - set(QUERIES))}"
+        f"{sorted(set(QUERIES) - set(_R11_PRIORITY))} extra="
+        f"{sorted(set(_R11_PRIORITY) - set(QUERIES))}"
     )
-QUERIES = {name: QUERIES[name] for name in _R10_PRIORITY}
+QUERIES = {name: QUERIES[name] for name in _R11_PRIORITY}
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled
 # entries first) so a budget-bounded sweep sees the same priority whichever
