@@ -13,10 +13,11 @@ from __future__ import annotations
 
 import math
 import random
+import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Row, SparkSession, Window, functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -181,6 +182,19 @@ def bucketize_tables(
     )
 
 
+# Default budget for the driver-side centroid matrix (n_lists × dim × 8 B
+# float64).  build_ivf_index materializes the centroids on the driver once
+# per Lloyd step (the Arrow assign matmul ships them in the UDF closure), so
+# this product is driver memory, not executor memory: at the 'auto' sizing
+# n_lists ≈ √n, an n = 10¹¹ corpus at dim 4096 would want √n·dim·8 ≈ 10 GB —
+# far past what a driver should hold for ONE operator.  256 MiB covers every
+# sane single-level IVF (4096 lists × 8192-dim float64 = 256 MiB exactly);
+# beyond it, don't raise the budget — cap n_lists and accept more vectors
+# per list, or train a two-level coarse quantizer on a sample and re-shard
+# (out of this operator's scope, documented in build_ivf_index).
+IVF_CENTROID_BUDGET_BYTES = 256 << 20
+
+
 def build_ivf_index(
     corpus: DataFrame,
     *,
@@ -188,6 +202,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_lists: int | str = 16,
     kmeans_iters: int = 1,
+    centroid_budget_bytes: int = IVF_CENTROID_BUDGET_BYTES,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF (inverted-file) index: partition the corpus into ``n_lists``
     Voronoi cells around centroids; ANN then probes only the nearest cells.
@@ -212,6 +227,21 @@ def build_ivf_index(
     the broadcast centroid row stays sane; beyond 4096 lists, train on a
     sample and re-shard, which is out of this operator's scope). One
     count job.
+
+    DRIVER MEMORY BOUND: the centroid matrix (``n_lists × dim × 8`` bytes
+    of float64) is collected to the driver once per Lloyd step and shipped
+    in the Arrow assign UDF closure. That product is checked against
+    ``centroid_budget_bytes`` (default 256 MiB) BEFORE the first collect
+    and the build fails loudly when it would exceed it — a silent 10 GB
+    driver materialization (n = 10¹¹ at 'auto' sizing with dim = 4096) is
+    exactly the failure mode this guards. If you hit the guard: cap
+    ``n_lists`` (more vectors per list — probe cost grows linearly in
+    list occupancy, still far from brute force), or split the corpus into
+    shards each with its own in-budget index (the two-level / coarse-
+    quantizer upgrade path: train the splitter on a sample, route each
+    shard's queries to its index, merge top-k). Raising
+    ``centroid_budget_bytes`` is for drivers that genuinely have the
+    headroom, not the default answer.
     """
     if n_lists == "auto":
         n_lists = min(4096, max(16, math.isqrt(corpus.count())))
@@ -228,6 +258,17 @@ def build_ivf_index(
     if first is None:
         raise ValueError("build_ivf_index: corpus has no non-null vectors")
     ref_dim = first[0]
+    est_bytes = n_lists * ref_dim * 8
+    if est_bytes > centroid_budget_bytes:
+        raise ValueError(
+            f"build_ivf_index: centroid matrix would be n_lists({n_lists}) × "
+            f"dim({ref_dim}) × 8 B = {est_bytes / (1 << 20):.0f} MiB on the "
+            f"DRIVER, over the {centroid_budget_bytes / (1 << 20):.0f} MiB "
+            "budget. Cap n_lists (more vectors per probed list), shard the "
+            "corpus into per-shard in-budget indexes (two-level coarse-"
+            "quantizer path — see the docstring), or pass a larger "
+            "centroid_budget_bytes if the driver genuinely has the headroom."
+        )
     well_formed = c.filter(
         F.col("v").isNotNull() & (F.size("v") == ref_dim)
     )
@@ -316,6 +357,7 @@ def ivf_ann_topk(
     n_probe: int = 4,
     kmeans_iters: int = 1,
     index: tuple[DataFrame, DataFrame] | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` nearest inverted lists
     per query, exact cosine within the probed lists only.
@@ -341,6 +383,18 @@ def ivf_ann_topk(
     the √n economics IVF exists for. ``n_lists``/``kmeans_iters`` are
     ignored when ``index`` is given; ``assignments`` must carry
     (corpus_id, vec_col, list_id) and ``centroids`` (list_id, centroid).
+    Use :func:`persist_ivf_index` / :func:`load_ivf_index` for the
+    small-files-safe on-disk layout.
+
+    SMALL-QUERY CONTRACT: ``queries`` is broadcast (×n_probe fan-out) —
+    it must be a query BATCH that fits driver/executor broadcast memory
+    (rule of thumb ≤ ~1M rows at 64-dim; scale the bound inversely with
+    dim). The hint is deliberate: Catalyst's static size estimate of the
+    corpus branch (array columns behind an Arrow projection) can be ~64×
+    low and silently broadcast the CORPUS instead — measured OOM at 200k
+    × 64-dim (r10). For a corpus-sized probe set pass
+    ``broadcast_queries=False`` to fall back to a shuffle join (or use
+    ``embedding_near_dup_pairs``, built for corpus × corpus).
     """
     if index is not None:
         centroids, assignments = index
@@ -387,7 +441,10 @@ def ivf_ann_topk(
     # the filter written on the already-projected column the plan keeps a
     # single eval. Null list_ids are malformed-vector rows (see
     # build_ivf_index) — unprobeable by construction.
-    cand = F.broadcast(probes).join(
+    # broadcast_queries=False still must not let Catalyst's low corpus
+    # estimate elect a corpus broadcast — pin sort-merge instead.
+    probes_side = F.broadcast(probes) if broadcast_queries else probes.hint("merge")
+    cand = probes_side.join(
         assignments.filter(F.col("list_id").isNotNull()).select(
             F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"
         ),
@@ -416,6 +473,7 @@ def lsh_ann_topk(
     n_tables: int = 4,
     seed: int = 7,
     index: DataFrame | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ≥1 of
     ``n_tables`` independent hyperplane tables; exact cosine + top-k within
@@ -441,7 +499,21 @@ def lsh_ann_topk(
     ``n_planes='auto'`` (whose resolution depends on the corpus count at
     call time) raises when an index is given. Without an index every
     call re-runs the corpus bucketize matmul from lineage, exactly like
-    the unindexed IVF path.
+    the unindexed IVF path. :func:`persist_lsh_index` /
+    :func:`load_lsh_index` wrap the write/read with the scale-safe
+    layout: the index is partitioned by (tbl, ``_bpfx<p>`` — a p-bit
+    bucket prefix, so directory count stays bounded however many buckets
+    the corpus occupies). When the index carries such a column the
+    candidate join adds it as an equi-key, which hands Spark dynamic
+    partition pruning from the broadcast query side: a query batch
+    touches only the directories its bucket prefixes live in.
+
+    SMALL-QUERY CONTRACT: the query bucket table (|queries| × n_tables
+    rows, vectors riding along) is broadcast — keep query batches within
+    broadcast memory (rule of thumb ≤ ~1M rows at 64-dim, inversely with
+    dim). For corpus-scale probe sets pass ``broadcast_queries=False``
+    (pins a sort-merge join; corpus-vs-corpus near-dup belongs to
+    ``embedding_near_dup_pairs``).
     """
     if index is not None and n_planes == "auto":
         raise ValueError(
@@ -457,6 +529,7 @@ def lsh_ann_topk(
         queries, id_col=query_id, id_name="query_id", vec_col=vec_col, keep_vec="qv",
         n_tables=n_tables, n_planes=n_planes, seed=seed,
     )
+    join_keys = ["tbl", "bucket"]
     if index is not None:
         # normalize the bucket dtype: reading a tbl/bucket-partitioned
         # parquet index back infers the bit-string bucket as INT (leading
@@ -467,21 +540,38 @@ def lsh_ann_topk(
         c = index.withColumn(
             "bucket", F.lpad(F.col("bucket").cast("string"), n_planes, "0")
         ).withColumn("tbl", F.col("tbl").cast("int"))
+        # persist_lsh_index layout: a `_bpfx<p>` partition column (p-bit
+        # bucket prefix, 'b'-tagged to defeat numeric partition-value
+        # inference). Joining on it too is semantically redundant (it is
+        # a function of bucket) but it is THE partition column — with the
+        # query side broadcast, Spark's dynamic partition pruning turns
+        # it into a directory-level skip list for the corpus scan.
+        bpfx = next(
+            (col for col in index.columns if re.fullmatch(r"_bpfx\d+", col)), None
+        )
+        if bpfx is not None:
+            p = int(bpfx[5:])
+            q = q.withColumn(
+                bpfx, F.concat(F.lit("b"), F.substring("bucket", 1, p))
+            )
+            join_keys = ["tbl", bpfx, "bucket"]
     else:
         c = bucketize_tables(
             corpus, id_col=corpus_id, id_name="neighbor_id", vec_col=vec_col, keep_vec="cv",
             n_tables=n_tables, n_planes=n_planes, seed=seed,
         )
+    # the query side (|queries| × n_tables rows) is the small side by
+    # contract — broadcast it explicitly rather than trusting static
+    # size estimates of the corpus branch (an ArrowEvalPython +
+    # posexplode projection whose stats are unreliable; the IVF
+    # candidate join measurably mis-broadcast its CORPUS side from
+    # the same shape — see ivf_ann_topk). broadcast_queries=False pins
+    # sort-merge for oversized probe sets. Corpus-vs-corpus near-dup
+    # search belongs to embedding_near_dup_pairs, which keeps the
+    # shuffle join.
+    q_side = F.broadcast(q) if broadcast_queries else q.hint("merge")
     pairs = (
-        # the query side (|queries| × n_tables rows) is the small side by
-        # contract — broadcast it explicitly rather than trusting static
-        # size estimates of the corpus branch (an ArrowEvalPython +
-        # posexplode projection whose stats are unreliable; the IVF
-        # candidate join measurably mis-broadcast its CORPUS side from
-        # the same shape — see ivf_ann_topk). Corpus-vs-corpus near-dup
-        # search belongs to embedding_near_dup_pairs, which keeps the
-        # shuffle join.
-        F.broadcast(q).join(c, ["tbl", "bucket"])
+        q_side.join(c, join_keys)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "qv", "cv")
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -495,6 +585,175 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def persist_ivf_index(
+    index: tuple[DataFrame, DataFrame],
+    path: str,
+    *,
+    mode: str = "error",
+) -> None:
+    """Write a :func:`build_ivf_index` result to ``path`` in the layout the
+    query path wants, small-files-safe:
+
+    - ``{path}/centroids`` — the (list_id, centroid) table, one file
+      (≤ 4096 rows by the build clamp).
+    - ``{path}/assignments`` — parquet ``partitionBy("list_id")``, so a
+      probe reading n_probe lists prunes to n_probe directories — the
+      √n read volume IVF exists for. The write REPARTITIONS by list_id
+      first: without it every write task holds rows of every list and
+      emits tasks × n_lists files (measured r10: the unrepartitioned
+      probe wrote 32 tasks × 1414 dirs ≈ 45k tiny files; SCALE.md); with
+      it each list's rows arrive at exactly one task — one file per
+      directory.
+    - ``{path}/meta`` — a one-row JSON manifest (written through Spark, so
+      the helper works on any Hadoop filesystem, not just local disk)
+      recording n_lists and the id/vector column names for load-time
+      validation.
+
+    Null list_id rows (malformed vectors, see :func:`build_ivf_index`)
+    land in the Hive default partition and round-trip back as null —
+    still unprobeable, never silently dropped.
+    """
+    centroids, assignments = index
+    spark = centroids.sparkSession
+    centroids.coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
+    # count the re-read (one tiny file) rather than `centroids` itself,
+    # whose lineage is a full corpus aggregation — one corpus pass for the
+    # write above, zero extra for the count.
+    n_lists = spark.read.parquet(f"{path}/centroids").count()
+    data_cols = [col for col in assignments.columns if col != "list_id"]
+    if len(data_cols) != 2:
+        raise ValueError(
+            "persist_ivf_index: assignments must carry exactly "
+            f"(corpus_id, vec_col, list_id); got {assignments.columns}"
+        )
+    (
+        assignments.repartition(n_lists, "list_id")
+        .write.partitionBy("list_id")
+        .mode(mode)
+        .parquet(f"{path}/assignments")
+    )
+    meta = Row(
+        format="ivf", version=1, n_lists=n_lists,
+        corpus_id=data_cols[0], vec_col=data_cols[1],
+    )
+    spark.createDataFrame([meta]).coalesce(1).write.mode(mode).json(f"{path}/meta")
+
+
+def load_ivf_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    corpus_id: str | None = None,
+    vec_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Read a :func:`persist_ivf_index` tree back as the
+    ``(centroids, assignments)`` pair :func:`ivf_ann_topk` takes via
+    ``index=``. Pass ``corpus_id``/``vec_col`` to rename the stored
+    columns to what your query call uses (defaults keep the stored
+    names, which the manifest records from build time)."""
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "ivf":
+        raise ValueError(f"load_ivf_index: {path}/meta is not an IVF index manifest")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assignments = spark.read.parquet(f"{path}/assignments")
+    if corpus_id and corpus_id != meta["corpus_id"]:
+        assignments = assignments.withColumnRenamed(meta["corpus_id"], corpus_id)
+    if vec_col and vec_col != meta["vec_col"]:
+        assignments = assignments.withColumnRenamed(meta["vec_col"], vec_col)
+    return centroids, assignments
+
+
+def persist_lsh_index(
+    index: DataFrame,
+    path: str,
+    *,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    prefix_bits: int | None = None,
+    mode: str = "error",
+) -> None:
+    """Write a :func:`bucketize_tables` corpus bucket table to ``path`` in
+    a directory-bounded, prunable layout for :func:`lsh_ann_topk`
+    ``index=`` queries.
+
+    partitionBy("tbl", "bucket") — the naive layout — creates one
+    directory PER OCCUPIED BUCKET: at 'auto' plane sizing that is
+    ~corpus/16 × n_tables directories (500k at 2M vectors), which drowns
+    file listing before any query runs. Instead the index is partitioned
+    by (tbl, ``_bpfx<p>``): a p-bit bucket PREFIX (default
+    ``min(n_planes, 8)``), capping directories at n_tables × 2^p ≤ 1024
+    while dynamic partition pruning (the query side is broadcast and
+    joins on the prefix column too — see :func:`lsh_ann_topk`) still
+    skips every directory no query bucket hashes into. The prefix value
+    is 'b'-tagged ("b0110…") so partition-value inference can't collapse
+    the bit string to an int, and p is encoded in the COLUMN NAME
+    (``_bpfx6``) so the query path self-configures with zero extra jobs.
+    Files are repartitioned by (tbl, prefix) — each directory is written
+    by exactly one task — and sorted by bucket within partitions so each
+    file covers a contiguous bucket range (row-group min/max locality).
+
+    ``n_planes``/``n_tables``/``seed`` must be the values the index was
+    bucketized with; they are recorded in ``{path}/meta`` and handed back
+    by :func:`load_lsh_index` so query calls can't desync.
+    """
+    if not isinstance(n_planes, int):
+        raise ValueError(
+            "persist_lsh_index: n_planes must be the numeric plane count the "
+            f"index was built with, got {n_planes!r}"
+        )
+    p = min(n_planes, 8) if prefix_bits is None else prefix_bits
+    if not 1 <= p <= n_planes:
+        raise ValueError(f"prefix_bits must be in [1, n_planes], got {p}")
+    bp = f"_bpfx{p}"
+    spark = index.sparkSession
+    data_cols = [c for c in index.columns if c not in ("tbl", "bucket")]
+    if len(data_cols) != 2:
+        raise ValueError(
+            "persist_lsh_index: index must carry exactly "
+            f"(id, vec, tbl, bucket); got {index.columns}"
+        )
+    normalized = index.withColumn(
+        "bucket", F.lpad(F.col("bucket").cast("string"), n_planes, "0")
+    ).withColumn(bp, F.concat(F.lit("b"), F.substring("bucket", 1, p)))
+    n_dirs = n_tables * (1 << p)
+    (
+        normalized.repartition(min(1024, n_dirs), "tbl", bp)
+        .sortWithinPartitions("bucket")
+        .write.partitionBy("tbl", bp)
+        .mode(mode)
+        .parquet(f"{path}/buckets")
+    )
+    meta = Row(
+        format="lsh", version=1, n_planes=n_planes, n_tables=n_tables,
+        seed=seed, prefix_bits=p, id_col=data_cols[0], vec_col=data_cols[1],
+    )
+    spark.createDataFrame([meta]).coalesce(1).write.mode(mode).json(f"{path}/meta")
+
+
+def load_lsh_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """Read a :func:`persist_lsh_index` tree back as ``(index, params)``:
+    ``index`` ready for ``lsh_ann_topk(..., index=index)`` (id/vec columns
+    renamed to the neighbor_id/cv names the query path binds), ``params``
+    the exact ``{"n_planes", "n_tables", "seed"}`` the index was built
+    with — splat them into the query call so the query side hashes into
+    identical buckets: ``lsh_ann_topk(q, corpus, index=idx, **params)``."""
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "lsh":
+        raise ValueError(f"load_lsh_index: {path}/meta is not an LSH index manifest")
+    index = spark.read.parquet(f"{path}/buckets")
+    if meta["id_col"] != "neighbor_id":
+        index = index.withColumnRenamed(meta["id_col"], "neighbor_id")
+    if meta["vec_col"] != "cv":
+        index = index.withColumnRenamed(meta["vec_col"], "cv")
+    params = {
+        "n_planes": int(meta["n_planes"]),
+        "n_tables": int(meta["n_tables"]),
+        "seed": int(meta["seed"]),
+    }
+    return index, params
 
 
 def quantize_int8(

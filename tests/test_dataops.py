@@ -1,6 +1,7 @@
 """Tests for the training-data-pipeline operators: dedup, similarity, text."""
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -268,6 +269,153 @@ def test_lsh_prebuilt_index_matches_inline_build(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError):
         lsh_ann_topk(queries, emb, n_planes="auto", index=idx)
+
+
+def test_persist_load_ivf_index_roundtrip(spark, sf_dir, tmp_path):
+    """persist_ivf_index/load_ivf_index — the engine's on-disk layout —
+    must (a) hand back an index= pair whose query results are exactly the
+    inline build's, (b) write EXACTLY ONE data file per list_id directory
+    (the repartition-by-list_id contract that keeps a 1000-executor write
+    from emitting tasks × n_lists small files), and (c) validate/rename
+    columns through the manifest."""
+    import glob
+
+    import pytest
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_ann_topk,
+        load_ivf_index,
+        persist_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    inline = ivf_ann_topk(queries, emb, k=3, n_lists=8, n_probe=8).collect()
+
+    idx = build_ivf_index(emb, n_lists=8)
+    persist_ivf_index(idx, str(tmp_path / "ivf"))
+    loaded = load_ivf_index(spark, str(tmp_path / "ivf"))
+    prebuilt = ivf_ann_topk(queries, emb, k=3, n_probe=8, index=loaded).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(prebuilt, key=key) == sorted(inline, key=key)
+
+    # one data file per list directory — the small-files contract
+    for d in glob.glob(str(tmp_path / "ivf" / "assignments" / "list_id=*")):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: {files}"
+
+    # manifest-driven rename: ask for different column names back
+    cents2, asg2 = load_ivf_index(
+        spark, str(tmp_path / "ivf"), corpus_id="doc", vec_col="v"
+    )
+    assert {"doc", "v", "list_id"} == set(asg2.columns)
+    prebuilt2 = ivf_ann_topk(
+        queries.select(F.col("vec_id").alias("doc"), F.col("embedding").alias("v")),
+        emb, query_id="doc", corpus_id="doc", vec_col="v",
+        k=3, n_probe=8, index=(cents2, asg2),
+    ).collect()
+    assert sorted(prebuilt2, key=key) == sorted(inline, key=key)
+
+    # a path with no index raises (Spark's PATH_NOT_FOUND on the manifest
+    # read); a tree whose manifest is the WRONG format raises ValueError
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|manifest"):
+        load_ivf_index(spark, str(tmp_path / "ivf") + "_nope")
+
+
+def test_persist_load_lsh_index_roundtrip(spark, sf_dir, tmp_path):
+    """persist_lsh_index/load_lsh_index — prefix-partitioned layout — must
+    return exactly the inline results via the _bpfx<p> join path, keep the
+    directory count bounded by n_tables × 2^prefix_bits (NOT by occupied
+    buckets), and hand back the build params so query calls can't desync."""
+    import glob
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        bucketize_tables,
+        load_lsh_index,
+        lsh_ann_topk,
+        persist_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    inline = lsh_ann_topk(queries, emb, k=3, n_planes=6, n_tables=4).collect()
+
+    bucketed = bucketize_tables(
+        emb, id_col="vec_id", id_name="neighbor_id", vec_col="embedding",
+        keep_vec="cv", n_tables=4, n_planes=6,
+    )
+    persist_lsh_index(
+        bucketed, str(tmp_path / "lsh"),
+        n_planes=6, n_tables=4, seed=7, prefix_bits=3,
+    )
+    idx, params = load_lsh_index(spark, str(tmp_path / "lsh"))
+    assert params == {"n_planes": 6, "n_tables": 4, "seed": 7}
+    assert "_bpfx3" in idx.columns
+    prebuilt = lsh_ann_topk(queries, emb, k=3, index=idx, **params).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(prebuilt, key=key) == sorted(inline, key=key)
+
+    # directory bound: ≤ n_tables × 2^prefix_bits prefix dirs, one data
+    # file per dir (the repartition-by-(tbl,prefix) contract)
+    pfx_dirs = glob.glob(str(tmp_path / "lsh" / "buckets" / "tbl=*" / "_bpfx3=*"))
+    assert 0 < len(pfx_dirs) <= 4 * 8
+    for d in pfx_dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: {files}"
+
+
+def test_ann_broadcast_queries_opt_out(spark, sf_dir):
+    """broadcast_queries=False — the corpus-scale probe-set escape hatch —
+    must return identical results through the pinned sort-merge plan (and
+    that plan must NOT contain a broadcast of either join side)."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        ivf_ann_topk,
+        lsh_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+
+    hinted = ivf_ann_topk(queries, emb, k=3, n_lists=8, n_probe=8)
+    merged = ivf_ann_topk(
+        queries, emb, k=3, n_lists=8, n_probe=8, broadcast_queries=False
+    )
+    assert sorted(merged.collect(), key=key) == sorted(hinted.collect(), key=key)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+
+    hinted = lsh_ann_topk(queries, emb, k=3, n_planes=4, n_tables=4)
+    merged = lsh_ann_topk(
+        queries, emb, k=3, n_planes=4, n_tables=4, broadcast_queries=False
+    )
+    assert sorted(merged.collect(), key=key) == sorted(hinted.collect(), key=key)
+
+
+def test_ivf_centroid_budget_guard(spark):
+    """The driver-side centroid materialization (n_lists × dim × 8 B) must
+    be bounded: a build whose centroid matrix would exceed
+    centroid_budget_bytes fails loudly BEFORE any collect, naming the
+    knobs — never a silent multi-GB driver allocation."""
+    import pytest
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    # 64 rows of a synthetic high-dim corpus: 16 lists × 512 dim × 8 B =
+    # 64 KiB — over a 32 KiB budget, under a 128 KiB one.
+    rows = [(i, [float((i * 31 + j) % 17) for j in range(512)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    with pytest.raises(ValueError, match="n_lists") as exc:
+        build_ivf_index(emb, n_lists=16, centroid_budget_bytes=32 << 10)
+    assert "centroid_budget_bytes" in str(exc.value)  # names the knob
+
+    # in-budget build proceeds (a Lloyd step may drop empty lists)
+    cents, asg = build_ivf_index(emb, n_lists=16, centroid_budget_bytes=128 << 10)
+    assert 0 < cents.count() <= 16
 
 
 def test_ivf_assign_tolerates_null_and_ragged_vectors(spark):
