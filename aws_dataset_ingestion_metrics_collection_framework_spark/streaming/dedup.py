@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import time
+import warnings
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
@@ -62,7 +63,9 @@ def _bucket_expr(n_buckets: int):
     return F.pmod(F.col("_h"), F.lit(n_buckets)).cast("int")
 
 
-def _committed_runs(spark, compact_root: str) -> list[dict]:
+def _committed_runs(
+    spark, compact_root: str, index_root: str | None = None
+) -> list[dict]:
     """Discover the COMMITTED history runs under ``index_compact`` and run
     the resumable cleanup of anything a committed run already folded.
 
@@ -83,10 +86,18 @@ def _committed_runs(spark, compact_root: str) -> list[dict]:
       frozen base run ``[0, N)`` that new runs never merge into (merging
       it would need an O(history) row count + rewrite — exactly the cost
       this layout removes; a legacy corpus keeps its base tree and
-      accumulates tiered runs above it). An UNCOMMITTED legacy dir — e.g.
-      the FIRST-ever fold crashed mid-write with no predecessor tree — is
-      ignored, never elected: electing it would set ``upto`` to the
-      crashed tree's id and hide all intact ``index/batch=*`` history.
+      accumulates tiered runs above it). Committed legacy trees BELOW the
+      elected one are crash residue (the old fold deleted its predecessor
+      only post-commit) and are deleted here, mirroring the folds-victim
+      cleanup. An UNMARKED legacy dir (neither ``_SUCCESS`` nor ``_nb``)
+      is never elected: electing it would trust a possibly-torn tree and
+      hide (then delete) intact ``index/batch=*`` history. If any other
+      history exists alongside it (committed runs, or the batch dirs a
+      crashed fold always leaves intact), it is skipped with a warning;
+      if it is the ONLY history present it can't be crash residue — it is
+      an import written without commit markers, and discovery RAISES with
+      remediation (write ``_nb``, or an empty ``_SUCCESS`` for a flat
+      tree) rather than silently classifying all prior rows as fresh.
 
     Resumable cleanup: every committed run records the dirs it folded in
     ``_meta["folds"]``. Any such victim still on disk is a crash residue
@@ -112,6 +123,7 @@ def _committed_runs(spark, compact_root: str) -> list[dict]:
     """
     runs: list[dict] = []
     legacy: list[dict] = []
+    unmarked: list[str] = []
     for n in fsio.list_names(compact_root, spark):
         path = f"{compact_root}/{n}"
         if n.startswith("run="):
@@ -136,7 +148,8 @@ def _committed_runs(spark, compact_root: str) -> list[dict]:
             hi = int(n.split("=", 1)[1])
             nb_txt = fsio.read_text(f"{path}/_nb", spark)
             if nb_txt is None and not fsio.exists(f"{path}/_SUCCESS", spark):
-                continue  # uncommitted legacy half-write: invisible
+                unmarked.append(n)  # no commit marker: not electable
+                continue
             legacy.append(
                 {
                     "name": n,
@@ -150,8 +163,51 @@ def _committed_runs(spark, compact_root: str) -> list[dict]:
                     "legacy": True,
                 }
             )
+    if unmarked and not legacy and not runs:
+        # With no committed run and no marked legacy tree, an unmarked
+        # upto= tree is either torn residue of a crashed pre-LSM fold —
+        # whose inputs (index/batch=* dirs) are still intact, because the
+        # old fold deleted them only post-commit — or a hand-imported
+        # index written without Spark committers, which has NO batch dirs
+        # backing it. The two demand opposite treatment: residue must be
+        # ignored (classification replays from the intact batch dirs);
+        # silently ignoring an IMPORT would classify all its history as
+        # fresh (quiet dedup loss), and blindly electing it would trust a
+        # possibly-torn tree AND delete any batch dirs below its upto.
+        # Disambiguate on the batch dirs and fail loudly on the import.
+        has_batch_history = index_root is not None and any(
+            n.startswith("batch=") for n in fsio.list_names(index_root, spark)
+        )
+        if not has_batch_history:
+            raise RuntimeError(
+                "corpus dedup index: legacy tree(s) "
+                f"{sorted(unmarked)} under {compact_root} carry neither "
+                "_SUCCESS nor _nb, and no other history (committed runs or "
+                "index/batch=* dirs) exists — refusing to guess. If this "
+                "is an imported index, mark it committed (write its _nb "
+                "bucket-count file, or an empty _SUCCESS for a flat tree); "
+                "if it is torn residue of a crashed fold, delete the dir."
+            )
+    if unmarked:
+        # other history exists: the unmarked tree cannot be elected (it
+        # may be torn) but should not vanish silently either
+        warnings.warn(
+            f"corpus dedup index: ignoring unmarked legacy tree(s) "
+            f"{sorted(unmarked)} under {compact_root} (no _SUCCESS/_nb); "
+            "imported trees must carry a commit marker to be read",
+            stacklevel=2,
+        )
     if legacy:
-        runs.append(max(legacy, key=lambda r: r["hi"]))
+        elected = max(legacy, key=lambda r: r["hi"])
+        runs.append(elected)
+        # crash residue: the old fold deleted the predecessor tree only
+        # AFTER committing its successor, so two committed legacy trees
+        # mean the delete never ran. Finish it here (mirroring the
+        # folds-victim cleanup) instead of re-listing the dead tree on
+        # every micro-batch forever.
+        for r in legacy:
+            if r is not elected:
+                fsio.delete(r["path"], spark=spark)
     victims = {v for r in runs for v in r["folds"]}
     live = [r for r in runs if r["name"] not in victims]
     for v in victims:
@@ -511,7 +567,9 @@ def start_corpus_dedup_ingest(
             ]
         )
         compact_root = f"{corpus_path}/index_compact"
-        runs, pending = _committed_runs(spark, compact_root)
+        runs, pending = _committed_runs(
+            spark, compact_root, index_root=f"{corpus_path}/index"
+        )
         upto = max((r["hi"] for r in runs), default=0)
 
         # one capped collect of the batch's distinct hashes prunes the
@@ -765,54 +823,18 @@ def start_corpus_dedup_ingest(
             # existing resumable-cleanup machinery then retires them.
             merged_rows = 0
             slice_info = None
-            if pending:
-                p = pending[0]
-                j = min(set(range(p["of"])) - p["have"])
-                phys_map = {
-                    q["name"]: q
-                    for r in runs
-                    for q in (r.get("parts") or [r])
-                }
-                missing = [n for n in p["inputs"] if n not in phys_map]
-                if missing:
-                    # protocol violation: inputs are deleted only via the
-                    # final slice's folds, and the set is incomplete
-                    raise RuntimeError(
-                        f"sliced merge {p['id']}: input run(s) vanished "
-                        f"with slices incomplete: {missing}"
-                    )
-                class_dfs = [
-                    d
-                    for n in p["inputs"]
-                    if (
-                        d := _read_run_class(
-                            spark, phys_map[n], idx_schema, j, p["of"]
-                        )
-                    )
-                    is not None
-                ]
-                mdf, rows = _materialize_merge(class_dfs)
-                last = len(p["have"]) + 1 == p["of"]
-                _write_run(
-                    mdf, f"run={p['id']}.s{j}", rows, p["lo"], p["hi"],
-                    list(p["inputs"]) if last else [],
-                    part={"id": p["id"], "slice": j, "of": p["of"],
-                          "inputs": list(p["inputs"])},
-                )
-                merged_rows += rows
-                if last:  # inputs die strictly after the final commit
-                    for n in p["inputs"]:
-                        fsio.delete(f"{compact_root}/{n}", spark=spark)
-                slice_info = {"id": p["id"], "slice": j, "of": p["of"],
-                              "done": last}
-            else:
-                # (2b) tier maintenance: binary-counter merges, smallest
-                # tier first, at most max_merges_per_fold promotions per
-                # fold; a group over max_fold_rows STARTS a sliced merge
-                # (slice 0 now, one more per subsequent fold) instead of
-                # paying the whole merge in one fold
+
+            def _tier_maintenance(budget: int, allow_slice_start: bool):
+                # (2b) binary-counter merges, smallest tier first, at most
+                # `budget` promotions per fold; a group over max_fold_rows
+                # STARTS a sliced merge (slice 0 now, one more per
+                # subsequent fold) instead of paying the whole merge in
+                # one fold — unless a sliced merge is already in flight
+                # (allow_slice_start=False), in which case oversized
+                # groups simply wait their turn.
+                nonlocal runs, merged_rows, slice_info
                 next_m = 0
-                for _ in range(max_merges_per_fold):
+                for _ in range(budget):
                     group = _pick_merge_group(runs)
                     if group is None:
                         break
@@ -838,6 +860,11 @@ def start_corpus_dedup_ingest(
                         next_m += 1
                     mid = f"m{new_upto}.{next_m}"
                     if max_fold_rows and total > max_fold_rows:
+                        if not allow_slice_start:
+                            # one in-flight sliced merge at a time; the
+                            # smallest candidate group is already over the
+                            # cap, so there is no small-tier work left
+                            break
                         # slice factor: smallest power of two bringing
                         # per-slice rows under the cap, clamped to divide
                         # every input's bucket count (all powers of two
@@ -895,6 +922,61 @@ def start_corpus_dedup_ingest(
                     for q in phys:  # inputs die strictly after the commit
                         fsio.delete(q["path"], spark=spark)
                     runs = [r for r in runs if r not in group] + [out]
+
+            if pending:
+                p = pending[0]
+                j = min(set(range(p["of"])) - p["have"])
+                phys_map = {
+                    q["name"]: q
+                    for r in runs
+                    for q in (r.get("parts") or [r])
+                }
+                missing = [n for n in p["inputs"] if n not in phys_map]
+                if missing:
+                    # protocol violation: inputs are deleted only via the
+                    # final slice's folds, and the set is incomplete
+                    raise RuntimeError(
+                        f"sliced merge {p['id']}: input run(s) vanished "
+                        f"with slices incomplete: {missing}"
+                    )
+                class_dfs = [
+                    d
+                    for n in p["inputs"]
+                    if (
+                        d := _read_run_class(
+                            spark, phys_map[n], idx_schema, j, p["of"]
+                        )
+                    )
+                    is not None
+                ]
+                mdf, rows = _materialize_merge(class_dfs)
+                last = len(p["have"]) + 1 == p["of"]
+                _write_run(
+                    mdf, f"run={p['id']}.s{j}", rows, p["lo"], p["hi"],
+                    list(p["inputs"]) if last else [],
+                    part={"id": p["id"], "slice": j, "of": p["of"],
+                          "inputs": list(p["inputs"])},
+                )
+                merged_rows += rows
+                if last:  # inputs die strictly after the final commit
+                    for n in p["inputs"]:
+                        fsio.delete(f"{compact_root}/{n}", spark=spark)
+                slice_info = {"id": p["id"], "slice": j, "of": p["of"],
+                              "done": last}
+                # cap-bounded SMALL-TIER merges proceed alongside the
+                # in-flight slice (the slice consumed one promotion of
+                # the budget; _pick_merge_group skips busy runs, so the
+                # merge in flight is untouchable). Without this, a long
+                # top-tier slice (of folds) suspends ALL tiering and the
+                # live-run count grows O(of) as new window runs pile up
+                # unmerged — per-batch probe listing/open cost with it.
+                _tier_maintenance(
+                    max_merges_per_fold - 1, allow_slice_start=False
+                )
+            else:
+                _tier_maintenance(
+                    max_merges_per_fold, allow_slice_start=True
+                )
 
             if metrics is not None:
                 entry = {

@@ -785,3 +785,172 @@ def test_sliced_merge_uncommitted_slice_residue_is_rewritten(spark, tmp_path):
     assert meta["part"] == {"id": "m4.1", "slice": 1, "of": 2,
                             "inputs": ["run=w2", "run=m4.0"]}
     assert set(meta["folds"]) == {"run=w2", "run=m4.0"}
+
+
+def _import_legacy_tree(spark, corpus, hi, docs_rows, write_nb=True):
+    """Lay out an imported corpus the pre-LSM way: data/batch=* + a
+    cumulative upto=<hi> tree (2 hash buckets), optionally committed."""
+    import os
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t, batch=b) for i, t, b in docs_rows]
+    ).withColumn("batch", F.col("batch").cast("int"))
+    (docs.repartition(2, "batch").sortWithinPartitions("doc_id")
+         .write.partitionBy("batch").mode("overwrite")
+         .parquet(f"{corpus}/data"))
+    tree = f"{corpus}/index_compact/upto={hi}"
+    idx = docs.select(
+        "doc_id", F.xxhash64("text").alias("_h"), "batch"
+    ).withColumn("bucket", F.pmod(F.col("_h"), F.lit(2)).cast("int"))
+    (idx.repartition(2, "bucket").write.partitionBy("bucket")
+        .mode("overwrite").parquet(tree))
+    if write_nb:
+        with open(f"{tree}/_nb", "w") as fh:
+            fh.write("2")
+    else:
+        os.remove(f"{tree}/_SUCCESS")  # simulate a marker-less import
+    return tree
+
+
+def test_unmarked_import_only_history_raises_then_heals(spark, tmp_path):
+    """An imported legacy tree with NO commit marker, when it is the ONLY
+    history (no committed runs, no index/batch=* dirs — so it cannot be
+    crash residue), must FAIL the stream loudly instead of silently
+    classifying the entire imported corpus as fresh (quiet dedup loss).
+    Writing the _nb marker heals it in place: the replayed batch then
+    classifies against the import."""
+    import os
+
+    import pytest
+
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+    tree = _import_legacy_tree(
+        spark, str(corpus), 2,
+        [(1, "alpha beta gamma", 0), (2, "delta epsilon zeta", 1)],
+        write_nb=False,
+    )
+    assert not os.path.exists(f"{tree}/_SUCCESS")
+    assert not os.path.exists(f"{tree}/_nb")
+
+    _feed(src, "b1.json", [
+        {"doc_id": 50, "text": "alpha beta gamma"},   # dup of imported 1
+        {"doc_id": 51, "text": "brand new text"},
+    ])
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        q = start_corpus_dedup_ingest(
+            stream, str(corpus), str(ckpt), "doc_id", "text",
+            available_now=True, first_batch_id=2,
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(Exception, match="neither"):
+        run()
+    assert os.path.isdir(tree)  # refused to guess: nothing deleted
+
+    with open(f"{tree}/_nb", "w") as fh:  # the documented remediation
+        fh.write("2")
+    run()  # failed trigger never committed: same batch replays
+    log = _log(spark, str(corpus))
+    assert log[50] == ("exact_dup", 1)
+    assert log[51] == ("fresh", None)
+
+
+def test_stale_committed_legacy_tree_is_cleaned(spark, tmp_path):
+    """Crash residue of the OLD fold (output tree committed, predecessor
+    delete never ran → TWO committed upto= trees): the largest is elected,
+    classification is unaffected, and the stale tree is deleted on the
+    next micro-batch instead of being re-listed forever."""
+    import os
+
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+    # predecessor: covers only doc 1; successor: docs 1+2 (cumulative)
+    stale = _import_legacy_tree(
+        spark, str(corpus), 1, [(1, "alpha beta gamma", 0)]
+    )
+    # _import_legacy_tree overwrites data/: write the SUCCESSOR second so
+    # data holds both docs, as the old fold's crash window would leave it
+    live = _import_legacy_tree(
+        spark, str(corpus), 2,
+        [(1, "alpha beta gamma", 0), (2, "delta epsilon zeta", 1)],
+    )
+    assert os.path.isdir(stale) and os.path.isdir(live)
+
+    _feed(src, "b1.json", [
+        {"doc_id": 50, "text": "delta epsilon zeta"},  # dup via the LIVE tree
+        {"doc_id": 51, "text": "brand new text"},
+    ])
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = start_corpus_dedup_ingest(
+        stream, str(corpus), str(ckpt), "doc_id", "text",
+        available_now=True, first_batch_id=2,
+    )
+    q.awaitTermination(120)
+    log = _log(spark, str(corpus))
+    assert log[50] == ("exact_dup", 2)
+    assert log[51] == ("fresh", None)
+    assert not os.path.exists(stale)   # residue cleanup completed
+    assert os.path.isdir(live)         # elected base untouched
+
+
+def test_tiering_proceeds_during_sliced_merge(spark, tmp_path):
+    """While a multi-fold sliced merge is in flight, cap-bounded SMALL-tier
+    merges must still run (skipping busy runs) — otherwise every window
+    run of the in-flight period accumulates unmerged and the live-run
+    count grows O(of) instead of O(log). Sequence engineered so batch 11's
+    fold advances slice 2/4 of m10.1 AND merges the two pending window
+    runs into m12.0 in the same fold."""
+    import os
+
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+    metrics: dict = {}
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        q = start_corpus_dedup_ingest(
+            stream, str(corpus), str(ckpt), "doc_id", "text",
+            available_now=True, compact_every=1, bucket_target_rows=1,
+            max_fold_rows=4, metrics=metrics,
+        )
+        q.awaitTermination(120)
+
+    for b in range(12):
+        _feed(src, f"b{b}.json", [
+            {"doc_id": 10 * b, "text": f"uniq {b} zero"},
+            {"doc_id": 10 * b + 1, "text": f"uniq {b} one"},
+        ])
+        run()
+
+    root = f"{corpus}/index_compact"
+    names = sorted(os.listdir(root))
+    last = metrics["fold"][-1]
+    # the sliced merge is still in flight ...
+    assert last["slice"] == {"id": "m10.1", "slice": 2, "of": 4,
+                             "done": False}
+    # ... yet the same fold ALSO promoted the two window runs: windows
+    # merged away, their merge output committed alongside the slice
+    assert "run=m12.0" in names
+    assert not any(n.startswith("run=w") for n in names)
+    # and per-fold merge work stayed under slice + small-merge volume
+    assert all(f["merged_rows"] <= 8 for f in metrics["fold"])
+
+    # classification while slice + adjunct merge coexist: dups of rows
+    # living in the in-flight inputs, the completed slices, and the
+    # adjunct merge output must all be caught
+    _feed(src, "b12.json", [
+        {"doc_id": 200, "text": "uniq 0 zero"},    # deep history (slices)
+        {"doc_id": 201, "text": "uniq 10 one"},    # in m12.0
+        {"doc_id": 202, "text": "uniq 8 zero"},    # in m10.1's inputs
+        {"doc_id": 203, "text": "never seen"},
+    ])
+    run()
+    log = _log(spark, str(corpus))
+    assert log[200] == ("exact_dup", 0)
+    assert log[201] == ("exact_dup", 101)
+    assert log[202] == ("exact_dup", 80)
+    assert log[203] == ("fresh", None)
