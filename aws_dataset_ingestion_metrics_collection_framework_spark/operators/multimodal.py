@@ -72,45 +72,87 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
-    """Reverse PNG scanline filtering (spec §9, filter types 0-4)."""
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
+    """Reverse PNG scanline filtering (spec §9, filter types 0-4).
+
+    Vectorized where the recurrence allows (the per-byte Python loops were
+    the decode bottleneck — see SCALE.md r11 A/B):
+
+    - **None** rows are a plain copy and **Sub** rows depend only on their
+      OWN raw bytes (out[i] = raw[i] + out[i-bpp] is a per-channel prefix
+      sum), so ALL such rows batch into single numpy ops up front —
+      ``cumsum(dtype=uint8)`` wraps mod 256 exactly like the spec's
+      unsigned byte arithmetic.
+    - **Up** rows form runs whose recurrence is a prefix sum DOWN the
+      rows: each maximal run is one ``cumsum(axis=0)`` + a broadcast
+      carry-in of the row above (libpng's adaptive filter emits long Up
+      runs on natural images, so this batches well).
+    - **Average/Paeth** rows are inherently sequential along x (the `a`
+      operand is the just-computed byte bpp back); they stay a per-byte
+      loop over Python ints (list indexing, not numpy scalar indexing —
+      numpy element access per byte is ~5× slower than list access).
+    """
+    import numpy as np
+
     stride = width * bpp
-    out = bytearray(height * stride)
-    pos = 0
-    for y in range(height):
-        ftype = raw[pos]
-        pos += 1
-        line = bytearray(raw[pos : pos + stride])
-        pos += stride
-        off = y * stride
-        prev_off = off - stride
-        if ftype == 0:  # None
-            pass
-        elif ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
+    need = height * (stride + 1)
+    if len(raw) < need:
+        raise ValueError(
+            f"PNG IDAT too short: {len(raw)} bytes < {need} expected"
+        )
+    arr = np.frombuffer(raw, dtype=np.uint8, count=need).reshape(
+        height, stride + 1
+    )
+    ftypes = arr[:, 0]
+    rows = arr[:, 1:]
+    bad = ~np.isin(ftypes, (0, 1, 2, 3, 4))
+    if bad.any():
+        raise ValueError(f"unknown PNG filter type {int(ftypes[bad.argmax()])}")
+    out = np.zeros((height, stride), dtype=np.uint8)
+
+    t0 = ftypes == 0
+    if t0.any():
+        out[t0] = rows[t0]
+    t1 = ftypes == 1
+    if t1.any():
+        out[t1] = np.cumsum(
+            rows[t1].reshape(-1, width, bpp), axis=1, dtype=np.uint8
+        ).reshape(-1, stride)
+
+    y = 0
+    while y < height:
+        ft = ftypes[y]
+        if ft == 0 or ft == 1:
+            y += 1
+            continue
+        if ft == 2:  # Up: batch the maximal run as one column cumsum
+            y1 = y + 1
+            while y1 < height and ftypes[y1] == 2:
+                y1 += 1
+            block = np.cumsum(rows[y:y1], axis=0, dtype=np.uint8)
             if y > 0:
-                for i in range(stride):
-                    line[i] = (line[i] + out[prev_off + i]) & 0xFF
-        elif ftype == 3:  # Average
+                block += out[y - 1]  # carry-in, broadcast, wraps mod 256
+            out[y:y1] = block
+            y = y1
+            continue
+        line = rows[y].tolist()
+        prev = out[y - 1].tolist() if y > 0 else [0] * stride
+        if ft == 3:  # Average
             for i in range(stride):
                 a = line[i - bpp] if i >= bpp else 0
-                b = out[prev_off + i] if y > 0 else 0
-                line[i] = (line[i] + ((a + b) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        else:  # Paeth
             for i in range(stride):
                 a = line[i - bpp] if i >= bpp else 0
-                b = out[prev_off + i] if y > 0 else 0
-                c = out[prev_off + i - bpp] if (y > 0 and i >= bpp) else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 line[i] = (line[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        out[off : off + stride] = line
-    return out
+        out[y] = line
+        y += 1
+    return out.tobytes()
 
 
 def decode_png(data: bytes) -> Tuple[int, int, Optional[float]]:
@@ -181,11 +223,17 @@ def decode_png_gray_pixels(data: bytes) -> Tuple[int, int, Optional[bytes]]:
     px = _png_unfilter(zlib.decompress(bytes(idat)), width, height, bpp)
     if ctype == 0:
         return int(width), int(height), bytes(px)
-    gray = bytearray(width * height)
-    for i in range(width * height):
-        r, g, b = px[3 * i], px[3 * i + 1], px[3 * i + 2]
-        gray[i] = int(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
-    return int(width), int(height), bytes(gray)
+    import numpy as np
+
+    # elementwise with the same left-to-right float op order as the
+    # scalar `0.299*r + 0.587*g + 0.114*b + 0.5` (numpy ufuncs don't
+    # fuse), and astype truncation == int() for non-negative values —
+    # bit-identical to the per-pixel loop this replaces
+    rgb = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3).astype(np.float64)
+    gray = (
+        0.299 * rgb[:, 0] + 0.587 * rgb[:, 1] + 0.114 * rgb[:, 2] + 0.5
+    ).astype(np.uint8)
+    return int(width), int(height), gray.tobytes()
 
 
 def resize_nearest(gray: bytes, w: int, h: int, size: int) -> list[int]:
