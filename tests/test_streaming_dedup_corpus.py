@@ -954,3 +954,144 @@ def test_tiering_proceeds_during_sliced_merge(spark, tmp_path):
     assert log[201] == ("exact_dup", 101)
     assert log[202] == ("exact_dup", 80)
     assert log[203] == ("fresh", None)
+
+
+_CHAOS_CHILD = '''
+import os, signal, sys
+sys.path.insert(0, {repo!r})
+kill_point, src, corpus, ckpt = sys.argv[1:5]
+from aws_dataset_ingestion_metrics_collection_framework_spark import get_spark
+from aws_dataset_ingestion_metrics_collection_framework_spark.sources import fsio
+from aws_dataset_ingestion_metrics_collection_framework_spark.streaming.dedup import (
+    start_corpus_dedup_ingest,
+)
+from pyspark.sql import types as T
+
+orig = fsio.write_text_atomic
+def bomb(path, text, spark=None):
+    if path.endswith("/_meta"):
+        name = path.rsplit("/", 2)[-2]
+        if (kill_point == "pre_merge_meta" and name.startswith("run=m")
+                and ".s" not in name):
+            os.kill(os.getpid(), signal.SIGKILL)
+        if kill_point == "pre_slice_meta" and name.endswith(".s1"):
+            os.kill(os.getpid(), signal.SIGKILL)
+    return orig(path, text, spark)
+fsio.write_text_atomic = bomb  # dedup.py resolves fsio.<attr> at call time
+
+spark = get_spark(app_name="chaos-child", master="local[4]",
+                  shuffle_partitions=4)
+spark.sparkContext.setLogLevel("ERROR")
+SCHEMA = T.StructType([T.StructField("doc_id", T.LongType()),
+                       T.StructField("text", T.StringType())])
+stream = (spark.readStream.schema(SCHEMA)
+          .option("maxFilesPerTrigger", 1).json(src))
+q = start_corpus_dedup_ingest(stream, corpus, ckpt, "doc_id", "text",
+    available_now=True, compact_every=1, bucket_target_rows=1,
+    max_fold_rows=4)
+q.awaitTermination(300)
+print("CHILD_FINISHED_WITHOUT_KILL")
+'''
+
+
+def _run_chaos_child(tmp_path, kill_point, src, corpus, ckpt):
+    """Run the ingest in a subprocess that SIGKILLs ITSELF (a genuine
+    kill -9: no atexit, no JVM shutdown hooks, checkpoint not committed)
+    at the requested point. The child is its own session leader; the
+    whole process group (including the orphaned JVM) is reaped after."""
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    script = tmp_path / "chaos_child.py"
+    script.write_text(_CHAOS_CHILD.format(repo=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    log = open(tmp_path / f"chaos_{kill_point}.log", "w")
+    p = subprocess.Popen(
+        [sys.executable, str(script), kill_point, str(src), str(corpus),
+         str(ckpt)],
+        stdout=log, stderr=log, start_new_session=True,
+    )
+    try:
+        rc = p.wait(timeout=300)
+    finally:
+        try:  # reap the orphaned JVM with the rest of the group
+            os.killpg(p.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        log.close()
+    return rc
+
+
+def test_kill9_mid_fold_and_mid_slice_recovers(spark, tmp_path):
+    """REAL kill -9 chaos (not dir surgery): a subprocess driver is
+    SIGKILLed (a) mid-fold right before an unsliced merge's _meta commit,
+    then — after recovery — (b) mid-sliced-merge right before the final
+    slice's _meta, with max_fold_rows active. After each kill the stream
+    resumes from the checkpoint in a fresh session and must replay the
+    torn fold: classification of dups across every region of history
+    (pre-crash runs, the merge that was torn, rows landed by the killed
+    batch itself) stays exact, and the LSM retires the merge inputs as if
+    no crash happened."""
+    import os
+    import signal
+
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+    root = f"{corpus}/index_compact"
+
+    # four 2-row batches: fold@3 writes m4.0 (unsliced merge — kill A
+    # fires at its _meta) then starts sliced merge m4.1 (of=2)
+    for b in range(4):
+        _feed(src, f"b{b}.json", [
+            {"doc_id": 10 * b, "text": f"uniq {b} zero"},
+            {"doc_id": 10 * b + 1, "text": f"uniq {b} one"},
+        ])
+    rc = _run_chaos_child(tmp_path, "pre_merge_meta", src, corpus, ckpt)
+    assert rc == -signal.SIGKILL
+    # torn state: the merge dir landed, its _meta did not
+    assert os.path.isdir(f"{root}/run=m4.0")
+    assert not os.path.exists(f"{root}/run=m4.0/_meta")
+
+    # recovery in a fresh session (the shared test session): the killed
+    # batch replays, the torn dir is overwritten and committed
+    _run_sliced(spark, src, corpus, ckpt)
+    names = sorted(os.listdir(root))
+    assert os.path.exists(f"{root}/run=m4.0/_meta")
+    assert "run=m4.1.s0" in names  # sliced merge started, slice 0 done
+    log = _log(spark, str(corpus))
+    assert log[0] == ("fresh", None) and log[31] == ("fresh", None)
+
+    # kill B: batch 4's fold advances the FINAL slice s1 — die before
+    # its _meta (mid-sliced-merge, max_fold_rows active)
+    _feed(src, "b4.json", [
+        {"doc_id": 100, "text": "uniq 0 zero"},    # dup of pre-crash doc 0
+        {"doc_id": 101, "text": "fresh after crash"},
+    ])
+    rc = _run_chaos_child(tmp_path, "pre_slice_meta", src, corpus, ckpt)
+    assert rc == -signal.SIGKILL
+    assert not os.path.exists(f"{root}/run=m4.1.s1/_meta")  # torn slice
+
+    _run_sliced(spark, src, corpus, ckpt)  # replay: slice rewritten
+    log = _log(spark, str(corpus))
+    assert log[100] == ("exact_dup", 0)
+    assert log[101] == ("fresh", None)
+    names = sorted(os.listdir(root))
+    assert "run=m4.1.s0" in names and "run=m4.1.s1" in names
+    assert "run=w2" not in names and "run=m4.0" not in names  # retired
+
+    # post-chaos history is fully intact: dups of docs living in the
+    # completed slice set, in post-crash landings, and batch-dup logic
+    _feed(src, "b5.json", [
+        {"doc_id": 200, "text": "uniq 2 one"},           # in the slices
+        {"doc_id": 201, "text": "fresh after crash"},    # batch-4 landing
+        {"doc_id": 202, "text": "totally new"},
+        {"doc_id": 203, "text": "totally new"},          # within-batch dup
+    ])
+    _run_sliced(spark, src, corpus, ckpt)
+    log = _log(spark, str(corpus))
+    assert log[200] == ("exact_dup", 21)
+    assert log[201] == ("exact_dup", 101)
+    assert log[202] == ("fresh", None)
+    assert log[203] == ("batch_dup", 202)
