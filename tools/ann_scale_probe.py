@@ -3,17 +3,25 @@ build-once/query-many path and the LSH planted-twin query path on
 generated corpora across size decades.
 
 Usage:
-    python tools/ann_scale_probe.py ivf [n ...]   # default 200000 2000000
-    python tools/ann_scale_probe.py lsh [n ...]
+    python tools/ann_scale_probe.py ivf [n ...] [--dim D]   # default 200000 2000000, D=64
+    python tools/ann_scale_probe.py lsh [n ...] [--dim D]
 
-ivf: builds the index with n_lists='auto' (~sqrt(n)), persists it the way
-production would (assignments parquet partitioned by list_id → probes
-prune partitions), and times the indexed query path min-of-2 — the
-sqrt(n) economics check. lsh: n_planes='auto' with 20 planted bit-twin
-queries (recovery is exact at any plane count) — the occupancy check.
+ivf: builds the index with n_lists='auto' (~sqrt(n)), persists it through
+the ENGINE helper (persist_ivf_index: repartition by list_id before
+partitionBy, so each list directory gets exactly one data file — the r10
+probe's unrepartitioned write emitted 32 task-files into each of 1414
+dirs), reloads with load_ivf_index, and times the indexed query path
+min-of-2 — the sqrt(n) economics check. Reports total/max-per-dir file
+counts as the small-files evidence. lsh: n_planes='auto' with 20 planted
+bit-twin queries (recovery is exact at any plane count) — the occupancy
+check.
+
+``--dim`` sweeps the embedding width (768 = realistic sentence-embedding
+width; stresses the centroid driver budget and Arrow matmul batch
+economics).
 
 Needs a fat local driver: the generated corpus is localCheckpointed
-(2M × 64-dim ≈ 1 GB of storage memory).
+(2M × 64-dim ≈ 1 GB of storage memory; 2M × 768-dim ≈ 12 GB).
 """
 
 from __future__ import annotations
@@ -34,11 +42,11 @@ from aws_dataset_ingestion_metrics_collection_framework_spark import get_spark
 from aws_dataset_ingestion_metrics_collection_framework_spark.operators import similarity as SIM
 
 
-def _gen(spark, n):
+def _gen(spark, n, dim):
     vec = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
+        F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: (
-            (F.pmod(F.xxhash64(F.col("id") * 64 + j), F.lit(2001)) - 1000)
+            (F.pmod(F.xxhash64(F.col("id") * dim + j), F.lit(2001)) - 1000)
             .cast("double") / 1000.0
         ),
     )
@@ -47,27 +55,42 @@ def _gen(spark, n):
     ).localCheckpoint(eager=True)
 
 
+def _parquet_file_stats(root):
+    total, per_dir = 0, []
+    for d, _, files in os.walk(root):
+        k = sum(1 for f in files if f.endswith(".parquet"))
+        total += k
+        if k:
+            per_dir.append(k)
+    return total, (max(per_dir) if per_dir else 0)
+
+
 def main() -> None:
-    mode = sys.argv[1] if len(sys.argv) > 1 else "ivf"
-    sizes = [int(a) for a in sys.argv[2:]] or [200_000, 2_000_000]
+    args = sys.argv[1:]
+    dim = 64
+    if "--dim" in args:
+        i = args.index("--dim")
+        dim = int(args[i + 1])
+        del args[i : i + 2]
+    mode = args[0] if args else "ivf"
+    sizes = [int(a) for a in args[1:]] or [200_000, 2_000_000]
+    mem = os.environ.get("ANN_PROBE_DRIVER_MEM", "16g")
     spark = get_spark(app_name=f"ann-scale-{mode}",
-                      extra_conf={"spark.driver.memory": "16g"})
+                      extra_conf={"spark.driver.memory": mem})
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
     out = []
     for n in sizes:
-        emb = _gen(spark, n)
+        emb = _gen(spark, n, dim)
         if mode == "ivf":
             queries = emb.filter(F.col("vec_id") < 20)
             t0 = time.perf_counter()
-            cents, assigns = SIM.build_ivf_index(emb, n_lists="auto")
+            idx_built = SIM.build_ivf_index(emb, n_lists="auto")
             root = tempfile.mkdtemp(prefix="ivf_idx_")
-            assigns.write.partitionBy("list_id").mode("overwrite").parquet(
-                root + "/assign")
-            cents.write.mode("overwrite").parquet(root + "/cents")
+            SIM.persist_ivf_index(idx_built, root, mode="overwrite")
             t_build = time.perf_counter() - t0
-            idx = (spark.read.parquet(root + "/cents"),
-                   spark.read.parquet(root + "/assign"))
+            n_files, max_per_dir = _parquet_file_stats(root + "/assignments")
+            idx = SIM.load_ivf_index(spark, root)
             times = []
             for _ in range(2):
                 t1 = time.perf_counter()
@@ -75,9 +98,11 @@ def main() -> None:
                     queries, emb, k=5, n_probe=8, index=idx
                 ).collect()
                 times.append(time.perf_counter() - t1)
-            out.append({"n": n, "n_lists": idx[0].count(),
+            out.append({"n": n, "dim": dim, "n_lists": idx[0].count(),
                         "build_persist_s": round(t_build, 1),
                         "query_indexed_s": round(min(times), 2),
+                        "assign_files": n_files,
+                        "max_files_per_list_dir": max_per_dir,
                         "topk_rows": len(rows)})
             shutil.rmtree(root, ignore_errors=True)
         else:
