@@ -151,6 +151,76 @@ def _bucket_batch_udf(n_tables: int, n_planes: int, seed: int):
     return buckets
 
 
+# Above this vector width the ANN query paths score candidates with the
+# Arrow pair-cosine kernel instead of the built-in HOF expression. The HOF
+# cosine (zip_with dot + two aggregate norms) is evaluated interpreted —
+# ~3 lambda invocations PER ELEMENT per candidate row — so its cost grows
+# linearly in dim with a ~100 ns/element constant: measured 33.6 s for the
+# 20-query indexed IVF probe at 200k × 768-dim where 64-dim takes 2.8 s
+# (SCALE.md r11). Below the cutover the HOF path stays: it is plenty fast
+# at narrow widths AND its left-to-right float summation is bit-identical
+# to the SQL oracles (the Arrow kernel's pairwise/SIMD summation is
+# mathematically the same cosine but not bit-equal, so hash-pinned
+# low-dim queries must keep the HOF scorer).
+ARROW_SCORER_MIN_DIM = 128
+
+
+def _pair_cosine_udf():
+    """Arrow-vectorized pairwise cosine over two row-aligned vector
+    columns: one fused numpy pass per batch (same justification as
+    ``_bucket_batch_udf`` — a per-element interpreted HOF is the slow
+    path at realistic embedding widths). Null or length-mismatched pairs
+    degrade to null, mirroring the HOF scorer's null semantics."""
+
+    @F.pandas_udf("double")
+    def pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        n = len(a)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        out = np.full(n, np.nan)
+        dims = np.fromiter(
+            (
+                len(x) if (x is not None and y is not None and len(x) == len(y))
+                else -1
+                for x, y in zip(a, b)
+            ),
+            dtype=np.int64,
+            count=n,
+        )
+        for d in np.unique(dims[dims >= 0]):
+            sel = dims == d
+            A = np.array([x for x, s in zip(a, sel) if s], dtype="float64")
+            B = np.array([y for y, s in zip(b, sel) if s], dtype="float64")
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            den[den == 0] = np.nan
+            out[sel] = num / den
+        return pd.Series(out)
+
+    return pair_cos
+
+
+def _resolve_scorer(scorer: str, queries: DataFrame, vec_col: str) -> str:
+    """'auto' → 'arrow' iff the observed vector width is at or above
+    ARROW_SCORER_MIN_DIM (one short-circuiting first() job); explicit
+    'hof'/'arrow' pass through."""
+    if scorer == "auto":
+        row = queries.select(F.size(F.col(vec_col))).first()
+        dim = row[0] if row is not None else 0
+        return "arrow" if (dim or 0) >= ARROW_SCORER_MIN_DIM else "hof"
+    if scorer not in ("hof", "arrow"):
+        raise ValueError(f"scorer must be 'auto'|'hof'|'arrow', got {scorer!r}")
+    return scorer
+
+
+def _cosine_col(scorer: str) -> Column:
+    """The candidate-scoring column for a resolved scorer, over the
+    conventional (qv, cv) pair columns."""
+    if scorer == "arrow":
+        return _pair_cosine_udf()(F.col("qv"), F.col("cv"))
+    return cosine_similarity(F.col("qv"), F.col("cv"))
+
+
 def bucketize_tables(
     df: DataFrame,
     *,
@@ -358,6 +428,7 @@ def ivf_ann_topk(
     kmeans_iters: int = 1,
     index: tuple[DataFrame, DataFrame] | None = None,
     broadcast_queries: bool = True,
+    scorer: str = "auto",
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` nearest inverted lists
     per query, exact cosine within the probed lists only.
@@ -395,6 +466,18 @@ def ivf_ann_topk(
     × 64-dim (r10). For a corpus-sized probe set pass
     ``broadcast_queries=False`` to fall back to a shuffle join (or use
     ``embedding_near_dup_pairs``, built for corpus × corpus).
+
+    ``scorer``: ``'auto'`` (default) scores candidates with the built-in
+    HOF cosine below ARROW_SCORER_MIN_DIM and the Arrow pair-cosine
+    kernel at or above it (one tiny dim-probe job). The HOF expression is
+    interpreted per ELEMENT, so at realistic embedding widths it
+    dominates the query (measured 33.6 s vs 3.5 s for the same 768-dim
+    indexed probe — SCALE.md r11); at narrow widths it is fast AND
+    bit-identical to SQL oracles (left-to-right summation), which the
+    Arrow kernel's pairwise summation is not. ``'hof'``/``'arrow'``
+    force. The centroid-probing stage switches with the same knob (HOF
+    transform vs one closure matmul over the collected centroid matrix —
+    bounded by the same n_lists × dim budget as the build).
     """
     if index is not None:
         centroids, assignments = index
@@ -402,32 +485,76 @@ def ivf_ann_topk(
         centroids, assignments = build_ivf_index(
             corpus, corpus_id=corpus_id, vec_col=vec_col, n_lists=n_lists, kmeans_iters=kmeans_iters
         )
-    cent_arr_df = centroids.agg(
-        F.array_sort(F.collect_list(F.struct("list_id", "centroid"))).alias("_cents")
+    q_slim = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    scored_cents = F.transform(
-        F.col("_cents"),
-        lambda s: F.struct(
-            cosine_similarity(F.col("qv"), s["centroid"]).alias("cos"),
-            s["list_id"].alias("list_id"),
-        ),
-    )
-    probes = (
-        queries.select(
-            F.col(query_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    use = _resolve_scorer(scorer, q_slim, "qv")
+    if use == "arrow":
+        # centroid probing as ONE matmul per Arrow batch — the HOF
+        # transform below is queries × n_lists × dim interpreted lambda
+        # steps. The collected matrix is the same data the broadcast row
+        # carries, within the build-side budget.
+        rows = centroids.orderBy("list_id").collect()
+        lids = np.array([r["list_id"] for r in rows], dtype="int64")
+        mat = np.array([r["centroid"] for r in rows], dtype="float64")
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        cn = mat / norms[:, None]
+        cdim = mat.shape[1]
+
+        @F.pandas_udf("array<int>")
+        def top_lists(vs: pd.Series) -> pd.Series:
+            n = len(vs)
+            if n == 0:
+                return pd.Series([], dtype=object)
+            out = [None] * n
+            mask = np.fromiter(
+                (v is not None and len(v) == cdim for v in vs),
+                dtype=bool, count=n,
+            )
+            if mask.any():
+                V = np.array([v for v, m in zip(vs, mask) if m], dtype="float64")
+                vn = np.linalg.norm(V, axis=1)
+                vn[vn == 0] = 1.0
+                sims = (V / vn[:, None]) @ cn.T
+                k = min(n_probe, sims.shape[1])
+                j = 0
+                for i in range(n):
+                    if not mask[i]:
+                        continue
+                    # cos desc, list_id desc on ties — parity with the
+                    # HOF sort_array(struct(cos, list_id), desc) order
+                    order = np.lexsort((-lids, -sims[j]))[:k]
+                    out[i] = [int(x) for x in lids[order]]
+                    j += 1
+            return pd.Series(out)
+
+        probes = q_slim.withColumn("list_id", F.explode(top_lists(F.col("qv"))))
+    else:
+        cent_arr_df = centroids.agg(
+            F.array_sort(F.collect_list(F.struct("list_id", "centroid"))).alias("_cents")
         )
-        .crossJoin(F.broadcast(cent_arr_df))
-        .withColumn(
-            "list_id",
-            F.explode(
-                F.transform(
-                    F.slice(F.sort_array(scored_cents, asc=False), 1, n_probe),
-                    lambda s: s["list_id"],
-                )
+        scored_cents = F.transform(
+            F.col("_cents"),
+            lambda s: F.struct(
+                cosine_similarity(F.col("qv"), s["centroid"]).alias("cos"),
+                s["list_id"].alias("list_id"),
             ),
         )
-        .drop("_cents")
-    )
+        probes = (
+            q_slim
+            .crossJoin(F.broadcast(cent_arr_df))
+            .withColumn(
+                "list_id",
+                F.explode(
+                    F.transform(
+                        F.slice(F.sort_array(scored_cents, asc=False), 1, n_probe),
+                        lambda s: s["list_id"],
+                    )
+                ),
+            )
+            .drop("_cents")
+        )
     # probes (queries × n_probe rows) is DEFINITIONALLY the small side —
     # broadcast it explicitly. Without the hint, Catalyst's static size
     # estimate of the corpus branch (an ArrowEvalPython projection whose
@@ -451,7 +578,7 @@ def ivf_ann_topk(
         "list_id",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(
-        "query_id", "neighbor_id", cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine")
+        "query_id", "neighbor_id", _cosine_col(use).alias("cosine")
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -474,6 +601,7 @@ def lsh_ann_topk(
     seed: int = 7,
     index: DataFrame | None = None,
     broadcast_queries: bool = True,
+    scorer: str = "auto",
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ≥1 of
     ``n_tables`` independent hyperplane tables; exact cosine + top-k within
@@ -514,6 +642,11 @@ def lsh_ann_topk(
     dim). For corpus-scale probe sets pass ``broadcast_queries=False``
     (pins a sort-merge join; corpus-vs-corpus near-dup belongs to
     ``embedding_near_dup_pairs``).
+
+    ``scorer``: same contract as :func:`ivf_ann_topk` — 'auto' picks the
+    Arrow pair-cosine kernel at or above ARROW_SCORER_MIN_DIM (the HOF
+    cosine is interpreted per element and dominates high-dim queries),
+    the HOF expression below it (bit-identical to SQL oracles).
     """
     if index is not None and n_planes == "auto":
         raise ValueError(
@@ -525,6 +658,11 @@ def lsh_ann_topk(
     elif not isinstance(n_planes, int):
         raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
 
+    use = _resolve_scorer(
+        scorer,
+        queries.select(F.col(vec_col).cast("array<double>").alias("qv")),
+        "qv",
+    )
     q = bucketize_tables(
         queries, id_col=query_id, id_name="query_id", vec_col=vec_col, keep_vec="qv",
         n_tables=n_tables, n_planes=n_planes, seed=seed,
@@ -577,7 +715,7 @@ def lsh_ann_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = pairs.select(
-        "query_id", "neighbor_id", cosine_similarity(F.col("qv"), F.col("cv")).alias("cosine")
+        "query_id", "neighbor_id", _cosine_col(use).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -1265,3 +1265,52 @@ class TestHashedEmbeddings:
         b = {r["id"]: r["embedding"]
              for r in hashed_doc_embeddings(df.repartition(13), "id", "text").collect()}
         assert a == b
+
+
+def test_ann_arrow_scorer_matches_hof(spark, sf_dir):
+    """scorer='arrow' (the high-dim path) must produce the same neighbors
+    and ranks as the HOF expression — cosines equal to float tolerance
+    (pairwise vs left-to-right summation), ordering identical wherever
+    gaps exceed ulp noise (true of the test corpus)."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        ARROW_SCORER_MIN_DIM,
+        ivf_ann_topk,
+        lsh_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    for fn, kw in (
+        (ivf_ann_topk, {"n_lists": 8, "n_probe": 8}),
+        (lsh_ann_topk, {"n_planes": 2, "n_tables": 8}),
+    ):
+        hof = fn(queries, emb, k=3, scorer="hof", **kw).collect()
+        arrow = fn(queries, emb, k=3, scorer="arrow", **kw).collect()
+        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        hof = sorted(hof, key=key); arrow = sorted(arrow, key=key)
+        assert [(r["query_id"], r["neighbor_id"], r["rank"]) for r in hof] == [
+            (r["query_id"], r["neighbor_id"], r["rank"]) for r in arrow
+        ]
+        # the LSH HOF path multiplies the raw float32 payloads before the
+        # cast to double; the Arrow kernel promotes to float64 first — a
+        # 64-term float32 accumulation bounds the difference ~1e-6
+        assert all(
+            abs(a["cosine"] - b["cosine"]) < 1e-5 for a, b in zip(hof, arrow)
+        )
+
+    # 'auto' resolves by observed width: 64-dim test corpus stays on the
+    # bit-exact HOF plan (no ArrowEvalPython scoring stage in the plan)
+    assert ARROW_SCORER_MIN_DIM > 64
+    auto_plan = ivf_ann_topk(
+        queries, emb, k=3, n_lists=8, n_probe=8, scorer="auto"
+    )._jdf.queryExecution().executedPlan().toString()
+    hof_plan = ivf_ann_topk(
+        queries, emb, k=3, n_lists=8, n_probe=8, scorer="hof"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert auto_plan.count("ArrowEvalPython") == hof_plan.count("ArrowEvalPython")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="scorer"):
+        ivf_ann_topk(queries, emb, k=3, scorer="bogus")

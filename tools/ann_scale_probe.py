@@ -72,6 +72,11 @@ def main() -> None:
         i = args.index("--dim")
         dim = int(args[i + 1])
         del args[i : i + 2]
+    scorer = "auto"
+    if "--scorer" in args:
+        i = args.index("--scorer")
+        scorer = args[i + 1]
+        del args[i : i + 2]
     mode = args[0] if args else "ivf"
     sizes = [int(a) for a in args[1:]] or [200_000, 2_000_000]
     mem = os.environ.get("ANN_PROBE_DRIVER_MEM", "16g")
@@ -95,10 +100,11 @@ def main() -> None:
             for _ in range(2):
                 t1 = time.perf_counter()
                 rows = SIM.ivf_ann_topk(
-                    queries, emb, k=5, n_probe=8, index=idx
+                    queries, emb, k=5, n_probe=8, index=idx, scorer=scorer
                 ).collect()
                 times.append(time.perf_counter() - t1)
-            out.append({"n": n, "dim": dim, "n_lists": idx[0].count(),
+            out.append({"n": n, "dim": dim, "scorer": scorer,
+                        "n_lists": idx[0].count(),
                         "build_persist_s": round(t_build, 1),
                         "query_indexed_s": round(min(times), 2),
                         "assign_files": n_files,
@@ -112,7 +118,8 @@ def main() -> None:
             for _ in range(2):
                 t1 = time.perf_counter()
                 rows = SIM.lsh_ann_topk(
-                    twins, emb, k=1, n_planes="auto", n_tables=4
+                    twins, emb, k=1, n_planes="auto", n_tables=4,
+                    scorer=scorer,
                 ).collect()
                 times.append(time.perf_counter() - t1)
             ok = sum(
