@@ -153,15 +153,19 @@ def _bucket_batch_udf(n_tables: int, n_planes: int, seed: int):
 
 # Above this vector width the ANN query paths score candidates with the
 # Arrow pair-cosine kernel instead of the built-in HOF expression. The HOF
-# cosine (zip_with dot + two aggregate norms) is evaluated interpreted —
-# ~3 lambda invocations PER ELEMENT per candidate row — so its cost grows
-# linearly in dim with a ~100 ns/element constant: measured 33.6 s for the
-# 20-query indexed IVF probe at 200k × 768-dim where 64-dim takes 2.8 s
-# (SCALE.md r11). Below the cutover the HOF path stays: it is plenty fast
-# at narrow widths AND its left-to-right float summation is bit-identical
-# to the SQL oracles (the Arrow kernel's pairwise/SIMD summation is
-# mathematically the same cosine but not bit-equal, so hash-pinned
-# low-dim queries must keep the HOF scorer).
+# cosine (zip_with dot + two aggregate norms) evaluates ~3 lambda steps
+# PER ELEMENT per candidate row — CPU linear in dim × candidates — where
+# the Arrow kernel is one fused numpy pass per batch. Measured on the
+# indexed IVF probe at 768-dim (min-of-2, SCALE.md r11): 2M vectors
+# 7.05 s → 5.61 s on 32 cores (1.26×), 200k on a CPU-constrained 8-core
+# run 4.68 s → 3.21 s (1.46×) — the gap grows with candidate volume and
+# core pressure (at 100 TB cores are the budget), while fixed per-query
+# costs dominate small probes.
+# Below the cutover the HOF path stays: it is fast at narrow widths AND
+# its left-to-right float summation is bit-identical to the SQL oracles
+# (the Arrow kernel's pairwise/SIMD summation is mathematically the same
+# cosine but not bit-equal, so hash-pinned low-dim queries must keep the
+# HOF scorer).
 ARROW_SCORER_MIN_DIM = 128
 
 
@@ -469,15 +473,16 @@ def ivf_ann_topk(
 
     ``scorer``: ``'auto'`` (default) scores candidates with the built-in
     HOF cosine below ARROW_SCORER_MIN_DIM and the Arrow pair-cosine
-    kernel at or above it (one tiny dim-probe job). The HOF expression is
-    interpreted per ELEMENT, so at realistic embedding widths it
-    dominates the query (measured 33.6 s vs 3.5 s for the same 768-dim
-    indexed probe — SCALE.md r11); at narrow widths it is fast AND
-    bit-identical to SQL oracles (left-to-right summation), which the
-    Arrow kernel's pairwise summation is not. ``'hof'``/``'arrow'``
-    force. The centroid-probing stage switches with the same knob (HOF
-    transform vs one closure matmul over the collected centroid matrix —
-    bounded by the same n_lists × dim budget as the build).
+    kernel at or above it (one tiny dim-probe job). The HOF expression
+    evaluates interpreted per ELEMENT — CPU ∝ dim × candidates — where
+    the Arrow kernel is one fused numpy pass per batch (measured A/B in
+    the ARROW_SCORER_MIN_DIM note / SCALE.md r11); at narrow widths the
+    HOF is fast AND bit-identical to SQL oracles (left-to-right
+    summation), which the Arrow kernel's pairwise summation is not.
+    ``'hof'``/``'arrow'`` force. The centroid-probing stage switches with
+    the same knob (HOF transform vs one closure matmul over the collected
+    centroid matrix — bounded by the same n_lists × dim budget as the
+    build).
     """
     if index is not None:
         centroids, assignments = index
@@ -712,11 +717,16 @@ def lsh_ann_topk(
         q_side.join(c, join_keys)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "qv", "cv")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # score BEFORE the pair dedup: a (query, neighbor) pair repeats once
+    # per shared table (≤ n_tables), and cosine is deterministic per
+    # pair, so deduping on the scored rows is equivalent — but the
+    # dropDuplicates shuffle then moves (ids, one double) instead of two
+    # dim-wide vectors per row (~100× narrower at 768-dim for ≤ n_tables×
+    # extra map-side scoring work)
     scored = pairs.select(
         "query_id", "neighbor_id", _cosine_col(use).alias("cosine")
-    )
+    ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
