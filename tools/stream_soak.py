@@ -51,7 +51,7 @@ from pyspark.sql import functions as F, types as T
 
 from aws_dataset_ingestion_metrics_collection_framework_spark import get_spark
 from aws_dataset_ingestion_metrics_collection_framework_spark.catalog import METRIC_DEFS_SCHEMA
-from aws_dataset_ingestion_metrics_collection_framework_spark.functions.keys import series_unique_id
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators.metrics import series_unique_id
 from aws_dataset_ingestion_metrics_collection_framework_spark.streaming import (
     streaming_scrape,
     streaming_sla_pipeline,
@@ -135,7 +135,8 @@ def _curve(batches: list[dict], t0: float, bucket_s: int = 300) -> list[dict]:
     for b in batches:
         # progress timestamps are ISO strings in UTC
         ts = time.mktime(time.strptime(b["t"][:19], "%Y-%m-%dT%H:%M:%S"))
-        buckets.setdefault(int((ts - t0) // bucket_s), []).append(b)
+        # setup-phase batches (before t0 was stamped) fold into window 0
+        buckets.setdefault(max(0, int((ts - t0) // bucket_s)), []).append(b)
     out = []
     for k in sorted(buckets):
         bs = buckets[k]
