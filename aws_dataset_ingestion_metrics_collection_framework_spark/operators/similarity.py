@@ -831,8 +831,8 @@ def persist_lsh_index(
     directory PER OCCUPIED BUCKET: at 'auto' plane sizing that is
     ~corpus/16 × n_tables directories (500k at 2M vectors), which drowns
     file listing before any query runs. Instead the index is partitioned
-    by (tbl, ``_bpfx<p>``): a p-bit bucket PREFIX (default
-    ``min(n_planes, 8)``), capping directories at n_tables × 2^p ≤ 1024
+    by (tbl, ``_bpfx<p>``): a p-bit bucket PREFIX (auto-sized from the
+    row count — see below), capping directories at n_tables × 2^p ≤ 1024
     while dynamic partition pruning (the query side is broadcast and
     joins on the prefix column too — see :func:`lsh_ann_topk`) still
     skips every directory no query bucket hashes into. The prefix value
@@ -846,13 +846,24 @@ def persist_lsh_index(
     ``n_planes``/``n_tables``/``seed`` must be the values the index was
     bucketized with; they are recorded in ``{path}/meta`` and handed back
     by :func:`load_lsh_index` so query calls can't desync.
+
+    ``prefix_bits=None`` sizes the prefix from the index row count (one
+    count job — this is an offline build step): p ≈ log2(rows / 20k),
+    clamped to [1, min(n_planes, 8)], so each (tbl, prefix) directory
+    holds ~20k rows and small corpora don't shatter into 1024 dirs of
+    tiny files while big ones keep directory-level pruning granularity.
     """
     if not isinstance(n_planes, int):
         raise ValueError(
             "persist_lsh_index: n_planes must be the numeric plane count the "
             f"index was built with, got {n_planes!r}"
         )
-    p = min(n_planes, 8) if prefix_bits is None else prefix_bits
+    if prefix_bits is None:
+        n_rows = index.count()
+        p = max(1, min(min(n_planes, 8),
+                       (max(1, n_rows // 20_000)).bit_length()))
+    else:
+        p = prefix_bits
     if not 1 <= p <= n_planes:
         raise ValueError(f"prefix_bits must be in [1, n_planes], got {p}")
     bp = f"_bpfx{p}"
