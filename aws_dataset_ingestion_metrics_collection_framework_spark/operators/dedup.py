@@ -1085,6 +1085,7 @@ def embedding_near_dup_pairs(
     n_planes: int | str = 8,
     n_tables: int = 1,
     seed: int = 7,
+    scorer: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -1108,13 +1109,27 @@ def embedding_near_dup_pairs(
     shifts, so pair more planes with more tables when thresholds are
     moderate). The numeric default stays 8 so small-corpus results are
     reproducible run to run.
+
+    ``scorer``: verification-cosine kernel, same contract as
+    :func:`~.similarity.ivf_ann_topk` — 'auto' keeps the bit-exact HOF
+    expression below ARROW_SCORER_MIN_DIM and switches to the Arrow
+    pair-cosine kernel at realistic embedding widths, where the
+    per-element interpreted HOF dominates verification CPU.
     """
-    from .similarity import auto_planes, bucketize_tables, cosine_similarity
+    from .similarity import (
+        _cosine_col,
+        _resolve_scorer,
+        auto_planes,
+        bucketize_tables,
+    )
 
     if n_planes == "auto":
         n_planes = auto_planes(df.count())
     elif not isinstance(n_planes, int):
         raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
+    use = _resolve_scorer(
+        scorer, df.select(F.col(vec_col).alias("v")), "v"
+    )
 
     # The bucket join and candidate dedup move ONLY (doc, tbl, bucket) —
     # 24-byte rows — never the vectors: with n_tables tables each vector
@@ -1151,7 +1166,7 @@ def embedding_near_dup_pairs(
     pairs = (
         cands.join(va.hint("merge"), "id_a")
         .join(vb.hint("merge"), "id_b")
-        .select("id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"))
+        .select("id_a", "id_b", _cosine_col(use, "va", "vb").alias("cosine"))
     )
     return pairs.filter(F.col("cosine") >= threshold)
 
@@ -1166,6 +1181,7 @@ def semantic_dedup(
     n_tables: int = 1,
     seed: int = 7,
     max_iter: int = 25,
+    scorer: str = "auto",
 ) -> DataFrame:
     """Embedding-space deduplication end to end (the SemDeDup shape, Abbas
     et al. 2023, arXiv:2303.09540): partition the embedding space cheaply,
@@ -1185,6 +1201,7 @@ def semantic_dedup(
     pairs = embedding_near_dup_pairs(
         df, id_col, vec_col,
         threshold=threshold, n_planes=n_planes, n_tables=n_tables, seed=seed,
+        scorer=scorer,
     )
     comp = connected_components(
         df.select(F.col(id_col)), pairs.select("id_a", "id_b"),

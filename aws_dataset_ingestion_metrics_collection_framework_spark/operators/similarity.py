@@ -217,12 +217,12 @@ def _resolve_scorer(scorer: str, queries: DataFrame, vec_col: str) -> str:
     return scorer
 
 
-def _cosine_col(scorer: str) -> Column:
+def _cosine_col(scorer: str, a: str = "qv", b: str = "cv") -> Column:
     """The candidate-scoring column for a resolved scorer, over the
-    conventional (qv, cv) pair columns."""
+    given pair columns."""
     if scorer == "arrow":
-        return _pair_cosine_udf()(F.col("qv"), F.col("cv"))
-    return cosine_similarity(F.col("qv"), F.col("cv"))
+        return _pair_cosine_udf()(F.col(a), F.col(b))
+    return cosine_similarity(F.col(a), F.col(b))
 
 
 def bucketize_tables(

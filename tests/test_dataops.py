@@ -1314,3 +1314,57 @@ def test_ann_arrow_scorer_matches_hof(spark, sf_dir):
 
     with pytest.raises(ValueError, match="scorer"):
         ivf_ann_topk(queries, emb, k=3, scorer="bogus")
+
+
+def test_high_dim_auto_selects_arrow_scorer(spark):
+    """At or above ARROW_SCORER_MIN_DIM, scorer='auto' must pick the Arrow
+    kernel (more ArrowEvalPython stages than the forced HOF plan) and the
+    near-dup verification path must return the same pairs either way."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        ARROW_SCORER_MIN_DIM,
+        ivf_ann_topk,
+    )
+
+    dim = ARROW_SCORER_MIN_DIM + 2
+    rows = []
+    for i in range(24):
+        v = [float((i * 31 + j * 7) % 19 - 9) for j in range(dim)]
+        rows.append((i, v))
+    rows.append((100, list(rows[3][1])))  # planted exact twin of id 3
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # auto → arrow: the pair_cos/top_lists scorer UDFs appear in the plan
+    # (the build's own Arrow assign stage appears in BOTH, so node counts
+    # don't discriminate — match the scorer kernels by name)
+    queries = emb.filter(F.col("vec_id") < 3)
+    auto_plan = ivf_ann_topk(
+        queries, emb, k=2, n_lists=4, n_probe=4, scorer="auto"
+    )._jdf.queryExecution().executedPlan().toString()
+    hof_plan = ivf_ann_topk(
+        queries, emb, k=2, n_lists=4, n_probe=4, scorer="hof"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "pair_cos" in auto_plan and "top_lists" in auto_plan
+    assert "pair_cos" not in hof_plan and "top_lists" not in hof_plan
+
+    # near-dup verification: auto (arrow at this dim) ≡ forced hof
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    got_auto = sorted(
+        embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.99, n_planes=4
+        ).collect(),
+        key=key,
+    )
+    got_hof = sorted(
+        embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.99, n_planes=4,
+            scorer="hof",
+        ).collect(),
+        key=key,
+    )
+    assert [(r["id_a"], r["id_b"]) for r in got_auto] == [
+        (r["id_a"], r["id_b"]) for r in got_hof
+    ]
+    assert any(r["id_a"] == 3 and r["id_b"] == 100 for r in got_auto)
