@@ -2034,7 +2034,7 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic-seeded run passes with wide margin."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    ann = SIM.lsh_ann_topk(queries, emb, k=5, n_planes=2, n_tables=16)
+    ann = SIM.lsh_ann_topk(queries, emb, k=5, n_planes=2, n_tables=16, scorer="hof")
     brute = SIM.brute_force_topk(queries, emb, k=5)
     hits = (
         brute.alias("b")
@@ -4170,7 +4170,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline, not just the pair stage)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
     return D.semantic_dedup(
-        emb, "vec_id", "embedding", threshold=0.4, n_planes=2, n_tables=16
+        emb, "vec_id", "embedding", threshold=0.4, n_planes=2, n_tables=16,
+        scorer="hof",
     )
 
 
@@ -4224,7 +4225,7 @@ def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = D.semantic_dedup(
         emb.unionByName(twins), "vec_id", "embedding",
-        threshold=0.999999, n_planes="auto", n_tables=2,
+        threshold=0.999999, n_planes="auto", n_tables=2, scorer="hof",
     )
     return out.filter(F.col("vec_id") >= 1_000_000).select(
         "vec_id",
@@ -4705,7 +4706,7 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-query gating would pin the worst single draw and be brittle here."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    ann = SIM.ivf_ann_topk(queries, emb, k=5, n_lists=8, n_probe=6)
+    ann = SIM.ivf_ann_topk(queries, emb, k=5, n_lists=8, n_probe=6, scorer="hof")
     brute = SIM.brute_force_topk(queries, emb, k=5)
     hits = (
         brute.alias("b")
@@ -4744,7 +4745,7 @@ def q_ivf_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_lists = min(4096, max(16, math.isqrt(emb.count())))
     n_probe = max(1, math.ceil(0.9 * n_lists))
     queries = emb.filter(F.col("vec_id") < 10)
-    ann = SIM.ivf_ann_topk(queries, emb, k=5, n_lists="auto", n_probe=n_probe)
+    ann = SIM.ivf_ann_topk(queries, emb, k=5, n_lists="auto", n_probe=n_probe, scorer="hof")
     brute = SIM.brute_force_topk(queries, emb, k=5)
     hits = (
         brute.alias("b")
@@ -4785,7 +4786,7 @@ def q_lsh_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins = emb.filter(F.col("vec_id") < 25).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
-    ann = SIM.lsh_ann_topk(twins, emb, k=1, n_planes="auto", n_tables=4)
+    ann = SIM.lsh_ann_topk(twins, emb, k=1, n_planes="auto", n_tables=4, scorer="hof")
     return ann.select(
         "query_id",
         (
@@ -4917,7 +4918,8 @@ def q_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     still executes on 250 real vectors and must emit every true pair)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 250)
     out = D.embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.4, n_planes=2, n_tables=16
+        emb, "vec_id", "embedding", threshold=0.4, n_planes=2, n_tables=16,
+        scorer="hof",
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
