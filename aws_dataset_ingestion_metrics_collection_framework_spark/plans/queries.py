@@ -4730,6 +4730,108 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
+def q_ivf_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-once/query-many IVF path END TO END: build, persist via
+    ``persist_ivf_index`` (repartition-by-list_id layout — exactly one
+    data file per list directory, the small-files contract), reload via
+    ``load_ivf_index``, and query. Contract (driver-attested): the
+    persisted-index results are row-for-row IDENTICAL to the inline
+    build's (vectors round-trip parquet exactly; same scoring plan), and
+    the on-disk layout honors one-file-per-directory."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    inline = SIM.ivf_ann_topk(
+        queries, emb, k=5, n_lists=8, n_probe=6, scorer="hof"
+    )
+    root = tempfile.mkdtemp(prefix="ivf_q_idx_")
+    try:
+        SIM.persist_ivf_index(
+            SIM.build_ivf_index(emb, n_lists=8), root, mode="overwrite"
+        )
+        loaded = SIM.load_ivf_index(spark, root)
+        persisted = SIM.ivf_ann_topk(
+            queries, emb, k=5, n_probe=6, index=loaded, scorer="hof"
+        )
+        # k·|queries| rows — compare driver-side (exceptAll over the
+        # window+dedup ANN plans trips a Catalyst attribute-binding
+        # INTERNAL_ERROR in Spark 4.1; the result set is tiny by contract)
+        key = ["query_id", "neighbor_id", "cosine", "rank"]
+        got_i = sorted(map(tuple, inline.select(*key).collect()))
+        got_p = sorted(map(tuple, persisted.select(*key).collect()))
+        n_diff = 0 if got_i == got_p else 1
+        one_file_per_dir = all(
+            sum(1 for f in files if f.endswith(".parquet")) <= 1
+            for _, _, files in os.walk(os.path.join(root, "assignments"))
+        )
+        n_queries = len({t[0] for t in got_i})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(n_queries), n_diff == 0, bool(one_file_per_dir))],
+        "n_queries int, persisted_equals_inline boolean, one_file_per_dir boolean",
+    )
+
+
+IVF_ANN_PERSISTED_ORACLE = """
+SELECT CAST(COUNT(DISTINCT vec_id) AS INTEGER) AS n_queries,
+       TRUE AS persisted_equals_inline, TRUE AS one_file_per_dir
+FROM embeddings WHERE vec_id < 10
+"""
+
+
+def q_lsh_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-LSH-index path END TO END: bucketize, persist via
+    ``persist_lsh_index`` (directory-bounded (tbl, _bpfx<p>) layout whose
+    prefix join key hands the corpus scan dynamic partition pruning),
+    reload via ``load_lsh_index`` (params round-trip through the
+    manifest), and query. Contract: identical rows to the inline call
+    and the prefix column present in the loaded index."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    inline = SIM.lsh_ann_topk(
+        queries, emb, k=5, n_planes=4, n_tables=8, scorer="hof"
+    )
+    root = tempfile.mkdtemp(prefix="lsh_q_idx_")
+    try:
+        bucketed = SIM.bucketize_tables(
+            emb, id_col="vec_id", id_name="neighbor_id",
+            vec_col="embedding", keep_vec="cv", n_tables=8, n_planes=4,
+        )
+        SIM.persist_lsh_index(
+            bucketed, root, n_planes=4, n_tables=8, seed=7, mode="overwrite"
+        )
+        idx, params = SIM.load_lsh_index(spark, root)
+        prefix_present = any(c.startswith("_bpfx") for c in idx.columns)
+        persisted = SIM.lsh_ann_topk(
+            queries, emb, k=5, index=idx, scorer="hof", **params
+        )
+        key = ["query_id", "neighbor_id", "cosine", "rank"]
+        got_i = sorted(map(tuple, inline.select(*key).collect()))
+        got_p = sorted(map(tuple, persisted.select(*key).collect()))
+        n_diff = 0 if got_i == got_p else 1
+        n_queries = len({t[0] for t in got_i})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(n_queries), n_diff == 0, bool(prefix_present))],
+        "n_queries int, persisted_equals_inline boolean, prefix_partitioned boolean",
+    )
+
+
+LSH_ANN_PERSISTED_ORACLE = """
+SELECT CAST(COUNT(DISTINCT vec_id) AS INTEGER) AS n_queries,
+       TRUE AS persisted_equals_inline, TRUE AS prefix_partitioned
+FROM embeddings WHERE vec_id < 10
+"""
+
+
 def q_ivf_ann_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN on the SHIPPED SCALE PATH — ``n_lists='auto'`` (~sqrt(n)
     Voronoi cells, the sizing that keeps per-query probed volume
@@ -5942,6 +6044,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann": q_lsh_ann,
     "lsh_ann_auto": q_lsh_ann_auto,
     "ivf_ann": q_ivf_ann,
+    "ivf_ann_persisted": q_ivf_ann_persisted,
+    "lsh_ann_persisted": q_lsh_ann_persisted,
     "ivf_ann_auto": q_ivf_ann_auto,
     "sessionize": q_sessionize,
     # r5: WARC source (Common-Crawl entry point) — never driver-sampled yet
@@ -6273,6 +6377,8 @@ ORACLES: dict[str, str] = {
     "lsh_ann": LSH_ANN_ORACLE,
     "lsh_ann_auto": LSH_ANN_AUTO_ORACLE,
     "ivf_ann": IVF_ANN_ORACLE,
+    "ivf_ann_persisted": IVF_ANN_PERSISTED_ORACLE,
+    "lsh_ann_persisted": LSH_ANN_PERSISTED_ORACLE,
     "ivf_ann_auto": IVF_ANN_AUTO_ORACLE,
     "sessionize": SESSIONIZE_ORACLE,
     "asof_join": ASOF_JOIN_ORACLE,
@@ -6343,6 +6449,9 @@ ORACLES: dict[str, str] = {
 # sampled r8), followed by the r9-sampled 50, with the r10-sampled 50
 # (freshest evidence) at the tail.
 _R11_PRIORITY = [
+    # -- never driver-sampled (new in r11: persisted-ANN-index faces)
+    'ivf_ann_persisted',
+    'lsh_ann_persisted',
     # -- no r9/r10 driver row: last sampled r6
     'gopher_rules',
     'corpus_pipeline',
