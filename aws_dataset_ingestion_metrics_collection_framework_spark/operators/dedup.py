@@ -1085,7 +1085,7 @@ def embedding_near_dup_pairs(
     n_planes: int | str = 8,
     n_tables: int = 1,
     seed: int = 7,
-    scorer: str = "auto",
+    scorer: str = "hof",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
@@ -1110,15 +1110,18 @@ def embedding_near_dup_pairs(
     moderate). The numeric default stays 8 so small-corpus results are
     reproducible run to run.
 
-    ``scorer``: verification-cosine kernel, same contract as
-    :func:`~.similarity.ivf_ann_topk` — 'auto' keeps the bit-exact HOF
-    expression below ARROW_SCORER_MIN_DIM and switches to the Arrow
-    pair-cosine kernel at realistic embedding widths, where the
-    per-element interpreted HOF dominates verification CPU.
+    ``scorer``: verification-cosine kernel, same values as
+    :func:`~.similarity.ivf_ann_topk`. The default here is 'hof' — NOT
+    'auto' — because this is a THRESHOLD operator: the Arrow kernel's
+    pairwise summation shifts cosines ~1e-6 vs the HOF's left-to-right
+    fold, which flips threshold-straddling pairs (and therefore cluster
+    membership) rather than merely reordering ulp-tied ranks. Opt into
+    'arrow'/'auto' for wide embeddings where the per-element interpreted
+    HOF dominates verification CPU and the threshold isn't razor-edged.
     """
     from .similarity import (
-        _cosine_col,
-        _resolve_scorer,
+        cosine_score_col,
+        resolve_scorer,
         auto_planes,
         bucketize_tables,
     )
@@ -1127,7 +1130,7 @@ def embedding_near_dup_pairs(
         n_planes = auto_planes(df.count())
     elif not isinstance(n_planes, int):
         raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
-    use = _resolve_scorer(
+    use = resolve_scorer(
         scorer, df.select(F.col(vec_col).alias("v")), "v"
     )
 
@@ -1166,7 +1169,7 @@ def embedding_near_dup_pairs(
     pairs = (
         cands.join(va.hint("merge"), "id_a")
         .join(vb.hint("merge"), "id_b")
-        .select("id_a", "id_b", _cosine_col(use, "va", "vb").alias("cosine"))
+        .select("id_a", "id_b", cosine_score_col(use, "va", "vb").alias("cosine"))
     )
     return pairs.filter(F.col("cosine") >= threshold)
 
@@ -1181,7 +1184,7 @@ def semantic_dedup(
     n_tables: int = 1,
     seed: int = 7,
     max_iter: int = 25,
-    scorer: str = "auto",
+    scorer: str = "hof",
 ) -> DataFrame:
     """Embedding-space deduplication end to end (the SemDeDup shape, Abbas
     et al. 2023, arXiv:2303.09540): partition the embedding space cheaply,

@@ -204,12 +204,22 @@ def _pair_cosine_udf():
     return pair_cos
 
 
-def _resolve_scorer(scorer: str, queries: DataFrame, vec_col: str) -> str:
+def resolve_scorer(scorer: str, queries: DataFrame, vec_col: str) -> str:
     """'auto' → 'arrow' iff the observed vector width is at or above
-    ARROW_SCORER_MIN_DIM (one short-circuiting first() job); explicit
-    'hof'/'arrow' pass through."""
+    ARROW_SCORER_MIN_DIM; explicit 'hof'/'arrow' pass through.
+
+    The width probe is one short-circuiting first() job over the FIRST
+    NON-NULL vector — a leading null row must not silently resolve a
+    768-dim corpus to the interpreted HOF path (size(null) is null).
+    Mixed-width batches resolve from that first well-formed row; pass an
+    explicit scorer when widths genuinely vary. Public contract — the
+    near-dup family in operators/dedup.py resolves through this too."""
     if scorer == "auto":
-        row = queries.select(F.size(F.col(vec_col))).first()
+        row = (
+            queries.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)))
+            .first()
+        )
         dim = row[0] if row is not None else 0
         return "arrow" if (dim or 0) >= ARROW_SCORER_MIN_DIM else "hof"
     if scorer not in ("hof", "arrow"):
@@ -217,9 +227,9 @@ def _resolve_scorer(scorer: str, queries: DataFrame, vec_col: str) -> str:
     return scorer
 
 
-def _cosine_col(scorer: str, a: str = "qv", b: str = "cv") -> Column:
+def cosine_score_col(scorer: str, a: str = "qv", b: str = "cv") -> Column:
     """The candidate-scoring column for a resolved scorer, over the
-    given pair columns."""
+    given pair columns. Public contract (see :func:`resolve_scorer`)."""
     if scorer == "arrow":
         return _pair_cosine_udf()(F.col(a), F.col(b))
     return cosine_similarity(F.col(a), F.col(b))
@@ -490,15 +500,39 @@ def ivf_ann_topk(
         centroids, assignments = build_ivf_index(
             corpus, corpus_id=corpus_id, vec_col=vec_col, n_lists=n_lists, kmeans_iters=kmeans_iters
         )
+    # malformed (null-vector) queries produce NO result rows in EITHER
+    # scorer path: the Arrow probe UDF necessarily drops them (no matmul
+    # against a null), and without this filter the HOF path would instead
+    # emit k arbitrary neighbors with null cosine — a row-set that changes
+    # with the scorer/dim cutover. Drop them explicitly so the contract
+    # is scorer-independent.
     q_slim = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
-    use = _resolve_scorer(scorer, q_slim, "qv")
+    ).filter(F.col("qv").isNotNull())
+    use = resolve_scorer(scorer, q_slim, "qv")
     if use == "arrow":
         # centroid probing as ONE matmul per Arrow batch — the HOF
         # transform below is queries × n_lists × dim interpreted lambda
         # steps. The collected matrix is the same data the broadcast row
-        # carries, within the build-side budget.
+        # carries — but a PREBUILT index never went through the build-side
+        # budget on THIS driver, so enforce the same bound before the
+        # collect (two tiny jobs against the index tables).
+        if index is not None:
+            first = centroids.select(F.size("centroid")).first()
+            c_dim = first[0] if first is not None else 0
+            n_c = centroids.count()
+            est = n_c * (c_dim or 0) * 8
+            if est > IVF_CENTROID_BUDGET_BYTES:
+                raise ValueError(
+                    f"ivf_ann_topk: prebuilt index centroids would be "
+                    f"n_lists({n_c}) × dim({c_dim}) × 8 B = "
+                    f"{est / (1 << 20):.0f} MiB on the query driver, over "
+                    f"the {IVF_CENTROID_BUDGET_BYTES / (1 << 20):.0f} MiB "
+                    "budget — shard the corpus into per-shard in-budget "
+                    "indexes (see build_ivf_index), or score with "
+                    "scorer='hof' (broadcast-row probing, no driver "
+                    "matrix)."
+                )
         rows = centroids.orderBy("list_id").collect()
         lids = np.array([r["list_id"] for r in rows], dtype="int64")
         mat = np.array([r["centroid"] for r in rows], dtype="float64")
@@ -583,7 +617,7 @@ def ivf_ann_topk(
         "list_id",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(
-        "query_id", "neighbor_id", _cosine_col(use).alias("cosine")
+        "query_id", "neighbor_id", cosine_score_col(use).alias("cosine")
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -663,7 +697,7 @@ def lsh_ann_topk(
     elif not isinstance(n_planes, int):
         raise ValueError(f"n_planes must be an int or 'auto', got {n_planes!r}")
 
-    use = _resolve_scorer(
+    use = resolve_scorer(
         scorer,
         queries.select(F.col(vec_col).cast("array<double>").alias("qv")),
         "qv",
@@ -725,7 +759,7 @@ def lsh_ann_topk(
     # dim-wide vectors per row (~100× narrower at 768-dim for ≤ n_tables×
     # extra map-side scoring work)
     scored = pairs.select(
-        "query_id", "neighbor_id", _cosine_col(use).alias("cosine")
+        "query_id", "neighbor_id", cosine_score_col(use).alias("cosine")
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -848,10 +882,11 @@ def persist_lsh_index(
     by :func:`load_lsh_index` so query calls can't desync.
 
     ``prefix_bits=None`` sizes the prefix from the index row count (one
-    count job — this is an offline build step): p ≈ log2(rows / 20k),
-    clamped to [1, min(n_planes, 8)], so each (tbl, prefix) directory
-    holds ~20k rows and small corpora don't shatter into 1024 dirs of
-    tiny files while big ones keep directory-level pruning granularity.
+    count job — this is an offline build step): directories multiply as
+    n_tables × 2^p, so p ≈ log2(rows / n_tables / 20k), clamped to
+    [1, min(n_planes, 8)] — each (tbl, prefix) directory holds ~20k rows,
+    so small corpora don't shatter into 1024 dirs of tiny files while big
+    ones keep directory-level pruning granularity.
     """
     if not isinstance(n_planes, int):
         raise ValueError(
@@ -860,8 +895,11 @@ def persist_lsh_index(
         )
     if prefix_bits is None:
         n_rows = index.count()
+        per_table = max(1, n_rows // max(1, n_tables))
+        # floor(log2(per_table / 20k)): bit_length()-1 is exact at powers
+        # of two (160k rows/table → p=3 → ~20k rows per directory)
         p = max(1, min(min(n_planes, 8),
-                       (max(1, n_rows // 20_000)).bit_length()))
+                       (max(1, per_table // 20_000)).bit_length() - 1))
     else:
         p = prefix_bits
     if not 1 <= p <= n_planes:

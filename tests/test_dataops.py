@@ -1349,18 +1349,20 @@ def test_high_dim_auto_selects_arrow_scorer(spark):
     assert "pair_cos" in auto_plan and "top_lists" in auto_plan
     assert "pair_cos" not in hof_plan and "top_lists" not in hof_plan
 
-    # near-dup verification: auto (arrow at this dim) ≡ forced hof
+    # near-dup verification: forced arrow ≡ default (hof — a THRESHOLD
+    # operator defaults to the bit-stable kernel; arrow is the opt-in
+    # wide-embedding path)
     key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
     got_auto = sorted(
         embedding_near_dup_pairs(
-            emb, "vec_id", "embedding", threshold=0.99, n_planes=4
+            emb, "vec_id", "embedding", threshold=0.99, n_planes=4,
+            scorer="arrow",
         ).collect(),
         key=key,
     )
     got_hof = sorted(
         embedding_near_dup_pairs(
-            emb, "vec_id", "embedding", threshold=0.99, n_planes=4,
-            scorer="hof",
+            emb, "vec_id", "embedding", threshold=0.99, n_planes=4
         ).collect(),
         key=key,
     )
@@ -1368,3 +1370,74 @@ def test_high_dim_auto_selects_arrow_scorer(spark):
         (r["id_a"], r["id_b"]) for r in got_hof
     ]
     assert any(r["id_a"] == 3 and r["id_b"] == 100 for r in got_auto)
+
+
+def test_ann_review_fixes(spark):
+    """r11 review closures: (a) a null query vector yields NO rows in
+    either scorer path (previously the HOF path emitted k null-cosine
+    neighbors while Arrow dropped the query — a scorer-dependent row
+    set); (b) resolve_scorer('auto') skips leading null vectors instead
+    of resolving a wide corpus to the interpreted path; (c) a prebuilt
+    index whose centroid matrix exceeds the driver budget fails loudly
+    at query time, not just at build time."""
+    import pytest
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators import similarity as SIM
+
+    dim = SIM.ARROW_SCORER_MIN_DIM + 2
+    rows = [(i, [float((i * 13 + j) % 23 - 11) for j in range(dim)])
+            for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # (b) leading null must not flip auto to hof
+    probe = spark.createDataFrame(
+        [(99, None)] + rows[:2], "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    assert SIM.resolve_scorer("auto", probe, "embedding") == "arrow"
+
+    # (a) null-query parity: query set = one null + one real
+    queries = spark.createDataFrame(
+        [(99, None), (0, rows[0][1])], "vec_id long, embedding array<double>"
+    )
+    for sc in ("hof", "arrow"):
+        got = SIM.ivf_ann_topk(
+            queries, emb, k=3, n_lists=4, n_probe=4, scorer=sc
+        ).collect()
+        assert {r["query_id"] for r in got} == {0}, sc
+
+    # (c) prebuilt-index budget enforced on the query driver
+    idx = SIM.build_ivf_index(emb, n_lists=4)
+    saved = SIM.IVF_CENTROID_BUDGET_BYTES
+    try:
+        SIM.IVF_CENTROID_BUDGET_BYTES = 64  # force over-budget
+        with pytest.raises(ValueError, match="budget"):
+            SIM.ivf_ann_topk(
+                queries, emb, k=3, n_probe=4, index=idx, scorer="arrow"
+            )
+    finally:
+        SIM.IVF_CENTROID_BUDGET_BYTES = saved
+
+
+def test_lsh_prefix_auto_sizing_targets_rows_per_dir(spark, tmp_path):
+    """prefix_bits=None sizes directories from PER-TABLE rows (~20k/dir
+    target): a small corpus bucketized into 4 tables must not shatter
+    into hundreds of directories."""
+    import glob
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        bucketize_tables,
+        persist_lsh_index,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 11 - 5) for j in range(8)]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    b = bucketize_tables(
+        emb, id_col="vec_id", id_name="neighbor_id", vec_col="embedding",
+        keep_vec="cv", n_tables=4, n_planes=10,
+    )
+    persist_lsh_index(b, str(tmp_path / "idx"), n_planes=10, n_tables=4, seed=7)
+    # 1200 index rows / 4 tables = 300 per table → p clamps to 1 → ≤ 8 dirs
+    pfx_dirs = glob.glob(str(tmp_path / "idx" / "buckets" / "tbl=*" / "_bpfx*"))
+    assert 0 < len(pfx_dirs) <= 8, pfx_dirs
