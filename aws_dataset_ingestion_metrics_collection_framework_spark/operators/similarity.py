@@ -134,18 +134,29 @@ def _bucket_batch_udf(n_tables: int, n_planes: int, seed: int):
 
     @F.pandas_udf("array<string>")
     def buckets(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
+        n = len(v)
+        if n == 0:
             return pd.Series([], dtype=object)
-        M = np.vstack(v.to_numpy()).astype(np.float64)  # (N, dim)
-        S = (M @ _planes_for(M.shape[1]).T) >= 0.0  # (N, T*np) sign bits
-        out = []
-        for row in S:
-            out.append(
-                [
+        # null/ragged contract (same degrade as build_ivf_index and the
+        # pair scorer): a null vector gets a NULL bucket array — the
+        # downstream posexplode emits no rows, so the document simply
+        # doesn't participate in LSH — instead of np.vstack raising and
+        # failing the whole job on one malformed row. Mixed widths are
+        # each hashed with their own dim's plane matrix (deterministic
+        # per (seed, dim)), one matmul per width group.
+        out = [None] * n
+        dims = np.fromiter(
+            (len(x) if x is not None else -1 for x in v), dtype=np.int64, count=n
+        )
+        for d in np.unique(dims[dims >= 0]):
+            sel = np.flatnonzero(dims == d)
+            M = np.array([v.iloc[i] for i in sel], dtype=np.float64)  # (k, d)
+            S = (M @ _planes_for(int(d)).T) >= 0.0  # (k, T*np) sign bits
+            for idx, row in zip(sel, S):
+                out[idx] = [
                     "".join("1" if row[t * n_planes + i] else "0" for i in range(n_planes))
                     for t in range(n_tables)
                 ]
-            )
         return pd.Series(out)
 
     return buckets

@@ -1441,3 +1441,30 @@ def test_lsh_prefix_auto_sizing_targets_rows_per_dir(spark, tmp_path):
     # 1200 index rows / 4 tables = 300 per table → p clamps to 1 → ≤ 8 dirs
     pfx_dirs = glob.glob(str(tmp_path / "idx" / "buckets" / "tbl=*" / "_bpfx*"))
     assert 0 < len(pfx_dirs) <= 8, pfx_dirs
+
+
+def test_bucketize_tolerates_null_and_ragged_vectors(spark):
+    """A null embedding must degrade to a null bucket array (the doc just
+    doesn't participate in LSH — posexplode emits no rows) instead of
+    np.vstack raising inside the Arrow worker and failing the whole job;
+    ragged widths hash with their own dim's plane matrix."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        bucketize_tables,
+        lsh_ann_topk,
+    )
+
+    rows = [(i, [float(i * 3 + j) for j in range(8)]) for i in range(10)]
+    rows += [(99, None), (98, [1.0, 2.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = bucketize_tables(
+        emb, id_col="vec_id", id_name="doc", vec_col="embedding",
+        n_tables=2, n_planes=4,
+    ).collect()
+    docs = {r["doc"] for r in out}
+    assert 99 not in docs and 98 in docs
+    assert all(len(r["bucket"]) == 4 for r in out)
+    # and the ANN face stays queryable over the corpus containing the null
+    ann = lsh_ann_topk(
+        emb.filter(F.col("vec_id") < 2), emb, k=2, n_planes=4, n_tables=2
+    ).collect()
+    assert len(ann) > 0
