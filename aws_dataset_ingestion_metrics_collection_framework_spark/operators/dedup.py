@@ -1169,6 +1169,10 @@ def embedding_near_dup_pairs(
     pairs = (
         cands.join(va.hint("merge"), "id_a")
         .join(vb.hint("merge"), "id_b")
+        # cross-width pairs (mixed-dim corpora colliding across per-dim
+        # bucket spaces) have no defined cosine — drop them rather than
+        # let the HOF truncate or the Arrow kernel null them
+        .filter(F.size("va") == F.size("vb"))
         .select("id_a", "id_b", cosine_score_col(use, "va", "vb").alias("cosine"))
     )
     return pairs.filter(F.col("cosine") >= threshold)

@@ -621,12 +621,20 @@ def ivf_ann_topk(
     # broadcast_queries=False still must not let Catalyst's low corpus
     # estimate elect a corpus broadcast — pin sort-merge instead.
     probes_side = F.broadcast(probes) if broadcast_queries else probes.hint("merge")
+    # the width filter makes the scorer paths agree on mixed-width pairs:
+    # cosine between different-dimensional vectors is undefined — the HOF
+    # zip_with would silently TRUNCATE to the shorter vector (a garbage
+    # score), the Arrow kernel nulls it. Drop such pairs in both paths
+    # (one int comparison per candidate row).
     cand = probes_side.join(
         assignments.filter(F.col("list_id").isNotNull()).select(
             F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"
         ),
         "list_id",
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    ).filter(
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.size("qv") == F.size("cv"))
+    )
     scored = cand.select(
         "query_id", "neighbor_id", cosine_score_col(use).alias("cosine")
     ).dropDuplicates(["query_id", "neighbor_id"])
@@ -758,9 +766,16 @@ def lsh_ann_topk(
     # search belongs to embedding_near_dup_pairs, which keeps the
     # shuffle join.
     q_side = F.broadcast(q) if broadcast_queries else q.hint("merge")
+    # same cross-width drop as ivf_ann_topk: a mixed-width corpus can
+    # collide bucket strings across dims — cosine between different
+    # widths is undefined, so such pairs leave the candidate set here
+    # (HOF would truncate, Arrow would null; both are wrong answers)
     pairs = (
         q_side.join(c, join_keys)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.size("qv") == F.size("cv"))
+        )
         .select("query_id", "neighbor_id", "qv", "cv")
     )
     # score BEFORE the pair dedup: a (query, neighbor) pair repeats once

@@ -1468,3 +1468,30 @@ def test_bucketize_tolerates_null_and_ragged_vectors(spark):
         emb.filter(F.col("vec_id") < 2), emb, k=2, n_planes=4, n_tables=2
     ).collect()
     assert len(ann) > 0
+
+
+def test_cross_width_pairs_are_dropped_in_both_scorer_paths(spark):
+    """A mixed-width corpus (e.g. a migration mixing 2- and 8-dim rows):
+    cosine across widths is undefined — such pairs must be ABSENT from
+    the ANN result in both scorer paths (previously the HOF expression
+    silently truncated to the shorter vector and scored garbage)."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        lsh_ann_topk,
+    )
+
+    rows = [(i, [float(i * 3 + j) for j in range(8)]) for i in range(10)]
+    rows += [(50, [1.0, 2.0]), (51, [2.0, 4.0])]  # a 2-dim island
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id").isin(0, 50))
+    for sc in ("hof", "arrow"):
+        got = lsh_ann_topk(
+            queries, emb, k=5, n_planes=2, n_tables=8, scorer=sc
+        ).collect()
+        for r in got:
+            a = 50 <= r["query_id"] <= 51
+            b = 50 <= r["neighbor_id"] <= 51
+            assert a == b, (sc, r)  # never across the width boundary
+        # the 2-dim island still finds its same-width twin
+        assert any(
+            r["query_id"] == 50 and r["neighbor_id"] == 51 for r in got
+        ), sc
