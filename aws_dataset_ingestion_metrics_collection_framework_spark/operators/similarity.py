@@ -18,6 +18,7 @@ import re
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Row, SparkSession, Window, functions as F
+from pyspark.sql.types import StringType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -223,7 +224,12 @@ def resolve_scorer(scorer: str, queries: DataFrame, vec_col: str) -> str:
     NON-NULL vector — a leading null row must not silently resolve a
     768-dim corpus to the interpreted HOF path (size(null) is null).
     Mixed-width batches resolve from that first well-formed row; pass an
-    explicit scorer when widths genuinely vary. Public contract — the
+    explicit scorer when widths genuinely vary. (Deliberate: probing
+    max(size(vec)) instead would turn the short-circuiting first() into
+    a full-scan aggregate per query call, and both scorers are CORRECT
+    at every width — cross-width pairs are dropped by the callers — so
+    a mixed batch only makes the speed cutover arbitrary, never the
+    results wrong.) Public contract — the
     near-dup family in operators/dedup.py resolves through this too."""
     if scorer == "auto":
         row = (
@@ -727,6 +733,26 @@ def lsh_ann_topk(
     )
     join_keys = ["tbl", "bucket"]
     if index is not None:
+        # cheap desync guard: when the index kept its bit-string bucket
+        # (the persist_lsh_index layout stores bucket as a data column
+        # verbatim), its length IS the plane count it was built with — a
+        # caller-supplied n_planes that disagrees would hash queries into
+        # buckets that never match, silently yielding empty/partial
+        # results. One short-circuiting first() job. (A numeric bucket —
+        # the old tbl/bucket-partitioned round trip — lost its leading
+        # zeros, so length is meaningless there; the lpad below is that
+        # path's reconstruction and load_lsh_index's params round-trip
+        # its only guard.)
+        if isinstance(index.schema["bucket"].dataType, StringType):
+            row = index.select(F.length("bucket")).first()
+            if row is not None and row[0] is not None and row[0] != n_planes:
+                raise ValueError(
+                    f"lsh_ann_topk: index bucket strings are {row[0]} bits "
+                    f"but n_planes={n_planes} was passed — the query side "
+                    "would hash into buckets that never match. Pass the "
+                    "plane count the index was built with (load_lsh_index "
+                    "returns it in params)."
+                )
         # normalize the bucket dtype: reading a tbl/bucket-partitioned
         # parquet index back infers the bit-string bucket as INT (leading
         # zeros dropped — "01" comes back as 1, and at 24 planes the
@@ -795,6 +821,28 @@ def lsh_ann_topk(
     )
 
 
+def _infer_id_vec_roles(df: DataFrame, data_cols: list[str], helper: str) -> tuple[str, str]:
+    """(id_col, vec_col) roles for a persist manifest, identified by DTYPE
+    — the vector column is the unique ArrayType column — never by column
+    ORDER: an assignments/index frame built as (vec, id) would otherwise
+    write a silently swapped manifest, and the load helper would rename
+    the wrong columns into the query path (garbage joins, no error)."""
+    from pyspark.sql.types import ArrayType
+
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    arrays = [c for c in data_cols if isinstance(by_name[c], ArrayType)]
+    if len(arrays) != 1:
+        raise ValueError(
+            f"{helper}: cannot infer (id, vector) roles — expected exactly "
+            f"one array-typed column among {data_cols}, found "
+            f"{arrays or 'none'} (dtypes: "
+            f"{ {c: by_name[c].simpleString() for c in data_cols} })"
+        )
+    vec = arrays[0]
+    ident = next(c for c in data_cols if c != vec)
+    return ident, vec
+
+
 def persist_ivf_index(
     index: tuple[DataFrame, DataFrame],
     path: str,
@@ -836,6 +884,7 @@ def persist_ivf_index(
             "persist_ivf_index: assignments must carry exactly "
             f"(corpus_id, vec_col, list_id); got {assignments.columns}"
         )
+    id_col, v_col = _infer_id_vec_roles(assignments, data_cols, "persist_ivf_index")
     (
         assignments.repartition(n_lists, "list_id")
         .write.partitionBy("list_id")
@@ -844,7 +893,7 @@ def persist_ivf_index(
     )
     meta = Row(
         format="ivf", version=1, n_lists=n_lists,
-        corpus_id=data_cols[0], vec_col=data_cols[1],
+        corpus_id=id_col, vec_col=v_col,
     )
     spark.createDataFrame([meta]).coalesce(1).write.mode(mode).json(f"{path}/meta")
 
@@ -938,6 +987,7 @@ def persist_lsh_index(
             "persist_lsh_index: index must carry exactly "
             f"(id, vec, tbl, bucket); got {index.columns}"
         )
+    id_col, v_col = _infer_id_vec_roles(index, data_cols, "persist_lsh_index")
     normalized = index.withColumn(
         "bucket", F.lpad(F.col("bucket").cast("string"), n_planes, "0")
     ).withColumn(bp, F.concat(F.lit("b"), F.substring("bucket", 1, p)))
@@ -951,7 +1001,7 @@ def persist_lsh_index(
     )
     meta = Row(
         format="lsh", version=1, n_planes=n_planes, n_tables=n_tables,
-        seed=seed, prefix_bits=p, id_col=data_cols[0], vec_col=data_cols[1],
+        seed=seed, prefix_bits=p, id_col=id_col, vec_col=v_col,
     )
     spark.createDataFrame([meta]).coalesce(1).write.mode(mode).json(f"{path}/meta")
 
@@ -977,6 +1027,333 @@ def load_lsh_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
         "seed": int(meta["seed"]),
     }
     return index, params
+
+
+# Per-shard row cap for auto shard sizing: with the per-index list clamp at
+# 4096 (see build_ivf_index), a shard of 4096² ≈ 16.8M rows is the largest
+# corpus whose 'auto' √n list count still reaches the clamp exactly —
+# beyond it a single flat index's probed rows grow LINEARLY (n_probe ·
+# n/4096; SCALE.md r11 measured 39k rows/query at 20M vs 11.3k at 2M).
+# Sharding at this cap keeps per-list occupancy ≤ 4096 vectors, so the
+# global-probe-budget query path (sharded_ivf_ann_topk) reads at most
+# n_probe × 4096 rows per query REGARDLESS of corpus size.
+IVF_SHARD_MAX_ROWS = 4096 * 4096
+
+
+def auto_shards(n_rows: int) -> int:
+    """Shard count for :func:`build_sharded_ivf_index` ``n_shards='auto'``:
+    the smallest shard count keeping every shard at or under
+    ``IVF_SHARD_MAX_ROWS`` (= 4096², the corpus size where the per-index
+    'auto' list sizing meets the 4096-list clamp). ≤ 16.8M rows → 1 shard
+    (sharding adds nothing below the clamp); 20M → 2; 200M → 12; 1G → 60."""
+    return max(1, -(-n_rows // IVF_SHARD_MAX_ROWS))
+
+
+def build_sharded_ivf_index(
+    corpus: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_shards: int | str = "auto",
+    n_lists: int | str = "auto",
+    kmeans_iters: int = 1,
+    centroid_budget_bytes: int = IVF_CENTROID_BUDGET_BYTES,
+) -> list[tuple[DataFrame, DataFrame]]:
+    """IVF index SHARDED past the 4096-list clamp: hash-split the corpus
+    into ``n_shards`` disjoint shards (``pmod(xxhash64(id), n_shards)`` —
+    deterministic, uniform, no data movement beyond the per-shard build
+    scans), build an independent in-budget :func:`build_ivf_index` per
+    shard, and return the list of ``(centroids, assignments)`` pairs that
+    :func:`sharded_ivf_ann_topk` queries with a GLOBAL probe budget.
+
+    WHY: a single flat IVF caps n_lists at 4096 (the driver-side centroid
+    matrix budget — see ``IVF_CENTROID_BUDGET_BYTES``), so past ~16.8M
+    vectors the probed rows per query grow LINEARLY with the corpus
+    (n_probe · n/4096). Sharding multiplies the TOTAL list count
+    (n_shards × per-shard lists) while every driver materialization —
+    per-shard Lloyd collect at build, per-shard probe matmul closure at
+    query — stays within the SAME per-index budget. With 'auto' sizing
+    the per-list occupancy is capped at ~4096 vectors, so the global-
+    budget query path reads at most n_probe × 4096 rows per query at ANY
+    corpus size: the bounded-read-volume property the flat clamp loses.
+    This is exactly the two-level upgrade path :func:`build_ivf_index`'s
+    budget-guard docstring names.
+
+    ``n_shards='auto'`` sizes from one corpus count (:func:`auto_shards`);
+    1 shard is the degenerate case and builds/queries IDENTICALLY to the
+    flat path (pinned by test). ``n_lists``/``kmeans_iters``/
+    ``centroid_budget_bytes`` pass through to every per-shard build
+    ('auto' there re-counts the SHARD — n_shards extra count jobs, an
+    offline build cost).
+
+    Null/ragged vectors: xxhash64(null id) still routes to a shard; the
+    per-shard build degrades them to null list_id exactly as the flat
+    build does (never probed, never silently dropped from persistence).
+    """
+    if n_shards == "auto":
+        n_shards = auto_shards(corpus.count())
+    elif not isinstance(n_shards, int) or n_shards < 1:
+        raise ValueError(f"n_shards must be a positive int or 'auto', got {n_shards!r}")
+    shards: list[tuple[DataFrame, DataFrame]] = []
+    for s in range(n_shards):
+        part = corpus.filter(
+            F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(n_shards)) == s
+        )
+        shards.append(
+            build_ivf_index(
+                part,
+                corpus_id=corpus_id,
+                vec_col=vec_col,
+                n_lists=n_lists,
+                kmeans_iters=kmeans_iters,
+                centroid_budget_bytes=centroid_budget_bytes,
+            )
+        )
+    return shards
+
+
+def _shard_probes(
+    q_slim: DataFrame,
+    centroids: DataFrame,
+    *,
+    n_probe: int,
+    use: str,
+    budget_check: bool,
+) -> DataFrame:
+    """Per-shard centroid probing for the sharded query path: the top
+    ``n_probe`` lists per query WITH their centroid cosine riding along
+    (the global merge ranks on it) — (query_id, qv, list_id, ccos) rows.
+
+    Scorer parity with :func:`ivf_ann_topk`'s probe stage is deliberate
+    and pinned by the 1-shard == flat test: the HOF branch evaluates the
+    identical ``cosine_similarity`` expression; the Arrow branch runs the
+    identical normalized matmul with the identical (cos desc, list_id
+    desc) tie order, so at n_shards=1 the selected lists — and therefore
+    the result rows — are bit-for-bit the flat path's."""
+    if use == "arrow":
+        if budget_check:
+            first = centroids.select(F.size("centroid")).first()
+            c_dim = first[0] if first is not None else 0
+            n_c = centroids.count()
+            est = n_c * (c_dim or 0) * 8
+            if est > IVF_CENTROID_BUDGET_BYTES:
+                raise ValueError(
+                    f"sharded_ivf_ann_topk: shard centroids would be "
+                    f"n_lists({n_c}) × dim({c_dim}) × 8 B = "
+                    f"{est / (1 << 20):.0f} MiB on the query driver, over "
+                    f"the {IVF_CENTROID_BUDGET_BYTES / (1 << 20):.0f} MiB "
+                    "per-shard budget — rebuild with more shards, or "
+                    "score with scorer='hof'."
+                )
+        rows = centroids.orderBy("list_id").collect()
+        lids = np.array([r["list_id"] for r in rows], dtype="int64")
+        mat = np.array([r["centroid"] for r in rows], dtype="float64")
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        cn = mat / norms[:, None]
+        cdim = mat.shape[1]
+
+        @F.pandas_udf("array<struct<ccos: double, list_id: int>>")
+        def top_lists(vs: pd.Series) -> pd.Series:
+            n = len(vs)
+            if n == 0:
+                return pd.Series([], dtype=object)
+            out = [None] * n
+            mask = np.fromiter(
+                (v is not None and len(v) == cdim for v in vs),
+                dtype=bool, count=n,
+            )
+            if mask.any():
+                V = np.array([v for v, m in zip(vs, mask) if m], dtype="float64")
+                vn = np.linalg.norm(V, axis=1)
+                vn[vn == 0] = 1.0
+                sims = (V / vn[:, None]) @ cn.T
+                kk = min(n_probe, sims.shape[1])
+                j = 0
+                for i in range(n):
+                    if not mask[i]:
+                        continue
+                    order = np.lexsort((-lids, -sims[j]))[:kk]
+                    out[i] = [
+                        (float(sims[j][o]), int(lids[o])) for o in order
+                    ]
+                    j += 1
+            return pd.Series(out)
+
+        return (
+            q_slim.withColumn("_p", F.explode(top_lists(F.col("qv"))))
+            .select("query_id", "qv", F.col("_p.list_id").alias("list_id"),
+                    F.col("_p.ccos").alias("ccos"))
+        )
+    cent_arr_df = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("list_id", "centroid"))).alias("_cents")
+    )
+    scored_cents = F.transform(
+        F.col("_cents"),
+        lambda s: F.struct(
+            cosine_similarity(F.col("qv"), s["centroid"]).alias("ccos"),
+            s["list_id"].alias("list_id"),
+        ),
+    )
+    return (
+        q_slim
+        .crossJoin(F.broadcast(cent_arr_df))
+        .withColumn(
+            "_p",
+            F.explode(F.slice(F.sort_array(scored_cents, asc=False), 1, n_probe)),
+        )
+        .select("query_id", "qv", F.col("_p.list_id").alias("list_id"),
+                F.col("_p.ccos").alias("ccos"))
+    )
+
+
+def sharded_ivf_ann_topk(
+    queries: DataFrame,
+    index: list[tuple[DataFrame, DataFrame]],
+    *,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 8,
+    broadcast_queries: bool = True,
+    scorer: str = "auto",
+) -> DataFrame:
+    """Approximate top-k over a :func:`build_sharded_ivf_index` /
+    :func:`load_sharded_ivf_index` shard list with a GLOBAL probe budget:
+    every shard's centroids score the query, the best ``n_probe`` lists
+    ACROSS ALL SHARDS are probed (not n_probe per shard — a per-shard
+    budget would make read volume grow linearly with the shard count),
+    candidates are scored exactly within the probed lists, and the final
+    top-k merges across shards.
+
+    READ-VOLUME BOUND: probed rows per query = n_probe × avg list
+    occupancy. With 'auto' build sizing occupancy is capped at ~4096
+    vectors/list however large the corpus (the shard cap IS the clamp
+    boundary), so per-query reads are bounded at ~n_probe × 4096 rows at
+    ANY corpus size — vs the flat clamped index whose probed rows grow as
+    n_probe · n/4096 (SCALE.md r11: 39k rows/query at 20M and climbing
+    linearly). The global selection is a union of per-shard top-n_probe
+    candidate lists (each shard's top-n_probe is a superset of its
+    contribution to the global top-n_probe — no candidate is lost) ranked
+    by centroid cosine in one window.
+
+    DRIVER BOUND: with ``scorer='arrow'`` each shard's probe matmul ships
+    that shard's centroid matrix in its own UDF closure — each checked
+    against the per-index 256 MiB budget; the driver transiently holds
+    n_shards × (per-shard matrix) while the plan is built (at 'auto'
+    sizing ≤ 25 MiB/shard at 768-dim — 60 shards ≈ 1.5 GiB; for extreme
+    shard counts force ``scorer='hof'``, whose centroids ride broadcast
+    one-row arrays, never the driver). Same small-query broadcast
+    contract as :func:`ivf_ann_topk` (``broadcast_queries=False`` pins
+    sort-merge candidate joins for corpus-scale probe sets).
+
+    n_shards=1 degenerates EXACTLY to ``ivf_ann_topk(index=...)`` —
+    same probes, same scores, same rows (pinned by test); n_probe ≥ total
+    lists degenerates to exact brute force.
+    """
+    if not index:
+        raise ValueError("sharded_ivf_ann_topk: empty shard list")
+    q_slim = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).filter(F.col("qv").isNotNull())
+    use = resolve_scorer(scorer, q_slim, "qv")
+    probe_parts = []
+    for s, (centroids, _assignments) in enumerate(index):
+        probe_parts.append(
+            _shard_probes(
+                q_slim, centroids, n_probe=n_probe, use=use, budget_check=True
+            ).withColumn("shard", F.lit(s))
+        )
+    all_probes = probe_parts[0]
+    for p in probe_parts[1:]:
+        all_probes = all_probes.unionByName(p)
+    # global probe budget: keep the best n_probe (query, list) pairs across
+    # shards by centroid cosine. Tie order (ccos desc, shard asc, list_id
+    # desc) is deterministic; at 1 shard it reduces to the flat path's
+    # (cos desc, list_id desc) struct-max parity order.
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("shard"), F.desc("list_id")
+    )
+    probes = (
+        all_probes.withColumn("_pr", F.row_number().over(pw))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "shard", "list_id")
+    )
+    cand_parts = []
+    for s, (_centroids, assignments) in enumerate(index):
+        p_s = probes.filter(F.col("shard") == s).drop("shard")
+        p_side = F.broadcast(p_s) if broadcast_queries else p_s.hint("merge")
+        cand_parts.append(
+            p_side.join(
+                assignments.filter(F.col("list_id").isNotNull()).select(
+                    F.col(corpus_id).alias("neighbor_id"),
+                    F.col(vec_col).alias("cv"),
+                    "list_id",
+                ),
+                "list_id",
+            )
+            .filter(
+                (F.col("query_id") != F.col("neighbor_id"))
+                & (F.size("qv") == F.size("cv"))
+            )
+            .select("query_id", "neighbor_id", "qv", "cv")
+        )
+    cand = cand_parts[0]
+    for c in cand_parts[1:]:
+        cand = cand.unionByName(c)
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine_score_col(use).alias("cosine")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def persist_sharded_ivf_index(
+    index: list[tuple[DataFrame, DataFrame]],
+    path: str,
+    *,
+    mode: str = "error",
+) -> None:
+    """Write a :func:`build_sharded_ivf_index` shard list to ``path``:
+    one standard :func:`persist_ivf_index` tree per shard under
+    ``{path}/shard=<s>/`` (each with the repartition-by-list_id one-file-
+    per-directory layout and its own manifest) plus a top-level
+    ``{path}/meta`` manifest recording the shard count — so a loader
+    can't silently read a partial shard set as a complete index."""
+    if not index:
+        raise ValueError("persist_sharded_ivf_index: empty shard list")
+    spark = index[0][0].sparkSession
+    for s, pair in enumerate(index):
+        persist_ivf_index(pair, f"{path}/shard={s:05d}", mode=mode)
+    meta = Row(format="sharded_ivf", version=1, n_shards=len(index))
+    spark.createDataFrame([meta]).coalesce(1).write.mode(mode).json(f"{path}/meta")
+
+
+def load_sharded_ivf_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    corpus_id: str | None = None,
+    vec_col: str | None = None,
+) -> list[tuple[DataFrame, DataFrame]]:
+    """Read a :func:`persist_sharded_ivf_index` tree back as the shard
+    list :func:`sharded_ivf_ann_topk` takes. Every shard named by the
+    top-level manifest must load (a missing shard raises via the
+    per-shard manifest read — never a silently smaller index)."""
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "sharded_ivf":
+        raise ValueError(
+            f"load_sharded_ivf_index: {path}/meta is not a sharded IVF manifest"
+        )
+    return [
+        load_ivf_index(spark, f"{path}/shard={s:05d}", corpus_id=corpus_id, vec_col=vec_col)
+        for s in range(int(meta["n_shards"]))
+    ]
 
 
 def quantize_int8(

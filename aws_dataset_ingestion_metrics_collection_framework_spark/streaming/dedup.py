@@ -207,6 +207,28 @@ def _committed_runs(
         # every micro-batch forever.
         for r in legacy:
             if r is not elected:
+                # destructive action on the read path: never delete a
+                # committed tree the elected one doesn't cover. Legacy
+                # trees are cumulative [0, N) so coverage always holds
+                # for genuine crash residue — a violation means an
+                # operator placed two INDEPENDENT committed imports side
+                # by side, which deletion would silently destroy.
+                if not (elected["lo"] <= r["lo"] and r["hi"] <= elected["hi"]):
+                    warnings.warn(
+                        f"corpus dedup index: committed legacy tree "
+                        f"{r['name']} is NOT covered by the elected "
+                        f"{elected['name']} ([{r['lo']},{r['hi']}) vs "
+                        f"[{elected['lo']},{elected['hi']})) — keeping it "
+                        "on disk (unread). Merge or remove it manually.",
+                        stacklevel=2,
+                    )
+                    continue
+                warnings.warn(
+                    f"corpus dedup index: deleting superseded committed "
+                    f"legacy tree {r['name']} (crash residue covered by "
+                    f"{elected['name']})",
+                    stacklevel=2,
+                )
                 fsio.delete(r["path"], spark=spark)
     victims = {v for r in runs for v in r["folds"]}
     live = [r for r in runs if r["name"] not in victims]
@@ -392,6 +414,127 @@ def _pick_merge_group(runs: list[dict]) -> list[dict] | None:
     if not cand:
         return None
     return min(cand, key=lambda g: sum(r["rows"] for r in g))
+
+
+def import_corpus_index(
+    spark,
+    corpus_path: str,
+    *,
+    n_buckets: int | None = None,
+) -> str:
+    """One-time onboarding of a HAND-IMPORTED corpus index: validate the
+    layout of the marker-less legacy ``upto=<N>`` tree under
+    ``{corpus_path}/index_compact`` and stamp its commit marker, so a
+    ``first_batch_id`` bootstrap reads it as history instead of hitting
+    the unmarked-tree raise in ``_committed_runs`` (the raise is correct —
+    an unmarked tree could be torn crash residue — but a validated import
+    deserves a one-call path to the marker instead of hand-written
+    ``_nb``/``_SUCCESS`` files).
+
+    Validates BEFORE stamping — a marker on a malformed tree would be
+    trusted forever after:
+
+    - exactly ONE marker-less ``upto=<N>`` tree exists (zero → nothing to
+      import; several → ambiguous, refuse); a tree already carrying a
+      marker is returned as-is (idempotent re-run);
+    - the tree's rows carry the slim index schema the probe join reads:
+      ``_h`` (xxhash64, long) and ``batch`` (int) with every batch in
+      ``[0, N)`` — a missing/overflowing batch column would send text
+      verification to ``data/batch=null`` or to batches the stream will
+      itself write;
+    - bucketed layout (``bucket=<k>/`` dirs): every row satisfies
+      ``pmod(_h, nb) == bucket`` — write-side/read-side bucket-function
+      agreement (:func:`_bucket_expr`); a mis-bucketed import silently
+      LOSES dup matches, the worst failure mode this helper exists to
+      prevent. ``nb`` defaults to ``max(bucket)+1`` — pass ``n_buckets``
+      when trailing buckets are empty. One full scan of the slim index
+      tree (8-byte keys): the right price for a one-time import.
+
+    Stamps ``_nb`` (bucket count) on a bucketed tree, an empty
+    ``_SUCCESS`` on a flat one; returns the tree path.
+    """
+    compact_root = f"{corpus_path}/index_compact"
+    unmarked: list[tuple[int, str]] = []
+    for name in fsio.list_names(compact_root, spark):
+        if not name.startswith("upto="):
+            continue
+        path = f"{compact_root}/{name}"
+        if fsio.exists(f"{path}/_nb", spark) or fsio.exists(f"{path}/_SUCCESS", spark):
+            unmarked.append((-1, path))  # already committed: candidate no-op
+            continue
+        unmarked.append((int(name.split("=", 1)[1]), path))
+    committed = [p for hi, p in unmarked if hi == -1]
+    pending = [(hi, p) for hi, p in unmarked if hi >= 0]
+    if not pending:
+        if committed:
+            return committed[0]
+        raise ValueError(
+            f"import_corpus_index: no legacy upto= tree under {compact_root}"
+        )
+    if len(pending) > 1:
+        raise ValueError(
+            "import_corpus_index: several marker-less upto= trees "
+            f"({sorted(p for _, p in pending)}) — refusing to guess which "
+            "is the import; remove or merge the extras first."
+        )
+    hi, tree = pending[0]
+    df = spark.read.parquet(tree)
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    if not isinstance(by_name.get("_h"), T.LongType):
+        raise ValueError(
+            f"import_corpus_index: {tree} lacks the long '_h' hash column "
+            f"(found {sorted(by_name)}); the probe join reads (id, _h, batch)."
+        )
+    if "batch" not in by_name:
+        raise ValueError(
+            f"import_corpus_index: {tree} lacks the int 'batch' column — "
+            "text verification prunes data/batch=<b> dirs by it; an import "
+            "without it would verify against nothing."
+        )
+    bucket_dirs = sorted(
+        int(n.split("=", 1)[1])
+        for n in fsio.list_names(tree, spark)
+        if n.startswith("bucket=")
+    )
+    checks = [
+        F.sum(
+            (F.col("batch").isNull() | (F.col("batch") < 0) | (F.col("batch") >= hi))
+            .cast("long")
+        ).alias("bad_batch"),
+    ]
+    nb = None
+    if bucket_dirs:
+        nb = n_buckets if n_buckets is not None else max(bucket_dirs) + 1
+        if max(bucket_dirs) >= nb:
+            raise ValueError(
+                f"import_corpus_index: bucket dir {max(bucket_dirs)} ≥ "
+                f"n_buckets={nb}"
+            )
+        checks.append(
+            F.sum(
+                (F.pmod(F.col("_h"), F.lit(nb)).cast("int") != F.col("bucket"))
+                .cast("long")
+            ).alias("bad_bucket")
+        )
+    stats = df.agg(*checks).first()
+    if stats["bad_batch"]:
+        raise ValueError(
+            f"import_corpus_index: {stats['bad_batch']} rows of {tree} have "
+            f"batch outside [0, {hi}) — the upto={hi} claim is wrong; fix "
+            "the tree (or its name) before stamping."
+        )
+    if nb is not None and stats["bad_bucket"]:
+        raise ValueError(
+            f"import_corpus_index: {stats['bad_bucket']} rows violate "
+            f"pmod(_h, {nb}) == bucket — the import was bucketed with a "
+            "different function or count (pass n_buckets= if trailing "
+            "buckets are empty); stamping would silently lose dup matches."
+        )
+    if nb is not None:
+        fsio.write_text_atomic(f"{tree}/_nb", str(nb), spark=spark)
+    else:
+        fsio.write_text_atomic(f"{tree}/_SUCCESS", "", spark=spark)
+    return tree
 
 
 def start_corpus_dedup_ingest(

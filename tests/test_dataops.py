@@ -1495,3 +1495,247 @@ def test_cross_width_pairs_are_dropped_in_both_scorer_paths(spark):
         assert any(
             r["query_id"] == 50 and r["neighbor_id"] == 51 for r in got
         ), sc
+
+
+# --------------------------------------------------------------------------
+# Sharded IVF — the path past the 4096-list clamp (r12)
+# --------------------------------------------------------------------------
+
+def test_auto_shards_sizing():
+    """auto_shards: smallest shard count keeping shards ≤ 4096² rows —
+    the corpus size where per-index 'auto' list sizing meets the clamp."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        IVF_SHARD_MAX_ROWS,
+        auto_shards,
+    )
+
+    assert IVF_SHARD_MAX_ROWS == 4096 * 4096
+    assert auto_shards(1) == 1
+    assert auto_shards(IVF_SHARD_MAX_ROWS) == 1
+    assert auto_shards(IVF_SHARD_MAX_ROWS + 1) == 2
+    assert auto_shards(20_000_000) == 2
+    assert auto_shards(200_000_000) == 12
+    assert auto_shards(10**9) == 60
+
+
+def test_sharded_ivf_one_shard_matches_flat(spark, sf_dir):
+    """n_shards=1 is the degenerate case and must return EXACTLY what the
+    flat ivf_ann_topk(index=...) path returns — same probes, same scores,
+    same rows — in BOTH scorer paths (the sharded probe stage re-derives
+    each path's selection; this pins the parity the docstring claims)."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        build_ivf_index,
+        build_sharded_ivf_index,
+        ivf_ann_topk,
+        sharded_ivf_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    flat_idx = build_ivf_index(emb, n_lists=8)
+    sharded_idx = build_sharded_ivf_index(emb, n_shards=1, n_lists=8)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    for sc in ("hof", "arrow"):
+        flat = ivf_ann_topk(
+            queries, emb, k=4, n_probe=5, index=flat_idx, scorer=sc
+        ).collect()
+        sh = sharded_ivf_ann_topk(
+            queries, sharded_idx, k=4, n_probe=5, scorer=sc
+        ).collect()
+        assert sorted(sh, key=key) == sorted(flat, key=key), sc
+
+
+def test_sharded_ivf_exact_degeneration_and_recall(spark, sf_dir):
+    """n_probe ≥ total lists across shards degenerates to exact brute
+    force (the global probe budget covers every list), and a partial
+    global budget still clears a recall floor — the semantics that make
+    the sharded index a drop-in for the flat one."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        build_sharded_ivf_index,
+        sharded_ivf_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(queries, emb, k=1).collect()
+    exact_nn = {r["query_id"]: r["neighbor_id"] for r in exact}
+
+    idx = build_sharded_ivf_index(emb, n_shards=3, n_lists=4)
+    full = sharded_ivf_ann_topk(queries, idx, k=1, n_probe=12).collect()
+    full_nn = {r["query_id"]: r["neighbor_id"] for r in full}
+    assert full_nn == exact_nn
+
+    approx = sharded_ivf_ann_topk(queries, idx, k=1, n_probe=5).collect()
+    approx_nn = {r["query_id"]: r["neighbor_id"] for r in approx}
+    hits = sum(1 for q, n in exact_nn.items() if approx_nn.get(q) == n)
+    assert hits / len(exact_nn) >= 0.5  # 5 of 12 lists globally
+
+
+def test_sharded_ivf_disjoint_cover(spark, sf_dir):
+    """The hash split is a PARTITION of the corpus: every corpus id lands
+    in exactly one shard's assignments (disjoint, complete) — the property
+    the global merge's correctness rests on."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        build_sharded_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = build_sharded_ivf_index(emb, n_shards=3, n_lists=4)
+    union = None
+    for _, asg in idx:
+        part = asg.select("vec_id")
+        union = part if union is None else union.unionByName(part)
+    total = union.count()
+    distinct = union.distinct().count()
+    assert total == distinct == emb.count()
+
+
+def test_persist_load_sharded_ivf_roundtrip(spark, sf_dir, tmp_path):
+    """persist/load of the sharded index: query results identical to the
+    in-memory shard list, one data file per list directory in EVERY shard
+    (the per-shard persist contract holds through the wrapper), and a
+    wrong-format / missing-shard tree raises instead of loading partial."""
+    import glob
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        build_sharded_ivf_index,
+        load_sharded_ivf_index,
+        persist_sharded_ivf_index,
+        sharded_ivf_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = build_sharded_ivf_index(emb, n_shards=2, n_lists=6)
+    mem = sharded_ivf_ann_topk(queries, idx, k=3, n_probe=8).collect()
+
+    root = str(tmp_path / "sivf")
+    persist_sharded_ivf_index(idx, root)
+    loaded = load_sharded_ivf_index(spark, root)
+    assert len(loaded) == 2
+    got = sharded_ivf_ann_topk(queries, loaded, k=3, n_probe=8).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(got, key=key) == sorted(mem, key=key)
+
+    for d in glob.glob(f"{root}/shard=*/assignments/list_id=*"):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{d}: {files}"
+
+    # a flat IVF tree is NOT a sharded manifest
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|manifest"):
+        load_sharded_ivf_index(spark, f"{root}/shard=00000")
+    # a missing shard raises rather than silently loading a smaller index
+    import shutil
+
+    shutil.rmtree(f"{root}/shard=00001")
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|manifest"):
+        [c.count() for c, _ in load_sharded_ivf_index(spark, root)]
+
+
+def test_persist_index_roles_inferred_by_dtype(spark, sf_dir, tmp_path):
+    """ADVICE r11: persist manifests must identify the vector column by
+    DTYPE, not column order — an assignments/index frame built (vec, id)
+    writes the correct manifest, and an ambiguous frame raises."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        build_ivf_index,
+        bucketize_tables,
+        ivf_ann_topk,
+        load_ivf_index,
+        load_lsh_index,
+        lsh_ann_topk,
+        persist_ivf_index,
+        persist_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+
+    # IVF: swap assignment column order; manifest must still be right
+    cents, asg = build_ivf_index(emb, n_lists=8)
+    swapped = asg.select("embedding", "vec_id", "list_id")
+    persist_ivf_index((cents, swapped), str(tmp_path / "ivf_sw"))
+    loaded = load_ivf_index(spark, str(tmp_path / "ivf_sw"))
+    inline = ivf_ann_topk(queries, emb, k=3, n_probe=8, index=(cents, asg)).collect()
+    got = ivf_ann_topk(queries, emb, k=3, n_probe=8, index=loaded).collect()
+    assert sorted(got, key=key) == sorted(inline, key=key)
+
+    # ambiguous roles (two array columns) raise
+    ambiguous = asg.select(
+        F.col("embedding"), F.col("embedding").alias("vec_id"), "list_id"
+    )
+    with pytest.raises(ValueError, match="roles"):
+        persist_ivf_index((cents, ambiguous), str(tmp_path / "ivf_bad"))
+
+    # LSH: swapped column order round-trips too
+    bucketed = bucketize_tables(
+        emb, id_col="vec_id", id_name="neighbor_id", vec_col="embedding",
+        keep_vec="cv", n_tables=4, n_planes=3,
+    ).select("cv", "neighbor_id", "tbl", "bucket")
+    persist_lsh_index(bucketed, str(tmp_path / "lsh_sw"), n_planes=3, n_tables=4, seed=7)
+    idx, params = load_lsh_index(spark, str(tmp_path / "lsh_sw"))
+    inline_l = lsh_ann_topk(queries, emb, k=3, n_planes=3, n_tables=4).collect()
+    got_l = lsh_ann_topk(queries, emb, k=3, index=idx, **params).collect()
+    assert sorted(got_l, key=key) == sorted(inline_l, key=key)
+
+
+def test_lsh_index_n_planes_mismatch_raises(spark, sf_dir, tmp_path):
+    """ADVICE r11: querying a persisted LSH index with a wrong n_planes
+    silently returns empty/partial results (queries hash into buckets
+    that never match) — the query path must catch the desync."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        bucketize_tables,
+        load_lsh_index,
+        lsh_ann_topk,
+        persist_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bucketed = bucketize_tables(
+        emb, id_col="vec_id", id_name="neighbor_id", vec_col="embedding",
+        keep_vec="cv", n_tables=4, n_planes=4,
+    )
+    persist_lsh_index(bucketed, str(tmp_path / "lsh4"), n_planes=4, n_tables=4, seed=7)
+    idx, params = load_lsh_index(spark, str(tmp_path / "lsh4"))
+    assert params["n_planes"] == 4
+    with pytest.raises(ValueError, match="n_planes"):
+        lsh_ann_topk(queries, emb, k=3, index=idx, n_planes=6, n_tables=4).collect()
+
+
+def test_lsh_index_query_plan_has_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """VERDICT r12 ask #3: pin the plan shape the persisted-LSH-index
+    query path's scale story rests on — the corpus FileScan must carry a
+    DYNAMIC partition-pruning filter (from the broadcast query side) on
+    the (tbl, _bpfx<p>) partition columns, so a query batch opens only
+    the directories its bucket prefixes hash into. A join reorder or a
+    column rename that silently drops the prefix join key turns every
+    query into a full-index scan; this test catches it at the plan level
+    (the ORC PushedFilters pin in test_formats is the precedent)."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        bucketize_tables,
+        load_lsh_index,
+        lsh_ann_topk,
+        persist_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bucketed = bucketize_tables(
+        emb, id_col="vec_id", id_name="neighbor_id", vec_col="embedding",
+        keep_vec="cv", n_tables=4, n_planes=6,
+    )
+    root = str(tmp_path / "lsh_dpp")
+    persist_lsh_index(bucketed, root, n_planes=6, n_tables=4, seed=7)
+    idx, params = load_lsh_index(spark, root)
+    bpfx = next(c for c in idx.columns if c.startswith("_bpfx"))
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_ann_topk(queries, emb, k=3, index=idx, **params)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the partition-pruning subscription: a dynamicpruning expression on
+    # the index scan, and the prefix partition column as a join/filter key
+    assert "dynamicpruning" in plan, plan[:4000]
+    assert bpfx in plan, plan[:4000]
+    # and the plan must actually run and return well-formed rows
+    rows = out.collect()
+    assert rows and all(r["rank"] >= 1 for r in rows)

@@ -1095,3 +1095,99 @@ def test_kill9_mid_fold_and_mid_slice_recovers(spark, tmp_path):
     assert log[201] == ("exact_dup", 101)
     assert log[202] == ("fresh", None)
     assert log[203] == ("batch_dup", 202)
+
+
+def test_import_corpus_index_stamps_after_validation(spark, tmp_path):
+    """VERDICT r12 ask #4: the one-call onboarding path for a hand-
+    imported marker-less legacy tree. The helper must validate layout
+    (bucket-function agreement, batch range) BEFORE stamping the marker,
+    be idempotent, refuse malformed trees, and leave the stream able to
+    bootstrap via first_batch_id without the unmarked-tree raise."""
+    import os
+
+    import pytest
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.streaming.dedup import (
+        import_corpus_index,
+    )
+
+    src = tmp_path / "in"; src.mkdir()
+    corpus = tmp_path / "corpus"; ckpt = tmp_path / "ckpt"
+    tree = _import_legacy_tree(
+        spark, str(corpus), 2,
+        [(1, "alpha beta gamma", 0), (2, "delta epsilon zeta", 1)],
+        write_nb=False,
+    )
+    assert not os.path.exists(f"{tree}/_nb")
+
+    got = import_corpus_index(spark, str(corpus))
+    assert got == tree
+    with open(f"{tree}/_nb") as fh:
+        assert fh.read() == "2"
+    # idempotent: a second call is a no-op returning the committed tree
+    assert import_corpus_index(spark, str(corpus)) == tree
+
+    # the stream now bootstraps first try — no raise, import is history
+    _feed(src, "b1.json", [
+        {"doc_id": 50, "text": "alpha beta gamma"},   # dup of imported 1
+        {"doc_id": 51, "text": "brand new text"},
+    ])
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = start_corpus_dedup_ingest(
+        stream, str(corpus), str(ckpt), "doc_id", "text",
+        available_now=True, first_batch_id=2,
+    )
+    q.awaitTermination(120)
+    log = _log(spark, str(corpus))
+    assert log[50] == ("exact_dup", 1)
+    assert log[51] == ("fresh", None)
+
+
+def test_import_corpus_index_rejects_malformed_trees(spark, tmp_path):
+    """The validation teeth: a tree bucketed with the WRONG function (or
+    count) must be refused — stamping it would silently lose dup matches
+    — and a batch column outside [0, upto) must be refused too."""
+    import pytest
+    from pyspark.sql import Row
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.streaming.dedup import (
+        import_corpus_index,
+    )
+
+    # (a) mis-bucketed: rows land in bucket (pmod+1) — not _bucket_expr
+    corpus_a = tmp_path / "a"
+    tree_a = f"{corpus_a}/index_compact/upto=2"
+    idx = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}", batch=i % 2) for i in range(8)]
+    ).select(
+        "doc_id", F.xxhash64("text").alias("_h"),
+        F.col("batch").cast("int").alias("batch"),
+    ).withColumn(
+        "bucket",
+        F.pmod(F.pmod(F.col("_h"), F.lit(2)) + 1, F.lit(2)).cast("int"),
+    )
+    idx.write.partitionBy("bucket").parquet(tree_a)
+    import os
+    for m in ("_SUCCESS",):
+        p = f"{tree_a}/{m}"
+        if os.path.exists(p):
+            os.remove(p)
+    with pytest.raises(ValueError, match="bucket"):
+        import_corpus_index(spark, str(corpus_a))
+    assert not os.path.exists(f"{tree_a}/_nb")  # nothing stamped
+
+    # (b) batch outside [0, upto): the claimed coverage is a lie
+    corpus_b = tmp_path / "b"
+    tree_b = f"{corpus_b}/index_compact/upto=2"
+    bad = spark.createDataFrame(
+        [Row(doc_id=1, text="x", batch=5)]
+    ).select("doc_id", F.xxhash64("text").alias("_h"),
+             F.col("batch").cast("int").alias("batch"))
+    bad.coalesce(1).write.parquet(tree_b)
+    os.remove(f"{tree_b}/_SUCCESS")
+    with pytest.raises(ValueError, match="batch"):
+        import_corpus_index(spark, str(corpus_b))
+
+    # (c) no tree at all
+    with pytest.raises(ValueError, match="no legacy"):
+        import_corpus_index(spark, str(tmp_path / "empty"))

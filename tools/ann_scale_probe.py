@@ -3,8 +3,21 @@ build-once/query-many path and the LSH planted-twin query path on
 generated corpora across size decades.
 
 Usage:
-    python tools/ann_scale_probe.py ivf [n ...] [--dim D]   # default 200000 2000000, D=64
-    python tools/ann_scale_probe.py lsh [n ...] [--dim D]
+    python tools/ann_scale_probe.py ivf [n ...] [--dim D] [--scorer S]   # default 200000 2000000, D=64
+    python tools/ann_scale_probe.py lsh [n ...] [--dim D] [--scorer S]
+    python tools/ann_scale_probe.py sharded [n ...] [--dim D] [--scorer S]
+
+``--scorer`` forces the candidate-scoring kernel ('hof'|'arrow';
+default 'auto' — the dim-based cutover the query path itself applies).
+
+sharded: the flat-vs-sharded A/B past the 4096-list clamp (SCALE.md r12).
+For each n it builds BOTH the flat clamped index (n_lists='auto') and the
+auto-sharded one (build_sharded_ivf_index, n_shards='auto'), persists each
+through its engine helper, and measures the indexed query path min-of-2
+PLUS the EXACT probed rows per query (the probe-selection stage joined to
+the real per-list occupancies — the read-volume number the sharded design
+exists to bound: flat grows as n_probe·n/4096 past 16.8M vectors, sharded
+stays ≤ n_probe × ~4096).
 
 ivf: builds the index with n_lists='auto' (~sqrt(n)), persists it through
 the ENGINE helper (persist_ivf_index: repartition by list_id before
@@ -65,6 +78,44 @@ def _parquet_file_stats(root):
     return total, (max(per_dir) if per_dir else 0)
 
 
+def _probed_rows(queries, shards, n_probe, scorer):
+    """EXACT probed rows per query: replicate the query path's global
+    probe selection (SIM._shard_probes + the identical ranking window)
+    and join it to the REAL per-list occupancy of each shard's
+    assignments — the read-volume number the sharded design bounds."""
+    from pyspark.sql import Window
+
+    q_slim = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    ).filter(F.col("qv").isNotNull())
+    use = SIM.resolve_scorer(scorer, q_slim, "qv")
+    probes = None
+    occ = None
+    for s, (cents, asg) in enumerate(shards):
+        p = SIM._shard_probes(
+            q_slim, cents, n_probe=n_probe, use=use, budget_check=False
+        ).withColumn("shard", F.lit(s))
+        o = (
+            asg.filter(F.col("list_id").isNotNull())
+            .groupBy("list_id").count().withColumn("shard", F.lit(s))
+        )
+        probes = p if probes is None else probes.unionByName(p)
+        occ = o if occ is None else occ.unionByName(o)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("shard"), F.desc("list_id")
+    )
+    per_q = (
+        probes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probe)
+        .join(occ, ["shard", "list_id"])
+        .groupBy("query_id")
+        .agg(F.sum("count").alias("rows"))
+    )
+    row = per_q.agg(F.avg("rows"), F.max("rows")).first()
+    return float(row[0]), int(row[1])
+
+
 def main() -> None:
     args = sys.argv[1:]
     dim = 64
@@ -111,6 +162,54 @@ def main() -> None:
                         "max_files_per_list_dir": max_per_dir,
                         "topk_rows": len(rows)})
             shutil.rmtree(root, ignore_errors=True)
+        elif mode == "sharded":
+            queries = emb.filter(F.col("vec_id") < 20)
+            rec = {"n": n, "dim": dim, "scorer": scorer}
+            for label in ("flat", "sharded"):
+                t0 = time.perf_counter()
+                if label == "flat":
+                    root = tempfile.mkdtemp(prefix="ivf_flat_")
+                    SIM.persist_ivf_index(
+                        SIM.build_ivf_index(emb, n_lists="auto"), root,
+                        mode="overwrite",
+                    )
+                    t_build = time.perf_counter() - t0
+                    shards = [SIM.load_ivf_index(spark, root)]
+                else:
+                    root = tempfile.mkdtemp(prefix="ivf_shard_")
+                    SIM.persist_sharded_ivf_index(
+                        SIM.build_sharded_ivf_index(
+                            emb, n_shards="auto", n_lists="auto"
+                        ),
+                        root, mode="overwrite",
+                    )
+                    t_build = time.perf_counter() - t0
+                    shards = SIM.load_sharded_ivf_index(spark, root)
+                times = []
+                for _ in range(2):
+                    t1 = time.perf_counter()
+                    if label == "flat":
+                        rows = SIM.ivf_ann_topk(
+                            queries, emb, k=5, n_probe=8, index=shards[0],
+                            scorer=scorer,
+                        ).collect()
+                    else:
+                        rows = SIM.sharded_ivf_ann_topk(
+                            queries, shards, k=5, n_probe=8, scorer=scorer
+                        ).collect()
+                    times.append(time.perf_counter() - t1)
+                avg_pr, max_pr = _probed_rows(queries, shards, 8, scorer)
+                rec[label] = {
+                    "n_shards": len(shards),
+                    "total_lists": sum(c.count() for c, _ in shards),
+                    "build_persist_s": round(t_build, 1),
+                    "query_s": round(min(times), 2),
+                    "probed_rows_avg": round(avg_pr),
+                    "probed_rows_max": max_pr,
+                    "topk_rows": len(rows),
+                }
+                shutil.rmtree(root, ignore_errors=True)
+            out.append(rec)
         else:
             twins = emb.filter(F.col("vec_id") < 20).select(
                 (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
@@ -131,7 +230,7 @@ def main() -> None:
                         "lsh_query_s": round(min(times), 2),
                         "twins_recovered": f"{ok}/20"})
         print(json.dumps(out[-1]), flush=True)
-    if len(out) >= 2:
+    if len(out) >= 2 and mode != "sharded":
         a, b = out[0], out[-1]
         key = "query_indexed_s" if mode == "ivf" else "lsh_query_s"
         print(json.dumps({
