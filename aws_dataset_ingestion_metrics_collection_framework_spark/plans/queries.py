@@ -4783,6 +4783,69 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
+def q_sharded_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded IVF — the path PAST the 4096-list clamp (r12;
+    ``similarity.build_sharded_ivf_index`` / ``sharded_ivf_ann_topk``):
+    hash-split the corpus into per-shard in-budget indexes and query with
+    a GLOBAL probe budget, bounding per-query probed rows at ~n_probe ×
+    4096 at ANY corpus size (a flat clamped index grows linearly —
+    SCALE.md r11/r12). Driver-attested contract, END TO END:
+
+    - exact degeneration: a global budget covering every list (n_probe =
+      n_shards × n_lists) returns EXACTLY the brute-force top-k — the
+      sharded merge loses nothing;
+    - persisted round trip: persist_sharded_ivf_index /
+      load_sharded_ivf_index reproduce the in-memory shard list's partial-
+      probe results row for row;
+    - layout: every shard honors the one-data-file-per-list-directory
+      small-files contract."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = SIM.build_sharded_ivf_index(emb, n_shards=2, n_lists=6)
+    key = ["query_id", "neighbor_id", "rank"]
+    full = SIM.sharded_ivf_ann_topk(queries, idx, k=5, n_probe=12, scorer="hof")
+    brute = SIM.brute_force_topk(queries, emb, k=5)
+    got_full = sorted(map(tuple, full.select(*key).collect()))
+    got_brute = sorted(map(tuple, brute.select(*key).collect()))
+    exact_ok = got_full == got_brute
+    n_queries = len({t[0] for t in got_brute})
+    root = tempfile.mkdtemp(prefix="sivf_q_idx_")
+    try:
+        SIM.persist_sharded_ivf_index(idx, root, mode="overwrite")
+        loaded = SIM.load_sharded_ivf_index(spark, root)
+        mem = SIM.sharded_ivf_ann_topk(queries, idx, k=5, n_probe=8, scorer="hof")
+        per = SIM.sharded_ivf_ann_topk(queries, loaded, k=5, n_probe=8, scorer="hof")
+        got_m = sorted(map(tuple, mem.select(*key).collect()))
+        got_p = sorted(map(tuple, per.select(*key).collect()))
+        persisted_ok = got_m == got_p
+        one_file_per_dir = all(
+            sum(1 for f in files if f.endswith(".parquet")) <= 1
+            for s in range(2)
+            for _, _, files in os.walk(
+                os.path.join(root, f"shard={s:05d}", "assignments")
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(n_queries), bool(exact_ok), bool(persisted_ok), bool(one_file_per_dir))],
+        "n_queries int, exact_matches_brute boolean, "
+        "persisted_equals_memory boolean, one_file_per_dir boolean",
+    )
+
+
+SHARDED_IVF_ANN_ORACLE = """
+SELECT CAST(COUNT(DISTINCT vec_id) AS INTEGER) AS n_queries,
+       TRUE AS exact_matches_brute, TRUE AS persisted_equals_memory,
+       TRUE AS one_file_per_dir
+FROM embeddings WHERE vec_id < 10
+"""
+
+
 def q_lsh_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-LSH-index path END TO END: bucketize, persist via
     ``persist_lsh_index`` (directory-bounded (tbl, _bpfx<p>) layout whose
@@ -6045,6 +6108,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_auto": q_lsh_ann_auto,
     "ivf_ann": q_ivf_ann,
     "ivf_ann_persisted": q_ivf_ann_persisted,
+    "sharded_ivf_ann": q_sharded_ivf_ann,
     "lsh_ann_persisted": q_lsh_ann_persisted,
     "ivf_ann_auto": q_ivf_ann_auto,
     "sessionize": q_sessionize,
@@ -6377,6 +6441,7 @@ ORACLES: dict[str, str] = {
     "lsh_ann": LSH_ANN_ORACLE,
     "lsh_ann_auto": LSH_ANN_AUTO_ORACLE,
     "ivf_ann": IVF_ANN_ORACLE,
+    "sharded_ivf_ann": SHARDED_IVF_ANN_ORACLE,
     "ivf_ann_persisted": IVF_ANN_PERSISTED_ORACLE,
     "lsh_ann_persisted": LSH_ANN_PERSISTED_ORACLE,
     "ivf_ann_auto": IVF_ANN_AUTO_ORACLE,
@@ -6442,66 +6507,15 @@ ORACLES: dict[str, str] = {
     "quality_tf": QUALITY_TF_ORACLE,
 }
 
-# ---- r11 sampling rotation: the driver samples the FIRST ~50 registry
-# entries each round.  r10 sampled the head-50 of the r10 rotation; this
-# round moves the 63 queries with NO r9/r10 driver row to the head,
-# oldest driver evidence first (13 last sampled r6, then the 50 last
-# sampled r8), followed by the r9-sampled 50, with the r10-sampled 50
-# (freshest evidence) at the tail.
-_R11_PRIORITY = [
-    # -- never driver-sampled (new in r11: persisted-ANN-index faces)
-    'ivf_ann_persisted',
-    'lsh_ann_persisted',
-    # -- no r9/r10 driver row: last sampled r6
-    'gopher_rules',
-    'corpus_pipeline',
-    'approx_distinct',
-    'approx_quantile',
-    'tfidf_top_terms',
-    'chunk_documents',
-    'repetition_stats',
-    'cosine_pairs_lsh',
-    'asof_join',
-    'range_bucket',
-    'window_distribution',
-    'grouping_sets_lineitem',
-    'set_ops_customers',
-    # -- no r9/r10 driver row: last sampled r8
-    'chi_square',
-    'alert_suppress',
-    'quality_exact',
-    'window_range_interval',
-    'token_stats',
-    'text_quality',
-    'language_id',
-    'cosine_topk',
-    'cosine_pairs',
-    'session_window',
-    'multimodal_features',
-    'audio_features',
-    'frame_sample',
-    'dedup_exact_stats',
-    'dedup_exact_keep',
-    'ngram_jaccard',
-    'ngram_jaccard_allpairs',
-    'dedup_clusters',
-    'business_scalars',
-    'metrics_day',
-    'metrics_day_p50',
-    'metrics_hour_dims',
-    'metrics_minute',
-    'metrics_latest',
-    'sla_daily',
-    'sla_transitions',
-    'sla_gap_fill',
-    'sla_table',
-    'sla_alerts',
-    'derived_keys',
-    'alarm_roundtrip',
-    'metric_defs_flat',
-    'sla_defs_flat',
-    'metric_defs_multi_account',
-    'dashboard_widgets',
+# ---- r12 sampling rotation: the driver samples the FIRST ~50 registry
+# entries each round. Order = never-attested faces first (the new
+# sharded_ivf_ann), then oldest-driver-row first — the 15 queries whose
+# newest row is r8 (VERDICT r11 ask #2: dashboard_report/layout,
+# q01–q11, q16, q22), then the r9 block — so after r12 no query's newest
+# driver attestation is older than three rounds. Recomputed each round
+# from CORRECTNESS_r*.json (max round per query).
+_R12_PRIORITY = [
+    'sharded_ivf_ann',
     'dashboard_report',
     'dashboard_layout',
     'q01_pricing_summary',
@@ -6517,7 +6531,6 @@ _R11_PRIORITY = [
     'q08_market_share',
     'q09_product_profit',
     'q11_important_balance',
-    # -- r9-sampled (driver-green r9)
     'q12_priority_lines',
     'q13_order_distribution',
     'q14_promo_effect',
@@ -6568,7 +6581,6 @@ _R11_PRIORITY = [
     'label_propagation',
     'incremental_dedup',
     'attribution',
-    # -- r10-sampled (driver-green this past round; tail)
     'lsh_ann_auto',
     'ivf_ann_auto',
     'semantic_dedup_auto',
@@ -6619,14 +6631,64 @@ _R11_PRIORITY = [
     'stratified_sample',
     'char_entropy',
     'c4_clean',
+    'ivf_ann_persisted',
+    'lsh_ann_persisted',
+    'gopher_rules',
+    'corpus_pipeline',
+    'approx_distinct',
+    'approx_quantile',
+    'tfidf_top_terms',
+    'chunk_documents',
+    'repetition_stats',
+    'cosine_pairs_lsh',
+    'asof_join',
+    'range_bucket',
+    'window_distribution',
+    'grouping_sets_lineitem',
+    'set_ops_customers',
+    'chi_square',
+    'alert_suppress',
+    'quality_exact',
+    'window_range_interval',
+    'token_stats',
+    'text_quality',
+    'language_id',
+    'cosine_topk',
+    'cosine_pairs',
+    'session_window',
+    'multimodal_features',
+    'audio_features',
+    'frame_sample',
+    'dedup_exact_stats',
+    'dedup_exact_keep',
+    'ngram_jaccard',
+    'ngram_jaccard_allpairs',
+    'dedup_clusters',
+    'business_scalars',
+    'metrics_day',
+    'metrics_day_p50',
+    'metrics_hour_dims',
+    'metrics_minute',
+    'metrics_latest',
+    'sla_daily',
+    'sla_transitions',
+    'sla_gap_fill',
+    'sla_table',
+    'sla_alerts',
+    'derived_keys',
+    'alarm_roundtrip',
+    'metric_defs_flat',
+    'sla_defs_flat',
+    'metric_defs_multi_account',
+    'dashboard_widgets',
 ]
-if set(_R11_PRIORITY) != set(QUERIES) or len(_R11_PRIORITY) != len(QUERIES):
+if set(_R12_PRIORITY) != set(QUERIES) or len(_R12_PRIORITY) != len(QUERIES):
     raise RuntimeError(
         "priority rotation out of sync with QUERIES: missing="
-        f"{sorted(set(QUERIES) - set(_R11_PRIORITY))} extra="
-        f"{sorted(set(_R11_PRIORITY) - set(QUERIES))}"
+        f"{sorted(set(QUERIES) - set(_R12_PRIORITY))} extra="
+        f"{sorted(set(_R12_PRIORITY) - set(QUERIES))}"
     )
-QUERIES = {name: QUERIES[name] for name in _R11_PRIORITY}
+QUERIES = {name: QUERIES[name] for name in _R12_PRIORITY}
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled
 # entries first) so a budget-bounded sweep sees the same priority whichever

@@ -144,6 +144,23 @@ HEADLINE = [
     # aggregation against a broadcast 65-row weight table) — sets its
     # own r7 baseline
     "quality_exact",
+    # round-12 additions (VERDICT r11 ask #5): the r7–r11 families that
+    # had no per-round perf row — the persisted-index ANN end-to-end
+    # faces (build + persist + reload + query), the corpus curation
+    # pipeline, Gopher rules, doc chunking, repetition stats, the
+    # distribution window and grouping-sets SQL surfaces — plus the new
+    # r12 sharded-IVF face. Each sets its own r12 baseline in
+    # BASELINE.md. (cosine_pairs_lsh stays unbenched: its full-equality
+    # contract deliberately over-works the crossJoin — see the r2 note.)
+    "ivf_ann_persisted",
+    "lsh_ann_persisted",
+    "corpus_pipeline",
+    "gopher_rules",
+    "chunk_documents",
+    "repetition_stats",
+    "window_distribution",
+    "grouping_sets_lineitem",
+    "sharded_ivf_ann",
 ]
 
 # Benched since r1 — the frozen cross-round comparison basket (see §3 above).
