@@ -36,9 +36,15 @@ def start_drift_monitor(
     available_now: bool = False,
 ) -> StreamingQuery:
     """Continuously score the stream's `value_col` distribution against
-    `baseline` (same [lo, hi, bins] grid rules as `psi_drift`); appends
-    (batch_id, n_rows, psi) per micro-batch to `log_path`. Empty batches
-    log psi NULL (no distribution to score — not 'no drift')."""
+    `baseline` (same [lo, hi, bins] grid rules as `psi_drift`); logs one
+    (batch_id, n_rows, psi) row per micro-batch under `log_path`. Empty
+    batches log psi NULL (no distribution to score — not 'no drift').
+
+    The log write is batch-scoped (overwrite of `psi_batch=<id>/`), so a
+    replay after a crash rewrites its own row instead of appending a
+    duplicate — the same exactly-once-under-replay discipline as
+    ``start_ingest`` (foreachBatch is at-least-once; the r12 chaos drill
+    SIGKILLs mid-batch and checks the logs)."""
     spark = stream.sparkSession
 
     def score_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -58,7 +64,7 @@ def start_drift_monitor(
                 [(batch_id, n, float(total))],
                 "batch_id long, n_rows long, psi double",
             )
-        row.write.mode("append").parquet(log_path)
+        row.write.mode("overwrite").parquet(f"{log_path}/psi_batch={batch_id}")
 
     writer = (
         stream.writeStream.foreachBatch(score_batch)

@@ -30,9 +30,8 @@ from pyspark.sql.types import StructType
 
 from ..sources.parquet_lake import (
     PARTITION_KEYS,
+    overwrite_partitions,
     split_corrupt_json,
-    write_partitioned,
-    write_partitioned_mirrored,
 )
 
 
@@ -129,18 +128,44 @@ def start_ingest(
     ``AccountRegistry.lake_roots``). Mirrors share the per-micro-batch
     atomicity of ``foreachBatch``: the batch is parsed once and re-encoded
     per root, never recomputed from the source.
+
+    EXACTLY-ONCE ACROSS RESTART (r12): ``foreachBatch`` is at-least-once —
+    a crash between a sink write and the checkpoint commit REPLAYS the
+    batch, and a plain ``append`` would land its rows twice (the r12 chaos
+    drill, tools/stream_soak.py --chaos, SIGKILLs the driver mid-batch and
+    catches exactly this). Every sink write is therefore scoped to the
+    micro-batch: good rows carry a trailing ``ingest_batch=<id>`` partition
+    (dynamic partition overwrite — a replay rewrites exactly the same
+    (partition keys…, ingest_batch) directories, never appends beside its
+    own half-landed files), and error rows overwrite
+    ``{errors_path}/ingest_batch=<id>``. The extra partition level is
+    self-describing Hive layout: readers discover ``ingest_batch`` as one
+    more int column and time-key pruning is unchanged (the batch level is
+    BELOW the time keys); ~one directory per trigger per touched hour is
+    the price of idempotent replay, and lake compaction can fold them.
     """
     spark = raw.sparkSession
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         good, bad = split_corrupt_json(spark, batch_df, value_col, schema)
+        good = good.withColumn("ingest_batch", F.lit(batch_id).cast("int"))
         roots = [lake_path, *(mirror_roots or [])]
         if set(PARTITION_KEYS) <= set(good.columns):
-            write_partitioned_mirrored(good, roots)
+            keys = [*PARTITION_KEYS, "ingest_batch"]
         else:
+            keys = ["ingest_batch"]
+        if len(roots) > 1:
+            # parse once, re-encode per root (the mirrored-write contract)
+            from pyspark import StorageLevel
+
+            good = good.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
             for root in roots:
-                good.write.mode("append").parquet(root)
-        bad.write.mode("append").text(errors_path)
+                overwrite_partitions(good, root, keys)
+        finally:
+            if len(roots) > 1:
+                good.unpersist()
+        bad.write.mode("overwrite").text(f"{errors_path}/ingest_batch={batch_id}")
 
     writer = (
         raw.writeStream.foreachBatch(write_batch)

@@ -27,12 +27,39 @@ Topology (4 concurrent queries + 1 feeder thread):
 
 Usage:
     python tools/stream_soak.py [--minutes 30] [--tick-seconds 5]
-        [--rows-per-tick 15000] [--series 5]
+        [--rows-per-tick 15000] [--series 5] [--workdir PATH]
+
+    python tools/stream_soak.py --chaos [--kill-after 90] [--minutes 3]
+        [--tick-seconds 5] [--rows-per-tick 15000]
 
 Prints a per-5-minute curve table (rows/s, batch ms, state rows/MB per
 stage) and ONE JSON summary line; SCALE.md's soak section is generated
 from this. Run on a quiet host (measurement hygiene: no concurrent Spark
 work).
+
+``--workdir`` pins the working directory and PRESERVES it on exit (the
+feeder resumes tick numbering above whatever raw files already exist, and
+every query restarts from its checkpoint) — the restartability the chaos
+drill exercises.
+
+``--chaos`` (r12, VERDICT r11 ask #6 — exactly-once ACROSS RESTART, not
+just within a run): phase 1 launches the full soak topology as a child
+process group and SIGKILLs it — driver AND JVM, kill -9, no shutdown
+hooks — after ``--kill-after`` seconds (mid-stream, mid-batch); phase 2
+relaunches the same workdir for ``--minutes`` and lets it finish cleanly;
+phase 3 validates, in a fresh session, that the restart healed to
+exactly-once end to end:
+
+  - events lake  == the raw feed as a MULTISET (no duplicated replay
+    rows, no gaps) — the start_ingest batch-scoped-overwrite contract;
+  - errors route: exactly one row per corrupt feeder line;
+  - metrics lake: no duplicate (series, window) datapoint, per-series
+    window CONTIGUITY (a kill-window hole would break it), and every
+    emitted Sum equals the raw-derived per-minute sum — the parquet
+    file sink's _spark_metadata exactly-once surviving the kill;
+  - alerts + psi log: no duplicate rows.
+
+Prints ONE JSON verdict line with per-check counters and ok: true/false.
 """
 
 from __future__ import annotations
@@ -155,34 +182,70 @@ def _curve(batches: list[dict], t0: float, bucket_s: int = 300) -> list[dict]:
     return out
 
 
+def _existing_ticks(raw_dir: str) -> list[int]:
+    if not os.path.isdir(raw_dir):
+        return []
+    return sorted(
+        int(f[5:-5])
+        for f in os.listdir(raw_dir)
+        if f.startswith("tick_") and f.endswith(".json")
+    )
+
+
+def _tree_has_parquet(root: str) -> bool:
+    for _, _, files in os.walk(root):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def main() -> None:
     args = sys.argv[1:]
 
     def opt(name, default):
         return int(args[args.index(name) + 1]) if name in args else default
 
+    def sopt(name, default=None):
+        return args[args.index(name) + 1] if name in args else default
+
+    if "--chaos" in args:
+        chaos(
+            minutes=opt("--minutes", 3),
+            kill_after=opt("--kill-after", 90),
+            tick_s=opt("--tick-seconds", 5),
+            rows_per_tick=opt("--rows-per-tick", 15_000),
+        )
+        return
+
     minutes = opt("--minutes", 30)
     tick_s = opt("--tick-seconds", 5)
     rows_per_tick = opt("--rows-per-tick", 15_000)
+    workdir = sopt("--workdir")
 
     spark = get_spark(app_name="stream-soak",
                       extra_conf={"spark.driver.memory": "8g"})
     spark.sparkContext.setLogLevel("ERROR")
-    work = tempfile.mkdtemp(prefix="stream_soak_")
+    work = workdir or tempfile.mkdtemp(prefix="stream_soak_")
     raw_dir = os.path.join(work, "raw")
     lake = os.path.join(work, "events_lake")
     mlake = os.path.join(work, "metrics_lake")
     alerts = os.path.join(work, "alerts")
-    os.makedirs(raw_dir)
+    os.makedirs(raw_dir, exist_ok=True)
     stop = threading.Event()
     queries = []
     try:
         # ---- feeder: one JSON file per tick, started before the queries
-        # so the first trigger has data
-        _feed_tick(raw_dir, 0, rows_per_tick)
+        # so the first trigger has data. A restart (--workdir with prior
+        # raw files) resumes tick numbering ABOVE the previous run — event
+        # time keeps advancing and the checkpointed file source sees only
+        # new names.
+        prior = _existing_ticks(raw_dir)
+        tick0 = (prior[-1] + 1) if prior else 1
+        if not prior:
+            _feed_tick(raw_dir, 0, rows_per_tick)
 
         def feeder():
-            tick = 1
+            tick = tick0
             deadline = time.time() + minutes * 60
             while not stop.is_set() and time.time() < deadline:
                 _feed_tick(raw_dir, tick, rows_per_tick)
@@ -203,9 +266,7 @@ def main() -> None:
 
         # the scrape/drift streams need the lake dir + schema to exist
         t_wait = time.time()
-        while not os.path.isdir(lake) or not any(
-            f.endswith(".parquet") for f in os.listdir(lake)
-        ):
+        while not _tree_has_parquet(lake):
             if time.time() - t_wait > 120:
                 raise RuntimeError("ingest produced no lake files in 120 s")
             time.sleep(1)
@@ -307,6 +368,12 @@ def main() -> None:
                 f"{n}:{len(samples[n])}b" for n, _ in queries
             ), file=sys.stderr, flush=True)
         stop.set()
+        if "--drain" in args:
+            # chaos phase 2: drain the WHOLE chain before stopping so the
+            # validator compares complete tables (creation order = data
+            # flow order: ingest → scrape → sla → drift)
+            for _, q in queries:
+                q.processAllAvailable()
         time.sleep(tick_s + 2)  # let in-flight triggers finish
         for name, q in queries:
             samples[name].extend(_progress_rows(q, seen[name]))
@@ -336,7 +403,149 @@ def main() -> None:
                 q.stop()
             except Exception:
                 pass
+        if workdir is None:
+            shutil.rmtree(work, ignore_errors=True)
+
+
+def validate(work: str) -> dict:
+    """Phase-3 exactly-once audit (fresh session, children gone): compare
+    every output table against the raw feed — see the --chaos docstring
+    for the per-table contracts."""
+    spark = get_spark(app_name="stream-chaos-validate",
+                      extra_conf={"spark.driver.memory": "8g"})
+    spark.sparkContext.setLogLevel("ERROR")
+    raw_dir = os.path.join(work, "raw")
+    n_ticks = len(_existing_ticks(raw_dir))
+
+    parsed = (
+        spark.read.text(raw_dir)
+        .select(F.from_json("value", EVENTS_SCHEMA).alias("r"))
+        .select("r.*")
+    )
+    good = parsed.filter(F.col("ts").isNotNull() & F.col("name").isNotNull())
+    key = [
+        "namespace", "name",
+        F.coalesce(F.col("dimensions"), F.lit("∅")).alias("dims"),
+        "ts", "value",
+    ]
+    expected = good.select(*key).groupBy(
+        "namespace", "name", "dims", "ts", "value"
+    ).count().withColumnRenamed("count", "n_exp")
+    lake = (
+        spark.read.parquet(os.path.join(work, "events_lake"))
+        .select(*key)
+        .groupBy("namespace", "name", "dims", "ts", "value")
+        .count()
+        .withColumnRenamed("count", "n_got")
+    )
+    diff = expected.join(
+        lake, ["namespace", "name", "dims", "ts", "value"], "full_outer"
+    ).filter(
+        F.coalesce("n_exp", F.lit(0)) != F.coalesce("n_got", F.lit(0))
+    )
+    lake_mismatched_groups = diff.count()
+
+    errors_got = spark.read.text(os.path.join(work, "errors")).count()
+
+    m = spark.read.parquet(os.path.join(work, "metrics_lake")).select(
+        "name",
+        F.col("metrictimestamp").cast("timestamp").alias("wstart"),
+        F.col("metricvalue").cast("double").alias("v"),
+    )
+    metrics_dup_windows = m.count() - m.select("name", "wstart").distinct().count()
+    exp_sums = good.groupBy(
+        "name", F.window("ts", "60 seconds").getField("start").alias("wstart")
+    ).agg(F.sum("value").alias("v_exp"))
+    value_mismatches = (
+        m.join(exp_sums, ["name", "wstart"], "left")
+        .filter(
+            F.col("v_exp").isNull() | (F.abs(F.col("v") - F.col("v_exp")) > 1e-3)
+        )
+        .count()
+    )
+    per_name = m.groupBy("name").agg(
+        F.countDistinct("wstart").alias("n"),
+        ((F.unix_timestamp(F.max("wstart")) - F.unix_timestamp(F.min("wstart")))
+         / 60 + 1).alias("span"),
+    )
+    gap_series = per_name.filter(F.col("n") != F.col("span")).count()
+    metrics_rows = m.count()
+
+    alerts_df = spark.read.parquet(os.path.join(work, "alerts"))
+    alerts_dups = alerts_df.count() - alerts_df.distinct().count()
+    psi = spark.read.parquet(os.path.join(work, "psi_log"))
+    psi_dups = psi.count() - psi.select("batch_id").distinct().count()
+
+    ok = (
+        lake_mismatched_groups == 0
+        and errors_got == n_ticks
+        and metrics_dup_windows == 0
+        and value_mismatches == 0
+        and gap_series == 0
+        and metrics_rows > 0
+        and alerts_dups == 0
+        and psi_dups == 0
+    )
+    return {
+        "ok": bool(ok),
+        "raw_ticks": n_ticks,
+        "lake_mismatched_groups": lake_mismatched_groups,
+        "errors_expected": n_ticks,
+        "errors_got": errors_got,
+        "metrics_rows": metrics_rows,
+        "metrics_dup_windows": metrics_dup_windows,
+        "metrics_value_mismatches": value_mismatches,
+        "metrics_gap_series": gap_series,
+        "alerts_dup_rows": alerts_dups,
+        "psi_dup_rows": psi_dups,
+    }
+
+
+def chaos(*, minutes: int, kill_after: int, tick_s: int, rows_per_tick: int) -> None:
+    """kill -9 the live topology mid-stream, restart it from checkpoints,
+    audit exactly-once across the restart. See the module docstring."""
+    import signal
+    import subprocess
+
+    work = tempfile.mkdtemp(prefix="stream_chaos_")
+    base = [
+        sys.executable, os.path.abspath(__file__), "--workdir", work,
+        "--tick-seconds", str(tick_s), "--rows-per-tick", str(rows_per_tick),
+    ]
+    with open(os.path.join(work, "phase1.log"), "w") as log1:
+        p = subprocess.Popen(
+            base + ["--minutes", "30"],
+            stdout=log1, stderr=subprocess.STDOUT, start_new_session=True,
+        )
+        time.sleep(kill_after)
+        # the whole process GROUP: python driver AND the Spark JVM — no
+        # shutdown hooks, no checkpoint flush, mid-batch by construction
+        os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+        p.wait()
+    print(f"[chaos] phase 1 SIGKILLed after {kill_after}s", file=sys.stderr)
+    with open(os.path.join(work, "phase2.log"), "w") as log2:
+        rc = subprocess.call(
+            base + ["--minutes", str(minutes), "--drain"],
+            stdout=log2, stderr=subprocess.STDOUT,
+        )
+    if rc != 0:
+        print(json.dumps({"metric": "stream_chaos", "ok": False,
+                          "phase2_rc": rc, "workdir": work}))
+        sys.exit(1)
+    print("[chaos] phase 2 (restart) finished clean; validating", file=sys.stderr)
+    verdict = validate(work)
+    verdict = {
+        "metric": "stream_chaos",
+        "kill_after_s": kill_after,
+        "phase2_minutes": minutes,
+        **verdict,
+    }
+    print(json.dumps(verdict))
+    if verdict["ok"]:
         shutil.rmtree(work, ignore_errors=True)
+    else:
+        print(f"[chaos] FAILED — workdir preserved: {work}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
