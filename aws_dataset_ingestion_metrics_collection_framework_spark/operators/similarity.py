@@ -1663,12 +1663,43 @@ def _pq_assign(slices: DataFrame, cents: DataFrame, id_name: str) -> DataFrame:
     )
 
 
+def auto_pq_m(dim: int) -> int:
+    """Subspace count for PQ ``m='auto'``: the divisor-of-dim subspace
+    WIDTH closest to 16 (ties to the wider subspace — fewer codes), m =
+    dim/width. 16 dims/subspace is the classic PQ operating point (Jégou
+    et al. use 8–16): wider subspaces lose recall to quantization error,
+    narrower ones inflate the code table. dim=64 → m=4 (the pinned
+    default the oracled face uses); dim=768 → m=48; an awkward dim picks
+    its nearest workable divisor (dim must divide by m — the per-row
+    check in _pq_subslices stays the hard gate)."""
+    if dim <= 0:
+        raise ValueError(f"auto_pq_m: vector dim must be positive, got {dim}")
+    widths = [w for w in range(1, dim + 1) if dim % w == 0]
+    best = min(widths, key=lambda w: (abs(w - 16), -w))
+    return dim // best
+
+
+def _resolve_pq_m(m: int | str, corpus: DataFrame, vec_col: str) -> int:
+    if m == "auto":
+        row = (
+            corpus.select(F.size(F.col(vec_col).cast("array<double>")).alias("d"))
+            .filter(F.col("d").isNotNull())
+            .first()
+        )
+        if row is None:
+            raise ValueError("pq m='auto': corpus has no non-null vectors")
+        return auto_pq_m(row["d"])
+    if not isinstance(m, int):
+        raise ValueError(f"m must be an int or 'auto', got {m!r}")
+    return m
+
+
 def pq_index(
     corpus: DataFrame,
     *,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
-    m: int = 4,
+    m: int | str = 4,
     k: int = 16,
     scale_bits: int = 20,
     hash_fn: str = "xx",
@@ -1695,7 +1726,14 @@ def pq_index(
     argmin against ONE broadcast centroid row; update = one
     (sub, idx, pos)-keyed slim aggregate. Nothing quadratic, vectors
     shuffle once per Lloyd step as (id, sub, 16-int) rows.
+
+    ``m='auto'`` sizes the subspace count from the corpus vector width
+    (one short-circuiting first() job; see :func:`auto_pq_m` — ~16 dims
+    per subspace, the width where quantization error and code-table size
+    balance). At 768-dim that is m=48: the ADC scan reads 48 ints per
+    vector instead of 768 floats.
     """
+    m = _resolve_pq_m(m, corpus, vec_col)
     slices = _pq_subslices(corpus, corpus_id, vec_col, m, scale_bits, "cid")
     seeds = (
         corpus.select(
@@ -1756,7 +1794,7 @@ def pq_ann_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     k_neighbors: int = 5,
-    m: int = 4,
+    m: int | str = 4,
     k: int = 16,
     scale_bits: int = 20,
     hash_fn: str = "xx",
@@ -1771,7 +1809,12 @@ def pq_ann_topk(
     rank by (adc asc, neighbor asc), self excluded. The lookup is a slim
     (sub, code) equi-join of the Q·m·k-row broadcast table against the
     N·m-row code table + one (query, neighbor) sum — shuffle rows carry
-    three ints."""
+    three ints.
+
+    ``m='auto'`` resolves from the CORPUS vector width (see
+    :func:`auto_pq_m`) and the same count slices the queries, so the two
+    sides always agree."""
+    m = _resolve_pq_m(m, corpus, vec_col)
     centroids, codes = pq_index(
         corpus, corpus_id=corpus_id, vec_col=vec_col,
         m=m, k=k, scale_bits=scale_bits, hash_fn=hash_fn,

@@ -1739,3 +1739,31 @@ def test_lsh_index_query_plan_has_dynamic_partition_pruning(spark, sf_dir, tmp_p
     # and the plan must actually run and return well-formed rows
     rows = out.collect()
     assert rows and all(r["rank"] >= 1 for r in rows)
+
+
+def test_pq_auto_subspace_sizing(spark, sf_dir):
+    """m='auto' targets ~16 dims per subspace (nearest divisor, ties to
+    wider): 64-dim resolves to the pinned oracled default m=4, so the
+    auto face returns exactly what the numeric-default face returns."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        auto_pq_m,
+        pq_ann_topk,
+    )
+
+    assert auto_pq_m(64) == 4
+    assert auto_pq_m(768) == 48
+    assert auto_pq_m(16) == 1
+    assert auto_pq_m(100) == 5      # width 20 beats width 10 (|20-16|<|10-16|)
+    assert auto_pq_m(97) == 97  # prime: 1-dim subspaces (only divisors are 1, 97)
+    with pytest.raises(ValueError):
+        auto_pq_m(0)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    numeric = pq_ann_topk(queries, emb, k_neighbors=3, m=4).collect()
+    auto = pq_ann_topk(queries, emb, k_neighbors=3, m="auto").collect()
+    assert sorted(auto, key=key) == sorted(numeric, key=key)
+
+    with pytest.raises(ValueError):
+        pq_ann_topk(queries, emb, m="bogus").collect()

@@ -6,6 +6,7 @@ Usage:
     python tools/ann_scale_probe.py ivf [n ...] [--dim D] [--scorer S]   # default 200000 2000000, D=64
     python tools/ann_scale_probe.py lsh [n ...] [--dim D] [--scorer S]
     python tools/ann_scale_probe.py sharded [n ...] [--dim D] [--scorer S]
+    python tools/ann_scale_probe.py pq [n ...] [--dim D]
 
 ``--scorer`` forces the candidate-scoring kernel ('hof'|'arrow';
 default 'auto' — the dim-based cutover the query path itself applies).
@@ -18,6 +19,12 @@ PLUS the EXACT probed rows per query (the probe-selection stage joined to
 the real per-list occupancies — the read-volume number the sharded design
 exists to bound: flat grows as n_probe·n/4096 past 16.8M vectors, sharded
 stays ≤ n_probe × ~4096).
+
+pq: the ADC economics point (SCALE.md r12) — pq_ann_topk end to end
+(integer k-means train + encode + asymmetric-distance scan) with
+``m='auto'`` (~16 dims/subspace; 768-dim → 48 codes/vector). Reports the
+code-table row count (n × m slim int rows — what the query scan reads
+instead of n × dim floats) alongside build+query wall time.
 
 ivf: builds the index with n_lists='auto' (~sqrt(n)), persists it through
 the ENGINE helper (persist_ivf_index: repartition by list_id before
@@ -210,6 +217,18 @@ def main() -> None:
                 }
                 shutil.rmtree(root, ignore_errors=True)
             out.append(rec)
+        elif mode == "pq":
+            queries = emb.filter(F.col("vec_id") < 20)
+            m_auto = SIM.auto_pq_m(dim)
+            t0 = time.perf_counter()
+            rows = SIM.pq_ann_topk(
+                queries, emb, k_neighbors=5, m="auto"
+            ).collect()
+            t_total = time.perf_counter() - t0
+            out.append({"n": n, "dim": dim, "m_auto": m_auto,
+                        "code_rows": n * m_auto,
+                        "build_query_s": round(t_total, 1),
+                        "topk_rows": len(rows)})
         else:
             twins = emb.filter(F.col("vec_id") < 20).select(
                 (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
@@ -230,7 +249,7 @@ def main() -> None:
                         "lsh_query_s": round(min(times), 2),
                         "twins_recovered": f"{ok}/20"})
         print(json.dumps(out[-1]), flush=True)
-    if len(out) >= 2 and mode != "sharded":
+    if len(out) >= 2 and mode in ("ivf", "lsh"):
         a, b = out[0], out[-1]
         key = "query_indexed_s" if mode == "ivf" else "lsh_query_s"
         print(json.dumps({
