@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Row, SparkSession, Window, functions as F
 from pyspark.sql.types import StringType
 
+from ..sources import fsio
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -296,6 +298,56 @@ def bucketize_tables(
 IVF_CENTROID_BUDGET_BYTES = 256 << 20
 
 
+def _assign_to_lists(c: DataFrame, cents: DataFrame) -> DataFrame:
+    """The IVF assign kernel, shared by :func:`build_ivf_index` and
+    :func:`append_to_ivf_index` (append parity with the build is BY
+    CONSTRUCTION — same collect, same matmul, same tie order).
+
+    ``c`` carries (cid, v array<double>); returns ``c`` + ``list_id``.
+
+    The assign pass is O(corpus × n_lists × dim) multiply-adds —
+    at the 'auto' sqrt(n) list count the interpreted-HOF argmax
+    formulation becomes the index-build bottleneck (measured: DNF
+    in 10 min at 200k × 447 lists). Same cure as bucketize_tables:
+    ONE Arrow-batched BLAS matmul per batch, centroids shipped once
+    in the UDF closure (≤4096 × 64 doubles ≈ 2 MB — bounded by the
+    same clamp that bounds the broadcast row). Map-only, zero
+    shuffle. Ties break toward the LARGEST list_id — parity with
+    the struct-max the HOF formulation used."""
+    rows = cents.orderBy("list_id").collect()
+    lids = np.array([r["list_id"] for r in rows], dtype="int64")
+    mat = np.array([r["centroid"] for r in rows], dtype="float64")
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    cn = mat / norms[:, None]
+
+    dim = mat.shape[1]
+
+    @F.pandas_udf("int")
+    def best_list(vs: pd.Series) -> pd.Series:
+        # null/ragged guard: a malformed embedding row (null, or a
+        # dimension that disagrees with the centroids) degrades to a
+        # null list_id — the same never-probed fate the pre-matmul
+        # HOF argmax gave it — instead of a ValueError in np.array()
+        # failing the whole assign job
+        mask = np.fromiter(
+            (v is not None and len(v) == dim for v in vs),
+            dtype=bool,
+            count=len(vs),
+        )
+        out = pd.array([None] * len(vs), dtype="Int32")
+        if mask.any():
+            V = np.array([v for v, m in zip(vs, mask) if m], dtype="float64")
+            vn = np.linalg.norm(V, axis=1)
+            vn[vn == 0] = 1.0
+            sims = (V / vn[:, None]) @ cn.T
+            idx = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)
+            out[mask] = lids[idx].astype("int32")
+        return pd.Series(out)
+
+    return c.withColumn("list_id", best_list(F.col("v")))
+
+
 def build_ivf_index(
     corpus: DataFrame,
     *,
@@ -383,47 +435,7 @@ def build_ivf_index(
     centroids = seeds
 
     def assign(cents: DataFrame) -> DataFrame:
-        # The assign pass is O(corpus × n_lists × dim) multiply-adds —
-        # at the 'auto' sqrt(n) list count the interpreted-HOF argmax
-        # formulation becomes the index-build bottleneck (measured: DNF
-        # in 10 min at 200k × 447 lists). Same cure as bucketize_tables:
-        # ONE Arrow-batched BLAS matmul per batch, centroids shipped once
-        # in the UDF closure (≤4096 × 64 doubles ≈ 2 MB — bounded by the
-        # same clamp that bounds the broadcast row). Map-only, zero
-        # shuffle, exactly as before. Ties break toward the LARGEST
-        # list_id — parity with the struct-max the HOF formulation used.
-        rows = cents.orderBy("list_id").collect()
-        lids = np.array([r["list_id"] for r in rows], dtype="int64")
-        mat = np.array([r["centroid"] for r in rows], dtype="float64")
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        cn = mat / norms[:, None]
-
-        dim = mat.shape[1]
-
-        @F.pandas_udf("int")
-        def best_list(vs: pd.Series) -> pd.Series:
-            # null/ragged guard: a malformed embedding row (null, or a
-            # dimension that disagrees with the centroids) degrades to a
-            # null list_id — the same never-probed fate the pre-matmul
-            # HOF argmax gave it — instead of a ValueError in np.array()
-            # failing the whole assign job
-            mask = np.fromiter(
-                (v is not None and len(v) == dim for v in vs),
-                dtype=bool,
-                count=len(vs),
-            )
-            out = pd.array([None] * len(vs), dtype="Int32")
-            if mask.any():
-                V = np.array([v for v, m in zip(vs, mask) if m], dtype="float64")
-                vn = np.linalg.norm(V, axis=1)
-                vn[vn == 0] = 1.0
-                sims = (V / vn[:, None]) @ cn.T
-                idx = sims.shape[1] - 1 - np.argmax(sims[:, ::-1], axis=1)
-                out[mask] = lids[idx].astype("int32")
-            return pd.Series(out)
-
-        return c.withColumn("list_id", best_list(F.col("v")))
+        return _assign_to_lists(c, cents)
 
     assignments = assign(centroids)
     for _ in range(kmeans_iters):
@@ -920,6 +932,212 @@ def load_ivf_index(
     if vec_col and vec_col != meta["vec_col"]:
         assignments = assignments.withColumnRenamed(meta["vec_col"], vec_col)
     return centroids, assignments
+
+
+def append_to_ivf_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    corpus_id: str | None = None,
+    vec_col: str | None = None,
+    dedupe: bool = False,
+    centroid_budget_bytes: int = IVF_CENTROID_BUDGET_BYTES,
+) -> int:
+    """Append a batch of new vectors to a persisted :func:`persist_ivf_index`
+    tree WITHOUT rebuilding: assign each new vector to the index's FROZEN
+    centroids (the exact :func:`_assign_to_lists` kernel the build used —
+    append parity is by construction, pinned by test) and append the slim
+    (id, vec, list_id) rows into the existing ``partitionBy(list_id)``
+    layout. Returns the number of rows appended.
+
+    THE DAILY-CRAWL PATH: at corpus scale a full IVF rebuild is a pass
+    over ALL history (SCALE.md r11: 36 min at 20M × 64-dim), while the
+    daily increment only needs one map-only matmul over the NEW batch +
+    an append write — O(batch), not O(corpus). Centroids drift as the
+    corpus grows; :func:`ivf_index_stats` reports occupancy skew and
+    flags when a rebuild (or a reshard via
+    :func:`build_sharded_ivf_index`) is due.
+
+    Write shape: the batch is repartitioned by ``list_id`` before
+    ``partitionBy``, so each append adds AT MOST ONE new file per touched
+    list directory (files per dir grow by one per append, never by the
+    task count — :func:`compact_ivf_index` restores the one-file-per-dir
+    contract when the append count warrants it).
+
+    ``corpus_id``/``vec_col`` name the columns of ``new_vectors``
+    (default: the stored names from the manifest). Null/ragged vectors
+    degrade to a null ``list_id`` (Hive default partition — unprobeable,
+    never dropped), exactly as the build does.
+
+    EXACTLY-ONCE: a plain parquet append replayed (e.g. a retried job)
+    lands the batch twice. ``dedupe=True`` anti-joins the batch against
+    the ids already in the index first (a column-pruned id-only scan), so
+    re-running the same batch is idempotent — the streaming-ingest replay
+    discipline (``streaming/ingest.py``) applied to index maintenance.
+    """
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "ivf":
+        raise ValueError(f"append_to_ivf_index: {path}/meta is not an IVF index manifest")
+    stored_id, stored_vec = meta["corpus_id"], meta["vec_col"]
+    n_lists = int(meta["n_lists"])
+    id_in = corpus_id or stored_id
+    vec_in = vec_col or stored_vec
+    centroids = spark.read.parquet(f"{path}/centroids")
+    first = centroids.select(F.size("centroid")).first()
+    ref_dim = first[0] if first is not None else 0
+    est_bytes = n_lists * ref_dim * 8
+    if est_bytes > centroid_budget_bytes:
+        raise ValueError(
+            f"append_to_ivf_index: centroid matrix is n_lists({n_lists}) × "
+            f"dim({ref_dim}) × 8 B = {est_bytes / (1 << 20):.0f} MiB on the "
+            f"DRIVER, over the {centroid_budget_bytes / (1 << 20):.0f} MiB "
+            "budget — this index should be queried/maintained as shards."
+        )
+    slim = new_vectors.select(
+        F.col(id_in).alias("cid"),
+        F.col(vec_in).cast("array<double>").alias("v"),
+    )
+    if dedupe:
+        existing = spark.read.parquet(f"{path}/assignments").select(
+            F.col(stored_id).alias("cid")
+        )
+        slim = slim.join(existing, "cid", "left_anti")
+    # one extra job over the NEW BATCH only (never the corpus): the
+    # returned count re-evaluates slim's scan+anti-join, the write below
+    # re-evaluates it once more — two passes over an increment beat
+    # materializing it when the increment itself is large
+    appended = slim.count()
+    if appended:
+        (
+            _assign_to_lists(slim, centroids)
+            .select(
+                F.col("cid").alias(stored_id),
+                F.col("v").alias(stored_vec),
+                "list_id",
+            )
+            .repartition(n_lists, "list_id")
+            .write.partitionBy("list_id")
+            .mode("append")
+            .parquet(f"{path}/assignments")
+        )
+    return appended
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> None:
+    """Rewrite a persisted IVF index's assignments back to the
+    one-data-file-per-list-directory contract after a run of
+    :func:`append_to_ivf_index` calls (each append adds one file per
+    touched directory; K appends → K+1 files/dir → K+1 seeks per probed
+    list at query time).
+
+    Swap protocol (all on the index's own filesystem via
+    ``sources.fsio`` — works on any Hadoop FS, not just local disk):
+    write the repartitioned tree to ``assignments__compacting`` (job-
+    committed with ``_SUCCESS``), rename the live tree to
+    ``assignments__old``, rename the new tree in, delete the old. A crash
+    between the two renames leaves the live path missing but the
+    COMMITTED new tree intact — the next ``compact_ivf_index`` call (or
+    :func:`repair_ivf_index` directly) finishes the swap instead of
+    recompacting; a crash before the first rename leaves an uncommitted
+    temp tree that is deleted and rebuilt. Readers holding the old
+    DataFrame may see a transient listing error during the swap — run
+    compaction in the same maintenance window as the appends it follows.
+    """
+    repaired = repair_ivf_index(spark, path)
+    asg, tmp, old = (
+        f"{path}/assignments",
+        f"{path}/assignments__compacting",
+        f"{path}/assignments__old",
+    )
+    if repaired:
+        return  # the finished swap IS the compacted tree
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "ivf":
+        raise ValueError(f"compact_ivf_index: {path}/meta is not an IVF index manifest")
+    fsio.delete(tmp, spark=spark)  # uncommitted residue from a prior crash
+    fsio.delete(old, spark=spark)
+    (
+        spark.read.parquet(asg)
+        .repartition(int(meta["n_lists"]), "list_id")
+        .write.partitionBy("list_id")
+        .mode("error")
+        .parquet(tmp)
+    )
+    fsio.rename(asg, old, spark=spark)
+    fsio.rename(tmp, asg, spark=spark)
+    fsio.delete(old, spark=spark)
+
+
+def repair_ivf_index(spark: SparkSession, path: str) -> bool:
+    """Finish a :func:`compact_ivf_index` swap that crashed between its
+    two renames: if the live ``assignments`` tree is missing but a
+    COMMITTED (``_SUCCESS``-stamped) ``assignments__compacting`` tree
+    exists, rename it in and drop the superseded ``assignments__old``.
+    Returns True when a repair was performed. A missing live tree with NO
+    committed replacement raises — that index is genuinely broken and a
+    silent resurrection from ``__old`` could lose appends that landed
+    after the compaction read its snapshot."""
+    asg, tmp, old = (
+        f"{path}/assignments",
+        f"{path}/assignments__compacting",
+        f"{path}/assignments__old",
+    )
+    if fsio.exists(asg, spark=spark):
+        return False
+    if fsio.exists(f"{tmp}/_SUCCESS", spark=spark):
+        fsio.rename(tmp, asg, spark=spark)
+        fsio.delete(old, spark=spark)
+        return True
+    raise ValueError(
+        f"repair_ivf_index: {asg} is missing and no committed compaction "
+        f"tree exists at {tmp} — the index is broken (appends landed after "
+        "the last compaction snapshot would be lost by resurrecting "
+        f"{old}; rebuild from the corpus)."
+    )
+
+
+def ivf_index_stats(
+    assignments: DataFrame, *, skew_threshold: float = 4.0
+) -> DataFrame:
+    """One-row occupancy report for an IVF assignments table — the
+    rebuild-due gauge for :func:`append_to_ivf_index` maintenance:
+
+    - ``n_lists_used`` / ``n_rows`` / ``null_rows`` (malformed vectors
+      parked on the null list);
+    - ``max_occupancy`` / ``avg_occupancy`` and their ratio ``skew`` —
+      appends assign to FROZEN centroids, so corpus drift shows up as a
+      few lists absorbing the growth: probe cost is per-LIST, so query
+      latency degrades as max occupancy, not avg;
+    - ``rebalance_recommended`` — skew above ``skew_threshold`` (the
+      signal to rebuild, or to reshard via
+      :func:`build_sharded_ivf_index` when n is past the clamp).
+
+    One groupBy over the slim (list_id) projection + a scalar agg —
+    column-pruned to a single int column however wide the vectors are."""
+    occ = (
+        assignments.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    return occ.agg(
+        F.count(F.when(F.col("list_id").isNotNull(), 1)).cast("int").alias("n_lists_used"),
+        F.sum("occ").cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("list_id").isNull(), F.col("occ"))), F.lit(0)
+        ).cast("long").alias("null_rows"),
+        F.max(F.when(F.col("list_id").isNotNull(), F.col("occ"))).cast("long").alias("max_occupancy"),
+        F.round(F.avg(F.when(F.col("list_id").isNotNull(), F.col("occ"))), 2).alias("avg_occupancy"),
+    ).select(
+        "n_lists_used",
+        "n_rows",
+        "null_rows",
+        "max_occupancy",
+        "avg_occupancy",
+        F.round(F.col("max_occupancy") / F.col("avg_occupancy"), 3).alias("skew"),
+        (F.col("max_occupancy") / F.col("avg_occupancy") > F.lit(skew_threshold)).alias(
+            "rebalance_recommended"
+        ),
+    )
 
 
 def persist_lsh_index(

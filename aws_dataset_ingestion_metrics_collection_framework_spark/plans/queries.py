@@ -4846,6 +4846,120 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
+def q_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance — the daily-crawl growth path (r12;
+    ``similarity.append_to_ivf_index`` / ``compact_ivf_index`` /
+    ``ivf_index_stats``): a persisted index absorbs a new batch with ONE
+    map-only assign over the increment (O(batch), never the O(corpus)
+    rebuild), appends stay idempotent under replay with ``dedupe=True``,
+    and compaction restores the one-file-per-directory layout without
+    changing a single result row. Driver-attested contract, END TO END
+    on the embeddings table (even half = base index, odd half = the
+    increment):
+
+    - append parity: every appended row carries exactly the list_id the
+      build's own assign kernel gives it against the frozen centroids;
+    - replayed append with dedupe=True appends 0 rows;
+    - a planted exact twin appended into the index is found at rank 1 by
+      the persisted-index query path;
+    - after appends grow files-per-dir past 1, compact restores ≤1 file
+      per list directory and the query results are row-for-row unchanged;
+    - ivf_index_stats accounts for every corpus row."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    n_base, n_batch = base.count(), batch.count()
+    root = tempfile.mkdtemp(prefix="ivf_maint_q_")
+    try:
+        SIM.persist_ivf_index(
+            SIM.build_ivf_index(base, n_lists=8), root, mode="overwrite"
+        )
+        twins = base.filter(F.col("vec_id") < 6).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        n_twins = twins.count()
+        appended = SIM.append_to_ivf_index(spark, root, batch, dedupe=True)
+        replayed = SIM.append_to_ivf_index(spark, root, batch, dedupe=True)
+        SIM.append_to_ivf_index(spark, root, twins)
+
+        centroids, assignments = SIM.load_ivf_index(spark, root)
+        got = {
+            (r["vec_id"], r["list_id"])
+            for r in assignments.filter(
+                (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 1_000_000)
+            ).collect()
+        }
+        expect = {
+            (r["cid"], r["list_id"])
+            for r in SIM._assign_to_lists(
+                batch.select(
+                    F.col("vec_id").alias("cid"),
+                    F.col("embedding").cast("array<double>").alias("v"),
+                ),
+                centroids,
+            ).collect()
+        }
+        parity_ok = got == expect
+
+        q_twin = base.filter(F.col("vec_id") < 6)
+        hits = SIM.ivf_ann_topk(
+            q_twin, emb, k=1, n_probe=8,
+            index=(centroids, assignments), scorer="hof",
+        ).collect()
+        twin_ok = len(hits) == n_twins and all(
+            r["neighbor_id"] == r["query_id"] + 1_000_000 and r["cosine"] > 0.999999
+            for r in hits
+        )
+
+        def max_files_per_dir():
+            worst = 0
+            for d, _, files in os.walk(os.path.join(root, "assignments")):
+                worst = max(worst, sum(1 for f in files if f.endswith(".parquet")))
+            return worst
+
+        grew = max_files_per_dir() > 1
+        queries = base.filter(F.col("vec_id") < 10)
+        key = ["query_id", "neighbor_id", "cosine", "rank"]
+        before = sorted(map(tuple, SIM.ivf_ann_topk(
+            queries, emb, k=5, n_probe=6,
+            index=SIM.load_ivf_index(spark, root), scorer="hof",
+        ).select(*key).collect()))
+        SIM.compact_ivf_index(spark, root)
+        compact_ok = max_files_per_dir() == 1
+        after = sorted(map(tuple, SIM.ivf_ann_topk(
+            queries, emb, k=5, n_probe=6,
+            index=SIM.load_ivf_index(spark, root), scorer="hof",
+        ).select(*key).collect()))
+        stats = SIM.ivf_index_stats(
+            SIM.load_ivf_index(spark, root)[1]
+        ).first()
+        stats_ok = stats["n_rows"] == n_base + n_batch + n_twins
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            int(appended), int(replayed), bool(parity_ok), bool(twin_ok),
+            bool(grew and compact_ok), before == after, bool(stats_ok),
+        )],
+        "appended int, replayed int, append_parity boolean, "
+        "twin_found boolean, compact_restores_layout boolean, "
+        "compact_preserves_results boolean, stats_account_all_rows boolean",
+    )
+
+
+IVF_INDEX_MAINTENANCE_ORACLE = """
+SELECT CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS INTEGER) AS appended,
+       0 AS replayed, TRUE AS append_parity, TRUE AS twin_found,
+       TRUE AS compact_restores_layout, TRUE AS compact_preserves_results,
+       TRUE AS stats_account_all_rows
+FROM embeddings
+"""
+
+
 def q_lsh_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-LSH-index path END TO END: bucketize, persist via
     ``persist_lsh_index`` (directory-bounded (tbl, _bpfx<p>) layout whose
@@ -6109,6 +6223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann": q_ivf_ann,
     "ivf_ann_persisted": q_ivf_ann_persisted,
     "sharded_ivf_ann": q_sharded_ivf_ann,
+    "ivf_index_maintenance": q_ivf_index_maintenance,
     "lsh_ann_persisted": q_lsh_ann_persisted,
     "ivf_ann_auto": q_ivf_ann_auto,
     "sessionize": q_sessionize,
@@ -6442,6 +6557,7 @@ ORACLES: dict[str, str] = {
     "lsh_ann_auto": LSH_ANN_AUTO_ORACLE,
     "ivf_ann": IVF_ANN_ORACLE,
     "sharded_ivf_ann": SHARDED_IVF_ANN_ORACLE,
+    "ivf_index_maintenance": IVF_INDEX_MAINTENANCE_ORACLE,
     "ivf_ann_persisted": IVF_ANN_PERSISTED_ORACLE,
     "lsh_ann_persisted": LSH_ANN_PERSISTED_ORACLE,
     "ivf_ann_auto": IVF_ANN_AUTO_ORACLE,
@@ -6515,6 +6631,7 @@ ORACLES: dict[str, str] = {
 # driver attestation is older than three rounds. Recomputed each round
 # from CORRECTNESS_r*.json (max round per query).
 _R12_PRIORITY = [
+    'ivf_index_maintenance',
     'sharded_ivf_ann',
     'dashboard_report',
     'dashboard_layout',

@@ -146,6 +146,22 @@ def write_text_atomic(
             raise IOError(f"rename {path}.tmp -> {path} failed")
 
 
+def rename(src: str, dst: str, spark: SparkSession | None = None) -> None:
+    """Rename/move ``src`` to ``dst`` (directory or file). Local paths use
+    ``os.replace`` semantics for files and ``os.rename`` for directories;
+    ``scheme://`` paths use the Hadoop ``FileSystem.rename`` the cluster's
+    object-store connector implements. Raises if the rename is refused
+    (e.g. ``dst`` exists as a non-empty directory) — callers sequencing a
+    swap must delete the destination first."""
+    if not has_scheme(src):
+        os.rename(src, dst)
+        return
+    fs, jsrc, jvm = _fs(_require_spark(spark), src)
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    if not fs.rename(jsrc, jdst):
+        raise OSError(f"rename refused: {src} -> {dst}")
+
+
 def delete(
     path: str, recursive: bool = True, spark: SparkSession | None = None
 ) -> None:

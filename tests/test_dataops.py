@@ -1767,3 +1767,233 @@ def test_pq_auto_subspace_sizing(spark, sf_dir):
 
     with pytest.raises(ValueError):
         pq_ann_topk(queries, emb, m="bogus").collect()
+
+
+# --------------------------------------------------------------------------
+# IVF index maintenance: append / compact / repair / stats (r12)
+# --------------------------------------------------------------------------
+
+def _ivf_maint_tree(spark, sf_dir, tmp_path, n_lists=8):
+    """Persisted index over the EVEN half of embeddings + the odd half as
+    the append batch — the daily-increment shape."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        build_ivf_index,
+        persist_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path / "ivf_maint")
+    persist_ivf_index(build_ivf_index(base, n_lists=n_lists), root, mode="overwrite")
+    return root, base, batch
+
+
+def _files_per_list_dir(root):
+    out = {}
+    for d, _, files in os.walk(os.path.join(root, "assignments")):
+        k = sum(1 for f in files if f.endswith(".parquet"))
+        if k:
+            out[os.path.basename(d)] = k
+    return out
+
+
+def test_ivf_append_parity_with_build_assign(spark, sf_dir, tmp_path):
+    """Appended rows carry EXACTLY the list_id the build's own assign
+    kernel gives them against the frozen centroids — parity is by
+    construction (shared _assign_to_lists), this pins it end to end
+    through the parquet append."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        _assign_to_lists,
+        append_to_ivf_index,
+        load_ivf_index,
+    )
+
+    root, base, batch = _ivf_maint_tree(spark, sf_dir, tmp_path)
+    n_batch = batch.count()
+    appended = append_to_ivf_index(spark, root, batch)
+    assert appended == n_batch
+
+    centroids, assignments = load_ivf_index(spark, root)
+    got = {
+        (r["vec_id"], r["list_id"])
+        for r in assignments.filter(F.col("vec_id") % 2 == 1).collect()
+    }
+    expect_df = _assign_to_lists(
+        batch.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        ),
+        centroids,
+    )
+    expect = {(r["cid"], r["list_id"]) for r in expect_df.collect()}
+    assert got == expect
+    # base rows untouched
+    assert assignments.count() == base.count() + n_batch
+
+
+def test_ivf_append_query_finds_new_vectors(spark, sf_dir, tmp_path):
+    """A planted exact twin appended into the index is found at rank 1
+    with cosine ~1 by the persisted-index query path — the whole point of
+    maintaining the index instead of rebuilding."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_ann_topk,
+        load_ivf_index,
+    )
+
+    root, base, _ = _ivf_maint_tree(spark, sf_dir, tmp_path)
+    twin_src = base.filter(F.col("vec_id") < 6)
+    twins = twin_src.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    assert append_to_ivf_index(spark, root, twins) == twin_src.count()
+    idx = load_ivf_index(spark, root)
+    hits = ivf_ann_topk(
+        twin_src, twin_src, k=1, n_probe=8, index=idx, scorer="hof"
+    ).collect()
+    assert len(hits) == twin_src.count()
+    for r in hits:
+        assert r["neighbor_id"] == r["query_id"] + 1_000_000
+        assert r["cosine"] > 0.999999
+
+
+def test_ivf_append_dedupe_idempotent(spark, sf_dir, tmp_path):
+    """dedupe=True makes a replayed append a no-op by id — the
+    exactly-once discipline for retried maintenance jobs."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        append_to_ivf_index,
+        load_ivf_index,
+    )
+
+    root, base, batch = _ivf_maint_tree(spark, sf_dir, tmp_path)
+    n = batch.count()
+    assert append_to_ivf_index(spark, root, batch, dedupe=True) == n
+    assert append_to_ivf_index(spark, root, batch, dedupe=True) == 0
+    # a plain append (dedupe=False) DOES duplicate — the documented hazard
+    assert append_to_ivf_index(spark, root, batch.limit(3)) == 3
+    total = load_ivf_index(spark, root)[1].count()
+    assert total == base.count() + n + 3
+
+
+def test_ivf_append_ragged_degrades_to_null_list(spark, sf_dir, tmp_path):
+    """Null / wrong-dimension vectors in an append batch land on the null
+    list (Hive default partition) — unprobeable, never dropped, exactly
+    the build's contract."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        append_to_ivf_index,
+        load_ivf_index,
+    )
+
+    root, base, _ = _ivf_maint_tree(spark, sf_dir, tmp_path)
+    bad = spark.createDataFrame(
+        [(900_001, None), (900_002, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert append_to_ivf_index(spark, root, bad) == 2
+    asg = load_ivf_index(spark, root)[1]
+    nulls = asg.filter(F.col("list_id").isNull()).select("vec_id").collect()
+    assert {r["vec_id"] for r in nulls} == {900_001, 900_002}
+
+
+def test_ivf_compact_restores_layout_and_results(spark, sf_dir, tmp_path):
+    """Appends grow files-per-dir by one each; compact_ivf_index restores
+    one-file-per-dir and the query results are row-for-row unchanged."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        compact_ivf_index,
+        append_to_ivf_index,
+        ivf_ann_topk,
+        load_ivf_index,
+    )
+
+    root, base, batch = _ivf_maint_tree(spark, sf_dir, tmp_path)
+    half1 = batch.filter(F.col("vec_id") % 4 == 1)
+    half2 = batch.filter(F.col("vec_id") % 4 == 3)
+    append_to_ivf_index(spark, root, half1)
+    append_to_ivf_index(spark, root, half2)
+    assert max(_files_per_list_dir(root).values()) > 1
+
+    queries = base.filter(F.col("vec_id") < 10)
+    key = ["query_id", "neighbor_id", "cosine", "rank"]
+    before = sorted(
+        map(tuple, ivf_ann_topk(
+            queries, base, k=5, n_probe=6,
+            index=load_ivf_index(spark, root), scorer="hof",
+        ).select(*key).collect())
+    )
+    compact_ivf_index(spark, root)
+    assert max(_files_per_list_dir(root).values()) == 1
+    assert not os.path.exists(os.path.join(root, "assignments__old"))
+    assert not os.path.exists(os.path.join(root, "assignments__compacting"))
+    after = sorted(
+        map(tuple, ivf_ann_topk(
+            queries, base, k=5, n_probe=6,
+            index=load_ivf_index(spark, root), scorer="hof",
+        ).select(*key).collect())
+    )
+    assert before == after
+
+
+def test_ivf_repair_finishes_crashed_swap(spark, sf_dir, tmp_path):
+    """A crash between compact's two renames leaves a committed
+    __compacting tree and no live one: repair (and compact itself, which
+    runs repair first) finishes the swap; a missing live tree with NO
+    committed replacement raises instead of resurrecting __old."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        append_to_ivf_index,
+        load_ivf_index,
+        repair_ivf_index,
+    )
+    from aws_dataset_ingestion_metrics_collection_framework_spark.sources import fsio
+
+    root, base, batch = _ivf_maint_tree(spark, sf_dir, tmp_path)
+    append_to_ivf_index(spark, root, batch)
+    n_total = base.count() + batch.count()
+    assert repair_ivf_index(spark, root) is False  # healthy tree: no-op
+
+    # stage the mid-swap crash state: committed compacting tree present,
+    # live tree renamed away
+    asg = f"{root}/assignments"
+    meta = spark.read.json(f"{root}/meta").first()
+    (
+        spark.read.parquet(asg)
+        .repartition(int(meta["n_lists"]), "list_id")
+        .write.partitionBy("list_id").mode("error")
+        .parquet(f"{root}/assignments__compacting")
+    )
+    fsio.rename(asg, f"{root}/assignments__old", spark=spark)
+    assert repair_ivf_index(spark, root) is True
+    assert not os.path.exists(f"{root}/assignments__old")
+    assert load_ivf_index(spark, root)[1].count() == n_total
+
+    # genuinely broken: live tree gone, no committed replacement
+    fsio.rename(asg, f"{root}/assignments__old", spark=spark)
+    with pytest.raises(ValueError, match="is broken"):
+        repair_ivf_index(spark, root)
+
+
+def test_ivf_index_stats(spark):
+    """Occupancy report: counts, null split, max/avg/skew, and the
+    rebalance flag thresholding on skew."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        ivf_index_stats,
+    )
+
+    rows = (
+        [(i, [1.0], 0) for i in range(8)]        # list 0: 8 rows
+        + [(100 + i, [1.0], 1) for i in range(2)]  # list 1: 2 rows
+        + [(200, [1.0], 2)]                        # list 2: 1 row
+        + [(300, None, None)]                      # null list
+    )
+    asg = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, list_id int"
+    )
+    r = ivf_index_stats(asg).first()
+    assert r["n_lists_used"] == 3
+    assert r["n_rows"] == 12
+    assert r["null_rows"] == 1
+    assert r["max_occupancy"] == 8
+    assert abs(r["avg_occupancy"] - round(11 / 3, 2)) < 1e-9
+    assert r["rebalance_recommended"] is False  # skew ≈ 2.18 < 4
+    r2 = ivf_index_stats(asg, skew_threshold=2.0).first()
+    assert r2["rebalance_recommended"] is True
