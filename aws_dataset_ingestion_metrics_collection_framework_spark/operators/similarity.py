@@ -1024,6 +1024,50 @@ def append_to_ivf_index(
     return appended
 
 
+def _swap_triplet(path: str, tree: str) -> tuple[str, str, str]:
+    """(live, tmp, old) paths for the compaction rename swap of an
+    index's ``tree`` subdirectory."""
+    return (
+        f"{path}/{tree}",
+        f"{path}/{tree}__compacting",
+        f"{path}/{tree}__old",
+    )
+
+
+def _repair_swap(
+    spark: SparkSession, path: str, tree: str, helper: str
+) -> bool:
+    """Finish a compaction swap that crashed between its two renames: if
+    the live tree is missing but a COMMITTED (``_SUCCESS``-stamped)
+    ``__compacting`` tree exists, rename it in and drop the superseded
+    ``__old``. Returns True when a repair was performed. A missing live
+    tree with NO committed replacement raises — that index is broken and
+    a silent resurrection from ``__old`` could lose appends that landed
+    after the compaction read its snapshot."""
+    live, tmp, old = _swap_triplet(path, tree)
+    if fsio.exists(live, spark=spark):
+        return False
+    if fsio.exists(f"{tmp}/_SUCCESS", spark=spark):
+        fsio.rename(tmp, live, spark=spark)
+        fsio.delete(old, spark=spark)
+        return True
+    raise ValueError(
+        f"{helper}: {live} is missing and no committed compaction "
+        f"tree exists at {tmp} — the index is broken (appends landed after "
+        "the last compaction snapshot would be lost by resurrecting "
+        f"{old}; rebuild from the corpus)."
+    )
+
+
+def _commit_swap(spark: SparkSession, path: str, tree: str) -> None:
+    """The rename sequence after the ``__compacting`` tree is committed:
+    live → old, tmp → live, delete old."""
+    live, tmp, old = _swap_triplet(path, tree)
+    fsio.rename(live, old, spark=spark)
+    fsio.rename(tmp, live, spark=spark)
+    fsio.delete(old, spark=spark)
+
+
 def compact_ivf_index(spark: SparkSession, path: str) -> None:
     """Rewrite a persisted IVF index's assignments back to the
     one-data-file-per-list-directory contract after a run of
@@ -1044,17 +1088,12 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     DataFrame may see a transient listing error during the swap — run
     compaction in the same maintenance window as the appends it follows.
     """
-    repaired = repair_ivf_index(spark, path)
-    asg, tmp, old = (
-        f"{path}/assignments",
-        f"{path}/assignments__compacting",
-        f"{path}/assignments__old",
-    )
-    if repaired:
+    if repair_ivf_index(spark, path):
         return  # the finished swap IS the compacted tree
     meta = spark.read.json(f"{path}/meta").first()
     if meta is None or meta["format"] != "ivf":
         raise ValueError(f"compact_ivf_index: {path}/meta is not an IVF index manifest")
+    asg, tmp, old = _swap_triplet(path, "assignments")
     fsio.delete(tmp, spark=spark)  # uncommitted residue from a prior crash
     fsio.delete(old, spark=spark)
     (
@@ -1064,37 +1103,13 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
         .mode("error")
         .parquet(tmp)
     )
-    fsio.rename(asg, old, spark=spark)
-    fsio.rename(tmp, asg, spark=spark)
-    fsio.delete(old, spark=spark)
+    _commit_swap(spark, path, "assignments")
 
 
 def repair_ivf_index(spark: SparkSession, path: str) -> bool:
     """Finish a :func:`compact_ivf_index` swap that crashed between its
-    two renames: if the live ``assignments`` tree is missing but a
-    COMMITTED (``_SUCCESS``-stamped) ``assignments__compacting`` tree
-    exists, rename it in and drop the superseded ``assignments__old``.
-    Returns True when a repair was performed. A missing live tree with NO
-    committed replacement raises — that index is genuinely broken and a
-    silent resurrection from ``__old`` could lose appends that landed
-    after the compaction read its snapshot."""
-    asg, tmp, old = (
-        f"{path}/assignments",
-        f"{path}/assignments__compacting",
-        f"{path}/assignments__old",
-    )
-    if fsio.exists(asg, spark=spark):
-        return False
-    if fsio.exists(f"{tmp}/_SUCCESS", spark=spark):
-        fsio.rename(tmp, asg, spark=spark)
-        fsio.delete(old, spark=spark)
-        return True
-    raise ValueError(
-        f"repair_ivf_index: {asg} is missing and no committed compaction "
-        f"tree exists at {tmp} — the index is broken (appends landed after "
-        "the last compaction snapshot would be lost by resurrecting "
-        f"{old}; rebuild from the corpus)."
-    )
+    two renames (see :func:`_repair_swap`)."""
+    return _repair_swap(spark, path, "assignments", "repair_ivf_index")
 
 
 def ivf_index_stats(
@@ -1245,6 +1260,114 @@ def load_lsh_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
         "seed": int(meta["seed"]),
     }
     return index, params
+
+
+def append_to_lsh_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    corpus_id: str | None = None,
+    vec_col: str | None = None,
+    dedupe: bool = False,
+) -> int:
+    """Append a batch of new vectors to a persisted :func:`persist_lsh_index`
+    tree WITHOUT rebuilding: bucketize the batch with the index's OWN
+    stored parameters (n_planes/n_tables/seed from the manifest — the
+    desync :func:`lsh_ann_topk` guards against cannot happen here) and
+    append the (id, vec, tbl, bucket) rows into the existing
+    ``(tbl, _bpfx<p>)`` layout. Returns the number of VECTORS appended
+    (each lands ``n_tables`` bucket rows).
+
+    The LSH face of the daily-crawl path :func:`append_to_ivf_index`
+    documents: one map-only bucketize matmul over the increment —
+    O(batch), never the O(corpus) rebucketize. Appended rows use the
+    SAME prefix derivation as the build, so they stay visible to the
+    query side's dynamic partition pruning; each append adds at most one
+    new file per touched (tbl, prefix) directory
+    (:func:`compact_lsh_index` restores the one-file-per-directory
+    contract). Null/ragged vectors degrade to null buckets exactly as
+    :func:`bucketize_tables` does — never probed, never dropped.
+
+    ``dedupe=True`` anti-joins the batch against ids already in the index
+    (an id-column-pruned scan) so a replayed append is a no-op — the
+    exactly-once discipline for retried maintenance jobs.
+    """
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "lsh":
+        raise ValueError(f"append_to_lsh_index: {path}/meta is not an LSH index manifest")
+    stored_id, stored_vec = meta["id_col"], meta["vec_col"]
+    n_planes, n_tables = int(meta["n_planes"]), int(meta["n_tables"])
+    seed, p = int(meta["seed"]), int(meta["prefix_bits"])
+    id_in = corpus_id or stored_id
+    vec_in = vec_col or stored_vec
+    slim = new_vectors.select(
+        F.col(id_in).alias("_id"), F.col(vec_in).alias("_v")
+    )
+    if dedupe:
+        existing = spark.read.parquet(f"{path}/buckets").select(
+            F.col(stored_id).alias("_id")
+        )
+        slim = slim.join(existing, "_id", "left_anti")
+    appended = slim.count()  # one extra job over the NEW BATCH only
+    if appended:
+        bp = f"_bpfx{p}"
+        normalized = (
+            bucketize_tables(
+                slim, id_col="_id", id_name=stored_id, vec_col="_v",
+                keep_vec=stored_vec, n_tables=n_tables, n_planes=n_planes,
+                seed=seed,
+            )
+            .withColumn(
+                "bucket", F.lpad(F.col("bucket").cast("string"), n_planes, "0")
+            )
+            .withColumn(bp, F.concat(F.lit("b"), F.substring("bucket", 1, p)))
+        )
+        n_dirs = n_tables * (1 << p)
+        (
+            normalized.repartition(min(1024, n_dirs), "tbl", bp)
+            .sortWithinPartitions("bucket")
+            .write.partitionBy("tbl", bp)
+            .mode("append")
+            .parquet(f"{path}/buckets")
+        )
+    return appended
+
+
+def compact_lsh_index(spark: SparkSession, path: str) -> None:
+    """Rewrite a persisted LSH index's buckets back to the
+    one-data-file-per-directory, bucket-sorted layout after a run of
+    :func:`append_to_lsh_index` calls — same rename-swap protocol (and
+    same crash repair via :func:`repair_lsh_index`) as
+    :func:`compact_ivf_index`. Re-sorting by bucket within partitions
+    restores the contiguous row-group min/max locality appends
+    interleave."""
+    if repair_lsh_index(spark, path):
+        return
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "lsh":
+        raise ValueError(f"compact_lsh_index: {path}/meta is not an LSH index manifest")
+    p, n_tables = int(meta["prefix_bits"]), int(meta["n_tables"])
+    bp = f"_bpfx{p}"
+    live, tmp, old = _swap_triplet(path, "buckets")
+    fsio.delete(tmp, spark=spark)
+    fsio.delete(old, spark=spark)
+    n_dirs = n_tables * (1 << p)
+    (
+        spark.read.parquet(live)
+        .repartition(min(1024, n_dirs), "tbl", bp)
+        .sortWithinPartitions("bucket")
+        .write.partitionBy("tbl", bp)
+        .mode("error")
+        .parquet(tmp)
+    )
+    _commit_swap(spark, path, "buckets")
+
+
+def repair_lsh_index(spark: SparkSession, path: str) -> bool:
+    """Finish a :func:`compact_lsh_index` swap that crashed between its
+    two renames (see :func:`_repair_swap`)."""
+    return _repair_swap(spark, path, "buckets", "repair_lsh_index")
 
 
 # Per-shard row cap for auto shard sizing: with the per-index list clamp at

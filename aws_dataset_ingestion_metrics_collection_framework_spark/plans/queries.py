@@ -4960,6 +4960,119 @@ FROM embeddings
 """
 
 
+def q_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH maintenance — the LSH face of the daily-crawl
+    growth path (r12; ``similarity.append_to_lsh_index`` /
+    ``compact_lsh_index``): a persisted bucket index absorbs a new batch
+    with one map-only bucketize over the increment using the MANIFEST's
+    stored n_planes/n_tables/seed (no desync possible), appends stay
+    idempotent under replay with ``dedupe=True``, and compaction restores
+    the one-file-per-directory bucket-sorted layout without changing a
+    single result row. Driver-attested contract, END TO END on the
+    embeddings table (even half = base index, odd half = the increment):
+
+    - append parity: every appended row carries exactly the (tbl, bucket,
+      prefix) the build's own bucketize+normalization gives it — appended
+      rows stay visible to the query side's partition pruning;
+    - replayed append with dedupe=True appends 0 vectors;
+    - a planted exact twin appended into the index is found at rank 1 by
+      the persisted-index query path;
+    - after appends grow files-per-dir past 1, compact restores ≤1 file
+      per (tbl, prefix) directory and query results are row-for-row
+      unchanged."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    n_batch = batch.count()
+    root = tempfile.mkdtemp(prefix="lsh_maint_q_")
+    kw = dict(corpus_id="vec_id", vec_col="embedding")
+    try:
+        bucketed = SIM.bucketize_tables(
+            base, id_col="vec_id", id_name="neighbor_id",
+            vec_col="embedding", keep_vec="cv", n_tables=4, n_planes=4,
+        )
+        SIM.persist_lsh_index(
+            bucketed, root, n_planes=4, n_tables=4, seed=7, mode="overwrite"
+        )
+        twins = base.filter(F.col("vec_id") < 6).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        n_twins = twins.count()
+        appended = SIM.append_to_lsh_index(spark, root, batch, dedupe=True, **kw)
+        replayed = SIM.append_to_lsh_index(spark, root, batch, dedupe=True, **kw)
+        SIM.append_to_lsh_index(spark, root, twins, **kw)
+
+        idx, params = SIM.load_lsh_index(spark, root)
+        got = {
+            (r["neighbor_id"], r["tbl"], r["bucket"])
+            for r in idx.filter(
+                (F.col("neighbor_id") % 2 == 1)
+                & (F.col("neighbor_id") < 1_000_000)
+            ).collect()
+        }
+        expect = {
+            (r["neighbor_id"], r["tbl"], r["bucket"])
+            for r in SIM.bucketize_tables(
+                batch, id_col="vec_id", id_name="neighbor_id",
+                vec_col="embedding", n_tables=4, n_planes=4,
+            ).withColumn(
+                "bucket", F.lpad(F.col("bucket").cast("string"), 4, "0")
+            ).collect()
+        }
+        parity_ok = got == expect
+
+        q_twin = base.filter(F.col("vec_id") < 6)
+        hits = SIM.lsh_ann_topk(
+            q_twin, emb, k=1, index=idx, scorer="hof", **params
+        ).collect()
+        twin_ok = len(hits) == n_twins and all(
+            r["neighbor_id"] == r["query_id"] + 1_000_000 and r["cosine"] > 0.999999
+            for r in hits
+        )
+
+        def max_files_per_dir():
+            worst = 0
+            for d, _, files in os.walk(os.path.join(root, "buckets")):
+                worst = max(worst, sum(1 for f in files if f.endswith(".parquet")))
+            return worst
+
+        grew = max_files_per_dir() > 1
+        queries = base.filter(F.col("vec_id") < 10)
+        key = ["query_id", "neighbor_id", "cosine", "rank"]
+        before = sorted(map(tuple, SIM.lsh_ann_topk(
+            queries, emb, k=5, index=idx, scorer="hof", **params
+        ).select(*key).collect()))
+        SIM.compact_lsh_index(spark, root)
+        compact_ok = max_files_per_dir() == 1
+        idx2, params2 = SIM.load_lsh_index(spark, root)
+        after = sorted(map(tuple, SIM.lsh_ann_topk(
+            queries, emb, k=5, index=idx2, scorer="hof", **params2
+        ).select(*key).collect()))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            int(appended), int(replayed), bool(parity_ok), bool(twin_ok),
+            bool(grew and compact_ok), before == after,
+        )],
+        "appended int, replayed int, append_parity boolean, "
+        "twin_found boolean, compact_restores_layout boolean, "
+        "compact_preserves_results boolean",
+    )
+
+
+LSH_INDEX_MAINTENANCE_ORACLE = """
+SELECT CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS INTEGER) AS appended,
+       0 AS replayed, TRUE AS append_parity, TRUE AS twin_found,
+       TRUE AS compact_restores_layout, TRUE AS compact_preserves_results
+FROM embeddings
+"""
+
+
 def q_lsh_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-LSH-index path END TO END: bucketize, persist via
     ``persist_lsh_index`` (directory-bounded (tbl, _bpfx<p>) layout whose
@@ -6224,6 +6337,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_persisted": q_ivf_ann_persisted,
     "sharded_ivf_ann": q_sharded_ivf_ann,
     "ivf_index_maintenance": q_ivf_index_maintenance,
+    "lsh_index_maintenance": q_lsh_index_maintenance,
     "lsh_ann_persisted": q_lsh_ann_persisted,
     "ivf_ann_auto": q_ivf_ann_auto,
     "sessionize": q_sessionize,
@@ -6558,6 +6672,7 @@ ORACLES: dict[str, str] = {
     "ivf_ann": IVF_ANN_ORACLE,
     "sharded_ivf_ann": SHARDED_IVF_ANN_ORACLE,
     "ivf_index_maintenance": IVF_INDEX_MAINTENANCE_ORACLE,
+    "lsh_index_maintenance": LSH_INDEX_MAINTENANCE_ORACLE,
     "ivf_ann_persisted": IVF_ANN_PERSISTED_ORACLE,
     "lsh_ann_persisted": LSH_ANN_PERSISTED_ORACLE,
     "ivf_ann_auto": IVF_ANN_AUTO_ORACLE,
@@ -6632,6 +6747,7 @@ ORACLES: dict[str, str] = {
 # from CORRECTNESS_r*.json (max round per query).
 _R12_PRIORITY = [
     'ivf_index_maintenance',
+    'lsh_index_maintenance',
     'sharded_ivf_ann',
     'dashboard_report',
     'dashboard_layout',

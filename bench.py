@@ -162,6 +162,7 @@ HEADLINE = [
     "grouping_sets_lineitem",
     "sharded_ivf_ann",
     "ivf_index_maintenance",
+    "lsh_index_maintenance",
 ]
 
 # Benched since r1 — the frozen cross-round comparison basket (see §3 above).

@@ -1997,3 +1997,166 @@ def test_ivf_index_stats(spark):
     assert r["rebalance_recommended"] is False  # skew ≈ 2.18 < 4
     r2 = ivf_index_stats(asg, skew_threshold=2.0).first()
     assert r2["rebalance_recommended"] is True
+
+
+# --------------------------------------------------------------------------
+# LSH index maintenance: append / compact / repair (r12)
+# --------------------------------------------------------------------------
+
+def _lsh_maint_tree(spark, sf_dir, tmp_path):
+    """Persisted LSH index over the EVEN half of embeddings + the odd
+    half as the append batch."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        bucketize_tables,
+        persist_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path / "lsh_maint")
+    bucketed = bucketize_tables(
+        base, id_col="vec_id", id_name="neighbor_id",
+        vec_col="embedding", keep_vec="cv", n_tables=4, n_planes=4,
+    )
+    persist_lsh_index(
+        bucketed, root, n_planes=4, n_tables=4, seed=7, mode="overwrite"
+    )
+    return root, base, batch
+
+
+def _files_per_bucket_dir(root):
+    out = {}
+    for d, _, files in os.walk(os.path.join(root, "buckets")):
+        k = sum(1 for f in files if f.endswith(".parquet"))
+        if k:
+            out[d] = k
+    return out
+
+
+def test_lsh_append_parity_with_build_bucketize(spark, sf_dir, tmp_path):
+    """Appended rows carry EXACTLY the (tbl, bucket) the build's own
+    bucketize gives them with the manifest's stored params — including
+    the lpad normalization and prefix derivation, so DPP keeps pruning
+    for appended rows."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        append_to_lsh_index,
+        bucketize_tables,
+        load_lsh_index,
+    )
+
+    root, base, batch = _lsh_maint_tree(spark, sf_dir, tmp_path)
+    n_batch = batch.count()
+    assert (
+        append_to_lsh_index(
+            spark, root, batch, corpus_id="vec_id", vec_col="embedding"
+        )
+        == n_batch
+    )
+
+    idx, params = load_lsh_index(spark, root)
+    got = {
+        (r["neighbor_id"], r["tbl"], r["bucket"])
+        for r in idx.filter(F.col("neighbor_id") % 2 == 1).collect()
+    }
+    expect = {
+        (r["neighbor_id"], r["tbl"], r["bucket"])
+        for r in bucketize_tables(
+            batch, id_col="vec_id", id_name="neighbor_id",
+            vec_col="embedding", n_tables=4, n_planes=4,
+        ).withColumn(
+            "bucket", F.lpad(F.col("bucket").cast("string"), 4, "0")
+        ).collect()
+    }
+    assert got == expect
+    assert idx.count() == (base.count() + n_batch) * 4  # n_tables rows each
+
+
+def test_lsh_append_query_finds_new_vectors(spark, sf_dir, tmp_path):
+    """A planted exact twin appended into the LSH index is found at rank
+    1 with cosine ~1 by the persisted-index query path (same stored
+    params, so query buckets hash identically)."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        append_to_lsh_index,
+        load_lsh_index,
+        lsh_ann_topk,
+    )
+
+    root, base, _ = _lsh_maint_tree(spark, sf_dir, tmp_path)
+    twin_src = base.filter(F.col("vec_id") < 6)
+    twins = twin_src.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    assert (
+        append_to_lsh_index(
+            spark, root, twins, corpus_id="vec_id", vec_col="embedding"
+        )
+        == twin_src.count()
+    )
+    idx, params = load_lsh_index(spark, root)
+    hits = lsh_ann_topk(
+        twin_src, twin_src, k=1, index=idx, scorer="hof", **params
+    ).collect()
+    assert len(hits) == twin_src.count()
+    for r in hits:
+        assert r["neighbor_id"] == r["query_id"] + 1_000_000
+        assert r["cosine"] > 0.999999
+
+
+def test_lsh_append_dedupe_and_compact(spark, sf_dir, tmp_path):
+    """Replayed append with dedupe=True is a no-op; appends grow
+    files-per-dir; compact restores ≤1 file per directory with
+    row-for-row identical query results; repair finishes a staged
+    mid-swap crash and raises when the index is genuinely broken."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        append_to_lsh_index,
+        compact_lsh_index,
+        load_lsh_index,
+        lsh_ann_topk,
+        repair_lsh_index,
+    )
+    from aws_dataset_ingestion_metrics_collection_framework_spark.sources import fsio
+
+    root, base, batch = _lsh_maint_tree(spark, sf_dir, tmp_path)
+    n = batch.count()
+    kw = dict(corpus_id="vec_id", vec_col="embedding")
+    assert append_to_lsh_index(spark, root, batch, dedupe=True, **kw) == n
+    assert append_to_lsh_index(spark, root, batch, dedupe=True, **kw) == 0
+    append_to_lsh_index(spark, root, batch.limit(5), **kw)  # plain append: dups
+    assert max(_files_per_bucket_dir(root).values()) > 1
+
+    queries = base.filter(F.col("vec_id") < 10)
+    idx, params = load_lsh_index(spark, root)
+    key = ["query_id", "neighbor_id", "cosine", "rank"]
+    before = sorted(map(tuple, lsh_ann_topk(
+        queries, base, k=5, index=idx, scorer="hof", **params
+    ).select(*key).collect()))
+
+    compact_lsh_index(spark, root)
+    assert max(_files_per_bucket_dir(root).values()) == 1
+    assert not os.path.exists(f"{root}/buckets__old")
+    assert not os.path.exists(f"{root}/buckets__compacting")
+    idx2, params2 = load_lsh_index(spark, root)
+    after = sorted(map(tuple, lsh_ann_topk(
+        queries, base, k=5, index=idx2, scorer="hof", **params2
+    ).select(*key).collect()))
+    assert before == after
+
+    # staged mid-swap crash: committed compacting tree, live renamed away
+    assert repair_lsh_index(spark, root) is False
+    n_rows = idx2.count()
+    meta = spark.read.json(f"{root}/meta").first()
+    bp = f"_bpfx{int(meta['prefix_bits'])}"
+    (
+        spark.read.parquet(f"{root}/buckets")
+        .repartition(4, "tbl", bp)
+        .write.partitionBy("tbl", bp).mode("error")
+        .parquet(f"{root}/buckets__compacting")
+    )
+    fsio.rename(f"{root}/buckets", f"{root}/buckets__old", spark=spark)
+    assert repair_lsh_index(spark, root) is True
+    assert load_lsh_index(spark, root)[0].count() == n_rows
+
+    fsio.rename(f"{root}/buckets", f"{root}/buckets__old", spark=spark)
+    with pytest.raises(ValueError, match="is broken"):
+        compact_lsh_index(spark, root)
