@@ -10,6 +10,7 @@ All three share the batch modules' Column expressions; batch mode is the
 reference implementation and tests diff streaming output against it.
 """
 
+from .ann_ingest import ingest_batch_into_index, start_ann_index_ingest
 from .alarm_state import evaluate_slots, streaming_alarm_states
 from .cdc import read_live, read_snapshot, start_snapshot_maintenance
 from .ingest import open_stream_channel, read_json_lines_stream, start_ingest
@@ -17,6 +18,8 @@ from .pipeline import streaming_scrape, streaming_sla_pipeline
 from .stats import streaming_metric_windows
 
 __all__ = [
+    "ingest_batch_into_index",
+    "start_ann_index_ingest",
     "evaluate_slots",
     "read_live",
     "read_snapshot",

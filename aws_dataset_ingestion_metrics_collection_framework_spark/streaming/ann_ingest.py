@@ -1,0 +1,142 @@
+"""Streaming ANN index maintenance: keep a persisted IVF or LSH index
+current from a vector stream.
+
+    vector stream ──foreachBatch──► append_to_{ivf,lsh}_index
+                                     └─ every N batches: compact_*_index
+
+The daily-crawl loop (streaming/dedup.py's topology shape) applied to
+similarity indexes: each micro-batch is one map-only assign/bucketize over
+the INCREMENT (O(batch), never the O(corpus) rebuild the index would
+otherwise need as the corpus grows), appended into the index's partitioned
+layout; periodic compaction folds the per-append files back to the
+one-file-per-directory contract.
+
+EXACTLY-ONCE ACROSS RESTART: ``foreachBatch`` is at-least-once — a crash
+between the append and the checkpoint commit replays the batch. A
+batch-scoped overwrite (streaming/ingest.py's cure) does not fit here: the
+append targets list/bucket partitions shared with ALL history, and adding
+a batch partition level would change the index layout every query reads.
+Instead the sink runs a marker + replay-dedupe protocol:
+
+- FIRST attempt at batch N: atomically stamp ``{index}/_ingest_marker``
+  with N, then plain-append (fast path — no corpus scan).
+- REPLAY of batch N (entry marker already == N — the stamp survived the
+  crash): append with ``dedupe=True``, which anti-joins the batch against
+  ids already in the index (an id-column-pruned scan), so rows the crashed
+  attempt landed — wholly or partially — are skipped and the rest land
+  exactly once.
+
+The marker is stamped BEFORE the append on purpose: stamping after would
+make "crashed between append and stamp" indistinguishable from a first
+attempt and double-land the batch; stamping before means the worst case is
+one unnecessary dedupe pass. The dedupe cost is paid ONLY on the crash
+path, never per batch.
+
+CONTRACT (same as ``append_to_ivf_index``'s default): batch ids are new to
+the index. A source that re-sends known ids (re-crawled documents) should
+pass ``dedupe=True`` to anti-join EVERY batch — correctness over the fast
+path — or dedupe upstream (streaming/dedup.py exists for exactly that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators import similarity as SIM
+from ..sources import fsio
+
+MARKER = "_ingest_marker"
+
+
+def _read_marker(spark: SparkSession, index_path: str) -> int | None:
+    txt = fsio.read_text(f"{index_path}/{MARKER}", spark=spark)
+    return int(txt.strip()) if txt else None
+
+
+def ingest_batch_into_index(
+    spark: SparkSession,
+    index_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    kind: str,
+    corpus_id: str,
+    vec_col: str,
+    dedupe: bool | str = "auto",
+) -> int:
+    """Land ONE micro-batch into the persisted index with the marker +
+    replay-dedupe protocol (module docstring). Exposed as a plain
+    function so the replay path is directly testable; the foreachBatch
+    sink is a thin wrapper. Returns rows appended (0 on a full replay).
+
+    ``dedupe``: ``'auto'`` anti-joins only when the entry marker says
+    this batch already started once (the crash-replay path); ``True``
+    always anti-joins; ``False`` never does (trusted exactly-once
+    upstream)."""
+    if dedupe == "auto":
+        do_dedupe = _read_marker(spark, index_path) == batch_id
+    elif isinstance(dedupe, bool):
+        do_dedupe = dedupe
+    else:
+        raise ValueError(f"dedupe must be 'auto', True or False, got {dedupe!r}")
+    fsio.write_text_atomic(
+        f"{index_path}/{MARKER}", str(batch_id), spark=spark
+    )
+    append = (
+        SIM.append_to_ivf_index if kind == "ivf" else SIM.append_to_lsh_index
+    )
+    return append(
+        spark, index_path, batch_df,
+        corpus_id=corpus_id, vec_col=vec_col, dedupe=do_dedupe,
+    )
+
+
+def start_ann_index_ingest(
+    vectors: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dedupe: bool | str = "auto",
+    compact_every: int | None = None,
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Start the streaming maintenance sink for the persisted ANN index
+    at ``index_path`` (kind — IVF or LSH — is read from the index's own
+    manifest, so a topology can't append with the wrong family's
+    parameters). ``compact_every=N`` folds the per-append files back to
+    one per directory after every N batches (compaction runs inside the
+    same foreachBatch slot — replays of a compacted batch are safe: the
+    swap is committed-tree-first and :func:`repair_*_index` finishes a
+    torn one)."""
+    spark = vectors.sparkSession
+    meta = spark.read.json(f"{index_path}/meta").first()
+    if meta is None or meta["format"] not in ("ivf", "lsh"):
+        raise ValueError(
+            f"start_ann_index_ingest: {index_path}/meta is not an IVF or "
+            "LSH index manifest"
+        )
+    kind = meta["format"]
+    compact = SIM.compact_ivf_index if kind == "ivf" else SIM.compact_lsh_index
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_batch_into_index(
+            spark, index_path, batch_df, batch_id,
+            kind=kind, corpus_id=corpus_id, vec_col=vec_col, dedupe=dedupe,
+        )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact(spark, index_path)
+
+    writer = (
+        vectors.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -1,0 +1,203 @@
+"""Streaming ANN index maintenance (streaming/ann_ingest.py): a persisted
+IVF/LSH index kept current from a vector stream — append parity with the
+batch path, marker + replay-dedupe exactly-once, periodic compaction."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+    build_ivf_index,
+    bucketize_tables,
+    ivf_ann_topk,
+    load_ivf_index,
+    load_lsh_index,
+    lsh_ann_topk,
+    persist_ivf_index,
+    persist_lsh_index,
+)
+from aws_dataset_ingestion_metrics_collection_framework_spark.streaming.ann_ingest import (
+    MARKER,
+    ingest_batch_into_index,
+    start_ann_index_ingest,
+)
+
+VEC_SCHEMA = "vec_id long, embedding array<double>"
+
+
+def _base_corpus(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+
+
+def _mk_ivf_tree(spark, sf_dir, tmp_path):
+    base = _base_corpus(spark, sf_dir).filter(F.col("vec_id") % 2 == 0)
+    root = str(tmp_path / "ivf_stream_idx")
+    persist_ivf_index(build_ivf_index(base, n_lists=8), root, mode="overwrite")
+    return root, base
+
+
+def _write_batch_file(src_dir, rows, name):
+    with open(os.path.join(src_dir, name), "w") as fh:
+        for vid, vec in rows:
+            fh.write(json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+
+
+def test_stream_ingest_end_to_end_ivf(spark, sf_dir, tmp_path):
+    """File-source vector stream → persisted IVF index: every streamed
+    vector lands exactly once with the assignment the batch append gives
+    it, a planted twin is findable afterward, and compact_every folds the
+    per-batch files."""
+    root, base = _mk_ivf_tree(spark, sf_dir, tmp_path)
+    batch = (
+        _base_corpus(spark, sf_dir)
+        .filter(F.col("vec_id") % 2 == 1)
+        .limit(40)
+        .collect()
+    )
+    twins_src = base.filter(F.col("vec_id") < 4).collect()
+    src = tmp_path / "vin"
+    src.mkdir()
+    _write_batch_file(
+        str(src), [(r["vec_id"], list(r["embedding"])) for r in batch], "b0.json"
+    )
+    _write_batch_file(
+        str(src),
+        [(r["vec_id"] + 1_000_000, list(r["embedding"])) for r in twins_src],
+        "b1.json",
+    )
+    stream = spark.readStream.schema(VEC_SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    q = start_ann_index_ingest(
+        stream, root, str(tmp_path / "ckpt"),
+        compact_every=1, available_now=True,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    centroids, asg = load_ivf_index(spark, root)
+    n_expected = base.count() + len(batch) + len(twins_src)
+    assert asg.count() == n_expected
+    # compaction ran after the final batch: one file per list dir
+    for d, _, files in os.walk(os.path.join(root, "assignments")):
+        assert sum(1 for f in files if f.endswith(".parquet")) <= 1, d
+
+    q_twin = base.filter(F.col("vec_id") < 4)
+    hits = ivf_ann_topk(
+        q_twin, q_twin, k=1, n_probe=8,
+        index=(centroids, asg), scorer="hof",
+    ).collect()
+    assert len(hits) == len(twins_src)
+    for r in hits:
+        assert r["neighbor_id"] == r["query_id"] + 1_000_000
+        assert r["cosine"] > 0.999999
+
+
+def test_replay_protocol_ivf(spark, sf_dir, tmp_path):
+    """The marker + replay-dedupe protocol: a first attempt takes the
+    fast path; a REPLAY of the same batch id (entry marker already
+    stamped — including after a partial landing) appends only what is
+    missing; a fresh batch id takes the fast path again."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        append_to_ivf_index,
+    )
+
+    root, base = _mk_ivf_tree(spark, sf_dir, tmp_path)
+    n_base = base.count()
+    batch = (
+        _base_corpus(spark, sf_dir).filter(F.col("vec_id") % 2 == 1).limit(30)
+    )
+    kw = dict(kind="ivf", corpus_id="vec_id", vec_col="embedding")
+
+    # first attempt: fast path, everything lands, marker stamped
+    assert ingest_batch_into_index(spark, root, batch, 0, **kw) == 30
+    assert open(f"{root}/{MARKER}").read() == "0"
+    # full replay of batch 0: entry marker == 0 → dedupe path → 0 rows
+    assert ingest_batch_into_index(spark, root, batch, 0, **kw) == 0
+    assert load_ivf_index(spark, root)[1].count() == n_base + 30
+
+    # partial-landing crash: half of batch 1 landed by the crashed
+    # attempt (simulated with a plain append) and the marker survived
+    batch1 = (
+        _base_corpus(spark, sf_dir)
+        .filter((F.col("vec_id") % 2 == 1) & F.col("vec_id").between(101, 199))
+        .limit(20)
+    )
+    half = batch1.limit(10)
+    from aws_dataset_ingestion_metrics_collection_framework_spark.sources import fsio
+
+    fsio.write_text_atomic(f"{root}/{MARKER}", "1", spark=spark)
+    append_to_ivf_index(spark, root, half)
+    # the replay lands ONLY the missing half
+    assert ingest_batch_into_index(spark, root, batch1, 1, **kw) == 10
+    asg = load_ivf_index(spark, root)[1]
+    assert asg.count() == n_base + 30 + 20
+    assert (
+        asg.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
+    )
+
+    # next batch id: fast path again (marker is 1, batch id 2)
+    batch2 = (
+        _base_corpus(spark, sf_dir)
+        .filter((F.col("vec_id") % 2 == 1) & F.col("vec_id").between(201, 299))
+        .limit(5)
+    )
+    assert ingest_batch_into_index(spark, root, batch2, 2, **kw) == 5
+    assert open(f"{root}/{MARKER}").read() == "2"
+
+
+def test_stream_ingest_lsh_kind_from_manifest(spark, sf_dir, tmp_path):
+    """The sink reads the index KIND from the manifest: pointing the same
+    topology at an LSH tree appends bucketized rows with the stored
+    params, and the twin stays findable through the query path."""
+    base = _base_corpus(spark, sf_dir).filter(F.col("vec_id") % 2 == 0)
+    root = str(tmp_path / "lsh_stream_idx")
+    bucketed = bucketize_tables(
+        base, id_col="vec_id", id_name="neighbor_id",
+        vec_col="embedding", keep_vec="cv", n_tables=4, n_planes=4,
+    )
+    persist_lsh_index(bucketed, root, n_planes=4, n_tables=4, seed=7, mode="overwrite")
+
+    twins_src = base.filter(F.col("vec_id") < 4).collect()
+    src = tmp_path / "vin_lsh"
+    src.mkdir()
+    _write_batch_file(
+        str(src),
+        [(r["vec_id"] + 1_000_000, list(r["embedding"])) for r in twins_src],
+        "b0.json",
+    )
+    stream = spark.readStream.schema(VEC_SCHEMA).json(str(src))
+    q = start_ann_index_ingest(
+        stream, root, str(tmp_path / "ckpt_lsh"), available_now=True
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    idx, params = load_lsh_index(spark, root)
+    assert idx.count() == (base.count() + len(twins_src)) * 4
+    q_twin = base.filter(F.col("vec_id") < 4)
+    hits = lsh_ann_topk(
+        q_twin, q_twin, k=1, index=idx, scorer="hof", **params
+    ).collect()
+    assert len(hits) == len(twins_src)
+    for r in hits:
+        assert r["neighbor_id"] == r["query_id"] + 1_000_000
+        assert r["cosine"] > 0.999999
+
+
+def test_ingest_rejects_non_index_path(spark, sf_dir, tmp_path):
+    (tmp_path / "nowhere").mkdir()
+    stream = spark.readStream.schema(VEC_SCHEMA).json(str(tmp_path / "nowhere"))
+    with pytest.raises(Exception):
+        start_ann_index_ingest(stream, str(tmp_path / "not_an_index"), str(tmp_path / "c"))
+
+
+def test_ingest_batch_dedupe_flag_validation(spark, sf_dir, tmp_path):
+    root, _ = _mk_ivf_tree(spark, sf_dir, tmp_path)
+    batch = _base_corpus(spark, sf_dir).limit(1)
+    with pytest.raises(ValueError, match="dedupe"):
+        ingest_batch_into_index(
+            spark, root, batch, 0,
+            kind="ivf", corpus_id="vec_id", vec_col="embedding", dedupe="yes",
+        )
