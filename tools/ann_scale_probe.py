@@ -7,6 +7,7 @@ Usage:
     python tools/ann_scale_probe.py lsh [n ...] [--dim D] [--scorer S]
     python tools/ann_scale_probe.py sharded [n ...] [--dim D] [--scorer S]
     python tools/ann_scale_probe.py pq [n ...] [--dim D]
+    python tools/ann_scale_probe.py append [n ...] [--dim D] [--scorer S]
 
 ``--scorer`` forces the candidate-scoring kernel ('hof'|'arrow';
 default 'auto' — the dim-based cutover the query path itself applies).
@@ -19,6 +20,12 @@ PLUS the EXACT probed rows per query (the probe-selection stage joined to
 the real per-list occupancies — the read-volume number the sharded design
 exists to bound: flat grows as n_probe·n/4096 past 16.8M vectors, sharded
 stays ≤ n_probe × ~4096).
+
+append: the index-maintenance economics point (SCALE.md r12) — build +
+persist the corpus index once (the rebuild cost), then append a 10%
+increment via ``append_to_ivf_index`` (the O(batch) daily-crawl path),
+compact, and re-query: reports append-vs-rebuild ratio, compact cost,
+and the indexed query time over the grown index.
 
 pq: the ADC economics point (SCALE.md r12) — pq_ann_topk end to end
 (integer k-means train + encode + asymmetric-distance scan) with
@@ -217,6 +224,48 @@ def main() -> None:
                 }
                 shutil.rmtree(root, ignore_errors=True)
             out.append(rec)
+        elif mode == "append":
+            # the O(batch)-vs-O(corpus) maintenance claim, measured: build
+            # + persist the corpus index once (the rebuild cost a daily
+            # increment would otherwise pay), then append a 10% increment
+            # through append_to_ivf_index and time it — plus the compact
+            # pass and the indexed query over the grown index.
+            import shutil as _sh
+
+            t0 = time.perf_counter()
+            root = tempfile.mkdtemp(prefix="ivf_append_")
+            SIM.persist_ivf_index(
+                SIM.build_ivf_index(emb, n_lists="auto"), root,
+                mode="overwrite",
+            )
+            t_build = time.perf_counter() - t0
+            n_inc = max(1, n // 10)
+            inc = _gen(spark, n_inc, dim).select(
+                (F.col("vec_id") + 2 * n).alias("vec_id"), "embedding"
+            )
+            t1 = time.perf_counter()
+            appended = SIM.append_to_ivf_index(spark, root, inc)
+            t_append = time.perf_counter() - t1
+            t2 = time.perf_counter()
+            SIM.compact_ivf_index(spark, root)
+            t_compact = time.perf_counter() - t2
+            idx = SIM.load_ivf_index(spark, root)
+            queries = emb.filter(F.col("vec_id") < 20)
+            times = []
+            for _ in range(2):
+                t3 = time.perf_counter()
+                rows = SIM.ivf_ann_topk(
+                    queries, emb, k=5, n_probe=8, index=idx, scorer=scorer
+                ).collect()
+                times.append(time.perf_counter() - t3)
+            out.append({"n": n, "dim": dim, "increment": appended,
+                        "build_persist_s": round(t_build, 1),
+                        "append_s": round(t_append, 1),
+                        "append_vs_rebuild": round(t_append / t_build, 3),
+                        "compact_s": round(t_compact, 1),
+                        "query_after_append_s": round(min(times), 2),
+                        "topk_rows": len(rows)})
+            _sh.rmtree(root, ignore_errors=True)
         elif mode == "pq":
             queries = emb.filter(F.col("vec_id") < 20)
             m_auto = SIM.auto_pq_m(dim)
