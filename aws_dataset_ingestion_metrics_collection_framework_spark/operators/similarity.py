@@ -2139,6 +2139,7 @@ def pq_ann_topk(
     k: int = 16,
     scale_bits: int = 20,
     hash_fn: str = "xx",
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) PQ top-k: per query, one (m × k) integer
     distance table against the trained centroids; every corpus vector is
@@ -2154,12 +2155,27 @@ def pq_ann_topk(
 
     ``m='auto'`` resolves from the CORPUS vector width (see
     :func:`auto_pq_m`) and the same count slices the queries, so the two
-    sides always agree."""
-    m = _resolve_pq_m(m, corpus, vec_col)
-    centroids, codes = pq_index(
-        corpus, corpus_id=corpus_id, vec_col=vec_col,
-        m=m, k=k, scale_bits=scale_bits, hash_fn=hash_fn,
-    )
+    sides always agree.
+
+    ``index=(centroids, codes)`` (from :func:`pq_index` or
+    :func:`load_pq_index`) skips the train+encode entirely — the
+    build-once/query-many path. ``m``/``k``/``scale_bits``/``hash_fn``
+    must then be the index's stored values (``load_pq_index`` hands them
+    back as params to splat), and ``m`` must be the resolved int — the
+    query slicing has no corpus to resolve ``'auto'`` against."""
+    if index is not None:
+        if not isinstance(m, int):
+            raise ValueError(
+                "pq_ann_topk(index=...): pass the index's stored m "
+                "(load_pq_index returns it in params)"
+            )
+        centroids, codes = index
+    else:
+        m = _resolve_pq_m(m, corpus, vec_col)
+        centroids, codes = pq_index(
+            corpus, corpus_id=corpus_id, vec_col=vec_col,
+            m=m, k=k, scale_bits=scale_bits, hash_fn=hash_fn,
+        )
     qslices = _pq_subslices(queries, query_id, vec_col, m, scale_bits,
                             "query_id")
     qtable = (
@@ -2188,6 +2204,164 @@ def pq_ann_topk(
         .filter(F.col("rank") <= k_neighbors)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def persist_pq_index(
+    index: tuple[DataFrame, DataFrame],
+    path: str,
+    *,
+    m: int,
+    k: int = 16,
+    scale_bits: int = 20,
+    hash_fn: str = "xx",
+    vec_col: str = "embedding",
+    mode: str = "error",
+) -> None:
+    """Write a :func:`pq_index` result to ``path`` — the build-once/
+    query-many layout for the third ANN family:
+
+    - ``{path}/centroids`` — (sub, idx, cvec), m × k rows, one file;
+    - ``{path}/codes`` — parquet ``partitionBy("sub")``, repartitioned by
+      sub first so each subspace directory holds exactly one data file
+      (appends add one per append; :func:`compact_pq_index` folds them),
+      sorted by code within files for row-group min/max locality on the
+      ADC join key. The ADC scan reads EVERY code row by design (m slim
+      ints per vector — that IS the PQ economics), so unlike IVF/LSH the
+      layout exists for file-count sanity and append/compact mechanics,
+      not partition pruning;
+    - ``{path}/meta`` — the training parameters (m/k/scale_bits/hash_fn)
+      and column names, handed back by :func:`load_pq_index` so the query
+      side can NEVER slice with a mismatched subspace count (``vec_col``
+      is recorded for :func:`append_to_pq_index`'s default).
+
+    ``m``/``k``/``scale_bits``/``hash_fn`` must be the values the index
+    was built with — same manifest discipline as :func:`persist_lsh_index`.
+    """
+    centroids, codes = index
+    spark = centroids.sparkSession
+    data_cols = [c for c in codes.columns if c not in ("sub", "code")]
+    if len(data_cols) != 1:
+        raise ValueError(
+            "persist_pq_index: codes must carry exactly "
+            f"(corpus_id, sub, code); got {codes.columns}"
+        )
+    id_col = data_cols[0]
+    centroids.coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
+    (
+        codes.repartition(m, "sub")
+        .sortWithinPartitions("code")
+        .write.partitionBy("sub")
+        .mode(mode)
+        .parquet(f"{path}/codes")
+    )
+    meta = Row(
+        format="pq", version=1, m=m, k=k, scale_bits=scale_bits,
+        hash_fn=hash_fn, corpus_id=id_col, vec_col=vec_col,
+    )
+    spark.createDataFrame([meta]).coalesce(1).write.mode(mode).json(f"{path}/meta")
+
+
+def load_pq_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    corpus_id: str | None = None,
+) -> tuple[tuple[DataFrame, DataFrame], dict]:
+    """Read a :func:`persist_pq_index` tree back as ``((centroids, codes),
+    params)``: splat ``params`` into :func:`pq_ann_topk` alongside
+    ``index=`` so the query slicing uses EXACTLY the stored training
+    parameters — ``pq_ann_topk(q, corpus, index=idx, **params)``."""
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "pq":
+        raise ValueError(f"load_pq_index: {path}/meta is not a PQ index manifest")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    codes = spark.read.parquet(f"{path}/codes")
+    if corpus_id and corpus_id != meta["corpus_id"]:
+        codes = codes.withColumnRenamed(meta["corpus_id"], corpus_id)
+    params = {
+        "m": int(meta["m"]), "k": int(meta["k"]),
+        "scale_bits": int(meta["scale_bits"]), "hash_fn": meta["hash_fn"],
+    }
+    return (centroids, codes), params
+
+
+def append_to_pq_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    corpus_id: str | None = None,
+    vec_col: str | None = None,
+    dedupe: bool = False,
+) -> int:
+    """Append a batch of new vectors to a persisted :func:`persist_pq_index`
+    tree WITHOUT retraining: encode the increment against the FROZEN
+    codebook (the exact :func:`_pq_subslices` + :func:`_pq_assign` kernels
+    the build used — encode parity by construction) and append the slim
+    (id, code) rows into the per-subspace layout. Returns vectors
+    appended (each lands ``m`` code rows). Same daily-crawl economics and
+    ``dedupe=True`` replay idempotence as :func:`append_to_ivf_index`;
+    codebook drift under corpus growth shows up as rising ADC distances,
+    and the cure is a rebuild, exactly as with IVF centroids."""
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "pq":
+        raise ValueError(f"append_to_pq_index: {path}/meta is not a PQ index manifest")
+    stored_id = meta["corpus_id"]
+    m, scale_bits = int(meta["m"]), int(meta["scale_bits"])
+    id_in = corpus_id or stored_id
+    vec_in = vec_col or meta["vec_col"]
+    slim = new_vectors.select(
+        F.col(id_in).alias("cid"), F.col(vec_in).alias("_v")
+    )
+    if dedupe:
+        existing = spark.read.parquet(f"{path}/codes").select(
+            F.col(stored_id).alias("cid")
+        )
+        slim = slim.join(existing, "cid", "left_anti")
+    appended = slim.count()  # one extra job over the NEW BATCH only
+    if appended:
+        centroids = spark.read.parquet(f"{path}/centroids")
+        slices = _pq_subslices(slim, "cid", "_v", m, scale_bits, "cid")
+        (
+            _pq_assign(slices, centroids, "cid")
+            .select(F.col("cid").alias(stored_id), "sub", "code")
+            .repartition(m, "sub")
+            .sortWithinPartitions("code")
+            .write.partitionBy("sub")
+            .mode("append")
+            .parquet(f"{path}/codes")
+        )
+    return appended
+
+
+def compact_pq_index(spark: SparkSession, path: str) -> None:
+    """Fold a persisted PQ index's code files back to one per subspace
+    directory after :func:`append_to_pq_index` runs — same rename-swap
+    protocol (and crash repair via :func:`repair_pq_index`) as
+    :func:`compact_ivf_index`."""
+    if repair_pq_index(spark, path):
+        return
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "pq":
+        raise ValueError(f"compact_pq_index: {path}/meta is not a PQ index manifest")
+    live, tmp, old = _swap_triplet(path, "codes")
+    fsio.delete(tmp, spark=spark)
+    fsio.delete(old, spark=spark)
+    (
+        spark.read.parquet(live)
+        .repartition(int(meta["m"]), "sub")
+        .sortWithinPartitions("code")
+        .write.partitionBy("sub")
+        .mode("error")
+        .parquet(tmp)
+    )
+    _commit_swap(spark, path, "codes")
+
+
+def repair_pq_index(spark: SparkSession, path: str) -> bool:
+    """Finish a :func:`compact_pq_index` swap that crashed between its
+    two renames (see :func:`_repair_swap`)."""
+    return _repair_swap(spark, path, "codes", "repair_pq_index")
 
 
 # --------------------------- hard-negative mining ---------------------------

@@ -5073,6 +5073,104 @@ FROM embeddings
 """
 
 
+def q_pq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-PQ-index path END TO END (r12;
+    ``similarity.persist_pq_index`` / ``load_pq_index`` /
+    ``append_to_pq_index`` / ``compact_pq_index``) — the third ANN family
+    gets the same build-once/query-many + daily-increment story as
+    IVF/LSH. Driver-attested contract on the embeddings table:
+
+    - persisted round trip: the ``index=`` query path with the manifest's
+      splatted params returns row-for-row the inline ``pq_ann_topk``
+      result (integer fixed point — parquet round-trips exactly);
+    - append parity: an increment encoded through ``append_to_pq_index``
+      carries exactly the codes the build's own encode gives it against
+      the frozen codebook, and a replayed append with dedupe=True adds 0;
+    - compact restores one data file per subspace directory without
+      changing a single result row."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    n_batch = batch.count()
+    queries = emb.filter(F.col("vec_id") < 5)
+    inline = sorted(
+        map(tuple, SIM.pq_ann_topk(queries, emb, k_neighbors=3, m=4).collect())
+    )
+    root = tempfile.mkdtemp(prefix="pq_q_idx_")
+    try:
+        SIM.persist_pq_index(SIM.pq_index(emb, m=4), root, m=4, mode="overwrite")
+        idx, params = SIM.load_pq_index(spark, root)
+        persisted = sorted(
+            map(tuple, SIM.pq_ann_topk(
+                queries, emb, k_neighbors=3, index=idx, **params
+            ).collect())
+        )
+        roundtrip_ok = persisted == inline
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    root = tempfile.mkdtemp(prefix="pq_q_maint_")
+    try:
+        SIM.persist_pq_index(SIM.pq_index(base, m=4), root, m=4, mode="overwrite")
+        appended = SIM.append_to_pq_index(spark, root, batch, dedupe=True)
+        replayed = SIM.append_to_pq_index(spark, root, batch, dedupe=True)
+        (centroids, codes), params = SIM.load_pq_index(spark, root)
+        got = {
+            (r["vec_id"], r["sub"], r["code"])
+            for r in codes.filter(F.col("vec_id") % 2 == 1).collect()
+        }
+        slices = SIM._pq_subslices(
+            batch.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("_v")),
+            "cid", "_v", 4, 20, "cid",
+        )
+        expect = {
+            (r["cid"], r["sub"], r["code"])
+            for r in SIM._pq_assign(slices, centroids, "cid").collect()
+        }
+        parity_ok = got == expect
+        before = sorted(
+            map(tuple, SIM.pq_ann_topk(
+                queries, emb, k_neighbors=3,
+                index=SIM.load_pq_index(spark, root)[0], **params,
+            ).collect())
+        )
+        SIM.compact_pq_index(spark, root)
+        one_file_per_dir = all(
+            sum(1 for f in files if f.endswith(".parquet")) <= 1
+            for _, _, files in os.walk(os.path.join(root, "codes"))
+        )
+        after = sorted(
+            map(tuple, SIM.pq_ann_topk(
+                queries, emb, k_neighbors=3,
+                index=SIM.load_pq_index(spark, root)[0], **params,
+            ).collect())
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            bool(roundtrip_ok), int(appended), int(replayed),
+            bool(parity_ok), bool(one_file_per_dir), before == after,
+        )],
+        "persisted_equals_inline boolean, appended int, replayed int, "
+        "append_parity boolean, compact_restores_layout boolean, "
+        "compact_preserves_results boolean",
+    )
+
+
+PQ_ANN_PERSISTED_ORACLE = """
+SELECT TRUE AS persisted_equals_inline,
+       CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS INTEGER) AS appended,
+       0 AS replayed, TRUE AS append_parity,
+       TRUE AS compact_restores_layout, TRUE AS compact_preserves_results
+FROM embeddings
+"""
+
+
 def q_lsh_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-LSH-index path END TO END: bucketize, persist via
     ``persist_lsh_index`` (directory-bounded (tbl, _bpfx<p>) layout whose
@@ -6338,6 +6436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sharded_ivf_ann": q_sharded_ivf_ann,
     "ivf_index_maintenance": q_ivf_index_maintenance,
     "lsh_index_maintenance": q_lsh_index_maintenance,
+    "pq_ann_persisted": q_pq_ann_persisted,
     "lsh_ann_persisted": q_lsh_ann_persisted,
     "ivf_ann_auto": q_ivf_ann_auto,
     "sessionize": q_sessionize,
@@ -6673,6 +6772,7 @@ ORACLES: dict[str, str] = {
     "sharded_ivf_ann": SHARDED_IVF_ANN_ORACLE,
     "ivf_index_maintenance": IVF_INDEX_MAINTENANCE_ORACLE,
     "lsh_index_maintenance": LSH_INDEX_MAINTENANCE_ORACLE,
+    "pq_ann_persisted": PQ_ANN_PERSISTED_ORACLE,
     "ivf_ann_persisted": IVF_ANN_PERSISTED_ORACLE,
     "lsh_ann_persisted": LSH_ANN_PERSISTED_ORACLE,
     "ivf_ann_auto": IVF_ANN_AUTO_ORACLE,
@@ -6748,6 +6848,7 @@ ORACLES: dict[str, str] = {
 _R12_PRIORITY = [
     'ivf_index_maintenance',
     'lsh_index_maintenance',
+    'pq_ann_persisted',
     'sharded_ivf_ann',
     'dashboard_report',
     'dashboard_layout',

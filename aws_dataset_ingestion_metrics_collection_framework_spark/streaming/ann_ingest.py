@@ -1,7 +1,7 @@
-"""Streaming ANN index maintenance: keep a persisted IVF or LSH index
+"""Streaming ANN index maintenance: keep a persisted IVF, LSH or PQ index
 current from a vector stream.
 
-    vector stream ──foreachBatch──► append_to_{ivf,lsh}_index
+    vector stream ──foreachBatch──► append_to_{ivf,lsh,pq}_index
                                      └─ every N batches: compact_*_index
 
 The daily-crawl loop (streaming/dedup.py's topology shape) applied to
@@ -83,9 +83,11 @@ def ingest_batch_into_index(
     fsio.write_text_atomic(
         f"{index_path}/{MARKER}", str(batch_id), spark=spark
     )
-    append = (
-        SIM.append_to_ivf_index if kind == "ivf" else SIM.append_to_lsh_index
-    )
+    append = {
+        "ivf": SIM.append_to_ivf_index,
+        "lsh": SIM.append_to_lsh_index,
+        "pq": SIM.append_to_pq_index,
+    }[kind]
     return append(
         spark, index_path, batch_df,
         corpus_id=corpus_id, vec_col=vec_col, dedupe=do_dedupe,
@@ -105,7 +107,7 @@ def start_ann_index_ingest(
     available_now: bool = False,
 ) -> StreamingQuery:
     """Start the streaming maintenance sink for the persisted ANN index
-    at ``index_path`` (kind — IVF or LSH — is read from the index's own
+    at ``index_path`` (kind — IVF, LSH or PQ — is read from the index's own
     manifest, so a topology can't append with the wrong family's
     parameters). ``compact_every=N`` folds the per-append files back to
     one per directory after every N batches (compaction runs inside the
@@ -114,13 +116,17 @@ def start_ann_index_ingest(
     torn one)."""
     spark = vectors.sparkSession
     meta = spark.read.json(f"{index_path}/meta").first()
-    if meta is None or meta["format"] not in ("ivf", "lsh"):
+    if meta is None or meta["format"] not in ("ivf", "lsh", "pq"):
         raise ValueError(
-            f"start_ann_index_ingest: {index_path}/meta is not an IVF or "
-            "LSH index manifest"
+            f"start_ann_index_ingest: {index_path}/meta is not an IVF, "
+            "LSH or PQ index manifest"
         )
     kind = meta["format"]
-    compact = SIM.compact_ivf_index if kind == "ivf" else SIM.compact_lsh_index
+    compact = {
+        "ivf": SIM.compact_ivf_index,
+        "lsh": SIM.compact_lsh_index,
+        "pq": SIM.compact_pq_index,
+    }[kind]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch_into_index(

@@ -163,6 +163,7 @@ HEADLINE = [
     "sharded_ivf_ann",
     "ivf_index_maintenance",
     "lsh_index_maintenance",
+    "pq_ann_persisted",
 ]
 
 # Benched since r1 — the frozen cross-round comparison basket (see §3 above).

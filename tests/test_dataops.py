@@ -2160,3 +2160,126 @@ def test_lsh_append_dedupe_and_compact(spark, sf_dir, tmp_path):
     fsio.rename(f"{root}/buckets", f"{root}/buckets__old", spark=spark)
     with pytest.raises(ValueError, match="is broken"):
         compact_lsh_index(spark, root)
+
+
+# --------------------------------------------------------------------------
+# PQ index persistence + maintenance (r12)
+# --------------------------------------------------------------------------
+
+def test_pq_persisted_equals_inline(spark, sf_dir, tmp_path):
+    """persist_pq_index/load_pq_index round-trip: the index= query path
+    returns EXACTLY the inline pq_ann_topk rows (integer fixed point —
+    parquet round-trips are trivially exact), with the stored params
+    splatted back so the slicing can't desync."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        load_pq_index,
+        persist_pq_index,
+        pq_ann_topk,
+        pq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    inline = pq_ann_topk(queries, emb, k_neighbors=3, m=4).collect()
+    root = str(tmp_path / "pq_idx")
+    persist_pq_index(pq_index(emb, m=4), root, m=4, mode="overwrite")
+    idx, params = load_pq_index(spark, root)
+    assert params == {"m": 4, "k": 16, "scale_bits": 20, "hash_fn": "xx"}
+    persisted = pq_ann_topk(queries, emb, k_neighbors=3, index=idx, **params).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(persisted, key=key) == sorted(inline, key=key)
+    # m='auto' (or any non-int) with index= must raise, not mis-slice
+    with pytest.raises(ValueError, match="stored m"):
+        pq_ann_topk(queries, emb, index=idx, m="auto")
+
+
+def test_pq_append_parity_and_maintenance(spark, sf_dir, tmp_path):
+    """append_to_pq_index encodes the increment with the build's own
+    kernels against the frozen codebook (code-for-code parity), replays
+    are no-ops with dedupe=True, compact restores one file per subspace
+    directory without changing results, and repair finishes a torn
+    swap."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        _pq_assign,
+        _pq_subslices,
+        append_to_pq_index,
+        compact_pq_index,
+        load_pq_index,
+        persist_pq_index,
+        pq_ann_topk,
+        pq_index,
+        repair_pq_index,
+    )
+    from aws_dataset_ingestion_metrics_collection_framework_spark.sources import fsio
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    n_base, n_batch = base.count(), batch.count()
+    root = str(tmp_path / "pq_maint")
+    persist_pq_index(pq_index(base, m=4), root, m=4, mode="overwrite")
+
+    assert append_to_pq_index(spark, root, batch, dedupe=True) == n_batch
+    assert append_to_pq_index(spark, root, batch, dedupe=True) == 0
+
+    (centroids, codes), params = load_pq_index(spark, root)
+    assert codes.count() == (n_base + n_batch) * 4
+    got = {
+        (r["vec_id"], r["sub"], r["code"])
+        for r in codes.filter(F.col("vec_id") % 2 == 1).collect()
+    }
+    slices = _pq_subslices(
+        batch.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("_v")),
+        "cid", "_v", 4, 20, "cid",
+    )
+    expect = {
+        (r["cid"], r["sub"], r["code"])
+        for r in _pq_assign(slices, centroids, "cid").collect()
+    }
+    assert got == expect
+
+    # second append grows files-per-dir; compact folds them back
+    extra = batch.limit(7).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    append_to_pq_index(spark, root, extra)
+    per_dir = {}
+    for d, _, files in os.walk(os.path.join(root, "codes")):
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        if n:
+            per_dir[d] = n
+    assert max(per_dir.values()) > 1
+
+    queries = base.filter(F.col("vec_id") < 5)
+    before = sorted(
+        map(tuple, pq_ann_topk(
+            queries, emb, k_neighbors=3,
+            index=load_pq_index(spark, root)[0], **params,
+        ).collect())
+    )
+    compact_pq_index(spark, root)
+    for d, _, files in os.walk(os.path.join(root, "codes")):
+        assert sum(1 for f in files if f.endswith(".parquet")) <= 1, d
+    after = sorted(
+        map(tuple, pq_ann_topk(
+            queries, emb, k_neighbors=3,
+            index=load_pq_index(spark, root)[0], **params,
+        ).collect())
+    )
+    assert before == after
+
+    # torn-swap repair
+    assert repair_pq_index(spark, root) is False
+    meta = spark.read.json(f"{root}/meta").first()
+    (
+        spark.read.parquet(f"{root}/codes")
+        .repartition(int(meta["m"]), "sub")
+        .write.partitionBy("sub").mode("error")
+        .parquet(f"{root}/codes__compacting")
+    )
+    fsio.rename(f"{root}/codes", f"{root}/codes__old", spark=spark)
+    assert repair_pq_index(spark, root) is True
+    assert load_pq_index(spark, root)[0][1].count() == (n_base + n_batch + 7) * 4
+    fsio.rename(f"{root}/codes", f"{root}/codes__old", spark=spark)
+    with pytest.raises(ValueError, match="is broken"):
+        compact_pq_index(spark, root)

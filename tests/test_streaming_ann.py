@@ -201,3 +201,43 @@ def test_ingest_batch_dedupe_flag_validation(spark, sf_dir, tmp_path):
             spark, root, batch, 0,
             kind="ivf", corpus_id="vec_id", vec_col="embedding", dedupe="yes",
         )
+
+
+def test_stream_ingest_pq_kind_from_manifest(spark, sf_dir, tmp_path):
+    """PQ dispatch: the same topology pointed at a PQ tree encodes the
+    stream against the frozen codebook and the appended codes match the
+    batch append's exactly."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        load_pq_index,
+        persist_pq_index,
+        pq_index,
+    )
+
+    base = _base_corpus(spark, sf_dir).filter(F.col("vec_id") % 2 == 0)
+    root = str(tmp_path / "pq_stream_idx")
+    persist_pq_index(pq_index(base, m=4), root, m=4, mode="overwrite")
+
+    new_rows = (
+        _base_corpus(spark, sf_dir)
+        .filter(F.col("vec_id") % 2 == 1)
+        .limit(12)
+        .collect()
+    )
+    src = tmp_path / "vin_pq"
+    src.mkdir()
+    _write_batch_file(
+        str(src), [(r["vec_id"], list(r["embedding"])) for r in new_rows], "b0.json"
+    )
+    stream = spark.readStream.schema(VEC_SCHEMA).json(str(src))
+    q = start_ann_index_ingest(
+        stream, root, str(tmp_path / "ckpt_pq"), available_now=True
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    (_, codes), _ = load_pq_index(spark, root)
+    assert codes.count() == (base.count() + len(new_rows)) * 4
+    streamed_ids = {r["vec_id"] for r in new_rows}
+    got_ids = {
+        r["vec_id"] for r in codes.filter(F.col("vec_id") % 2 == 1).collect()
+    }
+    assert got_ids == streamed_ids

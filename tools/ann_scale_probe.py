@@ -5,7 +5,7 @@ generated corpora across size decades.
 Usage:
     python tools/ann_scale_probe.py ivf [n ...] [--dim D] [--scorer S]   # default 200000 2000000, D=64
     python tools/ann_scale_probe.py lsh [n ...] [--dim D] [--scorer S]
-    python tools/ann_scale_probe.py sharded [n ...] [--dim D] [--scorer S]
+    python tools/ann_scale_probe.py sharded [n ...] [--dim D] [--scorer S] [--shards K]
     python tools/ann_scale_probe.py pq [n ...] [--dim D]
     python tools/ann_scale_probe.py append [n ...] [--dim D] [--scorer S]
 
@@ -142,6 +142,11 @@ def main() -> None:
         i = args.index("--scorer")
         scorer = args[i + 1]
         del args[i : i + 2]
+    shards = "auto"
+    if "--shards" in args:
+        i = args.index("--shards")
+        shards = int(args[i + 1])
+        del args[i : i + 2]
     mode = args[0] if args else "ivf"
     sizes = [int(a) for a in args[1:]] or [200_000, 2_000_000]
     mem = os.environ.get("ANN_PROBE_DRIVER_MEM", "16g")
@@ -193,7 +198,7 @@ def main() -> None:
                     root = tempfile.mkdtemp(prefix="ivf_shard_")
                     SIM.persist_sharded_ivf_index(
                         SIM.build_sharded_ivf_index(
-                            emb, n_shards="auto", n_lists="auto"
+                            emb, n_shards=shards, n_lists="auto"
                         ),
                         root, mode="overwrite",
                     )
