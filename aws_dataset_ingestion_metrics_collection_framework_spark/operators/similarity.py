@@ -1697,6 +1697,58 @@ def load_sharded_ivf_index(
     ]
 
 
+def append_to_sharded_ivf_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    corpus_id: str | None = None,
+    vec_col: str | None = None,
+    dedupe: bool = False,
+) -> int:
+    """Append a batch to a persisted :func:`persist_sharded_ivf_index`
+    tree: each vector routes to its shard by the SAME deterministic
+    ``pmod(xxhash64(id), n_shards)`` split the build used (so appended
+    rows live exactly where a rebuild would put them and the disjoint-
+    cover invariant holds), then the per-shard :func:`append_to_ivf_index`
+    assigns it against that shard's frozen centroids. Returns total rows
+    appended. ``dedupe=True`` is delegated per shard — the anti-join scans
+    only the ONE shard a routed id could already live in, so the replay
+    cost stays O(batch + one shard's ids), not O(corpus)."""
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "sharded_ivf":
+        raise ValueError(
+            f"append_to_sharded_ivf_index: {path}/meta is not a sharded IVF manifest"
+        )
+    n_shards = int(meta["n_shards"])
+    # the shard manifests record the stored id column; routing needs the
+    # CALLER's id column name
+    shard0 = spark.read.json(f"{path}/shard=00000/meta").first()
+    id_in = corpus_id or shard0["corpus_id"]
+    total = 0
+    for s in range(n_shards):
+        part = new_vectors.filter(
+            F.pmod(F.xxhash64(F.col(id_in)), F.lit(n_shards)) == s
+        )
+        total += append_to_ivf_index(
+            spark, f"{path}/shard={s:05d}", part,
+            corpus_id=corpus_id, vec_col=vec_col, dedupe=dedupe,
+        )
+    return total
+
+
+def compact_sharded_ivf_index(spark: SparkSession, path: str) -> None:
+    """Per-shard :func:`compact_ivf_index` over a persisted sharded tree
+    (each shard's swap is independent and independently repairable)."""
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "sharded_ivf":
+        raise ValueError(
+            f"compact_sharded_ivf_index: {path}/meta is not a sharded IVF manifest"
+        )
+    for s in range(int(meta["n_shards"])):
+        compact_ivf_index(spark, f"{path}/shard={s:05d}")
+
+
 def quantize_int8(
     df: DataFrame, id_col: str, vec_col: str, *, out_col: str = "qvec"
 ) -> DataFrame:

@@ -87,6 +87,7 @@ def ingest_batch_into_index(
         "ivf": SIM.append_to_ivf_index,
         "lsh": SIM.append_to_lsh_index,
         "pq": SIM.append_to_pq_index,
+        "sharded_ivf": SIM.append_to_sharded_ivf_index,
     }[kind]
     return append(
         spark, index_path, batch_df,
@@ -107,7 +108,7 @@ def start_ann_index_ingest(
     available_now: bool = False,
 ) -> StreamingQuery:
     """Start the streaming maintenance sink for the persisted ANN index
-    at ``index_path`` (kind — IVF, LSH or PQ — is read from the index's own
+    at ``index_path`` (kind — IVF, LSH, PQ or sharded IVF — is read from the index's own
     manifest, so a topology can't append with the wrong family's
     parameters). ``compact_every=N`` folds the per-append files back to
     one per directory after every N batches (compaction runs inside the
@@ -116,16 +117,17 @@ def start_ann_index_ingest(
     torn one)."""
     spark = vectors.sparkSession
     meta = spark.read.json(f"{index_path}/meta").first()
-    if meta is None or meta["format"] not in ("ivf", "lsh", "pq"):
+    if meta is None or meta["format"] not in ("ivf", "lsh", "pq", "sharded_ivf"):
         raise ValueError(
-            f"start_ann_index_ingest: {index_path}/meta is not an IVF, "
-            "LSH or PQ index manifest"
+            f"start_ann_index_ingest: {index_path}/meta is not an "
+            "IVF/LSH/PQ/sharded-IVF index manifest"
         )
     kind = meta["format"]
     compact = {
         "ivf": SIM.compact_ivf_index,
         "lsh": SIM.compact_lsh_index,
         "pq": SIM.compact_pq_index,
+        "sharded_ivf": SIM.compact_sharded_ivf_index,
     }[kind]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -2283,3 +2283,56 @@ def test_pq_append_parity_and_maintenance(spark, sf_dir, tmp_path):
     fsio.rename(f"{root}/codes", f"{root}/codes__old", spark=spark)
     with pytest.raises(ValueError, match="is broken"):
         compact_pq_index(spark, root)
+
+
+def test_sharded_ivf_append_routes_and_compacts(spark, sf_dir, tmp_path):
+    """append_to_sharded_ivf_index routes each vector to the shard the
+    BUILD's hash split would choose (disjoint cover preserved), per-shard
+    dedupe makes replays no-ops, and per-shard compaction restores the
+    layout with identical query results."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        append_to_sharded_ivf_index,
+        build_sharded_ivf_index,
+        compact_sharded_ivf_index,
+        load_sharded_ivf_index,
+        persist_sharded_ivf_index,
+        sharded_ivf_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    n_base, n_batch = base.count(), batch.count()
+    root = str(tmp_path / "sivf_maint")
+    persist_sharded_ivf_index(
+        build_sharded_ivf_index(base, n_shards=2, n_lists=6),
+        root, mode="overwrite",
+    )
+    assert append_to_sharded_ivf_index(spark, root, batch, dedupe=True) == n_batch
+    assert append_to_sharded_ivf_index(spark, root, batch, dedupe=True) == 0
+
+    loaded = load_sharded_ivf_index(spark, root)
+    assert sum(asg.count() for _, asg in loaded) == n_base + n_batch
+    # routing parity: every appended id sits in the shard the build split
+    # would choose
+    for s, (_, asg) in enumerate(loaded):
+        bad = asg.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)) != s
+        ).count()
+        assert bad == 0, s
+
+    queries = base.filter(F.col("vec_id") < 8)
+    key = ["query_id", "neighbor_id", "rank"]
+    before = sorted(map(tuple, sharded_ivf_ann_topk(
+        queries, loaded, k=4, n_probe=6, scorer="hof"
+    ).select(*key).collect()))
+    compact_sharded_ivf_index(spark, root)
+    for s in range(2):
+        for d, _, files in os.walk(
+            os.path.join(root, f"shard={s:05d}", "assignments")
+        ):
+            assert sum(1 for f in files if f.endswith(".parquet")) <= 1, d
+    after = sorted(map(tuple, sharded_ivf_ann_topk(
+        queries, load_sharded_ivf_index(spark, root), k=4, n_probe=6, scorer="hof"
+    ).select(*key).collect()))
+    assert before == after
