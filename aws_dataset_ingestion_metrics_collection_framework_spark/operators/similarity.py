@@ -2298,6 +2298,18 @@ def persist_pq_index(
             f"(corpus_id, sub, code); got {codes.columns}"
         )
     id_col = data_cols[0]
+    # manifest integrity: a caller-supplied m/k that disagrees with the
+    # built tables would silently desync EVERY future query's slicing —
+    # validate against the centroid table (m × k tiny rows, one job)
+    mk = centroids.agg(
+        (F.max("sub") + 1).alias("m"), (F.max("idx") + 1).alias("k")
+    ).first()
+    if mk["m"] != m or mk["k"] != k:
+        raise ValueError(
+            f"persist_pq_index: manifest params (m={m}, k={k}) disagree "
+            f"with the built index (m={mk['m']}, k={mk['k']}) — pass the "
+            "values pq_index was called with"
+        )
     centroids.coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
     (
         codes.repartition(m, "sub")

@@ -2336,3 +2336,20 @@ def test_sharded_ivf_append_routes_and_compacts(spark, sf_dir, tmp_path):
         queries, load_sharded_ivf_index(spark, root), k=4, n_probe=6, scorer="hof"
     ).select(*key).collect()))
     assert before == after
+
+
+def test_pq_persist_validates_manifest_params(spark, sf_dir, tmp_path):
+    """A caller-supplied m/k that disagrees with the built index raises
+    at persist time instead of writing a manifest that desyncs every
+    future query's slicing."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        persist_pq_index,
+        pq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    idx = pq_index(emb, m=4)
+    with pytest.raises(ValueError, match="disagree"):
+        persist_pq_index(idx, str(tmp_path / "pq_bad_m"), m=8, mode="overwrite")
+    with pytest.raises(ValueError, match="disagree"):
+        persist_pq_index(idx, str(tmp_path / "pq_bad_k"), m=4, k=32, mode="overwrite")
