@@ -142,10 +142,10 @@ def main() -> None:
         i = args.index("--scorer")
         scorer = args[i + 1]
         del args[i : i + 2]
-    shards = "auto"
+    shards_flag = "auto"
     if "--shards" in args:
         i = args.index("--shards")
-        shards = int(args[i + 1])
+        shards_flag = int(args[i + 1])
         del args[i : i + 2]
     mode = args[0] if args else "ivf"
     sizes = [int(a) for a in args[1:]] or [200_000, 2_000_000]
@@ -198,7 +198,7 @@ def main() -> None:
                     root = tempfile.mkdtemp(prefix="ivf_shard_")
                     SIM.persist_sharded_ivf_index(
                         SIM.build_sharded_ivf_index(
-                            emb, n_shards=shards, n_lists="auto"
+                            emb, n_shards=shards_flag, n_lists="auto"
                         ),
                         root, mode="overwrite",
                     )
