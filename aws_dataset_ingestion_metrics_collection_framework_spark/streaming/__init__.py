@@ -5,8 +5,10 @@
 - ``alarm_state`` — stateful alarm state machine via applyInPandasWithState (W4)
 - ``dedup``       — exact streaming dedup (dropDuplicatesWithinWatermark)
 - ``cdc``         — changelog stream → maintained latest-version snapshot
+- ``ann_ingest``  — persisted ANN index maintenance sink (marker +
+  replay-dedupe exactly-once, periodic compaction)
 
-All three share the batch modules' Column expressions; batch mode is the
+The streaming variants share the batch modules' Column expressions; batch mode is the
 reference implementation and tests diff streaming output against it.
 """
 

@@ -241,3 +241,85 @@ def test_stream_ingest_pq_kind_from_manifest(spark, sf_dir, tmp_path):
         r["vec_id"] for r in codes.filter(F.col("vec_id") % 2 == 1).collect()
     }
     assert got_ids == streamed_ids
+
+
+def test_maintenance_protocol_reference_model(spark, sf_dir, tmp_path):
+    """Randomized reference-model differential for the index-maintenance
+    protocol (the streaming-dedup discipline applied to the r12 surface):
+    a deterministic random walk of {append, replay-crash-then-reingest,
+    compact, torn-compact-then-repair} ops runs against a persisted IVF
+    index, with a driver-side dict as the reference model. After every
+    op the persisted assignments must equal the model EXACTLY as an
+    (id → list_id) mapping, and no id may ever appear twice."""
+    import random
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        _assign_to_lists,
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        load_ivf_index,
+        persist_ivf_index,
+        repair_ivf_index,
+    )
+    from aws_dataset_ingestion_metrics_collection_framework_spark.sources import fsio
+
+    emb = _base_corpus(spark, sf_dir)
+    all_rows = emb.collect()
+    base_rows, pool = all_rows[:100], all_rows[100:]
+    base = spark.createDataFrame(base_rows, emb.schema)
+    root = str(tmp_path / "proto_idx")
+    persist_ivf_index(build_ivf_index(base, n_lists=6), root, mode="overwrite")
+    centroids = load_ivf_index(spark, root)[0]
+
+    def assigned_map(rows):
+        df = spark.createDataFrame(rows, emb.schema).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        return {
+            r["cid"]: r["list_id"]
+            for r in _assign_to_lists(df, centroids).collect()
+        }
+
+    model = assigned_map(base_rows)
+    rng = random.Random(7)
+    cursor = 0
+    batch_id = 0
+    kw = dict(kind="ivf", corpus_id="vec_id", vec_col="embedding")
+    for step in range(8):
+        op = rng.choice(["append", "replay", "compact", "torn"])
+        if op in ("append", "replay") and cursor < len(pool):
+            take = rng.randint(5, 25)
+            rows = pool[cursor : cursor + take]
+            cursor += take
+            batch = spark.createDataFrame(rows, emb.schema)
+            if op == "replay":
+                # crashed first attempt: marker stamped, PART landed
+                fsio.write_text_atomic(f"{root}/{MARKER}", str(batch_id), spark=spark)
+                part = spark.createDataFrame(rows[: take // 2], emb.schema)
+                append_to_ivf_index(spark, root, part)
+            n = ingest_batch_into_index(spark, root, batch, batch_id, **kw)
+            assert n == (take - take // 2 if op == "replay" else take), (step, op)
+            model.update(assigned_map(rows))
+            batch_id += 1
+        elif op == "compact":
+            compact_ivf_index(spark, root)
+        else:  # torn compact swap, then repair
+            meta = spark.read.json(f"{root}/meta").first()
+            fsio.delete(f"{root}/assignments__compacting", spark=spark)
+            (
+                spark.read.parquet(f"{root}/assignments")
+                .repartition(int(meta["n_lists"]), "list_id")
+                .write.partitionBy("list_id").mode("error")
+                .parquet(f"{root}/assignments__compacting")
+            )
+            fsio.rename(
+                f"{root}/assignments", f"{root}/assignments__old", spark=spark
+            )
+            assert repair_ivf_index(spark, root) is True
+        got_rows = load_ivf_index(spark, root)[1].collect()
+        got_ids = [r["vec_id"] for r in got_rows]
+        assert len(got_ids) == len(set(got_ids)), f"dup ids after {op} @ {step}"
+        got = {r["vec_id"]: r["list_id"] for r in got_rows}
+        assert got == model, f"model divergence after {op} @ {step}"
