@@ -323,3 +323,44 @@ def test_maintenance_protocol_reference_model(spark, sf_dir, tmp_path):
         assert len(got_ids) == len(set(got_ids)), f"dup ids after {op} @ {step}"
         got = {r["vec_id"]: r["list_id"] for r in got_rows}
         assert got == model, f"model divergence after {op} @ {step}"
+
+
+def test_stream_ingest_sharded_kind_from_manifest(spark, sf_dir, tmp_path):
+    """Sharded-IVF dispatch: the topology pointed at a sharded tree
+    routes each streamed vector to its hash shard and the disjoint-cover
+    invariant holds afterward."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        build_sharded_ivf_index,
+        load_sharded_ivf_index,
+        persist_sharded_ivf_index,
+    )
+
+    base = _base_corpus(spark, sf_dir).filter(F.col("vec_id") % 2 == 0)
+    root = str(tmp_path / "sivf_stream_idx")
+    persist_sharded_ivf_index(
+        build_sharded_ivf_index(base, n_shards=2, n_lists=6),
+        root, mode="overwrite",
+    )
+    new_rows = (
+        _base_corpus(spark, sf_dir)
+        .filter(F.col("vec_id") % 2 == 1)
+        .limit(15)
+        .collect()
+    )
+    src = tmp_path / "vin_sivf"
+    src.mkdir()
+    _write_batch_file(
+        str(src), [(r["vec_id"], list(r["embedding"])) for r in new_rows], "b0.json"
+    )
+    stream = spark.readStream.schema(VEC_SCHEMA).json(str(src))
+    q = start_ann_index_ingest(
+        stream, root, str(tmp_path / "ckpt_sivf"), available_now=True
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    loaded = load_sharded_ivf_index(spark, root)
+    assert sum(a.count() for _, a in loaded) == base.count() + len(new_rows)
+    for s, (_, asg) in enumerate(loaded):
+        assert asg.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)) != s
+        ).count() == 0, s
