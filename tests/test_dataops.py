@@ -2353,3 +2353,29 @@ def test_pq_persist_validates_manifest_params(spark, sf_dir, tmp_path):
         persist_pq_index(idx, str(tmp_path / "pq_bad_m"), m=8, mode="overwrite")
     with pytest.raises(ValueError, match="disagree"):
         persist_pq_index(idx, str(tmp_path / "pq_bad_k"), m=4, k=32, mode="overwrite")
+
+
+def test_ivf_index_query_plan_prunes_list_partitions(spark, sf_dir, tmp_path):
+    """The IVF analog of the LSH DPP pin: the persisted-index query
+    path's assignments FileScan must carry a partition-pruning
+    subscription on list_id (the probe side joins on it), so a query
+    reads n_probe list directories, not the whole index — the √n read
+    volume the layout exists for."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_ann_topk,
+        load_ivf_index,
+        persist_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = str(tmp_path / "ivf_dpp")
+    persist_ivf_index(build_ivf_index(emb, n_lists=8), root, mode="overwrite")
+    idx = load_ivf_index(spark, root)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_ann_topk(queries, emb, k=3, n_probe=3, index=idx, scorer="hof")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:4000]
+    assert "list_id" in plan, plan[:4000]
+    rows = out.collect()
+    assert rows and all(r["rank"] >= 1 for r in rows)
