@@ -364,3 +364,91 @@ def test_stream_ingest_sharded_kind_from_manifest(spark, sf_dir, tmp_path):
         assert asg.filter(
             F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)) != s
         ).count() == 0, s
+
+
+_ANN_CHAOS_CHILD = '''
+import os, signal, sys
+sys.path.insert(0, {repo!r})
+bomb_arm, src, index_path, ckpt = sys.argv[1:5]
+from aws_dataset_ingestion_metrics_collection_framework_spark import get_spark
+from aws_dataset_ingestion_metrics_collection_framework_spark.streaming import ann_ingest
+from aws_dataset_ingestion_metrics_collection_framework_spark.sources import fsio
+
+if bomb_arm == "kill_after_marker_b1":
+    orig = fsio.write_text_atomic
+    def bomb(path, text, spark=None):
+        orig(path, text, spark)
+        # marker for batch 1 is STAMPED (survives the kill), append has
+        # not run: the exact window the replay-dedupe protocol covers
+        if path.endswith(ann_ingest.MARKER) and text == "1":
+            os.kill(os.getpid(), signal.SIGKILL)
+    fsio.write_text_atomic = bomb  # ann_ingest resolves fsio.<attr> at call time
+
+spark = get_spark(app_name="ann-chaos-child", master="local[4]",
+                  shuffle_partitions=4)
+spark.sparkContext.setLogLevel("ERROR")
+stream = (spark.readStream.schema("vec_id long, embedding array<double>")
+          .option("maxFilesPerTrigger", 1).json(src))
+q = ann_ingest.start_ann_index_ingest(stream, index_path, ckpt,
+                                      available_now=True)
+q.awaitTermination(300)
+print("CHILD_FINISHED_WITHOUT_KILL")
+'''
+
+
+def _run_ann_chaos_child(tmp_path, bomb_arm, src, index_path, ckpt, tag):
+    import signal
+    import subprocess
+    import sys
+
+    script = tmp_path / "ann_chaos_child.py"
+    script.write_text(
+        _ANN_CHAOS_CHILD.format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+    log = open(tmp_path / f"ann_chaos_{tag}.log", "w")
+    p = subprocess.Popen(
+        [sys.executable, str(script), bomb_arm, str(src), str(index_path), str(ckpt)],
+        stdout=log, stderr=log, start_new_session=True,
+    )
+    try:
+        rc = p.wait(timeout=300)
+    finally:
+        try:
+            os.killpg(p.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        log.close()
+    return rc
+
+
+def test_ann_ingest_kill9_restart_exactly_once(spark, sf_dir, tmp_path):
+    """REAL kill -9 across the streaming ANN sink (the stream_soak --chaos
+    discipline applied here): a subprocess driver SIGKILLs ITSELF right
+    after stamping the batch-1 marker — marker durable, append never ran,
+    checkpoint uncommitted — then a clean relaunch drains from the
+    checkpoint. The replayed batch must land EXACTLY once (the entry
+    marker routes it through the dedupe path) and every streamed id must
+    be present with no duplicates."""
+    import signal
+
+    root, base = _mk_ivf_tree(spark, sf_dir, tmp_path)
+    pool = (
+        _base_corpus(spark, sf_dir).filter(F.col("vec_id") % 2 == 1).limit(40).collect()
+    )
+    src = tmp_path / "vin_chaos"
+    src.mkdir()
+    _write_batch_file(str(src), [(r["vec_id"], list(r["embedding"])) for r in pool[:20]], "b0.json")
+    _write_batch_file(str(src), [(r["vec_id"], list(r["embedding"])) for r in pool[20:]], "b1.json")
+    ckpt = tmp_path / "ckpt_chaos"
+
+    rc = _run_ann_chaos_child(tmp_path, "kill_after_marker_b1", src, root, ckpt, "killed")
+    assert rc == -signal.SIGKILL  # the bomb fired
+    assert open(f"{root}/{MARKER}").read() == "1"  # marker survived the kill
+
+    rc = _run_ann_chaos_child(tmp_path, "none", src, root, ckpt, "restart")
+    assert rc == 0
+
+    asg = load_ivf_index(spark, root)[1]
+    got = [r["vec_id"] for r in asg.filter(F.col("vec_id") % 2 == 1).collect()]
+    assert sorted(got) == sorted(r["vec_id"] for r in pool)  # all present, once
+    assert asg.count() == base.count() + len(pool)
