@@ -6839,7 +6839,8 @@ ORACLES: dict[str, str] = {
 }
 
 # ---- r12 sampling rotation: the driver samples the FIRST ~50 registry
-# entries each round. Order = never-attested faces first (the new
+# entries each round. Order = never-attested faces first (the four new
+# r12 faces: ivf/lsh index maintenance, pq_ann_persisted,
 # sharded_ivf_ann), then oldest-driver-row first — the 15 queries whose
 # newest row is r8 (VERDICT r11 ask #2: dashboard_report/layout,
 # q01–q11, q16, q22), then the r9 block — so after r12 no query's newest

@@ -148,8 +148,9 @@ HEADLINE = [
     # had no per-round perf row — the persisted-index ANN end-to-end
     # faces (build + persist + reload + query), the corpus curation
     # pipeline, Gopher rules, doc chunking, repetition stats, the
-    # distribution window and grouping-sets SQL surfaces — plus the new
-    # r12 sharded-IVF face. Each sets its own r12 baseline in
+    # distribution window and grouping-sets SQL surfaces — plus the four
+    # new r12 ANN lifecycle faces (sharded IVF, IVF/LSH maintenance,
+    # persisted PQ). Each sets its own r12 baseline in
     # BASELINE.md. (cosine_pairs_lsh stays unbenched: its full-equality
     # contract deliberately over-works the crossJoin — see the r2 note.)
     "ivf_ann_persisted",
