@@ -1749,6 +1749,52 @@ def compact_sharded_ivf_index(spark: SparkSession, path: str) -> None:
         compact_ivf_index(spark, f"{path}/shard={s:05d}")
 
 
+def sharded_ivf_index_stats(
+    index: list[tuple[DataFrame, DataFrame]], *, skew_threshold: float = 4.0
+) -> DataFrame:
+    """Occupancy report for a sharded IVF index: one row per shard (the
+    rebuild/reshard gauge per :func:`ivf_index_stats`) plus a GLOBAL row
+    (``shard = -1``) aggregated over every (shard, list) — the number the
+    query path's read volume actually follows, since the global probe
+    budget picks lists across shards. A single hot list in ONE shard
+    shows in both its shard row and the global max."""
+    if not index:
+        raise ValueError("sharded_ivf_index_stats: empty shard list")
+    occ = None
+    for s, (_cents, asg) in enumerate(index):
+        o = (
+            asg.groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .withColumn("shard", F.lit(s))
+        )
+        occ = o if occ is None else occ.unionByName(o)
+
+    def summarize(grouped):
+        return grouped.agg(
+            F.count(F.when(F.col("list_id").isNotNull(), 1)).cast("int").alias("n_lists_used"),
+            F.sum("occ").cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("list_id").isNull(), F.col("occ"))), F.lit(0)
+            ).cast("long").alias("null_rows"),
+            F.max(F.when(F.col("list_id").isNotNull(), F.col("occ"))).cast("long").alias("max_occupancy"),
+            F.round(F.avg(F.when(F.col("list_id").isNotNull(), F.col("occ"))), 2).alias("avg_occupancy"),
+        ).select(
+            "*",
+            F.round(F.col("max_occupancy") / F.col("avg_occupancy"), 3).alias("skew"),
+            (F.col("max_occupancy") / F.col("avg_occupancy") > F.lit(skew_threshold)).alias(
+                "rebalance_recommended"
+            ),
+        )
+
+    per_shard = summarize(occ.groupBy("shard"))
+    total = summarize(occ.withColumn("shard", F.lit(-1)).groupBy("shard"))
+    cols = [
+        "shard", "n_lists_used", "n_rows", "null_rows",
+        "max_occupancy", "avg_occupancy", "skew", "rebalance_recommended",
+    ]
+    return per_shard.select(*cols).unionByName(total.select(*cols)).orderBy("shard")
+
+
 def quantize_int8(
     df: DataFrame, id_col: str, vec_col: str, *, out_col: str = "qvec"
 ) -> DataFrame:

@@ -2379,3 +2379,24 @@ def test_ivf_index_query_plan_prunes_list_partitions(spark, sf_dir, tmp_path):
     assert "list_id" in plan, plan[:4000]
     rows = out.collect()
     assert rows and all(r["rank"] >= 1 for r in rows)
+
+
+def test_sharded_ivf_index_stats(spark, sf_dir, tmp_path):
+    """Per-shard occupancy rows + the shard=-1 global row: shard totals
+    sum to the global, the global max is the max over shards, and the
+    skew flag thresholds per group."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        build_sharded_ivf_index,
+        sharded_ivf_index_stats,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = build_sharded_ivf_index(emb, n_shards=2, n_lists=6)
+    rows = {r["shard"]: r for r in sharded_ivf_index_stats(idx).collect()}
+    assert set(rows) == {-1, 0, 1}
+    assert rows[-1]["n_rows"] == rows[0]["n_rows"] + rows[1]["n_rows"]
+    assert rows[-1]["n_rows"] == emb.count()
+    assert rows[-1]["n_lists_used"] == rows[0]["n_lists_used"] + rows[1]["n_lists_used"]
+    assert rows[-1]["max_occupancy"] == max(rows[0]["max_occupancy"], rows[1]["max_occupancy"])
+    with pytest.raises(ValueError, match="empty"):
+        sharded_ivf_index_stats([])
