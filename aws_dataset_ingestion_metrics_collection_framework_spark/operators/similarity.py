@@ -1002,11 +1002,19 @@ def append_to_ivf_index(
         existing = spark.read.parquet(f"{path}/assignments").select(
             F.col(stored_id).alias("cid")
         )
-        slim = slim.join(existing, "cid", "left_anti")
-    # one extra job over the NEW BATCH only (never the corpus): the
-    # returned count re-evaluates slim's scan+anti-join, the write below
-    # re-evaluates it once more — two passes over an increment beat
-    # materializing it when the increment itself is large
+        # pin the post-anti-join increment: the count below and the write
+        # re-evaluate this plan, and the exactly-once accounting is only
+        # honest if BOTH see the same rows — a non-deterministic batch
+        # (a .limit() slice, a sample) would otherwise diverge between
+        # the two passes. localCheckpoint materializes O(batch) once;
+        # lost blocks fail the job loudly instead of silently recomputing.
+        slim = slim.join(existing, "cid", "left_anti").localCheckpoint(eager=True)
+    # one extra job over the NEW BATCH only (never the corpus): without
+    # dedupe the returned count re-evaluates slim's scan and the write
+    # re-evaluates it once more — the fast path therefore REQUIRES a
+    # deterministic new_vectors plan (two passes over an increment beat
+    # materializing it); with dedupe the checkpoint above already pinned
+    # the row set
     appended = slim.count()
     if appended:
         (
@@ -1034,20 +1042,32 @@ def _swap_triplet(path: str, tree: str) -> tuple[str, str, str]:
     )
 
 
+COMPACT_COMMIT_MARKER = "_COMPACT_META"
+
+
 def _repair_swap(
     spark: SparkSession, path: str, tree: str, helper: str
 ) -> bool:
     """Finish a compaction swap that crashed between its two renames: if
-    the live tree is missing but a COMMITTED (``_SUCCESS``-stamped)
-    ``__compacting`` tree exists, rename it in and drop the superseded
-    ``__old``. Returns True when a repair was performed. A missing live
-    tree with NO committed replacement raises — that index is broken and
-    a silent resurrection from ``__old`` could lose appends that landed
-    after the compaction read its snapshot."""
+    the live tree is missing but a COMMITTED ``__compacting`` tree
+    exists, rename it in and drop the superseded ``__old``. Returns True
+    when a repair was performed. Committedness is the engine's OWN
+    ``_COMPACT_META`` stamp (written by :func:`_commit_swap` strictly
+    before the first rename — the post-job-marker discipline
+    ``streaming/dedup.py``'s LSM runs use), with the job committer's
+    ``_SUCCESS`` accepted as a fallback so trees compacted by pre-stamp
+    engine versions remain repairable; the protocol therefore does NOT
+    depend on ``mapreduce.fileoutputcommitter.marksuccessfuljobs`` being
+    left at its default. A missing live tree with NO committed
+    replacement raises — that index is broken and a silent resurrection
+    from ``__old`` could lose appends that landed after the compaction
+    read its snapshot."""
     live, tmp, old = _swap_triplet(path, tree)
     if fsio.exists(live, spark=spark):
         return False
-    if fsio.exists(f"{tmp}/_SUCCESS", spark=spark):
+    if fsio.exists(f"{tmp}/{COMPACT_COMMIT_MARKER}", spark=spark) or fsio.exists(
+        f"{tmp}/_SUCCESS", spark=spark
+    ):
         fsio.rename(tmp, live, spark=spark)
         fsio.delete(old, spark=spark)
         return True
@@ -1060,9 +1080,13 @@ def _repair_swap(
 
 
 def _commit_swap(spark: SparkSession, path: str, tree: str) -> None:
-    """The rename sequence after the ``__compacting`` tree is committed:
-    live → old, tmp → live, delete old."""
+    """The sequence after the ``__compacting`` tree's write job finished:
+    stamp the tree committed (``_COMPACT_META`` — crash BEFORE the stamp
+    leaves the live tree in place, so compaction simply reruns; crash
+    after is repairable regardless of the cluster's ``_SUCCESS``-marker
+    setting), then live → old, tmp → live, delete old."""
     live, tmp, old = _swap_triplet(path, tree)
+    fsio.write_text_atomic(f"{tmp}/{COMPACT_COMMIT_MARKER}", "1", spark=spark)
     fsio.rename(live, old, spark=spark)
     fsio.rename(tmp, live, spark=spark)
     fsio.delete(old, spark=spark)
@@ -1308,8 +1332,13 @@ def append_to_lsh_index(
         existing = spark.read.parquet(f"{path}/buckets").select(
             F.col(stored_id).alias("_id")
         )
-        slim = slim.join(existing, "_id", "left_anti")
-    appended = slim.count()  # one extra job over the NEW BATCH only
+        # pinned for the same reason as append_to_ivf_index: count and
+        # write must see the SAME anti-joined rows even for a
+        # non-deterministic batch
+        slim = slim.join(existing, "_id", "left_anti").localCheckpoint(eager=True)
+    # one extra job over the NEW BATCH only; the no-dedupe fast path
+    # requires a deterministic new_vectors plan (see append_to_ivf_index)
+    appended = slim.count()
     if appended:
         bp = f"_bpfx{p}"
         normalized = (
@@ -1725,6 +1754,13 @@ def append_to_sharded_ivf_index(
     # CALLER's id column name
     shard0 = spark.read.json(f"{path}/shard=00000/meta").first()
     id_in = corpus_id or shard0["corpus_id"]
+    # pin the batch ONCE before the per-shard loop: each shard's filter
+    # re-evaluates new_vectors, so a non-deterministic batch could route
+    # a row to two shards (or none) and break the disjoint-cover
+    # invariant; the checkpoint makes the loop read one materialized
+    # O(batch) row set n_shards times instead of re-scanning the source
+    if n_shards > 1:
+        new_vectors = new_vectors.localCheckpoint(eager=True)
     total = 0
     for s in range(n_shards):
         part = new_vectors.filter(
@@ -1747,6 +1783,23 @@ def compact_sharded_ivf_index(spark: SparkSession, path: str) -> None:
         )
     for s in range(int(meta["n_shards"])):
         compact_ivf_index(spark, f"{path}/shard={s:05d}")
+
+
+def repair_sharded_ivf_index(spark: SparkSession, path: str) -> bool:
+    """Per-shard :func:`repair_ivf_index` over a persisted sharded tree:
+    finish any shard's compaction swap that crashed between its two
+    renames. Returns True when at least one shard was repaired. Every
+    shard is visited (a multi-shard compaction can tear more than one
+    swap if the maintenance job died mid-loop)."""
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "sharded_ivf":
+        raise ValueError(
+            f"repair_sharded_ivf_index: {path}/meta is not a sharded IVF manifest"
+        )
+    repaired = False
+    for s in range(int(meta["n_shards"])):
+        repaired = repair_ivf_index(spark, f"{path}/shard={s:05d}") or repaired
+    return repaired
 
 
 def sharded_ivf_index_stats(
@@ -2260,7 +2313,14 @@ def pq_ann_topk(
     build-once/query-many path. ``m``/``k``/``scale_bits``/``hash_fn``
     must then be the index's stored values (``load_pq_index`` hands them
     back as params to splat), and ``m`` must be the resolved int — the
-    query slicing has no corpus to resolve ``'auto'`` against."""
+    query slicing has no corpus to resolve ``'auto'`` against. ``m`` is
+    VALIDATED against the index's centroid table (max(sub)+1 over m×k
+    tiny rows — one trivial job) because a mismatched subspace count
+    would not error: the query subslices of the wrong width zip_with the
+    stored cvecs and null-pad the ADC arithmetic into silently wrong
+    distances. ``scale_bits``/``hash_fn`` cannot be inferred from the
+    tables (codes are dimensionless ints) — splatting ``load_pq_index``'s
+    params is the contract that keeps them right."""
     if index is not None:
         if not isinstance(m, int):
             raise ValueError(
@@ -2268,6 +2328,13 @@ def pq_ann_topk(
                 "(load_pq_index returns it in params)"
             )
         centroids, codes = index
+        stored = centroids.agg((F.max("sub") + 1).cast("int").alias("m")).first()
+        if stored is None or stored["m"] != m:
+            raise ValueError(
+                f"pq_ann_topk(index=...): m={m} disagrees with the index "
+                f"(its centroid table has m={stored and stored['m']} "
+                "subspaces) — splat load_pq_index's returned params"
+            )
     else:
         m = _resolve_pq_m(m, corpus, vec_col)
         centroids, codes = pq_index(
@@ -2427,8 +2494,13 @@ def append_to_pq_index(
         existing = spark.read.parquet(f"{path}/codes").select(
             F.col(stored_id).alias("cid")
         )
-        slim = slim.join(existing, "cid", "left_anti")
-    appended = slim.count()  # one extra job over the NEW BATCH only
+        # pinned for the same reason as append_to_ivf_index: count and
+        # write must see the SAME anti-joined rows even for a
+        # non-deterministic batch
+        slim = slim.join(existing, "cid", "left_anti").localCheckpoint(eager=True)
+    # one extra job over the NEW BATCH only; the no-dedupe fast path
+    # requires a deterministic new_vectors plan (see append_to_ivf_index)
+    appended = slim.count()
     if appended:
         centroids = spark.read.parquet(f"{path}/centroids")
         slices = _pq_subslices(slim, "cid", "_v", m, scale_bits, "cid")

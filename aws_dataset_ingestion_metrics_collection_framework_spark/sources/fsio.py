@@ -147,12 +147,21 @@ def write_text_atomic(
 
 
 def rename(src: str, dst: str, spark: SparkSession | None = None) -> None:
-    """Rename/move ``src`` to ``dst`` (directory or file). Local paths use
-    ``os.replace`` semantics for files and ``os.rename`` for directories;
-    ``scheme://`` paths use the Hadoop ``FileSystem.rename`` the cluster's
-    object-store connector implements. Raises if the rename is refused
-    (e.g. ``dst`` exists as a non-empty directory) — callers sequencing a
-    swap must delete the destination first."""
+    """Rename/move ``src`` to ``dst`` (directory or file). Refuses when
+    ``dst`` already exists — checked explicitly on EVERY filesystem,
+    because the two underlying primitives would otherwise diverge
+    silently: POSIX ``rename`` replaces an existing file, while Hadoop's
+    ``FileSystem.rename`` moves ``src`` INTO an existing ``dst``
+    directory (returning true — silent nesting, not an error). Callers
+    sequencing a swap must delete the destination first; for
+    replace-a-file semantics use :func:`write_text_atomic`'s
+    FileContext(OVERWRITE) path instead. The exists-check-then-rename
+    pair is not atomic — these helpers serve single-writer maintenance
+    protocols (the swap/lease discipline), not concurrent writers."""
+    if exists(dst, spark=spark):
+        raise OSError(
+            f"rename refused: destination exists: {dst} (delete it first)"
+        )
     if not has_scheme(src):
         os.rename(src, dst)
         return

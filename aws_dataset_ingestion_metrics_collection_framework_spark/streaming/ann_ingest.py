@@ -47,6 +47,7 @@ from ..operators import similarity as SIM
 from ..sources import fsio
 
 MARKER = "_ingest_marker"
+OWNER = "_ingest_owner"
 
 
 def _read_marker(spark: SparkSession, index_path: str) -> int | None:
@@ -73,7 +74,25 @@ def ingest_batch_into_index(
     ``dedupe``: ``'auto'`` anti-joins only when the entry marker says
     this batch already started once (the crash-replay path); ``True``
     always anti-joins; ``False`` never does (trusted exactly-once
-    upstream)."""
+    upstream).
+
+    TORN-COMPACTION REPAIR RUNS FIRST: a ``compact_every`` crash between
+    the swap's two renames leaves the live tree missing with the
+    committed replacement parked at ``__compacting``. Appending into
+    that state would either fail-stop every restart (the dedupe path's
+    read of the missing live tree throws) or — worse, with
+    ``dedupe=False`` — silently recreate the live tree containing ONLY
+    the replayed batch, after which the next compaction discards the
+    parked full history. So every ingest dispatches the kind-appropriate
+    ``repair_*_index`` before touching the tree (one exists-check per
+    call on the intact path), exactly as ``compact_*_index`` itself
+    does."""
+    {
+        "ivf": SIM.repair_ivf_index,
+        "lsh": SIM.repair_lsh_index,
+        "pq": SIM.repair_pq_index,
+        "sharded_ivf": SIM.repair_sharded_ivf_index,
+    }[kind](spark, index_path)
     if dedupe == "auto":
         do_dedupe = _read_marker(spark, index_path) == batch_id
     elif isinstance(dedupe, bool):
@@ -106,6 +125,7 @@ def start_ann_index_ingest(
     compact_every: int | None = None,
     trigger_seconds: int | None = None,
     available_now: bool = False,
+    takeover: bool = False,
 ) -> StreamingQuery:
     """Start the streaming maintenance sink for the persisted ANN index
     at ``index_path`` (kind — IVF, LSH, PQ or sharded IVF — is read from the index's own
@@ -113,8 +133,23 @@ def start_ann_index_ingest(
     parameters). ``compact_every=N`` folds the per-append files back to
     one per directory after every N batches (compaction runs inside the
     same foreachBatch slot — replays of a compacted batch are safe: the
-    swap is committed-tree-first and :func:`repair_*_index` finishes a
-    torn one)."""
+    swap is committed-tree-first, and every ingest runs the
+    kind-appropriate ``repair_*_index`` BEFORE its append, so a swap
+    torn by a crash is finished on the very next batch — see
+    :func:`ingest_batch_into_index` — never appended around).
+
+    SINGLE WRITER: the marker + replay-dedupe protocol assumes exactly
+    one topology per index — two concurrent writers would interleave
+    ``_ingest_marker`` stamps and silently corrupt each other's replay
+    detection (a replayed batch whose marker was overwritten takes the
+    fast path and double-lands). The sink therefore stamps an
+    ``_ingest_owner`` lease with its OWN ``checkpoint_dir`` string at
+    start and refuses to start while the lease names a different
+    checkpoint. Restarting the same topology (same checkpoint) always
+    works — that is the identity the protocol is keyed on. Retiring a
+    topology and adopting the index into a new one is an explicit
+    ``takeover=True`` — the caller's assertion that the old topology is
+    STOPPED, not a way to run two at once."""
     spark = vectors.sparkSession
     meta = spark.read.json(f"{index_path}/meta").first()
     if meta is None or meta["format"] not in ("ivf", "lsh", "pq", "sharded_ivf"):
@@ -123,6 +158,16 @@ def start_ann_index_ingest(
             "IVF/LSH/PQ/sharded-IVF index manifest"
         )
     kind = meta["format"]
+    owner = fsio.read_text(f"{index_path}/{OWNER}", spark=spark)
+    if owner is not None and owner.strip() != checkpoint_dir and not takeover:
+        raise ValueError(
+            f"start_ann_index_ingest: {index_path} is owned by the "
+            f"topology checkpointed at {owner.strip()!r}; this one uses "
+            f"{checkpoint_dir!r}. Concurrent writers would corrupt the "
+            "replay-marker protocol — stop the owning topology and pass "
+            "takeover=True to adopt the index."
+        )
+    fsio.write_text_atomic(f"{index_path}/{OWNER}", checkpoint_dir, spark=spark)
     compact = {
         "ivf": SIM.compact_ivf_index,
         "lsh": SIM.compact_lsh_index,

@@ -2400,3 +2400,124 @@ def test_sharded_ivf_index_stats(spark, sf_dir, tmp_path):
     assert rows[-1]["max_occupancy"] == max(rows[0]["max_occupancy"], rows[1]["max_occupancy"])
     with pytest.raises(ValueError, match="empty"):
         sharded_ivf_index_stats([])
+
+
+def test_repair_accepts_compact_meta_without_success(spark, sf_dir, tmp_path):
+    """The swap commit protocol must not depend on the job committer's
+    _SUCCESS marker (clusters set marksuccessfuljobs=false): _commit_swap
+    stamps its own _COMPACT_META before the first rename, and repair
+    accepts EITHER stamp. With both stamps stripped the tree is
+    indistinguishable from a torn write and repair correctly refuses."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        COMPACT_COMMIT_MARKER,
+        build_ivf_index,
+        load_ivf_index,
+        persist_ivf_index,
+        repair_ivf_index,
+    )
+    from aws_dataset_ingestion_metrics_collection_framework_spark.sources import fsio
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = str(tmp_path / "ivf_nosuccess")
+    persist_ivf_index(build_ivf_index(emb, n_lists=6), root, mode="overwrite")
+    n = emb.count()
+    meta = spark.read.json(f"{root}/meta").first()
+    tmp = f"{root}/assignments__compacting"
+    (
+        spark.read.parquet(f"{root}/assignments")
+        .repartition(int(meta["n_lists"]), "list_id")
+        .write.partitionBy("list_id").mode("error").parquet(tmp)
+    )
+    # simulate marksuccessfuljobs=false: strip the committer's marker
+    os.remove(f"{tmp}/_SUCCESS")
+    # no stamp at all → indistinguishable from a torn write → broken
+    fsio.rename(f"{root}/assignments", f"{root}/assignments__old", spark=spark)
+    with pytest.raises(ValueError, match="is broken"):
+        repair_ivf_index(spark, root)
+    # the engine's own stamp alone commits the tree
+    fsio.write_text_atomic(f"{tmp}/{COMPACT_COMMIT_MARKER}", "1", spark=spark)
+    assert repair_ivf_index(spark, root) is True
+    assert load_ivf_index(spark, root)[1].count() == n
+    assert not os.path.exists(f"{root}/assignments__old")
+
+
+def test_commit_swap_stamps_compact_meta(spark, sf_dir, tmp_path):
+    """A real compact_ivf_index leaves the live tree carrying the
+    engine's own commit stamp — so the NEXT torn swap is repairable even
+    where _SUCCESS markers are disabled."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        COMPACT_COMMIT_MARKER,
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        persist_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = str(tmp_path / "ivf_stampchk")
+    persist_ivf_index(
+        build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), n_lists=6),
+        root, mode="overwrite",
+    )
+    append_to_ivf_index(spark, root, emb.filter(F.col("vec_id") % 2 == 1))
+    compact_ivf_index(spark, root)
+    assert os.path.exists(f"{root}/assignments/{COMPACT_COMMIT_MARKER}")
+
+
+def test_pq_query_validates_m_against_index(spark, sf_dir, tmp_path):
+    """pq_ann_topk(index=...) with an m that disagrees with the stored
+    index raises instead of silently null-padding the ADC arithmetic
+    into wrong distances (the persist-time manifest validation applied
+    at query time)."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        load_pq_index,
+        persist_pq_index,
+        pq_ann_topk,
+        pq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    root = str(tmp_path / "pq_qval")
+    persist_pq_index(pq_index(emb, m=4), root, m=4, mode="overwrite")
+    idx, params = load_pq_index(spark, root)
+    queries = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="disagrees"):
+        pq_ann_topk(queries, emb, index=idx, **{**params, "m": 2})
+    ok = pq_ann_topk(queries, emb, k_neighbors=2, index=idx, **params)
+    assert ok.count() > 0
+
+
+def test_repair_sharded_ivf_index(spark, sf_dir, tmp_path):
+    """Per-shard repair: a torn swap in ONE shard is finished (True),
+    a healthy tree is a no-op (False), and a non-sharded path raises."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        build_sharded_ivf_index,
+        load_sharded_ivf_index,
+        persist_sharded_ivf_index,
+        repair_sharded_ivf_index,
+    )
+    from aws_dataset_ingestion_metrics_collection_framework_spark.sources import fsio
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = str(tmp_path / "sivf_repair")
+    persist_sharded_ivf_index(
+        build_sharded_ivf_index(emb, n_shards=2, n_lists=6),
+        root, mode="overwrite",
+    )
+    n = emb.count()
+    assert repair_sharded_ivf_index(spark, root) is False
+    # tear shard 1's swap: committed compacting tree, live renamed away
+    s1 = f"{root}/shard=00001"
+    meta = spark.read.json(f"{s1}/meta").first()
+    (
+        spark.read.parquet(f"{s1}/assignments")
+        .repartition(int(meta["n_lists"]), "list_id")
+        .write.partitionBy("list_id").mode("error")
+        .parquet(f"{s1}/assignments__compacting")
+    )
+    fsio.rename(f"{s1}/assignments", f"{s1}/assignments__old", spark=spark)
+    assert repair_sharded_ivf_index(spark, root) is True
+    loaded = load_sharded_ivf_index(spark, root)
+    assert sum(a.count() for _, a in loaded) == n
+    with pytest.raises(ValueError, match="not a sharded"):
+        repair_sharded_ivf_index(spark, f"{root}/shard=00000")

@@ -52,6 +52,31 @@ class TestFsioPrimitives:
         fsio.write_text_atomic(p, payload, spark)
         assert json.loads(fsio.read_text(p, spark)) == json.loads(payload)
 
+    def test_rename_refuses_existing_destination(self, spark, tmp_path):
+        """rename must refuse an existing dst on EVERY filesystem: POSIX
+        rename would replace a file and Hadoop's FileSystem.rename would
+        silently NEST src into an existing dst directory — both are
+        swap-protocol corruption, not moves. Verified on both the local
+        fast path and the Hadoop file:// path."""
+        import pytest
+
+        for mk in (str, _uri):  # local branch, then Hadoop branch
+            tag = "l" if mk is str else "h"
+            src_d = tmp_path / f"src_{tag}"
+            dst_d = tmp_path / f"dst_{tag}"
+            src_d.mkdir()
+            dst_d.mkdir()
+            (src_d / "x.txt").write_text("x")
+            with pytest.raises(OSError, match="destination exists"):
+                fsio.rename(mk(src_d), mk(dst_d), spark=spark)
+            # src untouched, dst NOT nested into
+            assert (src_d / "x.txt").exists()
+            assert not (dst_d / f"src_{tag}").exists()
+            # a clean move still works once dst is out of the way
+            fsio.delete(mk(dst_d), spark=spark)
+            fsio.rename(mk(src_d), mk(dst_d), spark=spark)
+            assert (dst_d / "x.txt").exists() and not src_d.exists()
+
 
 class TestBookmarksOverFileUri:
     def test_advance_load_roundtrip(self, spark, tmp_path):

@@ -452,3 +452,102 @@ def test_ann_ingest_kill9_restart_exactly_once(spark, sf_dir, tmp_path):
     got = [r["vec_id"] for r in asg.filter(F.col("vec_id") % 2 == 1).collect()]
     assert sorted(got) == sorted(r["vec_id"] for r in pool)  # all present, once
     assert asg.count() == base.count() + len(pool)
+
+
+def test_ingest_repairs_torn_compaction_before_append(spark, sf_dir, tmp_path):
+    """A compact_every crash between the swap's two renames leaves the
+    live tree missing with the committed replacement parked. The next
+    ingest must REPAIR FIRST: with dedupe='auto' on the replay path the
+    anti-join would otherwise throw on the missing live tree every
+    restart, and with dedupe=False the append would silently recreate a
+    live tree holding ONLY the replayed batch (the parked full history
+    then discarded by the next compaction)."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.sources import fsio
+
+    root, base = _mk_ivf_tree(spark, sf_dir, tmp_path)
+    n_base = base.count()
+    kw = dict(kind="ivf", corpus_id="vec_id", vec_col="embedding")
+
+    def tear_swap():
+        meta = spark.read.json(f"{root}/meta").first()
+        fsio.delete(f"{root}/assignments__compacting", spark=spark)
+        (
+            spark.read.parquet(f"{root}/assignments")
+            .repartition(int(meta["n_lists"]), "list_id")
+            .write.partitionBy("list_id").mode("error")
+            .parquet(f"{root}/assignments__compacting")
+        )
+        fsio.rename(f"{root}/assignments", f"{root}/assignments__old", spark=spark)
+
+    odd = _base_corpus(spark, sf_dir).filter(F.col("vec_id") % 2 == 1)
+
+    # replay path (marker == batch id → dedupe anti-join): would throw
+    # pre-repair; must heal the tree and land the batch exactly once
+    batch0 = odd.filter(F.col("vec_id") < 60)
+    n0 = batch0.count()
+    fsio.write_text_atomic(f"{root}/{MARKER}", "0", spark=spark)
+    tear_swap()
+    assert ingest_batch_into_index(spark, root, batch0, 0, **kw) == n0
+    asg = load_ivf_index(spark, root)[1]
+    assert asg.count() == n_base + n0  # full history + batch, nothing lost
+
+    # fast path (fresh batch id, dedupe=False): would silently truncate
+    # the index to just this batch pre-repair
+    batch1 = odd.filter(F.col("vec_id").between(61, 121))
+    n1 = batch1.count()
+    tear_swap()
+    assert ingest_batch_into_index(
+        spark, root, batch1, 1, **{**kw, "dedupe": False}
+    ) == n1
+    asg = load_ivf_index(spark, root)[1]
+    assert asg.count() == n_base + n0 + n1
+    ids = [r["vec_id"] for r in asg.collect()]
+    assert len(ids) == len(set(ids))
+
+
+def test_ingest_owner_lease_single_writer(spark, sf_dir, tmp_path):
+    """The _ingest_owner lease: an index adopted by one topology
+    (identified by its checkpoint dir) refuses a second topology with a
+    DIFFERENT checkpoint — concurrent writers would interleave markers
+    and corrupt replay detection — while a same-checkpoint restart and
+    an explicit takeover both proceed."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.streaming.ann_ingest import OWNER
+
+    root, base = _mk_ivf_tree(spark, sf_dir, tmp_path)
+    rows = (
+        _base_corpus(spark, sf_dir).filter(F.col("vec_id") % 2 == 1).limit(10).collect()
+    )
+    src = tmp_path / "vin_lease"
+    src.mkdir()
+    _write_batch_file(str(src), [(r["vec_id"], list(r["embedding"])) for r in rows], "b0.json")
+    ck_a, ck_b = str(tmp_path / "ck_a"), str(tmp_path / "ck_b")
+
+    stream = spark.readStream.schema(VEC_SCHEMA).json(str(src))
+    q = start_ann_index_ingest(stream, root, ck_a, available_now=True)
+    q.awaitTermination(180)
+    assert not q.isActive
+    assert open(f"{root}/{OWNER}").read() == ck_a
+
+    # a different topology (different checkpoint) is refused
+    with pytest.raises(ValueError, match="owned by"):
+        start_ann_index_ingest(
+            spark.readStream.schema(VEC_SCHEMA).json(str(src)),
+            root, ck_b, available_now=True,
+        )
+    # same checkpoint restarts fine (no new data → drains immediately)
+    q2 = start_ann_index_ingest(
+        spark.readStream.schema(VEC_SCHEMA).json(str(src)),
+        root, ck_a, available_now=True,
+    )
+    q2.awaitTermination(180)
+    # explicit takeover re-stamps the lease for the new topology
+    q3 = start_ann_index_ingest(
+        spark.readStream.schema(VEC_SCHEMA).json(str(src)),
+        root, ck_b, available_now=True, takeover=True,
+    )
+    q3.awaitTermination(180)
+    assert open(f"{root}/{OWNER}").read() == ck_b
+    # every id landed exactly once through all of it
+    asg = load_ivf_index(spark, root)[1]
+    assert asg.count() == base.count() + len(rows)
+    assert asg.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
