@@ -1428,13 +1428,32 @@ def build_sharded_ivf_index(
     n_lists: int | str = "auto",
     kmeans_iters: int = 1,
     centroid_budget_bytes: int = IVF_CENTROID_BUDGET_BYTES,
+    materialize: bool | str = "auto",
+    scratch_dir: str | None = None,
 ) -> list[tuple[DataFrame, DataFrame]]:
     """IVF index SHARDED past the 4096-list clamp: hash-split the corpus
     into ``n_shards`` disjoint shards (``pmod(xxhash64(id), n_shards)`` —
-    deterministic, uniform, no data movement beyond the per-shard build
-    scans), build an independent in-budget :func:`build_ivf_index` per
-    shard, and return the list of ``(centroids, assignments)`` pairs that
-    :func:`sharded_ivf_ann_topk` queries with a GLOBAL probe budget.
+    deterministic, uniform), build an independent in-budget
+    :func:`build_ivf_index` per shard, and return the list of
+    ``(centroids, assignments)`` pairs that :func:`sharded_ivf_ann_topk`
+    queries with a GLOBAL probe budget.
+
+    BUILD-SCAN ECONOMICS (``materialize``/``scratch_dir``): the direct
+    path filters the FULL corpus per shard, so an N-shard build scans the
+    source ~N× per build stage — fine at small auto shard counts (2–3;
+    the smaller per-shard matmuls still made the 20M sharded build 0.59×
+    the flat one, SCALE.md r12) but the scan multiplier flips the sign at
+    high N. With ``scratch_dir`` set (and ``materialize='auto'``, the
+    default, or ``True``), the hash split is written ONCE —
+    ``partitionBy('_shard')``, one shuffle — and every per-shard build
+    reads only its own partition directory (static partition pruning),
+    turning N corpus scans per stage into 1 shuffle + N partition reads.
+    Shard membership is the SAME expression either way, and the per-shard
+    k-means is seeded on VALUES, not partition layout, so the two paths
+    build identical indexes (parity-pinned by test). The returned shard
+    DataFrames READ FROM ``scratch_dir`` — keep it until the index is
+    persisted (the usual next step), then delete it; ``mode='error'``
+    refuses a non-empty scratch so two builds can't interleave.
 
     WHY: a single flat IVF caps n_lists at 4096 (the driver-side centroid
     matrix budget — see ``IVF_CENTROID_BUDGET_BYTES``), so past ~16.8M
@@ -1464,11 +1483,38 @@ def build_sharded_ivf_index(
         n_shards = auto_shards(corpus.count())
     elif not isinstance(n_shards, int) or n_shards < 1:
         raise ValueError(f"n_shards must be a positive int or 'auto', got {n_shards!r}")
-    shards: list[tuple[DataFrame, DataFrame]] = []
-    for s in range(n_shards):
-        part = corpus.filter(
-            F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(n_shards)) == s
+    if materialize == "auto":
+        do_mat = scratch_dir is not None and n_shards > 1
+    elif isinstance(materialize, bool):
+        do_mat = materialize and n_shards > 1
+        if materialize and scratch_dir is None:
+            raise ValueError(
+                "build_sharded_ivf_index: materialize=True needs a "
+                "scratch_dir to write the one-shuffle hash split to"
+            )
+    else:
+        raise ValueError(
+            f"materialize must be 'auto', True or False, got {materialize!r}"
         )
+    shard_of = F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(n_shards))
+    if do_mat:
+        spark = corpus.sparkSession
+        (
+            corpus.withColumn("_shard", shard_of.cast("int"))
+            .repartition(n_shards, "_shard")
+            .write.partitionBy("_shard")
+            .mode("error")
+            .parquet(scratch_dir)
+        )
+        split = spark.read.parquet(scratch_dir)
+        parts = [
+            split.filter(F.col("_shard") == s).drop("_shard")
+            for s in range(n_shards)
+        ]
+    else:
+        parts = [corpus.filter(shard_of == s) for s in range(n_shards)]
+    shards: list[tuple[DataFrame, DataFrame]] = []
+    for part in parts:
         shards.append(
             build_ivf_index(
                 part,
@@ -1650,6 +1696,20 @@ def sharded_ivf_ann_topk(
         .filter(F.col("_pr") <= n_probe)
         .select("query_id", "qv", "shard", "list_id")
     )
+    if len(index) > 1:
+        # materialize the globally-ranked probe set ONCE: every shard's
+        # candidate branch below consumes `probes`, and Spark does NOT
+        # reuse the ranking window's exchange across the branches
+        # (measured: 0 ReusedExchange at 3 shards, the whole probe
+        # subtree replanned per branch) — without this pin probe work is
+        # recomputed per shard, O(n_shards²) at high shard counts. The
+        # set is tiny (n_queries × n_probe rows, the query vector riding
+        # along); the lazy local checkpoint computes it at the first
+        # action, after which all branches read the materialized blocks
+        # (plan-pinned by test: one row_number window, per-branch
+        # ExistingRDD scans). The 1-shard path skips it so the flat
+        # bit-for-bit degeneration keeps the flat plan too.
+        probes = probes.localCheckpoint(eager=False)
     cand_parts = []
     for s, (_centroids, assignments) in enumerate(index):
         p_s = probes.filter(F.col("shard") == s).drop("shard")

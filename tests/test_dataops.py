@@ -2521,3 +2521,60 @@ def test_repair_sharded_ivf_index(spark, sf_dir, tmp_path):
     assert sum(a.count() for _, a in loaded) == n
     with pytest.raises(ValueError, match="not a sharded"):
         repair_sharded_ivf_index(spark, f"{root}/shard=00000")
+
+
+def test_sharded_build_materialized_split_parity(spark, sf_dir, tmp_path):
+    """The one-shuffle scratch-dir build path (write the hash split once,
+    feed each shard from its own partition) must produce bit-identical
+    centroids and assignments to the direct N-scan path — shard
+    membership is the same expression and k-means seeds on values, not
+    partition layout. materialize=True without a scratch_dir raises."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        build_sharded_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    direct = build_sharded_ivf_index(emb, n_shards=3, n_lists=6)
+    mat = build_sharded_ivf_index(
+        emb, n_shards=3, n_lists=6, scratch_dir=str(tmp_path / "split")
+    )
+    assert len(direct) == len(mat) == 3
+    for s, ((ca, aa), (cb, ab)) in enumerate(zip(direct, mat)):
+        assert sorted(map(tuple, ca.collect())) == sorted(map(tuple, cb.collect())), s
+        ka = sorted((r["vec_id"], r["list_id"]) for r in aa.collect())
+        kb = sorted((r["vec_id"], r["list_id"]) for r in ab.collect())
+        assert ka == kb, s
+    with pytest.raises(ValueError, match="scratch_dir"):
+        build_sharded_ivf_index(emb, n_shards=2, n_lists=6, materialize=True)
+
+
+def test_sharded_query_probe_subtree_materialized_once(spark, sf_dir):
+    """Plan pin for the global-probe-budget query: the ranked probe set
+    is local-checkpointed once, so each shard's candidate branch scans
+    the materialized RDD instead of replanning the ranking window per
+    branch (without the pin: the whole probe subtree — including every
+    shard's centroid scoring — re-executes O(n_shards²) times; measured
+    12 row_number windows at 3 shards pre-pin, 3 post-pin). The 1-shard
+    path keeps the flat plan (no checkpoint) for bit-for-bit flat
+    degeneration."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        build_sharded_ivf_index,
+        sharded_ivf_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx3 = build_sharded_ivf_index(emb, n_shards=3, n_lists=6)
+    out = sharded_ivf_ann_topk(queries, idx3, k=3, n_probe=4, scorer="hof")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one branch-scan per shard; probe ranking NOT replanned per branch
+    assert plan.count("ExistingRDD") == 3, plan[:3000]
+    assert plan.count("row_number") < 4, plan[:3000]
+    assert out.count() > 0
+
+    idx1 = build_sharded_ivf_index(emb, n_shards=1, n_lists=6)
+    plan1 = (
+        sharded_ivf_ann_topk(queries, idx1, k=3, n_probe=4, scorer="hof")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan1.count("ExistingRDD") == 0, plan1[:3000]

@@ -8,6 +8,7 @@ Usage:
     python tools/ann_scale_probe.py sharded [n ...] [--dim D] [--scorer S] [--shards K]
     python tools/ann_scale_probe.py pq [n ...] [--dim D]
     python tools/ann_scale_probe.py append [n ...] [--dim D] [--scorer S]
+    python tools/ann_scale_probe.py amortize [n ...] [--dim D] [--scorer S] [--shards K]
 
 ``--scorer`` forces the candidate-scoring kernel ('hof'|'arrow';
 default 'auto' — the dim-based cutover the query path itself applies).
@@ -20,6 +21,15 @@ PLUS the EXACT probed rows per query (the probe-selection stage joined to
 the real per-list occupancies — the read-volume number the sharded design
 exists to bound: flat grows as n_probe·n/4096 past 16.8M vectors, sharded
 stays ≤ n_probe × ~4096).
+
+amortize (SCALE.md r13): the sharded-build/query economics closer — on
+ONE generated corpus it (a) times the flat build+persist and the sharded
+build+persist BOTH ways (direct N-scan vs the one-shuffle
+``scratch_dir`` materialized split), with a persisted-tree fingerprint
+pinning that the two sharded paths built the SAME index; (b) times the
+flat and sharded query paths at BOTH a small (100) and a large (1000)
+query batch, so the per-shard fixed query overhead can be shown
+amortizing toward the read-volume ratio as the batch grows.
 
 append: the index-maintenance economics point (SCALE.md r12) — build +
 persist the corpus index once (the rebuild cost), then append a 10%
@@ -228,6 +238,107 @@ def main() -> None:
                     "topk_rows": len(rows),
                 }
                 shutil.rmtree(root, ignore_errors=True)
+            out.append(rec)
+        elif mode == "amortize":
+            rec = {"n": n, "dim": dim, "scorer": scorer}
+
+            def _fingerprint(shards):
+                # cheap persisted-tree identity: per-index row count +
+                # order-free xor-ish sum of xxhash64(id, list_id)
+                total, acc = 0, 0
+                for cents, asg in shards:
+                    r = asg.agg(
+                        F.count(F.lit(1)).alias("c"),
+                        # decimal sum: exact and overflow-proof under ANSI
+                        F.sum(F.xxhash64("vec_id", "list_id").cast("decimal(38,0)")).alias("h"),
+                    ).first()
+                    total += r["c"]
+                    acc ^= int(r["h"] or 0) & ((1 << 63) - 1)
+                return total, acc
+
+            def _timed_queries(shards, flat):
+                res = {}
+                for nq in (100, 1000):
+                    queries = emb.filter(F.col("vec_id") < nq)
+                    times = []
+                    for _ in range(2):
+                        t1 = time.perf_counter()
+                        if flat:
+                            rows = SIM.ivf_ann_topk(
+                                queries, emb, k=5, n_probe=8,
+                                index=shards[0], scorer=scorer,
+                            ).collect()
+                        else:
+                            rows = SIM.sharded_ivf_ann_topk(
+                                queries, shards, k=5, n_probe=8,
+                                scorer=scorer,
+                            ).collect()
+                        times.append(time.perf_counter() - t1)
+                    avg_pr, max_pr = _probed_rows(queries, shards, 8, scorer)
+                    res[f"q{nq}"] = {
+                        "batch_s": round(min(times), 2),
+                        "per_query_ms": round(min(times) / nq * 1000, 1),
+                        "probed_rows_avg": round(avg_pr),
+                        "probed_rows_max": max_pr,
+                        "topk_rows": len(rows),
+                    }
+                return res
+
+            # flat reference: build once, query at both batch sizes
+            t0 = time.perf_counter()
+            froot = tempfile.mkdtemp(prefix="ivf_amz_flat_")
+            SIM.persist_ivf_index(
+                SIM.build_ivf_index(emb, n_lists="auto"), froot,
+                mode="overwrite",
+            )
+            flat_build = round(time.perf_counter() - t0, 1)
+            fshards = [SIM.load_ivf_index(spark, froot)]
+            rec["flat"] = {"build_persist_s": flat_build,
+                           **_timed_queries(fshards, flat=True)}
+            shutil.rmtree(froot, ignore_errors=True)
+            print(json.dumps({"partial": "flat", **rec}), flush=True)
+
+            # sharded, direct N-scan build (the number to beat)
+            t0 = time.perf_counter()
+            droot = tempfile.mkdtemp(prefix="ivf_amz_dir_")
+            SIM.persist_sharded_ivf_index(
+                SIM.build_sharded_ivf_index(
+                    emb, n_shards=shards_flag, n_lists="auto"
+                ),
+                droot, mode="overwrite",
+            )
+            direct_build = round(time.perf_counter() - t0, 1)
+            dshards = SIM.load_sharded_ivf_index(spark, droot)
+            d_fp = _fingerprint(dshards)
+            n_sh = len(dshards)
+            shutil.rmtree(droot, ignore_errors=True)
+            print(json.dumps({"partial": "sharded_direct",
+                              "build_persist_s": direct_build}), flush=True)
+
+            # sharded, one-shuffle materialized split build
+            scratch = tempfile.mkdtemp(prefix="ivf_amz_split_") + "/split"
+            t0 = time.perf_counter()
+            mroot = tempfile.mkdtemp(prefix="ivf_amz_mat_")
+            SIM.persist_sharded_ivf_index(
+                SIM.build_sharded_ivf_index(
+                    emb, n_shards=shards_flag, n_lists="auto",
+                    scratch_dir=scratch,
+                ),
+                mroot, mode="overwrite",
+            )
+            mat_build = round(time.perf_counter() - t0, 1)
+            shutil.rmtree(os.path.dirname(scratch), ignore_errors=True)
+            mshards = SIM.load_sharded_ivf_index(spark, mroot)
+            m_fp = _fingerprint(mshards)
+            rec["sharded"] = {
+                "n_shards": n_sh,
+                "build_direct_s": direct_build,
+                "build_materialized_s": mat_build,
+                "mat_vs_direct": round(mat_build / direct_build, 3),
+                "fingerprint_match": d_fp == m_fp,
+                **_timed_queries(mshards, flat=False),
+            }
+            shutil.rmtree(mroot, ignore_errors=True)
             out.append(rec)
         elif mode == "append":
             # the O(batch)-vs-O(corpus) maintenance claim, measured: build
