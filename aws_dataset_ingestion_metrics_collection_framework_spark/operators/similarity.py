@@ -1908,6 +1908,131 @@ def sharded_ivf_index_stats(
     return per_shard.select(*cols).unionByName(total.select(*cols)).orderBy("shard")
 
 
+def index_layout_stats(
+    spark: SparkSession, path: str, tree: str = "assignments"
+) -> dict:
+    """Files-per-directory gauge for a persisted index tree — the
+    COMPACTION-due signal :func:`index_maintenance_plan` consumes:
+    K appends leave K+1 files in every touched directory, and probe cost
+    at query time pays one seek per file per probed list
+    (:func:`compact_ivf_index` docstring). Pure metadata: a recursive
+    driver-side listing through the index's own filesystem
+    (``sources.fsio`` — works on any Hadoop FS), bounded by the 4096-list
+    clamp at ≤ ~4k directories per tree, one listStatus per directory —
+    a maintenance-window cost, never a query-path one; no data file is
+    opened. Returns ``{n_dirs, n_files, max_files_per_dir,
+    avg_files_per_dir}`` over directories that hold at least one parquet
+    file (LSH's two-level ``tbl=/_bpfx=`` layout walks the same way).
+    Feed the max into the plan:
+    ``stats.withColumn('files_per_dir', F.lit(ls['max_files_per_dir']))``.
+    """
+    per_dir: list[int] = []
+
+    def walk(d: str) -> None:
+        names = fsio.list_names(d, spark=spark)
+        k = sum(1 for n in names if n.endswith(".parquet"))
+        if k:
+            per_dir.append(k)
+        for n in names:
+            sub = f"{d}/{n}"
+            if "." not in n and fsio.is_dir(sub, spark=spark):
+                walk(sub)
+
+    root = f"{path}/{tree}"
+    if not fsio.exists(root, spark=spark):
+        raise ValueError(f"index_layout_stats: no tree at {root}")
+    walk(root)
+    n_files = sum(per_dir)
+    return {
+        "n_dirs": len(per_dir),
+        "n_files": n_files,
+        "max_files_per_dir": max(per_dir) if per_dir else 0,
+        "avg_files_per_dir": round(n_files / len(per_dir), 2) if per_dir else 0.0,
+    }
+
+
+def index_maintenance_plan(
+    stats: DataFrame,
+    *,
+    skew_threshold: float = 4.0,
+    max_files_per_dir: int = 8,
+    max_null_frac: float = 0.01,
+    min_rows_for_rebuild: int = 100_000,
+) -> DataFrame:
+    """Turn the maintenance GAUGES (:func:`ivf_index_stats` /
+    :func:`sharded_ivf_index_stats`, optionally joined with
+    :func:`index_layout_stats`'s ``files_per_dir``) into a tested POLICY:
+    every input row gains an ``action`` — ``append_ok`` | ``compact_due``
+    | ``rebuild_due`` — and a ``reasons`` array naming each fired signal,
+    so the daily-crawl loop can branch on a contract instead of
+    eyeballing skew numbers.
+
+    THRESHOLDS AND THE MEASURED ECONOMICS they encode (SCALE.md r12: a
+    10% increment appends at 0.176× the rebuild cost; compaction is one
+    repartition of the tree; rebuild is a full corpus k-means pass):
+
+    - ``append_ok`` is the DEFAULT — appending stays O(batch) however
+      large the corpus, so nothing cheaper exists while the layout and
+      occupancy hold;
+    - ``compact_due`` when ``files_per_dir`` exceeds
+      ``max_files_per_dir``: query probe cost pays one seek per file per
+      probed list, so K appends multiply seeks by K+1; compaction
+      restores one file per directory for one tree rewrite. Rows without
+      a ``files_per_dir`` column never fire this (the gauge wasn't
+      joined — the plan does not guess);
+    - ``rebuild_due`` (wins over compact — the rebuild rewrites the
+      layout anyway) when ``skew`` exceeds ``skew_threshold`` on an
+      index of at least ``min_rows_for_rebuild`` rows: appends assign to
+      FROZEN centroids, so corpus drift concentrates growth in few lists
+      and query latency degrades as MAX occupancy, not corpus size — the
+      one failure appending can never fix. The row floor keeps small
+      indexes (where skew is sampling noise and a rebuild is cheap but
+      pointless) on the append path;
+    - ``null_vector_rate`` (``null_rows/n_rows`` over ``max_null_frac``)
+      is reported as a REASON but never escalates the action: malformed
+      vectors park on the null list by contract (never probed, never
+      dropped) and no maintenance op repairs them — the signal routes to
+      the ingest side, not the index.
+
+    Pure column arithmetic on an already-tiny stats table — no shuffle,
+    no job; sharded per-shard rows (including the ``shard = -1`` global)
+    each get their own verdict, so one skewed shard can be rebuilt alone.
+    """
+    for need in ("n_rows", "null_rows", "skew"):
+        if need not in stats.columns:
+            raise ValueError(
+                f"index_maintenance_plan: stats is missing column {need!r} "
+                "(expected an ivf_index_stats/sharded_ivf_index_stats row set)"
+            )
+    files = (
+        F.col("files_per_dir")
+        if "files_per_dir" in stats.columns
+        else F.lit(None).cast("int")
+    )
+    skew_fired = (F.col("skew") > F.lit(skew_threshold)) & (
+        F.col("n_rows") >= F.lit(min_rows_for_rebuild)
+    )
+    compact_fired = files > F.lit(max_files_per_dir)
+    nulls_fired = (
+        F.col("null_rows") / F.greatest(F.col("n_rows"), F.lit(1))
+    ) > F.lit(max_null_frac)
+    reasons = F.array_compact(
+        F.array(
+            F.when(skew_fired, F.lit("occupancy_skew")),
+            F.when(compact_fired, F.lit("files_per_dir")),
+            F.when(nulls_fired, F.lit("null_vector_rate")),
+        )
+    )
+    action = (
+        F.when(skew_fired, F.lit("rebuild_due"))
+        .when(compact_fired, F.lit("compact_due"))
+        .otherwise(F.lit("append_ok"))
+    )
+    return stats.select(
+        "*", action.alias("action"), reasons.alias("reasons")
+    )
+
+
 def quantize_int8(
     df: DataFrame, id_col: str, vec_col: str, *, out_col: str = "qvec"
 ) -> DataFrame:

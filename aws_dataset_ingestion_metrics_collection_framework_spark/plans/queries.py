@@ -6415,6 +6415,142 @@ FROM d
 """
 
 
+def q_index_maintenance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance policy (r13; ``similarity.index_maintenance_plan``):
+    the tested decision layer over the occupancy/layout gauges — each
+    stats row gets an ``action`` (append_ok | compact_due | rebuild_due)
+    and the fired-signal ``reasons``. The five synthetic rows cover every
+    branch of the contract: the append default, skew-triggered rebuild,
+    rebuild WINNING over a simultaneous compact signal, the
+    min-rows-for-rebuild floor, and compact_due with the null-rate
+    data-quality reason that never escalates. Fully SQL-oracled — the
+    thresholds are exact arithmetic on the same literals in both
+    engines; ``reasons`` is serialized with array_join for the
+    column-hash compare."""
+    from ..operators.similarity import index_maintenance_plan
+
+    schema = (
+        "shard int, n_lists_used int, n_rows long, null_rows long, "
+        "max_occupancy long, avg_occupancy double, skew double, "
+        "files_per_dir int"
+    )
+    rows = [
+        (0, 64, 1_000_000, 0, 30_000, 15_625.0, 1.92, 3),
+        (1, 64, 2_000_000, 0, 200_000, 31_250.0, 6.4, 2),
+        (2, 64, 500_000, 0, 40_000, 7_812.5, 5.12, 12),
+        (3, 64, 50_000, 0, 4_000, 781.25, 5.12, 2),
+        (4, 64, 1_000_000, 20_000, 16_000, 15_312.0, 1.045, 9),
+    ]
+    plan = index_maintenance_plan(spark.createDataFrame(rows, schema))
+    return plan.select(
+        "shard", "n_rows", "skew", "files_per_dir", "action",
+        F.array_join("reasons", ",").alias("reasons"),
+    ).orderBy("shard")
+
+
+INDEX_MAINTENANCE_PLAN_ORACLE = """
+WITH stats(shard, n_rows, null_rows, skew, files_per_dir) AS (VALUES
+  (0, 1000000, 0,     1.92,  3),
+  (1, 2000000, 0,     6.4,   2),
+  (2, 500000,  0,     5.12,  12),
+  (3, 50000,   0,     5.12,  2),
+  (4, 1000000, 20000, 1.045, 9)
+), fired AS (
+  SELECT shard, n_rows, skew, files_per_dir,
+         (skew > 4.0 AND n_rows >= 100000) AS skew_f,
+         (files_per_dir > 8) AS compact_f,
+         (CAST(null_rows AS DOUBLE) / GREATEST(n_rows, 1) > 0.01) AS nulls_f
+  FROM stats
+)
+SELECT CAST(shard AS INTEGER) AS shard,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(skew AS DOUBLE) AS skew,
+       CAST(files_per_dir AS INTEGER) AS files_per_dir,
+       CASE WHEN skew_f THEN 'rebuild_due'
+            WHEN compact_f THEN 'compact_due'
+            ELSE 'append_ok' END AS action,
+       concat_ws(',',
+         CASE WHEN skew_f THEN 'occupancy_skew' END,
+         CASE WHEN compact_f THEN 'files_per_dir' END,
+         CASE WHEN nulls_f THEN 'null_vector_rate' END) AS reasons
+FROM fired
+ORDER BY shard
+"""
+
+
+def q_sharded_build_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-build economics contract (r13;
+    ``similarity.build_sharded_ivf_index(scratch_dir=...)`` +
+    the ``sharded_ivf_ann_topk`` probe-reuse pin). Driver-attested END TO
+    END on the embeddings table:
+
+    - the one-shuffle materialized split (write the hash split once
+      partitioned by shard, feed each per-shard build from its pruned
+      partition) produces BIT-IDENTICAL centroids and assignments to the
+      direct N-scan build on every shard;
+    - the scratch split is a real partitionBy layout: one _shard=N
+      directory per shard, disjoint cover;
+    - the multi-shard query plan materializes the globally-ranked probe
+      set ONCE (per-branch ExistingRDD scans; the ranking window is NOT
+      replanned per shard — the O(n_shards²) probe-recompute pin);
+    - query results through the materialized-build index equal the
+      direct-build index's row for row."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scratch_root = tempfile.mkdtemp(prefix="sivf_mat_q_")
+    try:
+        direct = SIM.build_sharded_ivf_index(emb, n_shards=3, n_lists=6)
+        mat = SIM.build_sharded_ivf_index(
+            emb, n_shards=3, n_lists=6, scratch_dir=f"{scratch_root}/split"
+        )
+        parity = True
+        for (ca, aa), (cb, ab) in zip(direct, mat):
+            parity = parity and sorted(map(tuple, ca.collect())) == sorted(
+                map(tuple, cb.collect())
+            )
+            parity = parity and sorted(
+                (r["vec_id"], r["list_id"]) for r in aa.collect()
+            ) == sorted((r["vec_id"], r["list_id"]) for r in ab.collect())
+        split_dirs = sorted(
+            n for n in os.listdir(f"{scratch_root}/split") if n.startswith("_shard=")
+        )
+        layout_ok = split_dirs == [f"_shard={s}" for s in range(3)]
+
+        queries = emb.filter(F.col("vec_id") < 8)
+        key = ["query_id", "neighbor_id", "rank"]
+        out_mat = SIM.sharded_ivf_ann_topk(
+            queries, mat, k=4, n_probe=5, scorer="hof"
+        )
+        plan = out_mat._jdf.queryExecution().executedPlan().toString()
+        probe_pinned = plan.count("ExistingRDD") == 3 and plan.count("row_number") < 4
+        r_mat = sorted(map(tuple, out_mat.select(*key).collect()))
+        r_dir = sorted(map(tuple, SIM.sharded_ivf_ann_topk(
+            queries, direct, k=4, n_probe=5, scorer="hof"
+        ).select(*key).collect()))
+        n_queries = queries.count()
+    finally:
+        shutil.rmtree(scratch_root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            bool(parity), bool(layout_ok), bool(probe_pinned),
+            r_mat == r_dir, int(len(r_mat)), int(n_queries),
+        )],
+        "build_parity boolean, split_layout boolean, probe_reuse_pinned boolean, "
+        "query_parity boolean, result_rows int, n_queries int",
+    )
+
+
+SHARDED_BUILD_MATERIALIZED_ORACLE = """
+SELECT TRUE AS build_parity, TRUE AS split_layout, TRUE AS probe_reuse_pinned,
+       TRUE AS query_parity,
+       CAST(4 * COUNT(*) AS INTEGER) AS result_rows,
+       CAST(COUNT(*) AS INTEGER) AS n_queries
+FROM embeddings WHERE vec_id < 8
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- registry ORDER is deliberate: the driver's correctness sweep
     # samples queries in registry order with a bounded budget, so entries
@@ -6438,6 +6574,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_index_maintenance": q_lsh_index_maintenance,
     "pq_ann_persisted": q_pq_ann_persisted,
     "lsh_ann_persisted": q_lsh_ann_persisted,
+    "index_maintenance_plan": q_index_maintenance_plan,
+    "sharded_build_materialized": q_sharded_build_materialized,
     "ivf_ann_auto": q_ivf_ann_auto,
     "sessionize": q_sessionize,
     # r5: WARC source (Common-Crawl entry point) — never driver-sampled yet
@@ -6773,6 +6911,8 @@ ORACLES: dict[str, str] = {
     "ivf_index_maintenance": IVF_INDEX_MAINTENANCE_ORACLE,
     "lsh_index_maintenance": LSH_INDEX_MAINTENANCE_ORACLE,
     "pq_ann_persisted": PQ_ANN_PERSISTED_ORACLE,
+    "index_maintenance_plan": INDEX_MAINTENANCE_PLAN_ORACLE,
+    "sharded_build_materialized": SHARDED_BUILD_MATERIALIZED_ORACLE,
     "ivf_ann_persisted": IVF_ANN_PERSISTED_ORACLE,
     "lsh_ann_persisted": LSH_ANN_PERSISTED_ORACLE,
     "ivf_ann_auto": IVF_ANN_AUTO_ORACLE,
@@ -6846,7 +6986,31 @@ ORACLES: dict[str, str] = {
 # q01–q11, q16, q22), then the r9 block — so after r12 no query's newest
 # driver attestation is older than three rounds. Recomputed each round
 # from CORRECTNESS_r*.json (max round per query).
-_R12_PRIORITY = [
+# r13 rotation (judge ask #1): the two NEW r13 faces lead, then the 19
+# queries whose newest driver row was r9 (they hit the 3-round staleness
+# boundary after r13), then the carried r12 order.
+_R13_PRIORITY = [
+    'index_maintenance_plan',
+    'sharded_build_materialized',
+    'attribution',
+    'exif_metadata',
+    'fuzzy_join',
+    'group_sample',
+    'incremental_dedup',
+    'incremental_rollup',
+    'label_propagation',
+    'link_graph',
+    'pagerank',
+    'perplexity',
+    'quality_scores',
+    'quality_tf',
+    'quantize_embeddings',
+    'resample_ffill',
+    'row_ids',
+    'snapshot_diff',
+    'unicode_normalize',
+    'value_histogram',
+    'web_pipeline',
     'ivf_index_maintenance',
     'lsh_index_maintenance',
     'pq_ann_persisted',
@@ -6897,25 +7061,6 @@ _R12_PRIORITY = [
     'kmv_overlap',
     'corpus_shuffle',
     'substring_dedup',
-    'quality_scores',
-    'quality_tf',
-    'web_pipeline',
-    'pagerank',
-    'perplexity',
-    'link_graph',
-    'value_histogram',
-    'resample_ffill',
-    'row_ids',
-    'quantize_embeddings',
-    'snapshot_diff',
-    'group_sample',
-    'fuzzy_join',
-    'incremental_rollup',
-    'unicode_normalize',
-    'exif_metadata',
-    'label_propagation',
-    'incremental_dedup',
-    'attribution',
     'lsh_ann_auto',
     'ivf_ann_auto',
     'semantic_dedup_auto',
@@ -7017,13 +7162,13 @@ _R12_PRIORITY = [
     'metric_defs_multi_account',
     'dashboard_widgets',
 ]
-if set(_R12_PRIORITY) != set(QUERIES) or len(_R12_PRIORITY) != len(QUERIES):
+if set(_R13_PRIORITY) != set(QUERIES) or len(_R13_PRIORITY) != len(QUERIES):
     raise RuntimeError(
         "priority rotation out of sync with QUERIES: missing="
-        f"{sorted(set(QUERIES) - set(_R12_PRIORITY))} extra="
-        f"{sorted(set(_R12_PRIORITY) - set(QUERIES))}"
+        f"{sorted(set(QUERIES) - set(_R13_PRIORITY))} extra="
+        f"{sorted(set(_R13_PRIORITY) - set(QUERIES))}"
     )
-QUERIES = {name: QUERIES[name] for name in _R12_PRIORITY}
+QUERIES = {name: QUERIES[name] for name in _R13_PRIORITY}
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled
 # entries first) so a budget-bounded sweep sees the same priority whichever

@@ -165,6 +165,13 @@ HEADLINE = [
     "ivf_index_maintenance",
     "lsh_index_maintenance",
     "pq_ann_persisted",
+    # round-13 additions: the gauge→policy maintenance contract (pure
+    # column logic over synthetic stats — cheap by design) and the
+    # sharded-build economics face (two 3-shard builds incl. the
+    # one-shuffle materialized split + parity + the probe-reuse plan
+    # pin). Each sets its own r13 baseline in BASELINE.md.
+    "index_maintenance_plan",
+    "sharded_build_materialized",
 ]
 
 # Benched since r1 — the frozen cross-round comparison basket (see §3 above).

@@ -2578,3 +2578,93 @@ def test_sharded_query_probe_subtree_materialized_once(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan1.count("ExistingRDD") == 0, plan1[:3000]
+
+
+def test_index_maintenance_plan_policy(spark):
+    """The gauge→policy contract: append_ok default, compact_due on
+    files-per-dir, rebuild_due on skew (winning over compact), the
+    min-rows floor keeping noisy small indexes on the append path, and
+    null_vector_rate reported as a reason without escalating."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        index_maintenance_plan,
+    )
+
+    schema = (
+        "shard int, n_lists_used int, n_rows long, null_rows long, "
+        "max_occupancy long, avg_occupancy double, skew double, "
+        "files_per_dir int"
+    )
+    rows = [
+        (0, 64, 1_000_000, 0, 30_000, 15_625.0, 1.92, 3),     # append_ok
+        (1, 64, 2_000_000, 0, 200_000, 31_250.0, 6.4, 2),     # rebuild (skew)
+        (2, 64, 500_000, 0, 40_000, 7_812.5, 5.12, 12),       # rebuild wins over compact
+        (3, 64, 50_000, 0, 4_000, 781.25, 5.12, 2),           # min-rows floor → append_ok
+        (4, 64, 1_000_000, 20_000, 16_000, 15_312.0, 1.045, 9),  # compact + null reason
+    ]
+    plan = {
+        r["shard"]: r
+        for r in index_maintenance_plan(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    assert plan[0]["action"] == "append_ok" and plan[0]["reasons"] == []
+    assert plan[1]["action"] == "rebuild_due" and plan[1]["reasons"] == ["occupancy_skew"]
+    assert plan[2]["action"] == "rebuild_due"
+    assert plan[2]["reasons"] == ["occupancy_skew", "files_per_dir"]
+    assert plan[3]["action"] == "append_ok" and plan[3]["reasons"] == []
+    assert plan[4]["action"] == "compact_due"
+    assert plan[4]["reasons"] == ["files_per_dir", "null_vector_rate"]
+
+    # without the files_per_dir gauge joined, compact_due can never fire
+    nofiles = spark.createDataFrame(
+        [(1_000_000, 0, 1.5)], "n_rows long, null_rows long, skew double"
+    )
+    assert index_maintenance_plan(nofiles).first()["action"] == "append_ok"
+    with pytest.raises(ValueError, match="missing column"):
+        index_maintenance_plan(nofiles.select("n_rows"))
+
+
+def test_index_layout_stats_and_plan_end_to_end(spark, sf_dir, tmp_path):
+    """The real loop: persist → append twice → the layout gauge sees the
+    per-dir growth and the plan says compact_due; compact → append_ok."""
+    from pyspark.sql import functions as FF
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        index_layout_stats,
+        index_maintenance_plan,
+        ivf_index_stats,
+        load_ivf_index,
+        persist_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = str(tmp_path / "plan_e2e")
+    persist_ivf_index(
+        build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), n_lists=6),
+        root, mode="overwrite",
+    )
+    for shift in (1_000_000, 2_000_000):
+        append_to_ivf_index(
+            spark, root,
+            emb.filter(F.col("vec_id") % 2 == 1).select(
+                (F.col("vec_id") + shift).alias("vec_id"), "embedding"
+            ),
+        )
+    ls = index_layout_stats(spark, root)
+    assert ls["max_files_per_dir"] >= 3  # base + two appends
+    assert ls["n_files"] >= ls["n_dirs"]
+    stats = ivf_index_stats(load_ivf_index(spark, root)[1]).withColumn(
+        "files_per_dir", FF.lit(ls["max_files_per_dir"])
+    )
+    verdict = index_maintenance_plan(stats, max_files_per_dir=2).first()
+    assert verdict["action"] == "compact_due"
+    compact_ivf_index(spark, root)
+    ls2 = index_layout_stats(spark, root)
+    assert ls2["max_files_per_dir"] == 1
+    stats2 = ivf_index_stats(load_ivf_index(spark, root)[1]).withColumn(
+        "files_per_dir", FF.lit(ls2["max_files_per_dir"])
+    )
+    assert index_maintenance_plan(stats2, max_files_per_dir=2).first()["action"] == "append_ok"

@@ -369,7 +369,7 @@ def test_stream_ingest_sharded_kind_from_manifest(spark, sf_dir, tmp_path):
 _ANN_CHAOS_CHILD = '''
 import os, signal, sys
 sys.path.insert(0, {repo!r})
-bomb_arm, src, index_path, ckpt = sys.argv[1:5]
+bomb_arm, src, index_path, ckpt, compact_every = sys.argv[1:6]
 from aws_dataset_ingestion_metrics_collection_framework_spark import get_spark
 from aws_dataset_ingestion_metrics_collection_framework_spark.streaming import ann_ingest
 from aws_dataset_ingestion_metrics_collection_framework_spark.sources import fsio
@@ -383,6 +383,17 @@ if bomb_arm == "kill_after_marker_b1":
         if path.endswith(ann_ingest.MARKER) and text == "1":
             os.kill(os.getpid(), signal.SIGKILL)
     fsio.write_text_atomic = bomb  # ann_ingest resolves fsio.<attr> at call time
+elif bomb_arm == "kill_mid_swap_shard0":
+    orig_rn = fsio.rename
+    def bombr(src_p, dst_p, spark=None):
+        orig_rn(src_p, dst_p, spark)
+        # the compaction swap's FIRST rename (live -> __old) of shard 0
+        # just happened: live tree missing, committed __compacting parked
+        # - the exact torn-swap window repair_*_index covers, torn by a
+        # REAL SIGKILL inside the streaming foreachBatch slot
+        if dst_p.endswith("assignments__old") and "shard=00000" in dst_p:
+            os.kill(os.getpid(), signal.SIGKILL)
+    fsio.rename = bombr  # similarity._commit_swap resolves fsio.<attr> at call time
 
 spark = get_spark(app_name="ann-chaos-child", master="local[4]",
                   shuffle_partitions=4)
@@ -390,13 +401,15 @@ spark.sparkContext.setLogLevel("ERROR")
 stream = (spark.readStream.schema("vec_id long, embedding array<double>")
           .option("maxFilesPerTrigger", 1).json(src))
 q = ann_ingest.start_ann_index_ingest(stream, index_path, ckpt,
+                                      compact_every=int(compact_every) or None,
                                       available_now=True)
 q.awaitTermination(300)
 print("CHILD_FINISHED_WITHOUT_KILL")
 '''
 
 
-def _run_ann_chaos_child(tmp_path, bomb_arm, src, index_path, ckpt, tag):
+def _run_ann_chaos_child(tmp_path, bomb_arm, src, index_path, ckpt, tag,
+                         compact_every=0):
     import signal
     import subprocess
     import sys
@@ -407,7 +420,8 @@ def _run_ann_chaos_child(tmp_path, bomb_arm, src, index_path, ckpt, tag):
     )
     log = open(tmp_path / f"ann_chaos_{tag}.log", "w")
     p = subprocess.Popen(
-        [sys.executable, str(script), bomb_arm, str(src), str(index_path), str(ckpt)],
+        [sys.executable, str(script), bomb_arm, str(src), str(index_path), str(ckpt),
+         str(compact_every)],
         stdout=log, stderr=log, start_new_session=True,
     )
     try:
@@ -551,3 +565,71 @@ def test_ingest_owner_lease_single_writer(spark, sf_dir, tmp_path):
     asg = load_ivf_index(spark, root)[1]
     assert asg.count() == base.count() + len(rows)
     assert asg.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_sharded_stream_kill9_mid_compaction_swap(spark, sf_dir, tmp_path):
+    """REAL kill -9 INSIDE a sharded compaction swap under the streaming
+    sink: with compact_every=1 the child SIGKILLs itself right after the
+    swap's first rename on shard 0 (live tree gone, committed
+    __compacting parked — the torn window). A clean relaunch must heal
+    through the ingest's repair-before-append (no human repair call):
+    every streamed id exactly once, disjoint cover intact, layout fully
+    compacted, no swap residue on any shard."""
+    import signal
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        COMPACT_COMMIT_MARKER,
+        build_sharded_ivf_index,
+        load_sharded_ivf_index,
+        persist_sharded_ivf_index,
+    )
+
+    base = _base_corpus(spark, sf_dir).filter(F.col("vec_id") % 2 == 0)
+    root = str(tmp_path / "sivf_chaos_idx")
+    persist_sharded_ivf_index(
+        build_sharded_ivf_index(base, n_shards=2, n_lists=6),
+        root, mode="overwrite",
+    )
+    pool = (
+        _base_corpus(spark, sf_dir).filter(F.col("vec_id") % 2 == 1).limit(30).collect()
+    )
+    src = tmp_path / "vin_sivf_chaos"
+    src.mkdir()
+    _write_batch_file(str(src), [(r["vec_id"], list(r["embedding"])) for r in pool[:15]], "b0.json")
+    _write_batch_file(str(src), [(r["vec_id"], list(r["embedding"])) for r in pool[15:]], "b1.json")
+    ckpt = tmp_path / "ckpt_sivf_chaos"
+
+    rc = _run_ann_chaos_child(
+        tmp_path, "kill_mid_swap_shard0", src, root, ckpt, "sivf_killed",
+        compact_every=1,
+    )
+    assert rc == -signal.SIGKILL  # the bomb fired
+    # the torn state the kill left: shard 0's live tree missing, the
+    # committed (stamp-carrying) compaction tree parked
+    s0 = f"{root}/shard=00000"
+    assert not os.path.exists(f"{s0}/assignments")
+    assert os.path.exists(f"{s0}/assignments__compacting/{COMPACT_COMMIT_MARKER}")
+
+    rc = _run_ann_chaos_child(
+        tmp_path, "none", src, root, ckpt, "sivf_restart", compact_every=1,
+    )
+    assert rc == 0
+
+    loaded = load_sharded_ivf_index(spark, root)
+    got = sorted(
+        r["vec_id"]
+        for _, asg in loaded
+        for r in asg.filter(F.col("vec_id") % 2 == 1).collect()
+    )
+    assert got == sorted(r["vec_id"] for r in pool)  # all present, exactly once
+    assert sum(a.count() for _, a in loaded) == base.count() + len(pool)
+    for s, (_, asg) in enumerate(loaded):
+        assert asg.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)) != s
+        ).count() == 0, s
+    for s in range(2):
+        sd = f"{root}/shard={s:05d}"
+        assert not os.path.exists(f"{sd}/assignments__old")
+        assert not os.path.exists(f"{sd}/assignments__compacting")
+        for d, _, files in os.walk(f"{sd}/assignments"):
+            assert sum(1 for f in files if f.endswith(".parquet")) <= 1, d
