@@ -4,10 +4,13 @@ one script:
   embeddings → build IVF index → persist (one file per list dir)
   → day-1 increment: append_to_ivf_index (frozen-centroid assign,
     O(batch)) → replayed append with dedupe=True lands 0 rows
-  → occupancy gauge (ivf_index_stats) → compact back to one file/dir
+  → gauges (ivf_index_stats + index_layout_stats) → the tested POLICY
+    (index_maintenance_plan: append_ok | compact_due | rebuild_due, r13)
+  → compact back to one file/dir
   → query through the persisted index before/after — identical rows
   → the same increment flow through the STREAMING sink
-    (start_ann_index_ingest: marker + replay-dedupe exactly-once)
+    (start_ann_index_ingest: marker + replay-dedupe exactly-once,
+    repair-before-append, single-writer _ingest_owner lease — r13)
   → and the sharded path for corpora past the 4096-list clamp.
 
 Every stage is the declared engine helper — the composition story for a
@@ -65,10 +68,23 @@ def main() -> None:
     replay = SIM.append_to_ivf_index(spark, root, day1, dedupe=True)
     print(f"[append]  day-1 increment: {n} appended, replay appended {replay}")
 
-    # 3. gauge → compact → results unchanged
-    stats = SIM.ivf_index_stats(SIM.load_ivf_index(spark, root)[1]).first()
+    # 3. gauges → POLICY → compact → results unchanged: the layout gauge
+    #    (files per dir, pure metadata) joins the occupancy stats, and
+    #    index_maintenance_plan turns them into the action the loop
+    #    branches on — the appends above left >1 file in the touched
+    #    dirs, so with a tight threshold the verdict is compact_due
+    stats_df = SIM.ivf_index_stats(SIM.load_ivf_index(spark, root)[1])
+    stats = stats_df.first()
     print(f"[stats]   rows={stats['n_rows']} max_occ={stats['max_occupancy']} "
           f"skew={stats['skew']} rebalance={stats['rebalance_recommended']}")
+    layout = SIM.index_layout_stats(spark, root)
+    verdict = SIM.index_maintenance_plan(
+        stats_df.withColumn("files_per_dir", F.lit(layout["max_files_per_dir"])),
+        max_files_per_dir=1,
+    ).first()
+    print(f"[plan]    files/dir={layout['max_files_per_dir']} → "
+          f"action={verdict['action']} reasons={list(verdict['reasons'])}")
+    assert verdict["action"] == "compact_due", verdict
     SIM.compact_ivf_index(spark, root)
     after = SIM.ivf_ann_topk(
         queries, emb, k=5, n_probe=8,
@@ -97,6 +113,18 @@ def main() -> None:
     q.awaitTermination(180)
     total = SIM.load_ivf_index(spark, root)[1].count()
     print(f"[stream]  sink landed the drop; index now {total} rows")
+
+    # 4b. single-writer lease: the sink stamped _ingest_owner with its
+    #     checkpoint dir — a second topology (different checkpoint) is
+    #     refused until an explicit takeover, so two writers can never
+    #     interleave replay markers
+    try:
+        start_ann_index_ingest(
+            stream, root, os.path.join(out_dir, "ckpt_other"), available_now=True
+        )
+        raise AssertionError("second writer was not refused")
+    except ValueError as ex:
+        print(f"[lease]   second topology refused: {str(ex)[:68]}...")
 
     # 5. past the clamp: the sharded path (bounded probed rows per query)
     sroot = os.path.join(out_dir, "sharded")
