@@ -122,7 +122,8 @@ def start_ann_index_ingest(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     dedupe: bool | str = "auto",
-    compact_every: int | None = None,
+    compact_every: int | str | None = None,
+    compact_files_threshold: int = 8,
     trigger_seconds: int | None = None,
     available_now: bool = False,
     takeover: bool = False,
@@ -137,6 +138,19 @@ def start_ann_index_ingest(
     kind-appropriate ``repair_*_index`` BEFORE its append, so a swap
     torn by a crash is finished on the very next batch — see
     :func:`ingest_batch_into_index` — never appended around).
+
+    ``compact_every='auto'`` compacts ON THE POLICY instead of a fixed
+    cadence: after each batch the sink reads the files-per-directory
+    LAYOUT gauge (``index_layout_stats`` — pure metadata listing,
+    bounded by the 4096-list clamp; per-shard for a sharded tree) and
+    compacts when it exceeds ``compact_files_threshold`` — the
+    ``compact_due`` rule of :func:`~..operators.similarity.
+    index_maintenance_plan` applied live, so quiet streams never pay
+    needless tree rewrites and bursty ones compact as soon as probe-seek
+    multiplication actually warrants it. Only the layout rule automates
+    here: the policy's ``rebuild_due`` (occupancy-skew) branch needs a
+    full-corpus rebuild no sink should launch unattended — run the plan
+    offline for that decision.
 
     SINGLE WRITER: the marker + replay-dedupe protocol assumes exactly
     one topology per index — two concurrent writers would interleave
@@ -158,6 +172,13 @@ def start_ann_index_ingest(
             "IVF/LSH/PQ/sharded-IVF index manifest"
         )
     kind = meta["format"]
+    if compact_every is not None and compact_every != "auto" and (
+        not isinstance(compact_every, int) or compact_every < 1
+    ):
+        raise ValueError(
+            f"compact_every must be a positive int, 'auto' or None, "
+            f"got {compact_every!r}"
+        )
     owner = fsio.read_text(f"{index_path}/{OWNER}", spark=spark)
     if owner is not None and owner.strip() != checkpoint_dir and not takeover:
         raise ValueError(
@@ -175,12 +196,29 @@ def start_ann_index_ingest(
         "sharded_ivf": SIM.compact_sharded_ivf_index,
     }[kind]
 
+    def max_files_per_dir() -> int:
+        if kind == "sharded_ivf":
+            n_sh = int(
+                spark.read.json(f"{index_path}/meta").first()["n_shards"]
+            )
+            return max(
+                SIM.index_layout_stats(
+                    spark, f"{index_path}/shard={s:05d}", "assignments"
+                )["max_files_per_dir"]
+                for s in range(n_sh)
+            )
+        tree = {"ivf": "assignments", "lsh": "buckets", "pq": "codes"}[kind]
+        return SIM.index_layout_stats(spark, index_path, tree)["max_files_per_dir"]
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch_into_index(
             spark, index_path, batch_df, batch_id,
             kind=kind, corpus_id=corpus_id, vec_col=vec_col, dedupe=dedupe,
         )
-        if compact_every and (batch_id + 1) % compact_every == 0:
+        if compact_every == "auto":
+            if max_files_per_dir() > compact_files_threshold:
+                compact(spark, index_path)
+        elif compact_every and (batch_id + 1) % compact_every == 0:
             compact(spark, index_path)
 
     writer = (

@@ -2668,3 +2668,31 @@ def test_index_layout_stats_and_plan_end_to_end(spark, sf_dir, tmp_path):
         "files_per_dir", FF.lit(ls2["max_files_per_dir"])
     )
     assert index_maintenance_plan(stats2, max_files_per_dir=2).first()["action"] == "append_ok"
+
+
+def test_sharded_ivf_persisted_query_keeps_dpp(spark, sf_dir, tmp_path):
+    """The sharded analog of the flat-IVF DPP pin, guarding the r13
+    probe-checkpoint change: with the probe set materialized as an
+    ExistingRDD, each shard's broadcast candidate join must STILL carry
+    dynamic partition pruning on list_id into that shard's persisted
+    assignments scan — probe reuse and partition pruning coexist."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        build_sharded_ivf_index,
+        load_sharded_ivf_index,
+        persist_sharded_ivf_index,
+        sharded_ivf_ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = str(tmp_path / "sivf_dpp")
+    persist_sharded_ivf_index(
+        build_sharded_ivf_index(emb, n_shards=2, n_lists=6),
+        root, mode="overwrite",
+    )
+    idx = load_sharded_ivf_index(spark, root)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = sharded_ivf_ann_topk(queries, idx, k=3, n_probe=4, scorer="hof")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("dynamicpruning") >= 2, plan[:4000]  # one per shard scan
+    assert plan.count("ExistingRDD") >= 2, plan[:4000]     # probe pin holds too
+    assert out.count() > 0

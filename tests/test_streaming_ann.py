@@ -633,3 +633,53 @@ def test_sharded_stream_kill9_mid_compaction_swap(spark, sf_dir, tmp_path):
         assert not os.path.exists(f"{sd}/assignments__compacting")
         for d, _, files in os.walk(f"{sd}/assignments"):
             assert sum(1 for f in files if f.endswith(".parquet")) <= 1, d
+
+
+def test_stream_ingest_policy_driven_compaction(spark, sf_dir, tmp_path):
+    """compact_every='auto': the sink compacts on the LAYOUT POLICY (the
+    files-per-dir gauge past compact_files_threshold), not a fixed
+    cadence. With a tight threshold the appends trigger compaction and
+    the final tree is one file per dir; with a loose threshold the same
+    stream never compacts and the per-append files remain. A bogus
+    compact_every raises."""
+    odd = _base_corpus(spark, sf_dir).filter(F.col("vec_id") % 2 == 1).limit(40).collect()
+
+    def run(tag, threshold):
+        root, base = _mk_ivf_tree(spark, sf_dir, tmp_path / tag)
+        src = tmp_path / f"vin_{tag}"
+        src.mkdir()
+        for i in range(3):
+            _write_batch_file(
+                str(src),
+                [(r["vec_id"] + 10_000 * i, list(r["embedding"])) for r in odd[:10]],
+                f"b{i}.json",
+            )
+        stream = (
+            spark.readStream.schema(VEC_SCHEMA)
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        q = start_ann_index_ingest(
+            stream, root, str(tmp_path / f"ck_{tag}"),
+            compact_every="auto", compact_files_threshold=threshold,
+            available_now=True,
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+        worst = 0
+        for d, _, files in os.walk(os.path.join(root, "assignments")):
+            worst = max(worst, sum(1 for f in files if f.endswith(".parquet")))
+        asg = load_ivf_index(spark, root)[1]
+        assert asg.count() == base.count() + 3 * 10
+        return worst
+
+    # tight threshold: the last batch pushed files/dir past 1 → compacted
+    assert run("tight", 1) == 1
+    # loose threshold: never compacts, the three appends' files remain
+    assert run("loose", 99) > 1
+
+    root, _ = _mk_ivf_tree(spark, sf_dir, tmp_path / "badarg")
+    stream = spark.readStream.schema(VEC_SCHEMA).json(str(tmp_path / "vin_tight"))
+    with pytest.raises(ValueError, match="compact_every"):
+        start_ann_index_ingest(
+            stream, root, str(tmp_path / "ck_bad"), compact_every="yes"
+        )
