@@ -1499,9 +1499,17 @@ def build_sharded_ivf_index(
     shard_of = F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(n_shards))
     if do_mat:
         spark = corpus.sparkSession
+        # deliberately NOT repartitioned by _shard: hash-partitioning on a
+        # column with n_shards distinct values caps the write at n_shards
+        # tasks — a 2-shard split of a big corpus would serialize onto 2
+        # cores (measured: the whole cluster idle while 2 tasks write).
+        # Writing from the source partitioning keeps full parallelism;
+        # each task emits one file per shard directory it touches, and
+        # the scratch split is READ-ONCE, so files-per-dir = source task
+        # count costs one listing, not the per-probe seeks a query-layout
+        # tree would pay.
         (
             corpus.withColumn("_shard", shard_of.cast("int"))
-            .repartition(n_shards, "_shard")
             .write.partitionBy("_shard")
             .mode("error")
             .parquet(scratch_dir)

@@ -9,6 +9,7 @@ Usage:
     python tools/ann_scale_probe.py pq [n ...] [--dim D]
     python tools/ann_scale_probe.py append [n ...] [--dim D] [--scorer S]
     python tools/ann_scale_probe.py amortize [n ...] [--dim D] [--scorer S] [--shards K]
+    python tools/ann_scale_probe.py shardbuild [n ...] [--dim D] [--shards K] [--mat-only]
 
 ``--scorer`` forces the candidate-scoring kernel ('hof'|'arrow';
 default 'auto' — the dim-based cutover the query path itself applies).
@@ -157,6 +158,9 @@ def main() -> None:
         i = args.index("--shards")
         shards_flag = int(args[i + 1])
         del args[i : i + 2]
+    mat_only = "--mat-only" in args
+    if mat_only:
+        args.remove("--mat-only")
     mode = args[0] if args else "ivf"
     sizes = [int(a) for a in args[1:]] or [200_000, 2_000_000]
     mem = os.environ.get("ANN_PROBE_DRIVER_MEM", "16g")
@@ -338,6 +342,61 @@ def main() -> None:
                 "fingerprint_match": d_fp == m_fp,
                 **_timed_queries(mshards, flat=False),
             }
+            shutil.rmtree(mroot, ignore_errors=True)
+            out.append(rec)
+        elif mode == "shardbuild":
+            # build-economics A/B only (no flat reference, no queries):
+            # direct N-scan sharded build vs the one-shuffle materialized
+            # split, persisted through the engine helper both ways, with
+            # a persisted-tree fingerprint when both sides run.
+            rec = {"n": n, "dim": dim, "shards": shards_flag}
+
+            def _fp(shards):
+                total, acc = 0, 0
+                for _c, asg in shards:
+                    r = asg.agg(
+                        F.count(F.lit(1)).alias("c"),
+                        F.sum(F.xxhash64("vec_id", "list_id").cast("decimal(38,0)")).alias("h"),
+                    ).first()
+                    total += r["c"]
+                    acc ^= int(r["h"] or 0) & ((1 << 63) - 1)
+                return total, acc
+
+            d_fp = None
+            if not mat_only:
+                t0 = time.perf_counter()
+                droot = tempfile.mkdtemp(prefix="ivf_sb_dir_")
+                SIM.persist_sharded_ivf_index(
+                    SIM.build_sharded_ivf_index(
+                        emb, n_shards=shards_flag, n_lists="auto"
+                    ),
+                    droot, mode="overwrite",
+                )
+                rec["build_direct_s"] = round(time.perf_counter() - t0, 1)
+                d_fp = _fp(SIM.load_sharded_ivf_index(spark, droot))
+                shutil.rmtree(droot, ignore_errors=True)
+                print(json.dumps({"partial": "direct", **rec}), flush=True)
+            scratch = tempfile.mkdtemp(prefix="ivf_sb_split_") + "/split"
+            t0 = time.perf_counter()
+            mroot = tempfile.mkdtemp(prefix="ivf_sb_mat_")
+            SIM.persist_sharded_ivf_index(
+                SIM.build_sharded_ivf_index(
+                    emb, n_shards=shards_flag, n_lists="auto",
+                    scratch_dir=scratch,
+                ),
+                mroot, mode="overwrite",
+            )
+            rec["build_materialized_s"] = round(time.perf_counter() - t0, 1)
+            sp_files, sp_max = _parquet_file_stats(scratch)
+            rec["split_files"] = sp_files
+            rec["split_max_per_dir"] = sp_max
+            shutil.rmtree(os.path.dirname(scratch), ignore_errors=True)
+            m_fp = _fp(SIM.load_sharded_ivf_index(spark, mroot))
+            if d_fp is not None:
+                rec["mat_vs_direct"] = round(
+                    rec["build_materialized_s"] / rec["build_direct_s"], 3
+                )
+                rec["fingerprint_match"] = d_fp == m_fp
             shutil.rmtree(mroot, ignore_errors=True)
             out.append(rec)
         elif mode == "append":
