@@ -80,7 +80,13 @@ from aws_dataset_ingestion_metrics_collection_framework_spark import get_spark
 from aws_dataset_ingestion_metrics_collection_framework_spark.operators import similarity as SIM
 
 
-def _gen(spark, n, dim):
+def _gen(spark, n, dim, disk_dir=None):
+    """Generated corpus. Default: localCheckpoint (RAM) — measures kernel
+    cost with scans near-free. ``disk_dir``: write to parquet and read
+    back instead — every scan then pays real IO + decode, modeling the
+    cluster regime where the corpus lives on disk/object store (the
+    regime the build-scan-economics A/Bs exist for; a RAM corpus makes
+    the direct path's N re-scans artificially free)."""
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: (
@@ -88,9 +94,13 @@ def _gen(spark, n, dim):
             .cast("double") / 1000.0
         ),
     )
-    return spark.range(n).select(
+    base = spark.range(n).select(
         F.col("id").alias("vec_id"), vec.alias("embedding")
-    ).localCheckpoint(eager=True)
+    )
+    if disk_dir is None:
+        return base.localCheckpoint(eager=True)
+    base.write.mode("overwrite").parquet(disk_dir)
+    return spark.read.parquet(disk_dir)
 
 
 def _parquet_file_stats(root):
@@ -161,6 +171,9 @@ def main() -> None:
     mat_only = "--mat-only" in args
     if mat_only:
         args.remove("--mat-only")
+    disk_corpus = "--disk-corpus" in args
+    if disk_corpus:
+        args.remove("--disk-corpus")
     mode = args[0] if args else "ivf"
     sizes = [int(a) for a in args[1:]] or [200_000, 2_000_000]
     mem = os.environ.get("ANN_PROBE_DRIVER_MEM", "16g")
@@ -170,7 +183,10 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
     out = []
     for n in sizes:
-        emb = _gen(spark, n, dim)
+        corpus_dir = (
+            tempfile.mkdtemp(prefix="ann_corpus_") if disk_corpus else None
+        )
+        emb = _gen(spark, n, dim, disk_dir=corpus_dir)
         if mode == "ivf":
             queries = emb.filter(F.col("vec_id") < 20)
             t0 = time.perf_counter()
@@ -349,7 +365,8 @@ def main() -> None:
             # direct N-scan sharded build vs the one-shuffle materialized
             # split, persisted through the engine helper both ways, with
             # a persisted-tree fingerprint when both sides run.
-            rec = {"n": n, "dim": dim, "shards": shards_flag}
+            rec = {"n": n, "dim": dim, "shards": shards_flag,
+                   "corpus": "disk" if disk_corpus else "ram"}
 
             def _fp(shards):
                 total, acc = 0, 0
@@ -473,6 +490,8 @@ def main() -> None:
                         "lsh_query_s": round(min(times), 2),
                         "twins_recovered": f"{ok}/20"})
         print(json.dumps(out[-1]), flush=True)
+        if corpus_dir:
+            shutil.rmtree(corpus_dir, ignore_errors=True)
     if len(out) >= 2 and mode in ("ivf", "lsh"):
         a, b = out[0], out[-1]
         key = "query_indexed_s" if mode == "ivf" else "lsh_query_s"
