@@ -32,6 +32,14 @@ attempt and double-land the batch; stamping before means the worst case is
 one unnecessary dedupe pass. The dedupe cost is paid ONLY on the crash
 path, never per batch.
 
+Two more protocol pieces (r13): every ingest dispatches the
+kind-appropriate ``repair_*_index`` BEFORE touching the tree, so a
+compaction swap torn by a crash heals on the next batch instead of
+fail-stopping or silently truncating the index; and the sink holds a
+single-writer ``_ingest_owner`` lease keyed on its checkpoint dir, since
+two concurrent topologies would interleave marker stamps and corrupt
+each other's replay detection (see :func:`start_ann_index_ingest`).
+
 CONTRACT (same as ``append_to_ivf_index``'s default): batch ids are new to
 the index. A source that re-sends known ids (re-crawled documents) should
 pass ``dedupe=True`` to anti-join EVERY batch — correctness over the fast
