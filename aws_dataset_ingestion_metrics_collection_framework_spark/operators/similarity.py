@@ -1179,6 +1179,48 @@ def ivf_index_stats(
     )
 
 
+def lsh_index_stats(
+    buckets: DataFrame, *, skew_threshold: float = 4.0
+) -> DataFrame:
+    """Bucket-occupancy report for an LSH bucket table — the LSH face of
+    :func:`ivf_index_stats`, and a plan-compatible input to
+    :func:`index_maintenance_plan` (carries the ``n_rows``/``null_rows``/
+    ``skew`` columns the policy consumes): LSH query cost per probe is
+    the occupancy of the (tbl, bucket) a query hashes into, so a hot
+    bucket — plane set no longer separating a drifted corpus, or a
+    degenerate all-zeros region — is a candidate-explosion hazard the
+    same way a hot IVF list is. One groupBy over the slim (tbl, bucket)
+    projection; ``n_rows`` counts BUCKET rows (vectors × n_tables), null
+    buckets (malformed vectors, bucketize's null contract) split out.
+
+    The cure differs from IVF's (re-bucketize with more planes /
+    different seed — appends reuse the manifest's frozen planes, so
+    drift shows up here exactly as frozen-centroid drift does), but the
+    gauge→policy loop is the same: feed this plus
+    :func:`index_layout_stats` into the plan and branch on ``action``.
+    """
+    occ = buckets.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("occ"))
+    return occ.agg(
+        F.count(F.when(F.col("bucket").isNotNull(), 1)).cast("int").alias("n_buckets_used"),
+        F.sum("occ").cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("bucket").isNull(), F.col("occ"))), F.lit(0)
+        ).cast("long").alias("null_rows"),
+        F.max(F.when(F.col("bucket").isNotNull(), F.col("occ"))).cast("long").alias("max_occupancy"),
+        F.round(F.avg(F.when(F.col("bucket").isNotNull(), F.col("occ"))), 2).alias("avg_occupancy"),
+    ).select(
+        "n_buckets_used",
+        "n_rows",
+        "null_rows",
+        "max_occupancy",
+        "avg_occupancy",
+        F.round(F.col("max_occupancy") / F.col("avg_occupancy"), 3).alias("skew"),
+        (F.col("max_occupancy") / F.col("avg_occupancy") > F.lit(skew_threshold)).alias(
+            "rebalance_recommended"
+        ),
+    )
+
+
 def persist_lsh_index(
     index: DataFrame,
     path: str,

@@ -2696,3 +2696,37 @@ def test_sharded_ivf_persisted_query_keeps_dpp(spark, sf_dir, tmp_path):
     assert plan.count("dynamicpruning") >= 2, plan[:4000]  # one per shard scan
     assert plan.count("ExistingRDD") >= 2, plan[:4000]     # probe pin holds too
     assert out.count() > 0
+
+
+def test_lsh_index_stats(spark):
+    """Bucket-occupancy gauge: counts, null split, skew threshold, and
+    plan-compatibility (index_maintenance_plan consumes the row)."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        index_maintenance_plan,
+        lsh_index_stats,
+    )
+
+    rows = (
+        [(i, 0, "0101") for i in range(8)]       # hot bucket: 8 rows
+        + [(100 + i, 0, "1100") for i in range(2)]
+        + [(200, 1, "0101")]                       # same bits, other table
+        + [(300, 0, None)]                         # null bucket
+    )
+    buckets = spark.createDataFrame(
+        rows, "neighbor_id long, tbl int, bucket string"
+    )
+    r = lsh_index_stats(buckets).first()
+    assert r["n_buckets_used"] == 3
+    assert r["n_rows"] == 12
+    assert r["null_rows"] == 1
+    assert r["max_occupancy"] == 8
+    assert abs(r["avg_occupancy"] - round(11 / 3, 2)) < 1e-9
+    assert r["rebalance_recommended"] is False  # skew ≈ 2.18 < 4
+    assert lsh_index_stats(buckets, skew_threshold=2.0).first()[
+        "rebalance_recommended"
+    ] is True
+    verdict = index_maintenance_plan(
+        lsh_index_stats(buckets), skew_threshold=2.0, min_rows_for_rebuild=10
+    ).first()
+    assert verdict["action"] == "rebuild_due"
+    assert verdict["reasons"] == ["occupancy_skew", "null_vector_rate"]
