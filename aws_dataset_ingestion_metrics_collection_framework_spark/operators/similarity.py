@@ -1164,18 +1164,32 @@ def ivf_index_stats(
         F.coalesce(
             F.sum(F.when(F.col("list_id").isNull(), F.col("occ"))), F.lit(0)
         ).cast("long").alias("null_rows"),
-        F.max(F.when(F.col("list_id").isNotNull(), F.col("occ"))).cast("long").alias("max_occupancy"),
-        F.round(F.avg(F.when(F.col("list_id").isNotNull(), F.col("occ"))), 2).alias("avg_occupancy"),
+        F.coalesce(
+            F.max(F.when(F.col("list_id").isNotNull(), F.col("occ"))), F.lit(0)
+        ).cast("long").alias("max_occupancy"),
+        F.coalesce(
+            F.round(F.avg(F.when(F.col("list_id").isNotNull(), F.col("occ"))), 2),
+            F.lit(0.0),
+        ).alias("avg_occupancy"),
     ).select(
         "n_lists_used",
         "n_rows",
         "null_rows",
         "max_occupancy",
         "avg_occupancy",
-        F.round(F.col("max_occupancy") / F.col("avg_occupancy"), 3).alias("skew"),
-        (F.col("max_occupancy") / F.col("avg_occupancy") > F.lit(skew_threshold)).alias(
-            "rebalance_recommended"
-        ),
+        # All-null assignments (every vector malformed): definite 0.0 skew
+        # + False, never a null row the plan would read as append_ok with
+        # no occupancy signal at all (see lsh_index_stats).
+        # when-guarded division: ANSI mode makes 0/0 a hard error, and a
+        # null avg (no non-null rows) must surface as definite zeros.
+        F.when(
+            F.col("avg_occupancy") > 0,
+            F.round(F.col("max_occupancy") / F.col("avg_occupancy"), 3),
+        ).otherwise(F.lit(0.0)).alias("skew"),
+        F.when(
+            F.col("avg_occupancy") > 0,
+            F.col("max_occupancy") / F.col("avg_occupancy") > F.lit(skew_threshold),
+        ).otherwise(F.lit(False)).alias("rebalance_recommended"),
     )
 
 
@@ -1206,18 +1220,33 @@ def lsh_index_stats(
         F.coalesce(
             F.sum(F.when(F.col("bucket").isNull(), F.col("occ"))), F.lit(0)
         ).cast("long").alias("null_rows"),
-        F.max(F.when(F.col("bucket").isNotNull(), F.col("occ"))).cast("long").alias("max_occupancy"),
-        F.round(F.avg(F.when(F.col("bucket").isNotNull(), F.col("occ"))), 2).alias("avg_occupancy"),
+        F.coalesce(
+            F.max(F.when(F.col("bucket").isNotNull(), F.col("occ"))), F.lit(0)
+        ).cast("long").alias("max_occupancy"),
+        F.coalesce(
+            F.round(F.avg(F.when(F.col("bucket").isNotNull(), F.col("occ"))), 2),
+            F.lit(0.0),
+        ).alias("avg_occupancy"),
     ).select(
         "n_buckets_used",
         "n_rows",
         "null_rows",
         "max_occupancy",
         "avg_occupancy",
-        F.round(F.col("max_occupancy") / F.col("avg_occupancy"), 3).alias("skew"),
-        (F.col("max_occupancy") / F.col("avg_occupancy") > F.lit(skew_threshold)).alias(
-            "rebalance_recommended"
-        ),
+        # All-null degenerate table: max/avg coalesce to 0, so skew reads
+        # a definite 0.0 and rebalance a definite False — the null_rows /
+        # null_vector_rate reason is the visible signal, never a
+        # null-poisoned "looks healthy" row.
+        # when-guarded division: ANSI mode makes 0/0 a hard error, and a
+        # null avg (no non-null rows) must surface as definite zeros.
+        F.when(
+            F.col("avg_occupancy") > 0,
+            F.round(F.col("max_occupancy") / F.col("avg_occupancy"), 3),
+        ).otherwise(F.lit(0.0)).alias("skew"),
+        F.when(
+            F.col("avg_occupancy") > 0,
+            F.col("max_occupancy") / F.col("avg_occupancy") > F.lit(skew_threshold),
+        ).otherwise(F.lit(False)).alias("rebalance_recommended"),
     )
 
 
@@ -1540,6 +1569,15 @@ def build_sharded_ivf_index(
         )
     shard_of = F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(n_shards))
     if do_mat:
+        if "_shard" in corpus.columns:
+            # withColumn would silently REPLACE the caller's column and the
+            # post-read drop would remove it — breaking the documented
+            # bit-identical parity with the direct path, which preserves it.
+            raise ValueError(
+                "build_sharded_ivf_index: corpus already has a '_shard' "
+                "column, which the materialized split uses internally — "
+                "rename it or pass materialize=False"
+            )
         spark = corpus.sparkSession
         # deliberately NOT repartitioned by _shard: hash-partitioning on a
         # column with n_shards distinct values caps the write at n_shards
@@ -1939,14 +1977,24 @@ def sharded_ivf_index_stats(
             F.coalesce(
                 F.sum(F.when(F.col("list_id").isNull(), F.col("occ"))), F.lit(0)
             ).cast("long").alias("null_rows"),
-            F.max(F.when(F.col("list_id").isNotNull(), F.col("occ"))).cast("long").alias("max_occupancy"),
-            F.round(F.avg(F.when(F.col("list_id").isNotNull(), F.col("occ"))), 2).alias("avg_occupancy"),
+            F.coalesce(
+                F.max(F.when(F.col("list_id").isNotNull(), F.col("occ"))), F.lit(0)
+            ).cast("long").alias("max_occupancy"),
+            F.coalesce(
+                F.round(F.avg(F.when(F.col("list_id").isNotNull(), F.col("occ"))), 2),
+                F.lit(0.0),
+            ).alias("avg_occupancy"),
         ).select(
             "*",
-            F.round(F.col("max_occupancy") / F.col("avg_occupancy"), 3).alias("skew"),
-            (F.col("max_occupancy") / F.col("avg_occupancy") > F.lit(skew_threshold)).alias(
-                "rebalance_recommended"
-            ),
+            F.when(
+                F.col("avg_occupancy") > 0,
+                F.round(F.col("max_occupancy") / F.col("avg_occupancy"), 3),
+            ).otherwise(F.lit(0.0)).alias("skew"),
+            F.when(
+                F.col("avg_occupancy") > 0,
+                F.col("max_occupancy") / F.col("avg_occupancy")
+                > F.lit(skew_threshold),
+            ).otherwise(F.lit(False)).alias("rebalance_recommended"),
         )
 
     per_shard = summarize(occ.groupBy("shard"))
@@ -1984,8 +2032,15 @@ def index_layout_stats(
         if k:
             per_dir.append(k)
         for n in names:
+            # Skip markers/hidden/data files by NAME (cheap) but decide
+            # directory-ness by an actual is_dir check — a "no dot in the
+            # name" heuristic would silently skip partition directories
+            # whose VALUE contains a dot (float/string partition columns),
+            # understating files_per_dir and suppressing compact_due.
+            if n.startswith(("_", ".")) or n.endswith(".parquet"):
+                continue
             sub = f"{d}/{n}"
-            if "." not in n and fsio.is_dir(sub, spark=spark):
+            if fsio.is_dir(sub, spark=spark):
                 walk(sub)
 
     root = f"{path}/{tree}"

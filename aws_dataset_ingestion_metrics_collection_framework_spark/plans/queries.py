@@ -6978,18 +6978,65 @@ ORACLES: dict[str, str] = {
     "quality_tf": QUALITY_TF_ORACLE,
 }
 
-# ---- r12 sampling rotation: the driver samples the FIRST ~50 registry
-# entries each round. Order = never-attested faces first (the four new
-# r12 faces: ivf/lsh index maintenance, pq_ann_persisted,
-# sharded_ivf_ann), then oldest-driver-row first — the 15 queries whose
-# newest row is r8 (VERDICT r11 ask #2: dashboard_report/layout,
-# q01–q11, q16, q22), then the r9 block — so after r12 no query's newest
-# driver attestation is older than three rounds. Recomputed each round
-# from CORRECTNESS_r*.json (max round per query).
-# r13 rotation (judge ask #1): the two NEW r13 faces lead, then the 19
-# queries whose newest driver row was r9 (they hit the 3-round staleness
-# boundary after r13), then the carried r12 order.
-_R13_PRIORITY = [
+# ---- sampling rotation: the driver samples the FIRST ~50 registry
+# entries each round, so the list is reordered every round — new faces
+# first (never driver-attested), then oldest-driver-row first, keeping
+# every query's newest attestation within three rounds.
+# r14 rotation (VERDICT r13 ask #1): new r14 faces lead, then the 50
+# queries whose newest driver row was r10 (they hit the 3-round staleness
+# boundary after r13), then the carried r13 order. Recomputed from
+# CORRECTNESS_r*.json (max round per query).
+_R14_PRIORITY = [
+    'bm25_search',
+    'bpe_tokenize',
+    'c4_clean',
+    'char_entropy',
+    'cohort_retention',
+    'compression_signals',
+    'corpus_mix',
+    'correlations',
+    'cusum',
+    'distinct_rollup',
+    'domain_report',
+    'dq_checks',
+    'dq_profile',
+    'embedding_norm',
+    'funnel',
+    'golden_records',
+    'group_split',
+    'hard_negatives',
+    'hashed_embeddings',
+    'image_phash_pairs',
+    'image_thumbnails',
+    'importance_weights',
+    'interval_overlap',
+    'ivf_ann_auto',
+    'jpeg_progressive',
+    'json_flatten',
+    'key_histogram',
+    'lsh_ann_auto',
+    'mad_outliers',
+    'main_content',
+    'pii_redact',
+    'pii_scan',
+    'pivot_events',
+    'pmi_collocations',
+    'pq_ann',
+    'pseudonymize',
+    'psi_drift',
+    'rollup_percentile',
+    'scd2_history',
+    'seasonal_outliers',
+    'semantic_dedup',
+    'semantic_dedup_auto',
+    'skew_report',
+    'stratified_sample',
+    'token_estimate',
+    'topk_value',
+    'transition_matrix',
+    'triangles',
+    'upsert_latest',
+    'weighted_sample',
     'index_maintenance_plan',
     'sharded_build_materialized',
     'attribution',
@@ -7061,56 +7108,6 @@ _R13_PRIORITY = [
     'kmv_overlap',
     'corpus_shuffle',
     'substring_dedup',
-    'lsh_ann_auto',
-    'ivf_ann_auto',
-    'semantic_dedup_auto',
-    'pseudonymize',
-    'json_flatten',
-    'rollup_percentile',
-    'seasonal_outliers',
-    'cusum',
-    'topk_value',
-    'group_split',
-    'pmi_collocations',
-    'triangles',
-    'bm25_search',
-    'distinct_rollup',
-    'weighted_sample',
-    'bpe_tokenize',
-    'compression_signals',
-    'corpus_mix',
-    'embedding_norm',
-    'golden_records',
-    'hashed_embeddings',
-    'psi_drift',
-    'jpeg_progressive',
-    'main_content',
-    'image_phash_pairs',
-    'pq_ann',
-    'hard_negatives',
-    'correlations',
-    'transition_matrix',
-    'importance_weights',
-    'upsert_latest',
-    'scd2_history',
-    'token_estimate',
-    'semantic_dedup',
-    'skew_report',
-    'key_histogram',
-    'funnel',
-    'cohort_retention',
-    'dq_profile',
-    'dq_checks',
-    'interval_overlap',
-    'mad_outliers',
-    'pivot_events',
-    'image_thumbnails',
-    'pii_scan',
-    'pii_redact',
-    'domain_report',
-    'stratified_sample',
-    'char_entropy',
-    'c4_clean',
     'ivf_ann_persisted',
     'lsh_ann_persisted',
     'gopher_rules',
@@ -7162,13 +7159,13 @@ _R13_PRIORITY = [
     'metric_defs_multi_account',
     'dashboard_widgets',
 ]
-if set(_R13_PRIORITY) != set(QUERIES) or len(_R13_PRIORITY) != len(QUERIES):
+if set(_R14_PRIORITY) != set(QUERIES) or len(_R14_PRIORITY) != len(QUERIES):
     raise RuntimeError(
         "priority rotation out of sync with QUERIES: missing="
-        f"{sorted(set(QUERIES) - set(_R13_PRIORITY))} extra="
-        f"{sorted(set(_R13_PRIORITY) - set(QUERIES))}"
+        f"{sorted(set(QUERIES) - set(_R14_PRIORITY))} extra="
+        f"{sorted(set(_R14_PRIORITY) - set(QUERIES))}"
     )
-QUERIES = {name: QUERIES[name] for name in _R13_PRIORITY}
+QUERIES = {name: QUERIES[name] for name in _R14_PRIORITY}
 
 # Keep ORACLES iteration order identical to QUERIES (never-driver-sampled
 # entries first) so a budget-bounded sweep sees the same priority whichever

@@ -146,6 +146,44 @@ def write_text_atomic(
             raise IOError(f"rename {path}.tmp -> {path} failed")
 
 
+def create_text_exclusive(
+    path: str, text: str, spark: SparkSession | None = None
+) -> bool:
+    """Atomically create ``path`` with ``text`` ONLY if it does not exist;
+    returns True when this call won the create, False when the file was
+    already there. Unlike :func:`write_text_atomic` (replace semantics)
+    this is the mutual-exclusion primitive — exactly one of N concurrent
+    callers gets True, because the create itself is the check: POSIX
+    ``O_CREAT|O_EXCL`` locally, ``FileSystem.create(path,
+    overwrite=false)`` on Hadoop (throws ``FileAlreadyExistsException``
+    when present — atomic on HDFS; object stores without atomic create
+    degrade to check-then-act, same as every other marker there).
+    Used for writer leases (streaming/ann_ingest.py's ``_ingest_owner``)
+    where losing the race must be an observable refusal, not a silent
+    second writer."""
+    if not has_scheme(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            fh.write(text)
+        return True
+    spark = _require_spark(spark)
+    fs, jpath, _ = _fs(spark, path)
+    try:
+        out = fs.create(jpath, False)
+    except Exception:
+        # FileAlreadyExistsException (py4j-wrapped): lost the race.
+        return False
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
 def rename(src: str, dst: str, spark: SparkSession | None = None) -> None:
     """Rename/move ``src`` to ``dst`` (directory or file). Refuses when
     ``dst`` already exists — checked explicitly on EVERY filesystem,

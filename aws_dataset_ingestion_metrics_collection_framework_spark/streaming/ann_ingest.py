@@ -187,16 +187,27 @@ def start_ann_index_ingest(
             f"compact_every must be a positive int, 'auto' or None, "
             f"got {compact_every!r}"
         )
-    owner = fsio.read_text(f"{index_path}/{OWNER}", spark=spark)
-    if owner is not None and owner.strip() != checkpoint_dir and not takeover:
-        raise ValueError(
-            f"start_ann_index_ingest: {index_path} is owned by the "
-            f"topology checkpointed at {owner.strip()!r}; this one uses "
-            f"{checkpoint_dir!r}. Concurrent writers would corrupt the "
-            "replay-marker protocol — stop the owning topology and pass "
-            "takeover=True to adopt the index."
-        )
-    fsio.write_text_atomic(f"{index_path}/{OWNER}", checkpoint_dir, spark=spark)
+    # Lease acquisition is an EXCLUSIVE CREATE, not check-then-write: two
+    # topologies racing an absent lease would both pass a read-then-stamp
+    # check; with O_CREAT|O_EXCL / create(overwrite=false) exactly one
+    # wins and the loser reads the winner's checkpoint and refuses. The
+    # compare path below is only reached when the lease file already
+    # exists — a same-checkpoint restart (allowed: that IS the identity
+    # the replay protocol is keyed on) or an explicit takeover.
+    lease = f"{index_path}/{OWNER}"
+    if not fsio.create_text_exclusive(lease, checkpoint_dir, spark=spark):
+        owner = fsio.read_text(lease, spark=spark)
+        held_by = owner.strip() if owner else ""
+        if held_by != checkpoint_dir and not takeover:
+            raise ValueError(
+                f"start_ann_index_ingest: {index_path} is owned by the "
+                f"topology checkpointed at {held_by!r}; this one uses "
+                f"{checkpoint_dir!r}. Concurrent writers would corrupt the "
+                "replay-marker protocol — stop the owning topology and pass "
+                "takeover=True to adopt the index."
+            )
+        if held_by != checkpoint_dir:
+            fsio.write_text_atomic(lease, checkpoint_dir, spark=spark)
     compact = {
         "ivf": SIM.compact_ivf_index,
         "lsh": SIM.compact_lsh_index,

@@ -2730,3 +2730,80 @@ def test_lsh_index_stats(spark):
     ).first()
     assert verdict["action"] == "rebuild_due"
     assert verdict["reasons"] == ["occupancy_skew", "null_vector_rate"]
+
+
+def test_index_stats_all_null_is_visibly_degenerate(spark):
+    """A fully degenerate index (EVERY bucket/list null — all vectors
+    malformed) must read as definite zeros with the null_vector_rate
+    reason, never null skew / null rebalance that the plan would render
+    as a bare append_ok 'looks healthy' row."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        index_maintenance_plan,
+        ivf_index_stats,
+        lsh_index_stats,
+    )
+
+    buckets = spark.createDataFrame(
+        [(i, 0, None) for i in range(5)], "neighbor_id long, tbl int, bucket string"
+    )
+    r = lsh_index_stats(buckets).first()
+    assert r["n_buckets_used"] == 0
+    assert r["max_occupancy"] == 0
+    assert r["avg_occupancy"] == 0.0
+    assert r["skew"] == 0.0
+    assert r["rebalance_recommended"] is False
+
+    asg = spark.createDataFrame(
+        [(i, None) for i in range(5)], "vec_id long, list_id int"
+    )
+    r2 = ivf_index_stats(asg).first()
+    assert (r2["skew"], r2["rebalance_recommended"]) == (0.0, False)
+    verdict = index_maintenance_plan(ivf_index_stats(asg)).first()
+    assert verdict["action"] == "append_ok"
+    assert verdict["reasons"] == ["null_vector_rate"]  # the visible signal
+
+
+def test_index_layout_stats_counts_dotted_partition_dirs(spark, tmp_path):
+    """Partition directories whose VALUE contains a dot (float/string
+    partition columns) must be walked — the gauge decides recursion by
+    is_dir, not by a no-dot name heuristic that would understate
+    files_per_dir and suppress compact_due."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        index_layout_stats,
+    )
+
+    root = tmp_path / "idx" / "assignments"
+    hot = root / "bucket=3.5"
+    hot.mkdir(parents=True)
+    for i in range(3):
+        (hot / f"part-{i}.parquet").write_bytes(b"x")
+    (root / "bucket=7").mkdir()
+    (root / "bucket=7" / "part-0.parquet").write_bytes(b"x")
+    (root / "_SUCCESS").write_text("")  # marker file, never walked
+    ls = index_layout_stats(spark, str(tmp_path / "idx"))
+    assert ls["n_dirs"] == 2
+    assert ls["n_files"] == 4
+    assert ls["max_files_per_dir"] == 3  # the dotted dir is the hot one
+
+
+def test_sharded_build_materialized_refuses_shard_collision(spark, sf_dir, tmp_path):
+    """A caller '_shard' column must be refused on the materialized path
+    (withColumn would overwrite it and the post-read drop would delete
+    it), while the direct path preserves it untouched."""
+    import pytest
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        build_sharded_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "_shard", F.lit(99)
+    )
+    with pytest.raises(ValueError, match="_shard"):
+        build_sharded_ivf_index(
+            emb, n_shards=2, n_lists=4,
+            scratch_dir=str(tmp_path / "scratch"),
+        )
+    # the direct path never touches the caller's column — still builds
+    shards = build_sharded_ivf_index(emb, n_shards=2, n_lists=4)
+    assert len(shards) == 2 and all(asg.count() > 0 for _c, asg in shards)

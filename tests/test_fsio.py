@@ -77,6 +77,18 @@ class TestFsioPrimitives:
             fsio.rename(mk(src_d), mk(dst_d), spark=spark)
             assert (dst_d / "x.txt").exists() and not src_d.exists()
 
+    def test_create_text_exclusive_wins_once(self, spark, tmp_path):
+        """The lease primitive: exactly one creator wins; the loser gets
+        False and the winner's content is intact (never truncated by the
+        losing attempt). Both the local O_CREAT|O_EXCL branch and the
+        Hadoop create(overwrite=false) branch."""
+        for mk in (str, _uri):
+            tag = "l" if mk is str else "h"
+            p = mk(tmp_path / f"lease_{tag}" / "owner")
+            assert fsio.create_text_exclusive(p, "first", spark=spark) is True
+            assert fsio.create_text_exclusive(p, "second", spark=spark) is False
+            assert fsio.read_text(p, spark=spark) == "first"
+
 
 class TestBookmarksOverFileUri:
     def test_advance_load_roundtrip(self, spark, tmp_path):
