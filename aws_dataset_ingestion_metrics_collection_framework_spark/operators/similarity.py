@@ -356,9 +356,16 @@ def build_ivf_index(
     n_lists: int | str = 16,
     kmeans_iters: int = 1,
     centroid_budget_bytes: int = IVF_CENTROID_BUDGET_BYTES,
+    hash_fn: str = "xx",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF (inverted-file) index: partition the corpus into ``n_lists``
     Voronoi cells around centroids; ANN then probes only the nearest cells.
+
+    ``hash_fn``: the seed-selection hash — ``'xx'`` (xxhash64, default)
+    or ``'md5'`` (the PQ family's 60-bit md5 prefix, replayable in plain
+    SQL — what :func:`build_ivfpq_index`'s hash-exact oracle face uses;
+    see :func:`_pq_hash`). Identical semantics either way: a uniform
+    pseudo-random sample keyed on the id.
 
     Returns ``(centroids, assignments)``:
     - centroids   : (list_id int, centroid array<double>)
@@ -426,10 +433,13 @@ def build_ivf_index(
         F.col("v").isNotNull() & (F.size("v") == ref_dim)
     )
     seeds = (
-        well_formed.withColumn("_h", F.xxhash64(F.col("cid")))
-        .orderBy("_h")
+        well_formed.withColumn("_h", _pq_hash(hash_fn, F.col("cid")))
+        .orderBy("_h", "cid")
         .limit(n_lists)
-        .withColumn("list_id", (F.row_number().over(Window.orderBy("_h")) - 1).cast("int"))
+        .withColumn(
+            "list_id",
+            (F.row_number().over(Window.orderBy("_h", "cid")) - 1).cast("int"),
+        )
         .select("list_id", F.col("v").alias("centroid"))
     )
     centroids = seeds
@@ -2834,6 +2844,547 @@ def repair_pq_index(spark: SparkSession, path: str) -> bool:
     """Finish a :func:`compact_pq_index` swap that crashed between its
     two renames (see :func:`_repair_swap`)."""
     return _repair_swap(spark, path, "codes", "repair_pq_index")
+
+
+# --------------------------- IVF-PQ composition ---------------------------
+#
+# PQ codes INSIDE the IVF lists — the FAISS IVFPQ shape (Jégou et al.,
+# TPAMI'11 §V; non-residual encoding, the standard choice for cosine/IP
+# metrics), and the canonical 100 TB ANN memory plan this engine's two
+# halves were built toward: IVF bounds the probed ROWS per query
+# (n_probe lists of the corpus), PQ bounds the probed BYTES per row (m
+# slim int codes instead of dim floats — at 768-dim/m=48 the ADC
+# candidate read is ~32× smaller than the float-vector read). The probe
+# stage reads ONLY (id, list_id, codes) — parquet column pruning keeps
+# the full vectors' column chunks untouched — and the optional exact
+# re-rank reads full vectors for just the ADC top-R candidate rows,
+# partition-pruned to the probed lists.
+
+
+def _unit_vec(col: Column) -> Column:
+    """x / ||x||₂ as a left-to-right HOF expression (SQL-replayable, same
+    summation-order discipline as :func:`cosine_similarity`); zero-norm
+    vectors pass through unchanged."""
+    n = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(n > 0.0, F.transform(col, lambda x: x / n)).otherwise(col)
+
+
+def _pq_codes_as_array(codes: DataFrame, id_col: str) -> DataFrame:
+    """Pivot :func:`pq_index`'s long (id, sub, code) rows into one
+    (id, codes array<int>) row — position ``sub`` holds that subspace's
+    code, so an ADC lookup is ``dtab[sub][codes[sub]]``. One groupBy on
+    the id (build-time shuffle of slim int rows)."""
+    return codes.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int | str = 16,
+    kmeans_iters: int = 1,
+    m: int | str = 4,
+    pq_k: int = 16,
+    scale_bits: int = 20,
+    hash_fn: str = "xx",
+    lloyd_iters: int = 1,
+    normalize: bool = True,
+    centroid_budget_bytes: int = IVF_CENTROID_BUDGET_BYTES,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """IVF-PQ index: an IVF coarse quantizer (:func:`build_ivf_index` —
+    same seeding, Lloyd refinement, clamp and budget guard) whose
+    inverted lists store each vector's PQ codes (:func:`pq_index` — same
+    integer fixed-point codebook, trained ONCE on the whole corpus, not
+    per list) alongside the vector itself.
+
+    Returns ``(ivf_centroids, pq_centroids, entries)``:
+
+    - ivf_centroids : (list_id int, centroid array<double>)
+    - pq_centroids  : (sub int, idx int, cvec array<bigint>) — the
+      shared codebook, m × pq_k rows
+    - entries       : (corpus_id, vec_col array<double>, list_id int,
+      codes array<int>) — the assignments table with the m-code column
+      added. The ADC query stage projects (id, list_id, codes) and the
+      parquet scan never touches the vector column chunks; the vector
+      rides along ONLY for the exact re-rank stage (and is what keeps
+      the persisted tree self-contained — rebuilds and re-ranks never
+      need the source corpus).
+
+    ENCODING IS NON-RESIDUAL AND (BY DEFAULT) UNIT-NORMALIZED: codes
+    quantize ``x/||x||``, not the residual (x − centroid) FAISS defaults
+    to for L2. Under the cosine metric this engine ranks by, residuals
+    against unnormalized Voronoi centroids have no exactness story —
+    while for UNIT vectors ``||q − x||² = 2 − 2·cos(q, x)``, so the
+    exact-integer ADC ordering is the cosine ordering up to quantization
+    error (measured on the isotropic test embeddings: raw-vector ADC
+    recall@5 vs exact cosine ≈ 0.12 — squared-L2 on unnormalized noise
+    is norm-dominated — vs ≈ matching the probe ceiling once
+    normalized). ``normalize=False`` keeps raw-vector codes (the plain
+    :func:`pq_index` semantics) for corpora that are already unit-norm
+    or that genuinely rank by L2. Either way the pipeline (seeding →
+    training → encoding → ADC) stays in the exact integer domain after
+    the one deterministic left-to-right normalization, bit-replayable in
+    plain SQL with ``hash_fn='md5'`` (the ``pq_ann`` oracle discipline;
+    the ``ivfpq_ann`` face replays probe selection + ADC verbatim in
+    DuckDB). The STORED vector column stays raw — exact re-rank scores
+    cosine, which is scale-invariant, and the entries tree remains
+    bit-compatible with the flat IVF family's assignments.
+
+    Build cost: the two trainings each pass over the corpus exactly as
+    their standalone builds do, plus ONE slim join (ids + m ints) to
+    attach codes to assignments — offline cost, amortized by every
+    query's byte cut. Mixed-dimension corpora are PQ's hard gate
+    (``dim % m`` is checked per row and raises); null vectors degrade to
+    null list_id + null codes — never probed, never dropped.
+
+    The gauges compose for free: ``entries`` carries ``list_id``, so
+    :func:`ivf_index_stats` / :func:`index_maintenance_plan` /
+    :func:`index_layout_stats` (tree ``'entries'``) run unchanged on an
+    IVF-PQ index, and the streaming sink (``streaming/ann_ingest.py``)
+    maintains it under kind ``'ivfpq'``.
+    """
+    ivf_centroids, assignments = build_ivf_index(
+        corpus,
+        corpus_id=corpus_id,
+        vec_col=vec_col,
+        n_lists=n_lists,
+        kmeans_iters=kmeans_iters,
+        centroid_budget_bytes=centroid_budget_bytes,
+        hash_fn=hash_fn,
+    )
+    to_encode = corpus
+    if normalize:
+        to_encode = corpus.withColumn(
+            vec_col, _unit_vec(F.col(vec_col).cast("array<double>"))
+        )
+    pq_centroids, codes = pq_index(
+        to_encode,
+        corpus_id=corpus_id,
+        vec_col=vec_col,
+        m=m,
+        k=pq_k,
+        scale_bits=scale_bits,
+        hash_fn=hash_fn,
+        lloyd_iters=lloyd_iters,
+    )
+    entries = assignments.join(
+        _pq_codes_as_array(codes, corpus_id), corpus_id, "left"
+    ).select(corpus_id, vec_col, "list_id", "codes")
+    return ivf_centroids, pq_centroids, entries
+
+
+def _pq_query_dtab(
+    queries: DataFrame,
+    pq_centroids: DataFrame,
+    *,
+    query_id: str,
+    vec_col: str,
+    m: int,
+    pq_k: int,
+    sub_width: int,
+    scale_bits: int,
+    normalize: bool,
+) -> DataFrame:
+    """Per-query ADC distance table: (query_id, qv, dtab array<array<
+    bigint>>) where ``dtab[sub][code]`` is the exact integer squared-L2
+    between the query's ``sub``-th subslice and centroid ``code`` — the
+    m × pq_k lookup table every candidate's ADC sum reads
+    (:func:`pq_ann_topk`'s qtable, pivoted dense so the candidate join
+    carries ONE array column instead of m × pq_k rows). ``normalize``
+    must echo the build's flag: the sliced side is the UNIT query vector
+    when the codebook was trained on unit vectors — the carried ``qv``
+    stays raw (probing and exact re-rank score cosine, which is
+    scale-invariant and keeps flat-IVF probe parity bitwise). Queries
+    whose dimension disagrees with the codebook (≠ m × sub_width) are
+    dropped — cosine/ADC between different-width vectors is undefined,
+    and the slicer would otherwise raise mid-job on the divisibility
+    gate."""
+    q_slim = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).filter(F.col("qv").isNotNull() & (F.size("qv") == m * sub_width))
+    enc = _unit_vec(F.col("qv")) if normalize else F.col("qv")
+    qslices = _pq_subslices(
+        q_slim.select("query_id", enc.alias("qv")),
+        "query_id", "qv", m, scale_bits, "query_id",
+    )
+    qtable = (
+        qslices.join(F.broadcast(pq_centroids), "sub")
+        .select(
+            "query_id",
+            (F.col("sub") * pq_k + F.col("idx")).cast("int").alias("_key"),
+            F.aggregate(
+                F.zip_with(F.col("svec"), F.col("cvec"), lambda a, b: a - b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x * x,
+            ).alias("d2"),
+        )
+    )
+    dtab = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(pq_k - 1)),
+            lambda c: F.element_at(F.col("_dm"), (s * pq_k + c).cast("int")),
+        ),
+    )
+    per_query = qtable.groupBy("query_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("_key", "d2"))).alias("_dm")
+    ).select("query_id", dtab.alias("dtab"))
+    return q_slim.join(per_query, "query_id")
+
+
+def _pq_shape(pq_centroids: DataFrame) -> tuple[int, int, int]:
+    """(m, pq_k, sub_width) read off a codebook table — m × pq_k tiny
+    rows, one job."""
+    row = pq_centroids.agg(
+        (F.max("sub") + 1).cast("int").alias("m"),
+        (F.max("idx") + 1).cast("int").alias("k"),
+        F.max(F.size("cvec")).cast("int").alias("w"),
+    ).first()
+    if row is None or row["m"] is None:
+        raise ValueError("ivfpq: empty PQ codebook table")
+    return int(row["m"]), int(row["k"]), int(row["w"])
+
+
+def ivfpq_ann_topk(
+    queries: DataFrame,
+    index: tuple[DataFrame, DataFrame, DataFrame],
+    *,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 8,
+    rerank: int = 0,
+    m: int | None = None,
+    scale_bits: int = 20,
+    hash_fn: str = "xx",
+    normalize: bool = True,
+    broadcast_queries: bool = True,
+    scorer: str = "auto",
+) -> DataFrame:
+    """IVF-PQ approximate top-k: probe the ``n_probe`` nearest inverted
+    lists per query (exactly :func:`ivf_ann_topk`'s probe stage — same
+    scorer cutover, same tie order), then score every candidate in the
+    probed lists by ADC over its stored codes — the candidate scan reads
+    (id, list_id, codes): m ints per vector, never the float vector.
+
+    ``rerank=0`` (default): output (query_id, neighbor_id, adc_dist,
+    rank), exact integer ADC ascending — :func:`pq_ann_topk`'s contract
+    restricted to the probed lists; the whole row set is SQL-replayable
+    with ``hash_fn='md5'`` builds. ``rerank=R > 0``: the ADC top-
+    ``max(R, k)`` candidates per query are re-scored with EXACT cosine
+    against their full vectors — read back from the entries table
+    partition-pruned to the probed lists and id-joined to just those
+    candidate rows — and the output is (query_id, neighbor_id, cosine,
+    rank), :func:`ivf_ann_topk`'s contract. R trades one slim extra read
+    (R full vectors per query) for removing quantization error from the
+    final ranking — the FAISS ``IndexRefineFlat`` shape; R ≈ 2–4× k is
+    the usual operating point.
+
+    ``m``/``scale_bits``/``hash_fn``/``normalize``: splat
+    ``load_ivfpq_index``'s returned params (``scale_bits``/``normalize``
+    cannot be inferred from the tables and a desync would silently skew
+    every ADC distance; ``m`` is validated against the codebook when
+    passed, inferred from it when None; ``hash_fn`` is unused at query
+    time — accepted so the params dict splats whole). Same small-query broadcast contract and
+    ``broadcast_queries=False`` sort-merge fallback as
+    :func:`ivf_ann_topk`; malformed or wrong-width queries produce no
+    rows (scorer-independent, same as the flat paths).
+    """
+    ivf_centroids, pq_centroids, entries = index
+    m_i, k_i, w_i = _pq_shape(pq_centroids)
+    if m is not None and m != m_i:
+        raise ValueError(
+            f"ivfpq_ann_topk: m={m} disagrees with the index (its codebook "
+            f"has m={m_i} subspaces) — splat load_ivfpq_index's params"
+        )
+    with_dtab = _pq_query_dtab(
+        queries, pq_centroids, query_id=query_id, vec_col=vec_col,
+        m=m_i, pq_k=k_i, sub_width=w_i, scale_bits=scale_bits,
+        normalize=normalize,
+    )
+    use = resolve_scorer(scorer, with_dtab, "qv")
+    probes = _shard_probes(
+        with_dtab.select("query_id", "qv"), ivf_centroids,
+        n_probe=n_probe, use=use, budget_check=True,
+    ).select("query_id", "qv", "list_id").join(
+        with_dtab.select("query_id", "dtab"), "query_id"
+    )
+    probes_side = F.broadcast(probes) if broadcast_queries else probes.hint("merge")
+    # THE byte-cut projection: (id, list_id, codes) — the parquet scan of
+    # a persisted entries tree reads the m-int codes column chunks and
+    # prunes to the probed list directories; the float vector column is
+    # never touched on this path.
+    slim = entries.filter(
+        F.col("list_id").isNotNull() & F.col("codes").isNotNull()
+    ).select(
+        F.col(corpus_id).alias("neighbor_id"), "list_id", "codes"
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("dtab"), F.col("codes"),
+            lambda t, c: F.element_at(t, c + F.lit(1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        probes_side.join(slim, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "list_id", "qv", adc.alias("adc_dist"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(wa))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_dist", "rank")
+        )
+    top = (
+        scored.withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") <= max(rerank, k))
+        .select("query_id", "neighbor_id", "list_id", "qv")
+    )
+    # exact re-rank: R rows per query join back to their FULL vectors —
+    # broadcast the candidate set, prune the entries scan to the probed
+    # lists (equi-join on list_id + neighbor id), read the vector column
+    # for only those rows.
+    vecs = entries.filter(F.col("list_id").isNotNull()).select(
+        F.col(corpus_id).alias("neighbor_id"), "list_id",
+        F.col(vec_col).alias("cv"),
+    )
+    rescored = (
+        F.broadcast(top).join(vecs, ["list_id", "neighbor_id"])
+        .filter(F.size("qv") == F.size("cv"))
+        .select("query_id", "neighbor_id", cosine_score_col(use).alias("cosine"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wc))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def persist_ivfpq_index(
+    index: tuple[DataFrame, DataFrame, DataFrame],
+    path: str,
+    *,
+    m: int,
+    pq_k: int = 16,
+    scale_bits: int = 20,
+    hash_fn: str = "xx",
+    normalize: bool = True,
+    mode: str = "error",
+) -> None:
+    """Write a :func:`build_ivfpq_index` result to ``path`` — the fourth
+    persisted ANN family, same discipline as its parents:
+
+    - ``{path}/ivf_centroids`` / ``{path}/pq_centroids`` — one file each
+      (≤ 4096 and m × pq_k rows by the clamps);
+    - ``{path}/entries`` — parquet ``partitionBy("list_id")``,
+      repartitioned by list_id first (one data file per list directory);
+      probes prune to n_probe directories AND column-prune to the codes
+      column — the rows × bytes double cut;
+    - ``{path}/meta`` — n_lists + the PQ training params, handed back by
+      :func:`load_ivfpq_index` so query slicing can never desync.
+
+    ``m``/``pq_k`` are validated against the built codebook (the
+    :func:`persist_pq_index` manifest-integrity check); ``scale_bits``/
+    ``hash_fn`` must be the build's values — codes are dimensionless
+    ints, nothing on disk can re-derive them.
+    """
+    ivf_centroids, pq_centroids, entries = index
+    spark = ivf_centroids.sparkSession
+    mk = pq_centroids.agg(
+        (F.max("sub") + 1).alias("m"), (F.max("idx") + 1).alias("k")
+    ).first()
+    if mk["m"] != m or mk["k"] != pq_k:
+        raise ValueError(
+            f"persist_ivfpq_index: manifest params (m={m}, pq_k={pq_k}) "
+            f"disagree with the built codebook (m={mk['m']}, k={mk['k']}) "
+            "— pass the values build_ivfpq_index was called with"
+        )
+    if "codes" not in entries.columns or "list_id" not in entries.columns:
+        raise ValueError(
+            "persist_ivfpq_index: entries must carry (corpus_id, vec_col, "
+            f"list_id, codes); got {entries.columns}"
+        )
+    data_cols = [c for c in entries.columns if c not in ("list_id", "codes")]
+    if len(data_cols) != 2:
+        raise ValueError(
+            "persist_ivfpq_index: entries must carry exactly (corpus_id, "
+            f"vec_col, list_id, codes); got {entries.columns}"
+        )
+    id_col, v_col = _infer_id_vec_roles(
+        entries.drop("codes"), data_cols, "persist_ivfpq_index"
+    )
+    ivf_centroids.coalesce(1).write.mode(mode).parquet(f"{path}/ivf_centroids")
+    pq_centroids.coalesce(1).write.mode(mode).parquet(f"{path}/pq_centroids")
+    n_lists = spark.read.parquet(f"{path}/ivf_centroids").count()
+    (
+        entries.repartition(n_lists, "list_id")
+        .write.partitionBy("list_id")
+        .mode(mode)
+        .parquet(f"{path}/entries")
+    )
+    meta = Row(
+        format="ivfpq", version=1, n_lists=n_lists, m=m, pq_k=pq_k,
+        scale_bits=scale_bits, hash_fn=hash_fn, normalize=bool(normalize),
+        corpus_id=id_col, vec_col=v_col,
+    )
+    spark.createDataFrame([meta]).coalesce(1).write.mode(mode).json(f"{path}/meta")
+
+
+def load_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    corpus_id: str | None = None,
+    vec_col: str | None = None,
+) -> tuple[tuple[DataFrame, DataFrame, DataFrame], dict]:
+    """Read a :func:`persist_ivfpq_index` tree back as ``((ivf_centroids,
+    pq_centroids, entries), params)`` — splat ``params`` into
+    :func:`ivfpq_ann_topk` alongside ``index=`` so the query slicing uses
+    exactly the stored training parameters."""
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "ivfpq":
+        raise ValueError(
+            f"load_ivfpq_index: {path}/meta is not an IVF-PQ index manifest"
+        )
+    ivf_centroids = spark.read.parquet(f"{path}/ivf_centroids")
+    pq_centroids = spark.read.parquet(f"{path}/pq_centroids")
+    entries = spark.read.parquet(f"{path}/entries")
+    if corpus_id and corpus_id != meta["corpus_id"]:
+        entries = entries.withColumnRenamed(meta["corpus_id"], corpus_id)
+    if vec_col and vec_col != meta["vec_col"]:
+        entries = entries.withColumnRenamed(meta["vec_col"], vec_col)
+    params = {
+        "m": int(meta["m"]), "scale_bits": int(meta["scale_bits"]),
+        "hash_fn": meta["hash_fn"], "normalize": bool(meta["normalize"]),
+    }
+    return (ivf_centroids, pq_centroids, entries), params
+
+
+def append_to_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    corpus_id: str | None = None,
+    vec_col: str | None = None,
+    dedupe: bool = False,
+    centroid_budget_bytes: int = IVF_CENTROID_BUDGET_BYTES,
+) -> int:
+    """Append a batch to a persisted IVF-PQ tree without retraining
+    EITHER quantizer: assign against the frozen IVF centroids
+    (:func:`_assign_to_lists` — the build's own kernel) and encode
+    against the frozen PQ codebook (:func:`_pq_subslices` +
+    :func:`_pq_assign` — ditto), then append the (id, vec, list_id,
+    codes) rows into the partitioned layout, repartitioned by list_id so
+    each append adds at most one file per touched directory. O(batch),
+    replay-idempotent with ``dedupe=True`` (column-pruned id anti-join),
+    same economics and drift story as :func:`append_to_ivf_index` /
+    :func:`append_to_pq_index` — both of whose gauges this family reads
+    (``ivf_index_stats(entries)``)."""
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "ivfpq":
+        raise ValueError(
+            f"append_to_ivfpq_index: {path}/meta is not an IVF-PQ index manifest"
+        )
+    stored_id, stored_vec = meta["corpus_id"], meta["vec_col"]
+    n_lists, m = int(meta["n_lists"]), int(meta["m"])
+    scale_bits = int(meta["scale_bits"])
+    normalize = bool(meta["normalize"])
+    id_in = corpus_id or stored_id
+    vec_in = vec_col or stored_vec
+    ivf_centroids = spark.read.parquet(f"{path}/ivf_centroids")
+    first = ivf_centroids.select(F.size("centroid")).first()
+    ref_dim = first[0] if first is not None else 0
+    est_bytes = n_lists * ref_dim * 8
+    if est_bytes > centroid_budget_bytes:
+        raise ValueError(
+            f"append_to_ivfpq_index: centroid matrix is n_lists({n_lists}) "
+            f"× dim({ref_dim}) × 8 B = {est_bytes / (1 << 20):.0f} MiB on "
+            f"the DRIVER, over the {centroid_budget_bytes / (1 << 20):.0f} "
+            "MiB budget — this index should be maintained as shards."
+        )
+    slim = new_vectors.select(
+        F.col(id_in).alias("cid"),
+        F.col(vec_in).cast("array<double>").alias("v"),
+    )
+    if dedupe:
+        existing = spark.read.parquet(f"{path}/entries").select(
+            F.col(stored_id).alias("cid")
+        )
+        # same pin as append_to_ivf_index: count and write must see ONE
+        # materialized row set
+        slim = slim.join(existing, "cid", "left_anti").localCheckpoint(eager=True)
+    appended = slim.count()
+    if appended:
+        pq_centroids = spark.read.parquet(f"{path}/pq_centroids")
+        assigned = _assign_to_lists(slim, ivf_centroids)
+        enc = slim
+        if normalize:
+            enc = slim.select("cid", _unit_vec(F.col("v")).alias("v"))
+        codes = _pq_assign(
+            _pq_subslices(enc, "cid", "v", m, scale_bits, "cid"),
+            pq_centroids, "cid",
+        ).select("cid", "sub", "code")
+        (
+            assigned.join(_pq_codes_as_array(codes, "cid"), "cid", "left")
+            .select(
+                F.col("cid").alias(stored_id),
+                F.col("v").alias(stored_vec),
+                "list_id", "codes",
+            )
+            .repartition(n_lists, "list_id")
+            .write.partitionBy("list_id")
+            .mode("append")
+            .parquet(f"{path}/entries")
+        )
+    return appended
+
+
+def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
+    """Fold a persisted IVF-PQ index's entries back to one file per list
+    directory after appends — same rename-swap protocol (and crash
+    repair via :func:`repair_ivfpq_index`) as :func:`compact_ivf_index`."""
+    if repair_ivfpq_index(spark, path):
+        return
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "ivfpq":
+        raise ValueError(
+            f"compact_ivfpq_index: {path}/meta is not an IVF-PQ index manifest"
+        )
+    live, tmp, old = _swap_triplet(path, "entries")
+    fsio.delete(tmp, spark=spark)
+    fsio.delete(old, spark=spark)
+    (
+        spark.read.parquet(live)
+        .repartition(int(meta["n_lists"]), "list_id")
+        .write.partitionBy("list_id")
+        .mode("error")
+        .parquet(tmp)
+    )
+    _commit_swap(spark, path, "entries")
+
+
+def repair_ivfpq_index(spark: SparkSession, path: str) -> bool:
+    """Finish a :func:`compact_ivfpq_index` swap that crashed between
+    its two renames (see :func:`_repair_swap`)."""
+    return _repair_swap(spark, path, "entries", "repair_ivfpq_index")
 
 
 # --------------------------- hard-negative mining ---------------------------

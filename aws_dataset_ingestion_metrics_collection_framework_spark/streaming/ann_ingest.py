@@ -1,5 +1,5 @@
-"""Streaming ANN index maintenance: keep a persisted IVF, LSH or PQ index
-current from a vector stream.
+"""Streaming ANN index maintenance: keep a persisted IVF, LSH, PQ or
+IVF-PQ index current from a vector stream.
 
     vector stream ──foreachBatch──► append_to_{ivf,lsh,pq}_index
                                      └─ every N batches: compact_*_index
@@ -99,6 +99,7 @@ def ingest_batch_into_index(
         "ivf": SIM.repair_ivf_index,
         "lsh": SIM.repair_lsh_index,
         "pq": SIM.repair_pq_index,
+        "ivfpq": SIM.repair_ivfpq_index,
         "sharded_ivf": SIM.repair_sharded_ivf_index,
     }[kind](spark, index_path)
     if dedupe == "auto":
@@ -114,6 +115,7 @@ def ingest_batch_into_index(
         "ivf": SIM.append_to_ivf_index,
         "lsh": SIM.append_to_lsh_index,
         "pq": SIM.append_to_pq_index,
+        "ivfpq": SIM.append_to_ivfpq_index,
         "sharded_ivf": SIM.append_to_sharded_ivf_index,
     }[kind]
     return append(
@@ -137,9 +139,9 @@ def start_ann_index_ingest(
     takeover: bool = False,
 ) -> StreamingQuery:
     """Start the streaming maintenance sink for the persisted ANN index
-    at ``index_path`` (kind — IVF, LSH, PQ or sharded IVF — is read from the index's own
-    manifest, so a topology can't append with the wrong family's
-    parameters). ``compact_every=N`` folds the per-append files back to
+    at ``index_path`` (kind — IVF, LSH, PQ, IVF-PQ or sharded IVF — is
+    read from the index's own manifest, so a topology can't append with
+    the wrong family's parameters). ``compact_every=N`` folds the per-append files back to
     one per directory after every N batches (compaction runs inside the
     same foreachBatch slot — replays of a compacted batch are safe: the
     swap is committed-tree-first, and every ingest runs the
@@ -174,10 +176,12 @@ def start_ann_index_ingest(
     STOPPED, not a way to run two at once."""
     spark = vectors.sparkSession
     meta = spark.read.json(f"{index_path}/meta").first()
-    if meta is None or meta["format"] not in ("ivf", "lsh", "pq", "sharded_ivf"):
+    if meta is None or meta["format"] not in (
+        "ivf", "lsh", "pq", "ivfpq", "sharded_ivf"
+    ):
         raise ValueError(
             f"start_ann_index_ingest: {index_path}/meta is not an "
-            "IVF/LSH/PQ/sharded-IVF index manifest"
+            "IVF/LSH/PQ/IVF-PQ/sharded-IVF index manifest"
         )
     kind = meta["format"]
     if compact_every is not None and compact_every != "auto" and (
@@ -212,6 +216,7 @@ def start_ann_index_ingest(
         "ivf": SIM.compact_ivf_index,
         "lsh": SIM.compact_lsh_index,
         "pq": SIM.compact_pq_index,
+        "ivfpq": SIM.compact_ivfpq_index,
         "sharded_ivf": SIM.compact_sharded_ivf_index,
     }[kind]
 
@@ -226,7 +231,10 @@ def start_ann_index_ingest(
                 )["max_files_per_dir"]
                 for s in range(n_sh)
             )
-        tree = {"ivf": "assignments", "lsh": "buckets", "pq": "codes"}[kind]
+        tree = {
+            "ivf": "assignments", "lsh": "buckets", "pq": "codes",
+            "ivfpq": "entries",
+        }[kind]
         return SIM.index_layout_stats(spark, index_path, tree)["max_files_per_dir"]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

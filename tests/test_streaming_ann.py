@@ -243,6 +243,60 @@ def test_stream_ingest_pq_kind_from_manifest(spark, sf_dir, tmp_path):
     assert got_ids == streamed_ids
 
 
+def test_stream_ingest_ivfpq_kind_from_manifest(spark, sf_dir, tmp_path):
+    """IVF-PQ dispatch: the topology pointed at an ivfpq tree assigns the
+    stream against the frozen IVF centroids AND encodes against the
+    frozen codebook — appended rows carry both list_id and codes, and a
+    replayed batch (marker protocol) lands 0."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        build_ivfpq_index,
+        load_ivfpq_index,
+        persist_ivfpq_index,
+    )
+
+    base = _base_corpus(spark, sf_dir).filter(F.col("vec_id") % 2 == 0)
+    root = str(tmp_path / "ivfpq_stream_idx")
+    persist_ivfpq_index(
+        build_ivfpq_index(base, n_lists=8, m=4, pq_k=16),
+        root, m=4, pq_k=16, mode="overwrite",
+    )
+    new_rows = (
+        _base_corpus(spark, sf_dir)
+        .filter(F.col("vec_id") % 2 == 1)
+        .limit(12)
+        .collect()
+    )
+    src = tmp_path / "vin_ivfpq"
+    src.mkdir()
+    _write_batch_file(
+        str(src), [(r["vec_id"], list(r["embedding"])) for r in new_rows], "b0.json"
+    )
+    stream = spark.readStream.schema(VEC_SCHEMA).json(str(src))
+    q = start_ann_index_ingest(
+        stream, root, str(tmp_path / "ckpt_ivfpq"), available_now=True
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    (_, _, entries), _ = load_ivfpq_index(spark, root)
+    streamed = entries.filter(F.col("vec_id") % 2 == 1)
+    assert {r["vec_id"] for r in streamed.collect()} == {
+        r["vec_id"] for r in new_rows
+    }
+    assert streamed.filter(
+        F.col("list_id").isNull() | F.col("codes").isNull()
+    ).count() == 0
+    # replay: entry marker says this batch already started — dedupe lands 0
+    n = ingest_batch_into_index(
+        spark, root,
+        spark.createDataFrame(
+            [(r["vec_id"], list(r["embedding"])) for r in new_rows], VEC_SCHEMA
+        ),
+        0, kind="ivfpq", corpus_id="vec_id", vec_col="embedding",
+    )
+    assert n == 0
+    assert entries.count() == base.count() + len(new_rows)
+
+
 def test_maintenance_protocol_reference_model(spark, sf_dir, tmp_path):
     """Randomized reference-model differential for the index-maintenance
     protocol (the streaming-dedup discipline applied to the r12 surface):
