@@ -18,6 +18,7 @@ import re
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Row, SparkSession, Window, functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import StringType
 
 from ..sources import fsio
@@ -2146,6 +2147,295 @@ def index_maintenance_plan(
     return stats.select(
         "*", action.alias("action"), reasons.alias("reasons")
     )
+
+
+# ---------------------- maintenance-plan executor ----------------------
+#
+# index_maintenance_plan emits {append_ok, compact_due, rebuild_due};
+# compact_due has had consumers since r12 (compact_*_index, and the
+# streaming sink's compact_every='auto') but rebuild_due had NONE — the
+# one verdict an operator had to execute by hand. apply_maintenance_plan
+# closes the loop: gauge → plan → execute, with rebuilds running at the
+# POLICY's granularity (a sharded index rebuilds only the flagged shard —
+# the shard's own stored vectors are its corpus, so no source scan and no
+# other shard is touched).
+
+REBUILD_COMMIT_MARKER = "_REBUILD_META"
+
+
+def _rebuilt_swap(spark: SparkSession, live: str) -> None:
+    """Swap a fully-written ``{live}__rebuilt`` index directory into
+    place: stamp it committed, retire the live dir, rename in, delete the
+    retired copy — the :func:`_commit_swap` discipline at whole-index-
+    directory granularity (a rebuild replaces centroids + data tree +
+    manifest together; swapping them tree-by-tree could tear into a
+    mixed-generation index)."""
+    rebuilt, retired = f"{live}__rebuilt", f"{live}__retired"
+    fsio.write_text_atomic(
+        f"{rebuilt}/{REBUILD_COMMIT_MARKER}", "1", spark=spark
+    )
+    fsio.rename(live, retired, spark=spark)
+    fsio.rename(rebuilt, live, spark=spark)
+    fsio.delete(retired, spark=spark)
+
+
+def repair_index_rebuild(spark: SparkSession, path: str) -> bool:
+    """Finish a rebuild swap that crashed between its renames: if the
+    live index directory is missing but a COMMITTED ``__rebuilt`` sibling
+    exists, rename it in (and drop any ``__retired`` copy). Returns True
+    when a repair ran. Dispatched automatically at the top of
+    :func:`apply_maintenance_plan` for the index and (sharded) every
+    shard directory; a reader that finds the live path missing mid-swap
+    fails loudly and the next executor run heals it."""
+    rebuilt, retired = f"{path}__rebuilt", f"{path}__retired"
+    if fsio.exists(path, spark=spark):
+        # a crash BEFORE the first rename leaves live intact — any
+        # committed-or-not __rebuilt sibling is superseded residue
+        return False
+    if fsio.exists(f"{rebuilt}/{REBUILD_COMMIT_MARKER}", spark=spark):
+        fsio.rename(rebuilt, path, spark=spark)
+        fsio.delete(retired, spark=spark)
+        return True
+    if fsio.exists(retired, spark=spark):
+        raise ValueError(
+            f"repair_index_rebuild: {path} is missing with no committed "
+            f"__rebuilt tree — the retired copy at {retired} was not "
+            "superseded; restore it manually (resurrecting automatically "
+            "could mask a half-written rebuild)."
+        )
+    return False
+
+
+def _rebuild_ivf_like(spark: SparkSession, live: str, kind: str) -> None:
+    """Rebuild one flat IVF or IVF-PQ index directory from its OWN stored
+    vectors (entries/assignments carry (id, vec) — no source corpus
+    needed), into ``{live}__rebuilt``, then swap. Training params come
+    from the manifest; n_lists is re-derived with the build's 'auto'
+    sizing from the CURRENT row count — the drifted corpus is usually
+    bigger than the one the frozen centroids were sized for, which is
+    half of why it skewed."""
+    meta = spark.read.json(f"{live}/meta").first()
+    rebuilt = f"{live}__rebuilt"
+    fsio.delete(rebuilt, spark=spark)  # uncommitted residue
+    if kind == "ivf":
+        assignments = spark.read.parquet(f"{live}/assignments")
+        corpus = assignments.select(meta["corpus_id"], meta["vec_col"])
+        persist_ivf_index(
+            build_ivf_index(
+                corpus, corpus_id=meta["corpus_id"], vec_col=meta["vec_col"],
+                n_lists="auto",
+            ),
+            rebuilt,
+        )
+    elif kind == "ivfpq":
+        entries = spark.read.parquet(f"{live}/entries")
+        corpus = entries.select(meta["corpus_id"], meta["vec_col"])
+        persist_ivfpq_index(
+            build_ivfpq_index(
+                corpus, corpus_id=meta["corpus_id"], vec_col=meta["vec_col"],
+                n_lists="auto", m=int(meta["m"]), pq_k=int(meta["pq_k"]),
+                scale_bits=int(meta["scale_bits"]), hash_fn=meta["hash_fn"],
+                normalize=bool(meta["normalize"]),
+            ),
+            rebuilt,
+            m=int(meta["m"]), pq_k=int(meta["pq_k"]),
+            scale_bits=int(meta["scale_bits"]), hash_fn=meta["hash_fn"],
+            normalize=bool(meta["normalize"]),
+        )
+    else:
+        raise ValueError(f"_rebuild_ivf_like: unsupported kind {kind!r}")
+    _rebuilt_swap(spark, live)
+
+
+def _rebuild_lsh(spark: SparkSession, live: str) -> None:
+    """Rebuild an LSH index directory from its own stored vectors with a
+    FRESH plane set — the LSH cure for occupancy skew (frozen planes no
+    longer separating a drifted corpus): seed advances by one and the
+    plane count re-derives from the current corpus size
+    (:func:`auto_planes`, floored at the stored count). Queries keep
+    working unchanged because they splat ``load_lsh_index``'s params,
+    which the rebuilt manifest updates."""
+    meta = spark.read.json(f"{live}/meta").first()
+    buckets = spark.read.parquet(f"{live}/buckets")
+    if "cv" not in buckets.columns:
+        raise ValueError(
+            "_rebuild_lsh: the stored bucket table has no vector column "
+            "('cv') — this index cannot be rebuilt from itself; "
+            "re-bucketize from the source corpus."
+        )
+    corpus = buckets.filter(F.col("tbl") == 0).select(
+        F.col("neighbor_id").alias("_id"), F.col("cv")
+    )
+    n_planes = max(int(meta["n_planes"]), auto_planes(corpus.count()))
+    n_tables, seed = int(meta["n_tables"]), int(meta["seed"]) + 1
+    rebuilt = f"{live}__rebuilt"
+    fsio.delete(rebuilt, spark=spark)
+    persist_lsh_index(
+        bucketize_tables(
+            corpus, id_col="_id", id_name="neighbor_id", vec_col="cv",
+            keep_vec="cv", n_tables=n_tables, n_planes=n_planes, seed=seed,
+        ),
+        rebuilt, n_planes=n_planes, n_tables=n_tables, seed=seed,
+    )
+    _rebuilt_swap(spark, live)
+
+
+def _gauge_rows(spark: SparkSession, path: str, kind: str) -> DataFrame:
+    """Occupancy stats + files_per_dir layout gauge for one persisted
+    index, shaped for :func:`index_maintenance_plan`. Sharded trees get
+    per-shard rows (shard 0..n-1) plus the global shard = -1 row, each
+    carrying its OWN shard's layout gauge (the global row carries the
+    max) — so the plan can single out one shard."""
+    if kind == "ivf":
+        stats = ivf_index_stats(spark.read.parquet(f"{path}/assignments"))
+        files = index_layout_stats(spark, path, "assignments")
+    elif kind == "ivfpq":
+        stats = ivf_index_stats(spark.read.parquet(f"{path}/entries"))
+        files = index_layout_stats(spark, path, "entries")
+    elif kind == "lsh":
+        stats = lsh_index_stats(spark.read.parquet(f"{path}/buckets"))
+        files = index_layout_stats(spark, path, "buckets")
+    elif kind == "pq":
+        # PQ has no occupancy gauge (ADC reads every code row by design);
+        # synthesize the occupancy columns as healthy so only the layout
+        # rule can fire
+        meta = spark.read.json(f"{path}/meta").first()
+        n = spark.read.parquet(f"{path}/codes").count() // int(meta["m"])
+        stats = spark.createDataFrame(
+            [(int(n), 0, 0.0)], "n_rows long, null_rows long, skew double"
+        )
+        files = index_layout_stats(spark, path, "codes")
+    elif kind == "sharded_ivf":
+        idx = load_sharded_ivf_index(spark, path)
+        per_stats = sharded_ivf_index_stats(idx)
+        per_files = {
+            s: index_layout_stats(
+                spark, f"{path}/shard={s:05d}", "assignments"
+            )["max_files_per_dir"]
+            for s in range(len(idx))
+        }
+        per_files[-1] = max(per_files.values())
+        fmap = F.create_map(
+            *[F.lit(x) for kv in per_files.items() for x in kv]
+        )
+        return per_stats.withColumn(
+            "files_per_dir", F.element_at(fmap, F.col("shard")).cast("int")
+        )
+    else:
+        raise ValueError(f"_gauge_rows: unsupported kind {kind!r}")
+    return stats.withColumn(
+        "files_per_dir", F.lit(files["max_files_per_dir"]).cast("int")
+    )
+
+
+def apply_maintenance_plan(
+    spark: SparkSession,
+    path: str,
+    *,
+    skew_threshold: float = 4.0,
+    max_files_per_dir: int = 8,
+    max_null_frac: float = 0.01,
+    min_rows_for_rebuild: int = 100_000,
+    dry_run: bool = False,
+) -> DataFrame:
+    """Gauge → plan → EXECUTE for one persisted ANN index (any family —
+    the kind is read from the manifest): compute the occupancy and
+    layout gauges, run :func:`index_maintenance_plan` over them, and
+    execute each verdict row —
+
+    - ``compact_due`` → the kind's ``compact_*_index`` (per-shard for a
+      sharded tree: only the flagged shard's directory is rewritten);
+    - ``rebuild_due`` → rebuild FROM THE INDEX'S OWN STORED VECTORS into
+      a ``__rebuilt`` sibling, committed and swapped in whole
+      (:func:`_rebuilt_swap` — a torn swap heals via
+      :func:`repair_index_rebuild`, dispatched at the top of every run).
+      Sharded: ONLY the flagged shard rebuilds — its assignments are its
+      corpus, so the rebuild reads one shard and touches nothing else
+      (the per-shard granularity the policy docstring promises). The
+      global ``shard = -1`` row is never executed directly — the
+      per-shard rows are the actionable granularity (a global-only
+      firing means cross-shard imbalance no single-shard action fixes;
+      it stays visible in the returned report);
+    - ``append_ok`` → nothing.
+
+    Returns the plan rows plus an ``executed`` column (``compacted`` |
+    ``rebuilt`` | ``none``; with ``dry_run=True`` nothing runs and the
+    column says what WOULD run — the report is the contract either way).
+    Thresholds pass through to the policy unchanged. PQ trees have no
+    occupancy gauge (ADC reads every code row by design) so only their
+    layout rule can fire; LSH rebuilds re-derive the plane set
+    (:func:`_rebuild_lsh`). This is the OFFLINE maintenance loop — the
+    streaming sink intentionally executes only the compact rule live and
+    surfaces rebuild_due to a callback (``on_rebuild_due``)."""
+    repair_index_rebuild(spark, path)
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] not in (
+        "ivf", "lsh", "pq", "ivfpq", "sharded_ivf"
+    ):
+        raise ValueError(
+            f"apply_maintenance_plan: {path}/meta is not an ANN index manifest"
+        )
+    kind = meta["format"]
+    if kind == "sharded_ivf":
+        for s in range(int(meta["n_shards"])):
+            repair_index_rebuild(spark, f"{path}/shard={s:05d}")
+    plan_df = index_maintenance_plan(
+        _gauge_rows(spark, path, kind),
+        skew_threshold=skew_threshold,
+        max_files_per_dir=max_files_per_dir,
+        max_null_frac=max_null_frac,
+        min_rows_for_rebuild=min_rows_for_rebuild,
+    )
+    plan_rows = plan_df.collect()
+
+    def run(action: str, shard: int | None) -> str:
+        if dry_run:
+            return {"rebuild_due": "rebuilt", "compact_due": "compacted"}.get(
+                action, "none"
+            )
+        if kind == "sharded_ivf":
+            if shard is None or shard < 0:
+                return "none"  # the global row is a report, not a target
+            sdir = f"{path}/shard={shard:05d}"
+            if action == "rebuild_due":
+                _rebuild_ivf_like(spark, sdir, "ivf")
+                return "rebuilt"
+            if action == "compact_due":
+                compact_ivf_index(spark, sdir)
+                return "compacted"
+            return "none"
+        if action == "rebuild_due":
+            if kind in ("ivf", "ivfpq"):
+                _rebuild_ivf_like(spark, path, kind)
+            elif kind == "lsh":
+                _rebuild_lsh(spark, path)
+            else:  # pq: unreachable (skew synthesized 0) — keep loud
+                raise ValueError(
+                    "apply_maintenance_plan: rebuild_due on a PQ tree "
+                    "has no occupancy basis"
+                )
+            return "rebuilt"
+        if action == "compact_due":
+            {
+                "ivf": compact_ivf_index,
+                "lsh": compact_lsh_index,
+                "pq": compact_pq_index,
+                "ivfpq": compact_ivfpq_index,
+            }[kind](spark, path)
+            return "compacted"
+        return "none"
+
+    out = [
+        (*row, run(row["action"], row["shard"] if "shard" in row.__fields__ else None))
+        for row in plan_rows
+    ]
+    # explicit schema (not inference — an all-append_ok report has empty
+    # reasons arrays, which inference cannot type)
+    schema = T.StructType(
+        list(plan_df.schema.fields)
+        + [T.StructField("executed", T.StringType(), False)]
+    )
+    return spark.createDataFrame(out, schema)
 
 
 def quantize_int8(

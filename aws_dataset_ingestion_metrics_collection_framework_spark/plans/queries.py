@@ -5390,6 +5390,269 @@ ORDER BY query_id, rank
 """
 
 
+def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (r14 — ``similarity.build_ivfpq_index`` /
+    ``ivfpq_ann_topk``): PQ codes inside the IVF lists, the FAISS IVFPQ
+    shape — the probe stage bounds candidate ROWS, the m-int ADC codes
+    bound candidate BYTES. 8 lists seeded deterministically
+    (``hash_fn='md5'``, ``kmeans_iters=0`` so the coarse centroids are
+    raw corpus vectors — no float averaging crosses the engine
+    boundary), 4×16 integer codebook trained on the UNIT-normalized
+    corpus (one Lloyd step), n_probe=4, ADC top-5 for the vec_id < 10
+    queries.
+
+    The ENTIRE pipeline is hash-exact oracled (the ``pq_ann``
+    discipline extended over the composition): DuckDB replays unit
+    normalization, both quantizers' md5 seeding, the integer Lloyd
+    step, the per-corpus-vector list assignment (cosine argmax, ties to
+    the larger list), the per-query probe selection (top-4 lists by
+    cosine desc/list desc) and the ADC scan restricted to the probed
+    lists — verbatim, and matches bit for bit at all three SFs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = SIM.build_ivfpq_index(
+        emb, n_lists=8, kmeans_iters=0, m=4, pq_k=16, hash_fn="md5"
+    )
+    out = SIM.ivfpq_ann_topk(
+        emb.filter(F.col("vec_id") < 10), idx, k=5, n_probe=4, scorer="hof"
+    )
+    return out.orderBy("query_id", "rank")
+
+
+IVFPQ_ANN_ORACLE = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+norms AS MATERIALIZED (
+  SELECT vec_id, SQRT(SUM(e[d]*e[d])) AS nn
+  FROM base, UNNEST(range(1, len(e) + 1)) r(d) GROUP BY vec_id
+),
+uv AS MATERIALIZED (
+  SELECT b.vec_id,
+         CASE WHEN n.nn > 0 THEN list_transform(b.e, x -> x / n.nn) ELSE b.e END AS u
+  FROM base b JOIN norms n USING (vec_id)
+),
+vals AS MATERIALIZED (
+  SELECT vec_id,
+         CAST((d - 1) // 16 AS INTEGER) AS sub,
+         CAST((d - 1) % 16 AS INTEGER) AS pos,
+         CAST(ROUND(u[d] * 1048576) AS BIGINT) AS x
+  FROM uv, UNNEST(range(1, len(u) + 1)) r(d)
+),
+seeds AS MATERIALIZED (
+  SELECT vec_id AS cid,
+         CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS idx
+  FROM (SELECT vec_id,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM base)
+  ORDER BY h, vec_id LIMIT 16
+),
+c0 AS MATERIALIZED (
+  SELECT v.sub, s.idx, v.pos, v.x AS c
+  FROM vals v JOIN seeds s ON v.vec_id = s.cid
+),
+d0 AS MATERIALIZED (
+  SELECT v.vec_id, v.sub, c.idx, SUM((v.x - c.c) * (v.x - c.c)) AS d2
+  FROM vals v JOIN c0 c ON c.sub = v.sub AND c.pos = v.pos
+  GROUP BY 1, 2, 3
+),
+a0 AS MATERIALIZED (
+  SELECT vec_id, sub, idx AS code FROM (
+    SELECT vec_id, sub, idx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, idx) AS rn
+    FROM d0) WHERE rn = 1
+),
+upd AS MATERIALIZED (
+  SELECT a.sub, a.code AS idx, v.pos,
+         CAST(FLOOR(CAST(SUM(v.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM a0 a JOIN vals v ON v.vec_id = a.vec_id AND v.sub = a.sub
+  GROUP BY 1, 2, 3
+),
+c1 AS MATERIALIZED (
+  SELECT c0.sub, c0.idx, c0.pos, COALESCE(u.c, c0.c) AS c
+  FROM c0 LEFT JOIN upd u ON u.sub = c0.sub AND u.idx = c0.idx AND u.pos = c0.pos
+),
+d1 AS MATERIALIZED (
+  SELECT v.vec_id, v.sub, c.idx, SUM((v.x - c.c) * (v.x - c.c)) AS d2
+  FROM vals v JOIN c1 c ON c.sub = v.sub AND c.pos = v.pos
+  GROUP BY 1, 2, 3
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, sub, idx AS code FROM (
+    SELECT vec_id, sub, idx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, idx) AS rn
+    FROM d1) WHERE rn = 1
+),
+iseeds AS MATERIALIZED (
+  SELECT vec_id AS cid,
+         CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS list_id
+  FROM (SELECT vec_id,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM base)
+  ORDER BY h, vec_id LIMIT 8
+),
+cents AS MATERIALIZED (
+  SELECT s.list_id, b.e AS c FROM iseeds s JOIN base b ON b.vec_id = s.cid
+),
+cosims AS MATERIALIZED (
+  SELECT b.vec_id, c.list_id,
+         SUM(b.e[d] * c.c[d])
+           / (SQRT(SUM(b.e[d] * b.e[d])) * SQRT(SUM(c.c[d] * c.c[d]))) AS cs
+  FROM base b, cents c, UNNEST(range(1, len(b.e) + 1)) r(d)
+  GROUP BY 1, 2
+),
+asg AS MATERIALIZED (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, list_id DESC) AS rn
+    FROM cosims) WHERE rn = 1
+),
+probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT vec_id, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, list_id DESC) AS rn
+    FROM cosims WHERE vec_id < 10) WHERE rn <= 4
+),
+qt AS MATERIALIZED (
+  SELECT vec_id AS query_id, sub, idx AS code, d2 FROM d1 WHERE vec_id < 10
+),
+adc AS (
+  SELECT q.query_id, k.vec_id AS neighbor_id, SUM(q.d2) AS adc_dist
+  FROM codes k
+  JOIN asg a ON a.vec_id = k.vec_id
+  JOIN probes p ON p.list_id = a.list_id
+  JOIN qt q ON q.sub = k.sub AND q.code = k.code AND q.query_id = p.query_id
+  WHERE k.vec_id <> q.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+       CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rn
+      FROM adc)
+WHERE rn <= 5
+ORDER BY query_id, rank
+"""
+
+
+def q_ivfpq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF-PQ lifecycle END TO END (r14) — the composed
+    family gets the same build-once/query-many + daily-increment story
+    as its parents, plus the contracts only the composition has.
+    Driver-attested, on the embeddings table:
+
+    - planted-twin exactness: a bit-identical copy of a corpus vector
+      probes its source's own list at n_probe=1 (same argmax kernel)
+      and its ADC distance is provably minimal (its codes are the
+      argmin encoding of itself), so top-1 recovery is exact — in ADC
+      mode AND after the exact cosine re-rank (cosine ≈ 1);
+    - persisted round trip: the ``index=`` path with the manifest's
+      splatted params returns row-for-row the in-memory build's ADC
+      result (integer ADC — parquet round-trips exactly);
+    - append parity + replay: an increment encoded through
+      ``append_to_ivfpq_index`` lands with both frozen-quantizer
+      columns populated, and a replayed append with dedupe=True adds 0;
+    - compact restores one data file per list directory without
+      changing a single result row."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    n_twins = 10
+    twins = emb.filter(F.col("vec_id") < n_twins).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    idx = SIM.build_ivfpq_index(emb, n_lists=8, m=4, pq_k=16)
+    adc_top1 = SIM.ivfpq_ann_topk(twins, idx, k=1, n_probe=1, scorer="hof")
+    twin_adc_ok = adc_top1.filter(
+        (F.col("rank") == 1)
+        & (F.col("neighbor_id") == F.col("query_id") - 1_000_000)
+    ).count() == n_twins
+    rr_top1 = SIM.ivfpq_ann_topk(
+        twins, idx, k=1, n_probe=1, rerank=8, scorer="hof"
+    )
+    twin_rerank_ok = rr_top1.filter(
+        (F.col("rank") == 1)
+        & (F.col("neighbor_id") == F.col("query_id") - 1_000_000)
+        & (F.col("cosine") > 0.999999)
+    ).count() == n_twins
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    inline = sorted(
+        map(tuple, SIM.ivfpq_ann_topk(
+            queries, idx, k=5, n_probe=6, scorer="hof"
+        ).collect())
+    )
+    root = tempfile.mkdtemp(prefix="ivfpq_q_idx_")
+    try:
+        SIM.persist_ivfpq_index(idx, root, m=4, pq_k=16, mode="overwrite")
+        loaded, params = SIM.load_ivfpq_index(spark, root)
+        persisted = sorted(
+            map(tuple, SIM.ivfpq_ann_topk(
+                queries, loaded, k=5, n_probe=6, scorer="hof", **params
+            ).collect())
+        )
+        roundtrip_ok = persisted == inline
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    root = tempfile.mkdtemp(prefix="ivfpq_q_maint_")
+    try:
+        SIM.persist_ivfpq_index(
+            SIM.build_ivfpq_index(base, n_lists=8, m=4, pq_k=16),
+            root, m=4, pq_k=16, mode="overwrite",
+        )
+        appended = SIM.append_to_ivfpq_index(spark, root, batch, dedupe=True)
+        replayed = SIM.append_to_ivfpq_index(spark, root, batch, dedupe=True)
+        (_, _, entries), params = SIM.load_ivfpq_index(spark, root)
+        appended_complete = entries.filter(
+            (F.col("vec_id") % 2 == 1)
+            & (F.col("list_id").isNotNull())
+            & (F.col("codes").isNotNull())
+        ).count() == appended
+        before = sorted(
+            map(tuple, SIM.ivfpq_ann_topk(
+                queries, SIM.load_ivfpq_index(spark, root)[0],
+                k=5, n_probe=6, scorer="hof", **params,
+            ).collect())
+        )
+        SIM.compact_ivfpq_index(spark, root)
+        one_file_per_dir = all(
+            sum(1 for f in files if f.endswith(".parquet")) <= 1
+            for _, _, files in os.walk(os.path.join(root, "entries"))
+        )
+        after = sorted(
+            map(tuple, SIM.ivfpq_ann_topk(
+                queries, SIM.load_ivfpq_index(spark, root)[0],
+                k=5, n_probe=6, scorer="hof", **params,
+            ).collect())
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            bool(twin_adc_ok), bool(twin_rerank_ok), bool(roundtrip_ok),
+            int(appended), int(replayed), bool(appended_complete),
+            bool(one_file_per_dir), before == after,
+        )],
+        "twin_adc_top1 boolean, twin_rerank_top1 boolean, "
+        "persisted_equals_inline boolean, appended int, replayed int, "
+        "append_rows_complete boolean, compact_restores_layout boolean, "
+        "compact_preserves_results boolean",
+    )
+
+
+IVFPQ_ANN_PERSISTED_ORACLE = """
+SELECT TRUE AS twin_adc_top1, TRUE AS twin_rerank_top1,
+       TRUE AS persisted_equals_inline,
+       CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS INTEGER) AS appended,
+       0 AS replayed, TRUE AS append_rows_complete,
+       TRUE AS compact_restores_layout, TRUE AS compact_preserves_results
+FROM embeddings
+"""
+
+
+
 def q_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path for cosine near-dup pairs (VERDICT r1 #3): multi-table
     hyperplane-LSH buckets + exact cosine verification, checked for FULL
@@ -6573,6 +6836,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_index_maintenance": q_ivf_index_maintenance,
     "lsh_index_maintenance": q_lsh_index_maintenance,
     "pq_ann_persisted": q_pq_ann_persisted,
+    "ivfpq_ann": q_ivfpq_ann,
+    "ivfpq_ann_persisted": q_ivfpq_ann_persisted,
     "lsh_ann_persisted": q_lsh_ann_persisted,
     "index_maintenance_plan": q_index_maintenance_plan,
     "sharded_build_materialized": q_sharded_build_materialized,
@@ -6911,6 +7176,8 @@ ORACLES: dict[str, str] = {
     "ivf_index_maintenance": IVF_INDEX_MAINTENANCE_ORACLE,
     "lsh_index_maintenance": LSH_INDEX_MAINTENANCE_ORACLE,
     "pq_ann_persisted": PQ_ANN_PERSISTED_ORACLE,
+    "ivfpq_ann": IVFPQ_ANN_ORACLE,
+    "ivfpq_ann_persisted": IVFPQ_ANN_PERSISTED_ORACLE,
     "index_maintenance_plan": INDEX_MAINTENANCE_PLAN_ORACLE,
     "sharded_build_materialized": SHARDED_BUILD_MATERIALIZED_ORACLE,
     "ivf_ann_persisted": IVF_ANN_PERSISTED_ORACLE,
@@ -6987,6 +7254,8 @@ ORACLES: dict[str, str] = {
 # boundary after r13), then the carried r13 order. Recomputed from
 # CORRECTNESS_r*.json (max round per query).
 _R14_PRIORITY = [
+    'ivfpq_ann',
+    'ivfpq_ann_persisted',
     'bm25_search',
     'bpe_tokenize',
     'c4_clean',

@@ -137,6 +137,8 @@ def start_ann_index_ingest(
     trigger_seconds: int | None = None,
     available_now: bool = False,
     takeover: bool = False,
+    on_rebuild_due=None,
+    plan_thresholds: dict | None = None,
 ) -> StreamingQuery:
     """Start the streaming maintenance sink for the persisted ANN index
     at ``index_path`` (kind — IVF, LSH, PQ, IVF-PQ or sharded IVF — is
@@ -157,10 +159,25 @@ def start_ann_index_ingest(
     ``compact_due`` rule of :func:`~..operators.similarity.
     index_maintenance_plan` applied live, so quiet streams never pay
     needless tree rewrites and bursty ones compact as soon as probe-seek
-    multiplication actually warrants it. Only the layout rule automates
+    multiplication actually warrants it. Only the layout rule EXECUTES
     here: the policy's ``rebuild_due`` (occupancy-skew) branch needs a
-    full-corpus rebuild no sink should launch unattended — run the plan
-    offline for that decision.
+    full-corpus rebuild no sink should launch unattended — run
+    ``apply_maintenance_plan`` offline for that.
+
+    ``on_rebuild_due`` SURFACES the rebuild signal instead of letting
+    the stream append into a silently degrading index: when set, each
+    batch additionally runs the occupancy gauge + policy (one
+    column-pruned groupBy over the index's key column per batch — an
+    O(index-keys) job, which is why it is OPT-IN and not free like the
+    layout listing; IVF/IVF-PQ/LSH/sharded kinds — PQ has no occupancy
+    gauge) and, for every batch whose verdict says ``rebuild_due``,
+    calls ``on_rebuild_due(report_rows)`` with the plan rows (list of
+    Row). ``plan_thresholds`` overrides the policy's keyword thresholds
+    (e.g. ``{'skew_threshold': 3.0, 'min_rows_for_rebuild': 1_000}``). Pass ``'raise'`` to fail the batch instead (the stream stops
+    with the report in the error — the operator's choice that a
+    degrading index is worse than a stopped stream). The callback
+    fires once per FIRED BATCH — a drifted index keeps firing each
+    batch until rebuilt, which is the honest signal shape.
 
     SINGLE WRITER: the marker + replay-dedupe protocol assumes exactly
     one topology per index — two concurrent writers would interleave
@@ -237,6 +254,32 @@ def start_ann_index_ingest(
         }[kind]
         return SIM.index_layout_stats(spark, index_path, tree)["max_files_per_dir"]
 
+    if on_rebuild_due is not None and kind == "pq":
+        raise ValueError(
+            "start_ann_index_ingest: on_rebuild_due needs an occupancy "
+            "gauge, which PQ trees do not have (ADC reads every code row "
+            "by design)"
+        )
+
+    def occupancy_fired():
+        if kind == "sharded_ivf":
+            stats = SIM.sharded_ivf_index_stats(
+                SIM.load_sharded_ivf_index(spark, index_path)
+            )
+        elif kind == "lsh":
+            stats = SIM.lsh_index_stats(
+                spark.read.parquet(f"{index_path}/buckets")
+            )
+        else:  # ivf / ivfpq
+            tree = {"ivf": "assignments", "ivfpq": "entries"}[kind]
+            stats = SIM.ivf_index_stats(
+                spark.read.parquet(f"{index_path}/{tree}")
+            )
+        rows = SIM.index_maintenance_plan(
+            stats, **(plan_thresholds or {})
+        ).collect()
+        return [r for r in rows if r["action"] == "rebuild_due"]
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch_into_index(
             spark, index_path, batch_df, batch_id,
@@ -247,6 +290,16 @@ def start_ann_index_ingest(
                 compact(spark, index_path)
         elif compact_every and (batch_id + 1) % compact_every == 0:
             compact(spark, index_path)
+        if on_rebuild_due is not None:
+            fired = occupancy_fired()
+            if fired:
+                if on_rebuild_due == "raise":
+                    raise RuntimeError(
+                        f"ANN index at {index_path} is rebuild_due after "
+                        f"batch {batch_id}: {[tuple(r) for r in fired]} — "
+                        "run apply_maintenance_plan"
+                    )
+                on_rebuild_due(fired)
 
     writer = (
         vectors.writeStream.foreachBatch(write_batch)

@@ -6,12 +6,18 @@ one script:
     O(batch)) → replayed append with dedupe=True lands 0 rows
   → gauges (ivf_index_stats + index_layout_stats) → the tested POLICY
     (index_maintenance_plan: append_ok | compact_due | rebuild_due, r13)
-  → compact back to one file/dir
+    → EXECUTED by apply_maintenance_plan (r14): compact_due compacts,
+    and the loop re-gauges back to append_ok
   → query through the persisted index before/after — identical rows
   → the same increment flow through the STREAMING sink
     (start_ann_index_ingest: marker + replay-dedupe exactly-once,
     repair-before-append, single-writer _ingest_owner lease — r13)
-  → and the sharded path for corpora past the 4096-list clamp.
+  → the sharded path for corpora past the 4096-list clamp — including
+    DRIFT: a hot-cluster increment skews one shard past the rebuild
+    threshold and apply_maintenance_plan rebuilds THAT SHARD ONLY from
+    its own stored vectors (r14)
+  → and the IVF-PQ composition (r14): codes in the lists bound probed
+    BYTES the way sharding bounds probed ROWS; ADC top-k + exact rerank.
 
 Every stage is the declared engine helper — the composition story for a
 corpus whose embedding table grows daily and cannot afford an O(corpus)
@@ -68,30 +74,24 @@ def main() -> None:
     replay = SIM.append_to_ivf_index(spark, root, day1, dedupe=True)
     print(f"[append]  day-1 increment: {n} appended, replay appended {replay}")
 
-    # 3. gauges → POLICY → compact → results unchanged: the layout gauge
-    #    (files per dir, pure metadata) joins the occupancy stats, and
-    #    index_maintenance_plan turns them into the action the loop
-    #    branches on — the appends above left >1 file in the touched
-    #    dirs, so with a tight threshold the verdict is compact_due
-    stats_df = SIM.ivf_index_stats(SIM.load_ivf_index(spark, root)[1])
-    stats = stats_df.first()
-    print(f"[stats]   rows={stats['n_rows']} max_occ={stats['max_occupancy']} "
-          f"skew={stats['skew']} rebalance={stats['rebalance_recommended']}")
-    layout = SIM.index_layout_stats(spark, root)
-    verdict = SIM.index_maintenance_plan(
-        stats_df.withColumn("files_per_dir", F.lit(layout["max_files_per_dir"])),
-        max_files_per_dir=1,
-    ).first()
-    print(f"[plan]    files/dir={layout['max_files_per_dir']} → "
-          f"action={verdict['action']} reasons={list(verdict['reasons'])}")
-    assert verdict["action"] == "compact_due", verdict
-    SIM.compact_ivf_index(spark, root)
+    # 3. gauges → POLICY → EXECUTE, one call: apply_maintenance_plan
+    #    computes the occupancy + layout gauges, runs
+    #    index_maintenance_plan, and executes each verdict row — the
+    #    appends above left >1 file in the touched dirs, so with a tight
+    #    threshold the verdict is compact_due and the executor compacts
+    rep = SIM.apply_maintenance_plan(spark, root, max_files_per_dir=1).first()
+    print(f"[execute] rows={rep['n_rows']} skew={rep['skew']} "
+          f"files/dir={rep['files_per_dir']} → action={rep['action']} "
+          f"executed={rep['executed']}")
+    assert (rep["action"], rep["executed"]) == ("compact_due", "compacted"), rep
+    rep2 = SIM.apply_maintenance_plan(spark, root, max_files_per_dir=1).first()
+    assert rep2["action"] == "append_ok", rep2
     after = SIM.ivf_ann_topk(
         queries, emb, k=5, n_probe=8,
         index=SIM.load_ivf_index(spark, root), scorer="hof",
     ).count()
     assert after == before, (before, after)
-    print(f"[compact] one file per list dir restored; query rows unchanged ({after})")
+    print(f"[compact] re-gauge says {rep2['action']}; query rows unchanged ({after})")
 
     # 4. the same increment flow as a STREAMING topology: drop vector
     #    files into a dir, the sink appends each micro-batch exactly once
@@ -140,6 +140,55 @@ def main() -> None:
     }
     print(f"[sharded] 2-shard index, global-budget query rows={topk}, "
           f"per-shard rows={ {k: v for k, v in gauge.items() if k >= 0} }")
+
+    # 6. DRIFT → per-shard rebuild: a tight cluster of near-identical
+    #    vectors (a hot crawl topic) routed to one shard piles into a
+    #    single frozen list; the policy flags THAT shard rebuild_due and
+    #    the executor rebuilds it alone — the other shard's centroids
+    #    are untouched and the gauge returns to append_ok
+    dim = len(emb.first()["embedding"])
+    jitter = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.lit(0.5)
+        + (F.pmod(F.xxhash64(F.col("vec_id") * dim + j), F.lit(2001)) - 1000)
+        .cast("double") / 1000.0 * 0.15,
+    )
+    # sized so the cluster skews the frozen centroids hard (one list
+    # absorbs it all) but a rebuild's fresh seeds can actually spread it
+    # — a cluster that OUTNUMBERS the shard re-concentrates even under
+    # fresh k-means (one Lloyd step is not a balancing partitioner) and
+    # would honestly re-flag, which is the policy working, not the demo
+    drift = (
+        spark.range(600)
+        .select((F.col("id") + 20_000_000).alias("vec_id"))
+        .select("vec_id", jitter.alias("embedding"))
+        .filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)) == 1)
+    )
+    SIM.append_to_sharded_ivf_index(spark, sroot, drift)
+    kw = dict(skew_threshold=4.0, min_rows_for_rebuild=10, max_files_per_dir=50)
+    report = {r["shard"]: r for r in SIM.apply_maintenance_plan(spark, sroot, **kw).collect()}
+    print("[drift]   " + "; ".join(
+        f"shard {s}: {r['action']}→{r['executed']} (skew {r['skew']})"
+        for s, r in sorted(report.items()) if s >= 0
+    ))
+    assert report[1]["executed"] == "rebuilt" and report[0]["executed"] == "none", report
+    healthy = {r["shard"]: r["action"] for r in SIM.apply_maintenance_plan(spark, sroot, **kw).collect()}
+    assert all(a == "append_ok" for a in healthy.values()), healthy
+    print(f"[rebuilt] only the skewed shard; re-gauge: {healthy}")
+
+    # 7. IVF-PQ: the byte-cut composition — the ADC stage reads m ints
+    #    per candidate (parquet column pruning), rerank reads full
+    #    vectors for just the ADC top-R
+    proot = os.path.join(out_dir, "ivfpq")
+    SIM.persist_ivfpq_index(
+        SIM.build_ivfpq_index(emb, n_lists="auto", m=4, pq_k=16),
+        proot, m=4, pq_k=16, mode="overwrite",
+    )
+    pidx, pparams = SIM.load_ivfpq_index(spark, proot)
+    pq_rows = SIM.ivfpq_ann_topk(
+        queries, pidx, k=5, n_probe=8, rerank=20, scorer="hof", **pparams
+    ).count()
+    print(f"[ivfpq]   ADC probe + exact rerank rows={pq_rows}")
     print(f"done → {out_dir}")
     if len(sys.argv) < 2:
         shutil.rmtree(out_dir, ignore_errors=True)

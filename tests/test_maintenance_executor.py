@@ -1,0 +1,221 @@
+"""apply_maintenance_plan (operators/similarity.py): the gauge → plan →
+EXECUTE loop — compact_due runs the kind's compaction, rebuild_due
+rebuilds FROM THE INDEX'S OWN STORED VECTORS at the policy's granularity
+(a sharded index rebuilds only the flagged shard), and torn rebuild
+swaps heal forward. Closes the r13 verdict's 'rebuild_due has no
+consumer' gap."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+    append_to_ivf_index,
+    append_to_ivfpq_index,
+    append_to_sharded_ivf_index,
+    apply_maintenance_plan,
+    build_ivf_index,
+    build_ivfpq_index,
+    build_sharded_ivf_index,
+    bucketize_tables,
+    ivfpq_ann_topk,
+    load_ivfpq_index,
+    load_lsh_index,
+    load_sharded_ivf_index,
+    persist_ivf_index,
+    persist_ivfpq_index,
+    persist_lsh_index,
+    persist_sharded_ivf_index,
+    repair_index_rebuild,
+    sharded_ivf_ann_topk,
+)
+from aws_dataset_ingestion_metrics_collection_framework_spark.sources import fsio
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _drift_batch(spark, n, *, id_offset, dim=64, spread=0.15):
+    """A tight cluster of ALMOST-identical vectors (deterministic jitter
+    around one direction): against FROZEN centroids they pile into one
+    list (the skew the gauge exists for); a rebuild's fresh centroids
+    sample the cluster and split it."""
+    jitter = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.lit(0.5)
+        + (F.pmod(F.xxhash64(F.col("vec_id") * dim + j), F.lit(2001)) - 1000)
+        .cast("double") / 1000.0 * spread,
+    )
+    return spark.range(n).select(
+        (F.col("id") + id_offset).alias("vec_id")
+    ).select("vec_id", jitter.alias("embedding"))
+
+
+def test_apply_plan_compact_then_healthy_flat_ivf(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "x_ivf")
+    persist_ivf_index(
+        build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), n_lists=8), root
+    )
+    for shift in (1_000_000, 2_000_000, 3_000_000):
+        append_to_ivf_index(
+            spark, root,
+            emb.filter(F.col("vec_id") % 2 == 1).select(
+                (F.col("vec_id") + shift).alias("vec_id"), "embedding"
+            ),
+        )
+    rep = apply_maintenance_plan(spark, root, max_files_per_dir=2).first()
+    assert rep["action"] == "compact_due" and rep["executed"] == "compacted"
+    rep2 = apply_maintenance_plan(spark, root, max_files_per_dir=2).first()
+    assert rep2["action"] == "append_ok" and rep2["executed"] == "none"
+    assert rep2["n_rows"] == rep["n_rows"]  # compaction loses nothing
+
+
+def test_apply_plan_dry_run_reports_without_executing(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "x_dry")
+    persist_ivf_index(
+        build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), n_lists=8), root
+    )
+    append_to_ivf_index(
+        spark, root,
+        emb.filter(F.col("vec_id") % 2 == 1).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        ),
+    )
+    rep = apply_maintenance_plan(
+        spark, root, max_files_per_dir=1, dry_run=True
+    ).first()
+    assert rep["action"] == "compact_due" and rep["executed"] == "compacted"
+    # nothing actually ran: the gauge still fires
+    rep2 = apply_maintenance_plan(
+        spark, root, max_files_per_dir=1, dry_run=True
+    ).first()
+    assert rep2["action"] == "compact_due"
+
+
+def test_apply_plan_rebuilds_only_the_skewed_shard(spark, sf_dir, tmp_path):
+    """THE r13 verdict's end-to-end ask: drift ONE shard past
+    skew_threshold=4 → plan says rebuild_due for that shard → executor
+    rebuilds THAT SHARD ONLY (the other shard's centroid table is
+    byte-identical) → the gauge returns to append_ok everywhere."""
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "x_sharded")
+    persist_sharded_ivf_index(
+        build_sharded_ivf_index(emb, n_shards=2, n_lists=8), root
+    )
+    # drift ids routed (by the build's own hash split) to shard 1 only
+    drift = _drift_batch(spark, 600, id_offset=5_000_000).filter(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)) == 1
+    )
+    n_drift = drift.count()
+    assert n_drift > 200
+    append_to_sharded_ivf_index(spark, root, drift)
+
+    kw = dict(skew_threshold=4.0, min_rows_for_rebuild=10, max_files_per_dir=50)
+    other_before = sorted(
+        map(tuple, spark.read.parquet(f"{root}/shard=00000/centroids").collect())
+    )
+    rep = {r["shard"]: r for r in apply_maintenance_plan(spark, root, **kw).collect()}
+    assert rep[1]["action"] == "rebuild_due" and rep[1]["executed"] == "rebuilt"
+    assert rep[0]["action"] == "append_ok" and rep[0]["executed"] == "none"
+    assert rep[-1]["executed"] == "none"  # the global row is a report
+    other_after = sorted(
+        map(tuple, spark.read.parquet(f"{root}/shard=00000/centroids").collect())
+    )
+    assert other_before == other_after  # untouched shard is bit-identical
+
+    rep2 = {r["shard"]: r for r in apply_maintenance_plan(spark, root, **kw).collect()}
+    assert all(r["action"] == "append_ok" for r in rep2.values()), {
+        s: (r["action"], r["skew"]) for s, r in rep2.items()
+    }
+    # the rebuilt index still answers queries over every row
+    idx = load_sharded_ivf_index(spark, root)
+    out = sharded_ivf_ann_topk(
+        emb.filter(F.col("vec_id") < 3), idx, k=3, n_probe=6, scorer="hof"
+    )
+    assert out.count() == 9
+    total = sum(
+        asg.count() for _c, asg in idx
+    )
+    assert total == emb.count() + n_drift
+
+
+def test_apply_plan_rebuilds_drifted_ivfpq(spark, sf_dir, tmp_path):
+    """IVF-PQ rebuild retrains BOTH quantizers from the stored vectors and
+    preserves the manifest's training params; queries keep working via
+    the splatted params."""
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "x_ivfpq")
+    persist_ivfpq_index(
+        build_ivfpq_index(emb, n_lists=8, m=4, pq_k=16), root, m=4, pq_k=16
+    )
+    append_to_ivfpq_index(spark, root, _drift_batch(spark, 400, id_offset=7_000_000))
+    kw = dict(skew_threshold=4.0, min_rows_for_rebuild=10, max_files_per_dir=50)
+    rep = apply_maintenance_plan(spark, root, **kw).first()
+    assert rep["action"] == "rebuild_due" and rep["executed"] == "rebuilt"
+    rep2 = apply_maintenance_plan(spark, root, **kw).first()
+    assert rep2["action"] == "append_ok", (rep2["action"], rep2["skew"])
+    loaded, params = load_ivfpq_index(spark, root)
+    assert params["m"] == 4 and params["normalize"] is True
+    out = ivfpq_ann_topk(
+        emb.filter(F.col("vec_id") < 3), loaded, k=3, n_probe=6,
+        scorer="hof", **params,
+    )
+    assert out.count() == 9
+    assert loaded[2].count() == emb.count() + 400
+
+
+def test_apply_plan_rebuilds_lsh_with_fresh_planes(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "x_lsh")
+    persist_lsh_index(
+        bucketize_tables(
+            emb, id_col="vec_id", id_name="neighbor_id", vec_col="embedding",
+            keep_vec="cv", n_tables=4, n_planes=2,
+        ),
+        root, n_planes=2, n_tables=4, seed=7,
+    )
+    # force the rebuild branch (threshold below any real occupancy ratio)
+    rep = apply_maintenance_plan(
+        spark, root, skew_threshold=0.5, min_rows_for_rebuild=10,
+        max_files_per_dir=1000,
+    ).first()
+    assert rep["action"] == "rebuild_due" and rep["executed"] == "rebuilt"
+    idx, params = load_lsh_index(spark, root)
+    assert params["seed"] == 8          # advanced
+    assert params["n_planes"] >= 2      # re-derived, never below stored
+    assert idx.select("neighbor_id").distinct().count() == emb.count()
+
+
+def test_repair_index_rebuild_heals_torn_swap(spark, sf_dir, tmp_path):
+    """Crash planted BETWEEN the rebuild swap's renames: live dir gone,
+    committed __rebuilt present — the next executor run (or the repair
+    directly) finishes the swap; an UNcommitted __rebuilt with live
+    intact is superseded residue and ignored."""
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "x_torn")
+    persist_ivf_index(build_ivf_index(emb, n_lists=8), root)
+    before = apply_maintenance_plan(spark, root, dry_run=True).first()["n_rows"]
+
+    # simulate: rebuilt committed, live renamed away (first rename done)
+    fsio.rename(root, f"{root}__retired")
+    persist_ivf_index(build_ivf_index(emb, n_lists=8), f"{root}__rebuilt")
+    fsio.write_text_atomic(f"{root}__rebuilt/_REBUILD_META", "1")
+    assert repair_index_rebuild(spark, root) is True
+    assert fsio.exists(root)
+    assert not fsio.exists(f"{root}__rebuilt")
+    assert not fsio.exists(f"{root}__retired")
+    after = apply_maintenance_plan(spark, root, dry_run=True).first()["n_rows"]
+    assert after == before
+
+    # live intact + stale uncommitted __rebuilt: no repair, no damage
+    fsio.write_text_atomic(f"{root}__rebuilt/junk.txt", "x")
+    assert repair_index_rebuild(spark, root) is False
+    assert fsio.exists(root)
+
+    # live missing with NO committed replacement: loud, never silent
+    fsio.delete(f"{root}__rebuilt")
+    fsio.rename(root, f"{root}__retired")
+    with pytest.raises(ValueError, match="restore it manually"):
+        repair_index_rebuild(spark, root)

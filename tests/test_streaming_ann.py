@@ -737,3 +737,70 @@ def test_stream_ingest_policy_driven_compaction(spark, sf_dir, tmp_path):
         start_ann_index_ingest(
             stream, root, str(tmp_path / "ck_bad"), compact_every="yes"
         )
+
+
+def test_stream_surfaces_rebuild_due(spark, sf_dir, tmp_path):
+    """VERDICT r13 ask #6: a drifted stream must SURFACE rebuild_due
+    instead of appending into a degrading index silently. Three
+    micro-batches of near-identical vectors pile into one frozen list;
+    the callback fires once per batch whose post-append gauge says
+    rebuild_due, with the plan rows as payload; 'raise' mode fails the
+    stream instead; PQ trees (no occupancy gauge) refuse the option at
+    start."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        persist_pq_index,
+        pq_index,
+    )
+
+    root, base = _mk_ivf_tree(spark, sf_dir, tmp_path)
+    src = tmp_path / "vin_drift"
+    src.mkdir()
+    dim = len(base.first()["embedding"])
+    for b in range(3):
+        rows = [
+            (
+                9_000_000 + b * 1000 + i,
+                [0.5 + ((i * dim + j) % 41 - 20) / 400.0 for j in range(dim)],
+            )
+            for i in range(120)
+        ]
+        _write_batch_file(str(src), rows, f"b{b}.json")
+    fired = []
+    stream = spark.readStream.schema(VEC_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    q = start_ann_index_ingest(
+        stream, root, str(tmp_path / "ckpt_drift"), available_now=True,
+        on_rebuild_due=fired.append,
+        plan_thresholds={"skew_threshold": 3.0, "min_rows_for_rebuild": 100},
+    )
+    q.awaitTermination(240)
+    assert not q.isActive
+    # the drift fires on at least the later batches, exactly once per
+    # fired batch, and every payload row carries the verdict
+    assert 1 <= len(fired) <= 3
+    assert all(
+        all(r["action"] == "rebuild_due" for r in rows) for rows in fired
+    )
+
+    # 'raise' mode: the same drifted index now fails the next batch
+    _write_batch_file(str(src), [(9_500_000, [0.5] * dim)], "b_extra.json")
+    q2 = start_ann_index_ingest(
+        spark.readStream.schema(VEC_SCHEMA).json(str(src)),
+        root, str(tmp_path / "ckpt_drift_raise"), available_now=True,
+        on_rebuild_due="raise",
+        plan_thresholds={"skew_threshold": 3.0, "min_rows_for_rebuild": 100},
+        takeover=True,
+    )
+    with pytest.raises(Exception, match="rebuild_due"):
+        q2.awaitTermination(240)
+
+    # PQ: no occupancy gauge — the option is refused at start
+    pq_root = str(tmp_path / "pq_no_gauge")
+    persist_pq_index(pq_index(base, m=4), pq_root, m=4, mode="overwrite")
+    with pytest.raises(ValueError, match="occupancy gauge"):
+        start_ann_index_ingest(
+            spark.readStream.schema(VEC_SCHEMA).json(str(src)),
+            pq_root, str(tmp_path / "ckpt_pq_refuse"),
+            on_rebuild_due=lambda rows: None,
+        )

@@ -10,6 +10,8 @@ Usage:
     python tools/ann_scale_probe.py append [n ...] [--dim D] [--scorer S]
     python tools/ann_scale_probe.py amortize [n ...] [--dim D] [--scorer S] [--shards K]
     python tools/ann_scale_probe.py shardbuild [n ...] [--dim D] [--shards K] [--mat-only]
+    python tools/ann_scale_probe.py ivfpq [n ...] [--dim D] [--scorer S]
+    python tools/ann_scale_probe.py skewknee [n ...] [--dim D] [--scorer S]
 
 ``--scorer`` forces the candidate-scoring kernel ('hof'|'arrow';
 default 'auto' — the dim-based cutover the query path itself applies).
@@ -37,6 +39,24 @@ persist the corpus index once (the rebuild cost), then append a 10%
 increment via ``append_to_ivf_index`` (the O(batch) daily-crawl path),
 compact, and re-query: reports append-vs-rebuild ratio, compact cost,
 and the indexed query time over the grown index.
+
+ivfpq (SCALE.md r14): the probe-BYTES A/B — flat IVF vs the IVF-PQ
+composition on the same corpus, both persisted through their engine
+helpers; per-probed-list column bytes are read from parquet column-chunk
+metadata (exact on-disk read volume, not an estimate), so the headline
+is probe_bytes_per_query(ivf float vectors) / probe_bytes_per_query
+(ivfpq int codes), plus build + ADC / rerank query wall times and a
+planted-twin sanity gate.
+
+skewknee (SCALE.md r14): the rebuild-trigger evidence — drift a frozen-
+centroid index with a tight cluster in avg-occupancy multiples (hot
+list = 2x, 3x, 5x, 9x, 17x, 33x avg → skew ≈ those values), measuring
+skew vs HOT-QUERY probed rows and latency at every step (cluster-drawn
+queries probe the hot list — where degradation physically lives; base
+queries ride along as the control), then rebuild via
+apply_maintenance_plan and measure the recovery. Ties the policy's
+skew_threshold to a measured latency curve: hot-query read
+amplification ≈ 1 + (skew−1)/n_probe.
 
 pq: the ADC economics point (SCALE.md r12) — pq_ann_topk end to end
 (integer k-means train + encode + asymmetric-distance scan) with
@@ -470,6 +490,176 @@ def main() -> None:
                         "code_rows": n * m_auto,
                         "build_query_s": round(t_total, 1),
                         "topk_rows": len(rows)})
+        elif mode == "ivfpq":
+            # probe-BYTES economics (SCALE.md r14): flat IVF carries full
+            # float vectors through the probe join; IVF-PQ carries m int
+            # codes. Bytes are measured from the PERSISTED trees' parquet
+            # column-chunk metadata (pyarrow) — the exact on-disk bytes a
+            # probed list's scan pays per column, not an estimate.
+            import pyarrow.parquet as papq
+
+            def col_bytes_per_dir(tree, col):
+                per_dir = []
+                for d, _, files in os.walk(tree):
+                    b = 0
+                    for f in files:
+                        if not f.endswith(".parquet"):
+                            continue
+                        md = papq.ParquetFile(os.path.join(d, f)).metadata
+                        for rg in range(md.num_row_groups):
+                            g = md.row_group(rg)
+                            for ci in range(g.num_columns):
+                                c = g.column(ci)
+                                if c.path_in_schema.split(".")[0] == col:
+                                    b += c.total_compressed_size
+                    if b:
+                        per_dir.append(b)
+                return (sum(per_dir) / len(per_dir)) if per_dir else 0.0
+
+            queries = emb.filter(F.col("vec_id") < 100)
+            n_probe = 8
+            m_auto = SIM.auto_pq_m(dim)
+            rec = {"n": n, "dim": dim, "m_auto": m_auto, "scorer": scorer,
+                   "n_probe": n_probe}
+
+            t0 = time.perf_counter()
+            ivf_root = tempfile.mkdtemp(prefix="ivf_ref_")
+            SIM.persist_ivf_index(
+                SIM.build_ivf_index(emb, n_lists="auto"), ivf_root,
+                mode="overwrite",
+            )
+            rec["ivf_build_persist_s"] = round(time.perf_counter() - t0, 1)
+            idx = SIM.load_ivf_index(spark, ivf_root)
+            rec["n_lists"] = idx[0].count()
+            times = []
+            for _ in range(2):
+                t1 = time.perf_counter()
+                SIM.ivf_ann_topk(
+                    queries, emb, k=5, n_probe=n_probe, index=idx,
+                    scorer=scorer,
+                ).collect()
+                times.append(time.perf_counter() - t1)
+            rec["ivf_query_s"] = round(min(times), 2)
+            vec_b = col_bytes_per_dir(f"{ivf_root}/assignments", "embedding")
+            rec["ivf_probe_bytes_per_query"] = int(vec_b * n_probe)
+            shutil.rmtree(ivf_root, ignore_errors=True)
+            print(json.dumps({"partial": "ivf_ref", **rec}), flush=True)
+
+            t0 = time.perf_counter()
+            pq_root = tempfile.mkdtemp(prefix="ivfpq_idx_")
+            SIM.persist_ivfpq_index(
+                SIM.build_ivfpq_index(emb, n_lists="auto", m="auto", pq_k=16),
+                pq_root, m=m_auto, pq_k=16, mode="overwrite",
+            )
+            rec["ivfpq_build_persist_s"] = round(time.perf_counter() - t0, 1)
+            pidx, params = SIM.load_ivfpq_index(spark, pq_root)
+            for label, kwargs in (
+                ("adc", {}), ("rerank", {"rerank": 20}),
+            ):
+                times = []
+                for _ in range(2):
+                    t1 = time.perf_counter()
+                    SIM.ivfpq_ann_topk(
+                        queries, pidx, k=5, n_probe=n_probe, scorer=scorer,
+                        **kwargs, **params,
+                    ).collect()
+                    times.append(time.perf_counter() - t1)
+                rec[f"ivfpq_query_{label}_s"] = round(min(times), 2)
+            code_b = col_bytes_per_dir(f"{pq_root}/entries", "codes")
+            rec["ivfpq_adc_probe_bytes_per_query"] = int(code_b * n_probe)
+            rec["probe_bytes_cut"] = round(
+                rec["ivf_probe_bytes_per_query"]
+                / max(rec["ivfpq_adc_probe_bytes_per_query"], 1), 1,
+            )
+            # twin sanity: the composed path still recovers exact copies
+            twins = emb.filter(F.col("vec_id") < 20).select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+            hits = SIM.ivfpq_ann_topk(
+                twins, pidx, k=1, n_probe=1, rerank=8, scorer=scorer, **params
+            ).collect()
+            rec["twins_recovered"] = "%d/20" % sum(
+                1 for r in hits
+                if r["rank"] == 1
+                and r["neighbor_id"] == r["query_id"] - 10_000_000
+            )
+            shutil.rmtree(pq_root, ignore_errors=True)
+            out.append(rec)
+        elif mode == "skewknee":
+            # the rebuild-trigger evidence (SCALE.md r14): drift a frozen-
+            # centroid index with a tight cluster in steps, measure skew vs
+            # HOT-QUERY probed rows + latency at each step, then rebuild
+            # and measure the recovered numbers. Hot queries are drawn
+            # from the drift cluster — they probe the hot list, which is
+            # where degradation physically lives (base queries ride along
+            # as the control).
+            root = tempfile.mkdtemp(prefix="skewknee_")
+            t0 = time.perf_counter()
+            SIM.persist_ivf_index(
+                SIM.build_ivf_index(emb, n_lists="auto"), root,
+                mode="overwrite",
+            )
+            t_build = time.perf_counter() - t0
+            idx = SIM.load_ivf_index(spark, root)
+            n_lists = idx[0].count()
+            avg_occ = n / n_lists
+            n_probe = 8
+
+            def cluster(n_rows, id0):
+                jit = F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda j: F.lit(0.5)
+                    + (F.pmod(F.xxhash64(F.col("vec_id") * dim + j),
+                              F.lit(2001)) - 1000).cast("double")
+                    / 1000.0 * 0.15,
+                )
+                return spark.range(n_rows).select(
+                    (F.col("id") + id0).alias("vec_id")
+                ).select("vec_id", jit.alias("embedding"))
+
+            hot_q = cluster(50, 900_000_000)
+            base_q = emb.filter(F.col("vec_id") < 50)
+
+            def measure(tag, extra):
+                cur = SIM.load_ivf_index(spark, root)
+                stats = SIM.ivf_index_stats(cur[1]).first()
+                rec = {"step": tag, "n": n, "dim": dim,
+                       "skew": stats["skew"],
+                       "max_occ": stats["max_occupancy"], **extra}
+                for label, qs in (("hot", hot_q), ("base", base_q)):
+                    avg_pr, max_pr = _probed_rows(qs, [cur], n_probe, scorer)
+                    times = []
+                    for _ in range(2):
+                        t1 = time.perf_counter()
+                        SIM.ivf_ann_topk(
+                            qs, emb, k=5, n_probe=n_probe, index=cur,
+                            scorer=scorer,
+                        ).collect()
+                        times.append(time.perf_counter() - t1)
+                    rec[f"{label}_probed_rows"] = round(avg_pr)
+                    rec[f"{label}_query_s"] = round(min(times), 2)
+                print(json.dumps(rec), flush=True)
+                return rec
+
+            recs = [measure("baseline", {"build_s": round(t_build, 1)})]
+            grown = 0
+            for i, mult in enumerate((1, 2, 4, 8, 16, 32)):
+                inc = int(avg_occ * mult) - grown
+                grown += inc
+                SIM.append_to_ivf_index(
+                    spark, root, cluster(inc, 800_000_000 + i * 10_000_000)
+                )
+                recs.append(measure(f"drift_{mult}x_avg", {"appended": grown}))
+            # the cure: rebuild from the grown index's own stored vectors
+            t0 = time.perf_counter()
+            SIM.apply_maintenance_plan(
+                spark, root, skew_threshold=4.0, min_rows_for_rebuild=10,
+                max_files_per_dir=10_000,
+            )
+            recs.append(measure("rebuilt", {
+                "rebuild_s": round(time.perf_counter() - t0, 1)
+            }))
+            out.append({"mode": "skewknee", "n": n, "steps": recs})
+            shutil.rmtree(root, ignore_errors=True)
         else:
             twins = emb.filter(F.col("vec_id") < 20).select(
                 (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
