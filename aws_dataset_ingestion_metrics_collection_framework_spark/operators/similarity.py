@@ -2247,6 +2247,37 @@ def _rebuild_ivf_like(spark: SparkSession, live: str, kind: str) -> None:
     _rebuilt_swap(spark, live)
 
 
+def _rebuild_ivfpq_shard_frozen_codes(spark: SparkSession, live: str) -> None:
+    """Rebuild ONE sharded-IVF-PQ shard's IVF half from its own stored
+    vectors while keeping every row's PQ codes VERBATIM: codes depend
+    only on the (shared, frozen) codebook, not on list assignment, so a
+    shard rebuild re-clusters its inverted lists without retraining PQ —
+    retraining per shard would fork the shared codebook and break the
+    one-ADC-table-per-query contract. (A FLAT ivfpq rebuild retrains
+    both quantizers — there is no sharing to preserve and the drifted
+    distribution deserves fresh codes; see :func:`_rebuild_ivf_like`.)"""
+    meta = spark.read.json(f"{live}/meta").first()
+    rebuilt = f"{live}__rebuilt"
+    fsio.delete(rebuilt, spark=spark)
+    entries = spark.read.parquet(f"{live}/entries")
+    id_col, v_col = meta["corpus_id"], meta["vec_col"]
+    new_cents, asg = build_ivf_index(
+        entries.select(id_col, v_col), corpus_id=id_col, vec_col=v_col,
+        n_lists="auto", hash_fn=meta["hash_fn"],
+    )
+    new_entries = asg.join(
+        entries.select(id_col, "codes"), id_col, "left"
+    ).select(id_col, v_col, "list_id", "codes")
+    persist_ivfpq_index(
+        (new_cents, spark.read.parquet(f"{live}/pq_centroids"), new_entries),
+        rebuilt,
+        m=int(meta["m"]), pq_k=int(meta["pq_k"]),
+        scale_bits=int(meta["scale_bits"]), hash_fn=meta["hash_fn"],
+        normalize=bool(meta["normalize"]),
+    )
+    _rebuilt_swap(spark, live)
+
+
 def _rebuild_lsh(spark: SparkSession, live: str) -> None:
     """Rebuild an LSH index directory from its own stored vectors with a
     FRESH plane set — the LSH cure for occupancy skew (frozen planes no
@@ -2305,12 +2336,17 @@ def _gauge_rows(spark: SparkSession, path: str, kind: str) -> DataFrame:
             [(int(n), 0, 0.0)], "n_rows long, null_rows long, skew double"
         )
         files = index_layout_stats(spark, path, "codes")
-    elif kind == "sharded_ivf":
-        idx = load_sharded_ivf_index(spark, path)
+    elif kind in ("sharded_ivf", "sharded_ivfpq"):
+        if kind == "sharded_ivf":
+            idx = load_sharded_ivf_index(spark, path)
+            tree = "assignments"
+        else:
+            (_pqc, idx), _params = load_sharded_ivfpq_index(spark, path)
+            tree = "entries"
         per_stats = sharded_ivf_index_stats(idx)
         per_files = {
             s: index_layout_stats(
-                spark, f"{path}/shard={s:05d}", "assignments"
+                spark, f"{path}/shard={s:05d}", tree
             )["max_files_per_dir"]
             for s in range(len(idx))
         }
@@ -2370,13 +2406,13 @@ def apply_maintenance_plan(
     repair_index_rebuild(spark, path)
     meta = spark.read.json(f"{path}/meta").first()
     if meta is None or meta["format"] not in (
-        "ivf", "lsh", "pq", "ivfpq", "sharded_ivf"
+        "ivf", "lsh", "pq", "ivfpq", "sharded_ivf", "sharded_ivfpq"
     ):
         raise ValueError(
             f"apply_maintenance_plan: {path}/meta is not an ANN index manifest"
         )
     kind = meta["format"]
-    if kind == "sharded_ivf":
+    if kind in ("sharded_ivf", "sharded_ivfpq"):
         for s in range(int(meta["n_shards"])):
             repair_index_rebuild(spark, f"{path}/shard={s:05d}")
     plan_df = index_maintenance_plan(
@@ -2393,15 +2429,21 @@ def apply_maintenance_plan(
             return {"rebuild_due": "rebuilt", "compact_due": "compacted"}.get(
                 action, "none"
             )
-        if kind == "sharded_ivf":
+        if kind in ("sharded_ivf", "sharded_ivfpq"):
             if shard is None or shard < 0:
                 return "none"  # the global row is a report, not a target
             sdir = f"{path}/shard={shard:05d}"
             if action == "rebuild_due":
-                _rebuild_ivf_like(spark, sdir, "ivf")
+                if kind == "sharded_ivf":
+                    _rebuild_ivf_like(spark, sdir, "ivf")
+                else:
+                    _rebuild_ivfpq_shard_frozen_codes(spark, sdir)
                 return "rebuilt"
             if action == "compact_due":
-                compact_ivf_index(spark, sdir)
+                {
+                    "sharded_ivf": compact_ivf_index,
+                    "sharded_ivfpq": compact_ivfpq_index,
+                }[kind](spark, sdir)
                 return "compacted"
             return "none"
         if action == "rebuild_due":
@@ -3675,6 +3717,384 @@ def repair_ivfpq_index(spark: SparkSession, path: str) -> bool:
     """Finish a :func:`compact_ivfpq_index` swap that crashed between
     its two renames (see :func:`_repair_swap`)."""
     return _repair_swap(spark, path, "entries", "repair_ivfpq_index")
+
+
+# ------------------------- sharded IVF-PQ -------------------------
+#
+# The full 100 TB composition: sharding bounds probed ROWS per query
+# (~n_probe × 4096 at any corpus size — build_sharded_ivf_index's
+# global-budget economics) and PQ codes bound probed BYTES per row
+# (m ints instead of dim floats). One codebook is trained on the WHOLE
+# corpus and shared by every shard, so a query computes ONE ADC distance
+# table and reuses it across shards — and every shard directory is a
+# complete standalone ivfpq tree (same manifest, same repair/compact/
+# append helpers), which is what lets the maintenance machinery dispatch
+# per shard.
+
+
+def build_sharded_ivfpq_index(
+    corpus: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_shards: int | str = "auto",
+    n_lists: int | str = "auto",
+    kmeans_iters: int = 1,
+    m: int | str = 4,
+    pq_k: int = 16,
+    scale_bits: int = 20,
+    hash_fn: str = "xx",
+    lloyd_iters: int = 1,
+    normalize: bool = True,
+    centroid_budget_bytes: int = IVF_CENTROID_BUDGET_BYTES,
+    materialize: bool | str = "auto",
+    scratch_dir: str | None = None,
+) -> tuple[DataFrame, list[tuple[DataFrame, DataFrame]]]:
+    """Sharded IVF-PQ: :func:`build_sharded_ivf_index`'s hash split and
+    per-shard in-budget IVF builds (same ``materialize``/``scratch_dir``
+    one-shuffle economics), with ONE :func:`pq_index` codebook trained on
+    the full corpus and each shard's assignments joined to its vectors'
+    codes. Returns ``(pq_centroids, [(ivf_centroids, entries), ...])``
+    — the shard entries carry (id, vec, list_id, codes) exactly like the
+    flat :func:`build_ivfpq_index`.
+
+    THE SHARED CODEBOOK IS THE POINT: PQ quantization quality depends on
+    the value distribution, not on which shard a row hashed to, so one
+    corpus-trained codebook loses nothing — and buys a query ONE m × pq_k
+    ADC table reused across every shard, plus shard rebuilds that never
+    retrain PQ (list assignment and codes are independent; a rebuilt
+    shard re-clusters its lists and keeps its rows' codes verbatim).
+
+    Build cost: the sharded IVF build + one PQ train + one slim
+    (id, m-int) join per shard against the column-pruned code table —
+    all offline; the per-query read volume this buys is bounded in BOTH
+    dimensions (rows by the global probe budget, bytes by the codes).
+    """
+    to_encode = corpus
+    if normalize:
+        to_encode = corpus.withColumn(
+            vec_col, _unit_vec(F.col(vec_col).cast("array<double>"))
+        )
+    pq_centroids, codes = pq_index(
+        to_encode, corpus_id=corpus_id, vec_col=vec_col,
+        m=m, k=pq_k, scale_bits=scale_bits, hash_fn=hash_fn,
+        lloyd_iters=lloyd_iters,
+    )
+    codes_arr = _pq_codes_as_array(codes, corpus_id)
+    shards = build_sharded_ivf_index(
+        corpus, corpus_id=corpus_id, vec_col=vec_col, n_shards=n_shards,
+        n_lists=n_lists, kmeans_iters=kmeans_iters,
+        centroid_budget_bytes=centroid_budget_bytes,
+        materialize=materialize, scratch_dir=scratch_dir,
+    )
+    out = []
+    for cents, asg in shards:
+        entries = asg.join(codes_arr, corpus_id, "left").select(
+            corpus_id, vec_col, "list_id", "codes"
+        )
+        out.append((cents, entries))
+    return pq_centroids, out
+
+
+def sharded_ivfpq_ann_topk(
+    queries: DataFrame,
+    index: tuple[DataFrame, list[tuple[DataFrame, DataFrame]]],
+    *,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 8,
+    rerank: int = 0,
+    m: int | None = None,
+    scale_bits: int = 20,
+    hash_fn: str = "xx",
+    normalize: bool = True,
+    broadcast_queries: bool = True,
+    scorer: str = "auto",
+) -> DataFrame:
+    """Approximate top-k over a sharded IVF-PQ index: the GLOBAL probe
+    budget of :func:`sharded_ivf_ann_topk` (best ``n_probe`` lists across
+    ALL shards by centroid cosine, probe set localCheckpointed once past
+    one shard — the r13 replanning pin) with :func:`ivfpq_ann_topk`'s ADC
+    candidate scoring — the per-shard candidate scan reads (id, list_id,
+    codes), never the vectors. ONE ADC distance table per query (the
+    codebook is shared) rides the checkpointed probe set into every
+    shard's broadcast join.
+
+    ``rerank=R``: the global ADC top-``max(R, k)`` per query re-scores
+    with exact cosine, reading full vectors per shard for just those
+    candidate rows (partition-pruned to the probed lists). Output
+    contracts match the flat function: (query_id, neighbor_id, adc_dist,
+    rank) without rerank, (…, cosine, rank) with.
+
+    Degenerations (test-pinned): 1 shard ≡ :func:`ivfpq_ann_topk` row for
+    row; a probe budget covering every list returns the SAME rows at any
+    shard count (the shared codebook makes full-budget ADC distances
+    shard-independent)."""
+    pq_centroids, shards = index
+    if not shards:
+        raise ValueError("sharded_ivfpq_ann_topk: empty shard list")
+    m_i, k_i, w_i = _pq_shape(pq_centroids)
+    if m is not None and m != m_i:
+        raise ValueError(
+            f"sharded_ivfpq_ann_topk: m={m} disagrees with the index (its "
+            f"codebook has m={m_i} subspaces) — splat "
+            "load_sharded_ivfpq_index's params"
+        )
+    with_dtab = _pq_query_dtab(
+        queries, pq_centroids, query_id=query_id, vec_col=vec_col,
+        m=m_i, pq_k=k_i, sub_width=w_i, scale_bits=scale_bits,
+        normalize=normalize,
+    )
+    use = resolve_scorer(scorer, with_dtab, "qv")
+    q_slim = with_dtab.select("query_id", "qv")
+    probe_parts = []
+    for s, (centroids, _entries) in enumerate(shards):
+        probe_parts.append(
+            _shard_probes(
+                q_slim, centroids, n_probe=n_probe, use=use, budget_check=True
+            ).withColumn("shard", F.lit(s))
+        )
+    all_probes = probe_parts[0]
+    for p in probe_parts[1:]:
+        all_probes = all_probes.unionByName(p)
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("ccos"), F.asc("shard"), F.desc("list_id")
+    )
+    probes = (
+        all_probes.withColumn("_pr", F.row_number().over(pw))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "shard", "list_id")
+        .join(with_dtab.select("query_id", "dtab"), "query_id")
+    )
+    if len(shards) > 1:
+        # same pin as sharded_ivf_ann_topk: every shard branch consumes
+        # the ranked probe set; materialize it (dtab included — m × pq_k
+        # longs per probe row, still query-batch-sized) so probe work is
+        # computed once, not per shard
+        probes = probes.localCheckpoint(eager=False)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("dtab"), F.col("codes"),
+            lambda t, c: F.element_at(t, c + F.lit(1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand_parts = []
+    for s, (_centroids, entries) in enumerate(shards):
+        p_s = probes.filter(F.col("shard") == s).drop("shard")
+        p_side = F.broadcast(p_s) if broadcast_queries else p_s.hint("merge")
+        cand_parts.append(
+            p_side.join(
+                entries.filter(
+                    F.col("list_id").isNotNull() & F.col("codes").isNotNull()
+                ).select(
+                    F.col(corpus_id).alias("neighbor_id"), "list_id", "codes"
+                ),
+                "list_id",
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id", "neighbor_id", "qv",
+                F.lit(s).alias("shard"), "list_id", adc.alias("adc_dist"),
+            )
+        )
+    scored = cand_parts[0]
+    for c in cand_parts[1:]:
+        scored = scored.unionByName(c)
+    wa = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(wa))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_dist", "rank")
+        )
+    top = (
+        scored.withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") <= max(rerank, k))
+        .select("query_id", "neighbor_id", "qv", "shard", "list_id")
+        .localCheckpoint(eager=False)  # consumed once per shard below
+    )
+    re_parts = []
+    for s, (_centroids, entries) in enumerate(shards):
+        t_s = top.filter(F.col("shard") == s).drop("shard")
+        re_parts.append(
+            F.broadcast(t_s).join(
+                entries.filter(F.col("list_id").isNotNull()).select(
+                    F.col(corpus_id).alias("neighbor_id"), "list_id",
+                    F.col(vec_col).alias("cv"),
+                ),
+                ["list_id", "neighbor_id"],
+            )
+            .filter(F.size("qv") == F.size("cv"))
+            .select(
+                "query_id", "neighbor_id",
+                cosine_score_col(use).alias("cosine"),
+            )
+        )
+    rescored = re_parts[0]
+    for r in re_parts[1:]:
+        rescored = rescored.unionByName(r)
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wc))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def persist_sharded_ivfpq_index(
+    index: tuple[DataFrame, list[tuple[DataFrame, DataFrame]]],
+    path: str,
+    *,
+    m: int,
+    pq_k: int = 16,
+    scale_bits: int = 20,
+    hash_fn: str = "xx",
+    normalize: bool = True,
+    mode: str = "error",
+) -> None:
+    """Write a sharded IVF-PQ index: one complete standalone
+    :func:`persist_ivfpq_index` tree per shard under
+    ``{path}/shard=<s>/`` — each shard carries its own copy of the
+    (m × pq_k — tiny) shared codebook, so every per-shard maintenance
+    helper works on a shard directory unmodified — plus a top-level
+    manifest with the shard count and the shared training params."""
+    pq_centroids, shards = index
+    if not shards:
+        raise ValueError("persist_sharded_ivfpq_index: empty shard list")
+    spark = pq_centroids.sparkSession
+    for s, (cents, entries) in enumerate(shards):
+        persist_ivfpq_index(
+            (cents, pq_centroids, entries), f"{path}/shard={s:05d}",
+            m=m, pq_k=pq_k, scale_bits=scale_bits, hash_fn=hash_fn,
+            normalize=normalize, mode=mode,
+        )
+    meta = Row(
+        format="sharded_ivfpq", version=1, n_shards=len(shards),
+        m=m, pq_k=pq_k, scale_bits=scale_bits, hash_fn=hash_fn,
+        normalize=bool(normalize),
+    )
+    spark.createDataFrame([meta]).coalesce(1).write.mode(mode).json(f"{path}/meta")
+
+
+def load_sharded_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    corpus_id: str | None = None,
+    vec_col: str | None = None,
+) -> tuple[tuple[DataFrame, list[tuple[DataFrame, DataFrame]]], dict]:
+    """Read a :func:`persist_sharded_ivfpq_index` tree back as
+    ``((pq_centroids, shard_list), params)`` — splat ``params`` into
+    :func:`sharded_ivfpq_ann_topk`. The shared codebook is read from
+    shard 0's copy (every shard stores identical values)."""
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "sharded_ivfpq":
+        raise ValueError(
+            f"load_sharded_ivfpq_index: {path}/meta is not a sharded "
+            "IVF-PQ manifest"
+        )
+    shards = []
+    pq_centroids = None
+    for s in range(int(meta["n_shards"])):
+        (cents, pqc, entries), _params = load_ivfpq_index(
+            spark, f"{path}/shard={s:05d}",
+            corpus_id=corpus_id, vec_col=vec_col,
+        )
+        if pq_centroids is None:
+            pq_centroids = pqc
+        shards.append((cents, entries))
+    params = {
+        "m": int(meta["m"]), "scale_bits": int(meta["scale_bits"]),
+        "hash_fn": meta["hash_fn"], "normalize": bool(meta["normalize"]),
+    }
+    return (pq_centroids, shards), params
+
+
+def append_to_sharded_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    corpus_id: str | None = None,
+    vec_col: str | None = None,
+    dedupe: bool = False,
+) -> int:
+    """Append a batch to a persisted sharded IVF-PQ tree: route by the
+    build's own ``pmod(xxhash64(id), n_shards)`` split, then the
+    per-shard :func:`append_to_ivfpq_index` assigns against that shard's
+    frozen centroids and encodes against the (shared, per-shard-stored)
+    frozen codebook. Same batch-pin and per-shard-scoped ``dedupe``
+    economics as :func:`append_to_sharded_ivf_index`."""
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "sharded_ivfpq":
+        raise ValueError(
+            f"append_to_sharded_ivfpq_index: {path}/meta is not a sharded "
+            "IVF-PQ manifest"
+        )
+    n_shards = int(meta["n_shards"])
+    shard0 = spark.read.json(f"{path}/shard=00000/meta").first()
+    id_in = corpus_id or shard0["corpus_id"]
+    if n_shards > 1:
+        new_vectors = new_vectors.localCheckpoint(eager=True)
+    total = 0
+    for s in range(n_shards):
+        part = new_vectors.filter(
+            F.pmod(F.xxhash64(F.col(id_in)), F.lit(n_shards)) == s
+        )
+        total += append_to_ivfpq_index(
+            spark, f"{path}/shard={s:05d}", part,
+            corpus_id=corpus_id, vec_col=vec_col, dedupe=dedupe,
+        )
+    return total
+
+
+def compact_sharded_ivfpq_index(spark: SparkSession, path: str) -> None:
+    """Per-shard :func:`compact_ivfpq_index` over a persisted sharded
+    IVF-PQ tree."""
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "sharded_ivfpq":
+        raise ValueError(
+            f"compact_sharded_ivfpq_index: {path}/meta is not a sharded "
+            "IVF-PQ manifest"
+        )
+    for s in range(int(meta["n_shards"])):
+        compact_ivfpq_index(spark, f"{path}/shard={s:05d}")
+
+
+def repair_sharded_ivfpq_index(spark: SparkSession, path: str) -> bool:
+    """Per-shard :func:`repair_ivfpq_index` (every shard visited — a
+    maintenance job dying mid-loop can tear more than one swap)."""
+    meta = spark.read.json(f"{path}/meta").first()
+    if meta is None or meta["format"] != "sharded_ivfpq":
+        raise ValueError(
+            f"repair_sharded_ivfpq_index: {path}/meta is not a sharded "
+            "IVF-PQ manifest"
+        )
+    return any([
+        repair_ivfpq_index(spark, f"{path}/shard={s:05d}")
+        for s in range(int(meta["n_shards"]))
+    ])
+
+
+def sharded_ivfpq_index_stats(
+    index: tuple[DataFrame, list[tuple[DataFrame, DataFrame]]],
+    *,
+    skew_threshold: float = 4.0,
+) -> DataFrame:
+    """Per-shard + global occupancy report for a sharded IVF-PQ index —
+    the entries tables carry ``list_id``, so this is
+    :func:`sharded_ivf_index_stats` over the (centroids, entries)
+    pairs verbatim."""
+    pq_centroids, shards = index
+    return sharded_ivf_index_stats(shards, skew_threshold=skew_threshold)
 
 
 # --------------------------- hard-negative mining ---------------------------

@@ -5653,6 +5653,97 @@ FROM embeddings
 
 
 
+def q_sharded_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded IVF-PQ (r14 — ``similarity.build_sharded_ivfpq_index`` /
+    ``sharded_ivfpq_ann_topk``): the full 100 TB composition — the
+    sharded global probe budget bounds candidate ROWS per query at
+    ~n_probe × 4096 at any corpus size, and the shared PQ codebook's
+    codes bound candidate BYTES at m ints per row. Driver-attested
+    contract, END TO END:
+
+    - flat degeneration: 1 shard returns row-for-row the flat
+      ``ivfpq_ann_topk`` result (ADC mode);
+    - shard-independence at full budget: a probe budget covering every
+      list returns the SAME ADC rows at 2 shards as flat — the codebook
+      is trained on the whole corpus once, so codes and distances never
+      depend on the hash split;
+    - planted-twin exactness through the sharded path (ADC top-1 at
+      n_probe=1, cosine ≈ 1 after rerank);
+    - persisted round trip (per-shard standalone ivfpq trees + top-level
+      manifest) reproduces the in-memory partial-probe rows;
+    - every shard honors one-data-file-per-list-directory."""
+    import os
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    flat = SIM.build_ivfpq_index(emb, n_lists=6, m=4, pq_k=16)
+    one = SIM.build_sharded_ivfpq_index(emb, n_shards=1, n_lists=6, m=4, pq_k=16)
+    two = SIM.build_sharded_ivfpq_index(emb, n_shards=2, n_lists=6, m=4, pq_k=16)
+    f_adc = sorted(map(tuple, SIM.ivfpq_ann_topk(
+        queries, flat, k=5, n_probe=4, scorer="hof").collect()))
+    s_adc = sorted(map(tuple, SIM.sharded_ivfpq_ann_topk(
+        queries, one, k=5, n_probe=4, scorer="hof").collect()))
+    flat_degeneration = f_adc == s_adc
+    full_flat = sorted(map(tuple, SIM.ivfpq_ann_topk(
+        queries, flat, k=5, n_probe=6, scorer="hof").collect()))
+    full_two = sorted(map(tuple, SIM.sharded_ivfpq_ann_topk(
+        queries, two, k=5, n_probe=12, scorer="hof").collect()))
+    shard_independent = full_flat == full_two
+
+    n_twins = 10
+    twins = emb.filter(F.col("vec_id") < n_twins).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    twin_ok = SIM.sharded_ivfpq_ann_topk(
+        twins, two, k=1, n_probe=1, rerank=8, scorer="hof"
+    ).filter(
+        (F.col("rank") == 1)
+        & (F.col("neighbor_id") == F.col("query_id") - 1_000_000)
+        & (F.col("cosine") > 0.999999)
+    ).count() == n_twins
+
+    mem = sorted(map(tuple, SIM.sharded_ivfpq_ann_topk(
+        queries, two, k=5, n_probe=6, scorer="hof").collect()))
+    root = tempfile.mkdtemp(prefix="sivfpq_q_")
+    try:
+        SIM.persist_sharded_ivfpq_index(two, root, m=4, pq_k=16, mode="overwrite")
+        loaded, params = SIM.load_sharded_ivfpq_index(spark, root)
+        per = sorted(map(tuple, SIM.sharded_ivfpq_ann_topk(
+            queries, loaded, k=5, n_probe=6, scorer="hof", **params
+        ).collect()))
+        persisted_ok = per == mem
+        one_file_per_dir = all(
+            sum(1 for f in files if f.endswith(".parquet")) <= 1
+            for s in range(2)
+            for _, _, files in os.walk(
+                os.path.join(root, f"shard={s:05d}", "entries")
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(
+            bool(flat_degeneration), bool(shard_independent), bool(twin_ok),
+            bool(persisted_ok), bool(one_file_per_dir),
+        )],
+        "flat_degeneration boolean, shard_independent boolean, "
+        "twin_rerank_top1 boolean, persisted_equals_memory boolean, "
+        "one_file_per_dir boolean",
+    )
+
+
+SHARDED_IVFPQ_ANN_ORACLE = """
+SELECT TRUE AS flat_degeneration, TRUE AS shard_independent,
+       TRUE AS twin_rerank_top1, TRUE AS persisted_equals_memory,
+       TRUE AS one_file_per_dir
+FROM embeddings LIMIT 1
+"""
+
+
+
 def q_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path for cosine near-dup pairs (VERDICT r1 #3): multi-table
     hyperplane-LSH buckets + exact cosine verification, checked for FULL
@@ -6838,6 +6929,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_ann_persisted": q_pq_ann_persisted,
     "ivfpq_ann": q_ivfpq_ann,
     "ivfpq_ann_persisted": q_ivfpq_ann_persisted,
+    "sharded_ivfpq_ann": q_sharded_ivfpq_ann,
     "lsh_ann_persisted": q_lsh_ann_persisted,
     "index_maintenance_plan": q_index_maintenance_plan,
     "sharded_build_materialized": q_sharded_build_materialized,
@@ -7178,6 +7270,7 @@ ORACLES: dict[str, str] = {
     "pq_ann_persisted": PQ_ANN_PERSISTED_ORACLE,
     "ivfpq_ann": IVFPQ_ANN_ORACLE,
     "ivfpq_ann_persisted": IVFPQ_ANN_PERSISTED_ORACLE,
+    "sharded_ivfpq_ann": SHARDED_IVFPQ_ANN_ORACLE,
     "index_maintenance_plan": INDEX_MAINTENANCE_PLAN_ORACLE,
     "sharded_build_materialized": SHARDED_BUILD_MATERIALIZED_ORACLE,
     "ivf_ann_persisted": IVF_ANN_PERSISTED_ORACLE,
@@ -7255,6 +7348,7 @@ ORACLES: dict[str, str] = {
 # CORRECTNESS_r*.json (max round per query).
 _R14_PRIORITY = [
     'ivfpq_ann',
+    'sharded_ivfpq_ann',
     'ivfpq_ann_persisted',
     'bm25_search',
     'bpe_tokenize',

@@ -101,6 +101,7 @@ def ingest_batch_into_index(
         "pq": SIM.repair_pq_index,
         "ivfpq": SIM.repair_ivfpq_index,
         "sharded_ivf": SIM.repair_sharded_ivf_index,
+        "sharded_ivfpq": SIM.repair_sharded_ivfpq_index,
     }[kind](spark, index_path)
     if dedupe == "auto":
         do_dedupe = _read_marker(spark, index_path) == batch_id
@@ -117,6 +118,7 @@ def ingest_batch_into_index(
         "pq": SIM.append_to_pq_index,
         "ivfpq": SIM.append_to_ivfpq_index,
         "sharded_ivf": SIM.append_to_sharded_ivf_index,
+        "sharded_ivfpq": SIM.append_to_sharded_ivfpq_index,
     }[kind]
     return append(
         spark, index_path, batch_df,
@@ -194,7 +196,7 @@ def start_ann_index_ingest(
     spark = vectors.sparkSession
     meta = spark.read.json(f"{index_path}/meta").first()
     if meta is None or meta["format"] not in (
-        "ivf", "lsh", "pq", "ivfpq", "sharded_ivf"
+        "ivf", "lsh", "pq", "ivfpq", "sharded_ivf", "sharded_ivfpq"
     ):
         raise ValueError(
             f"start_ann_index_ingest: {index_path}/meta is not an "
@@ -235,16 +237,18 @@ def start_ann_index_ingest(
         "pq": SIM.compact_pq_index,
         "ivfpq": SIM.compact_ivfpq_index,
         "sharded_ivf": SIM.compact_sharded_ivf_index,
+        "sharded_ivfpq": SIM.compact_sharded_ivfpq_index,
     }[kind]
 
     def max_files_per_dir() -> int:
-        if kind == "sharded_ivf":
+        if kind in ("sharded_ivf", "sharded_ivfpq"):
             n_sh = int(
                 spark.read.json(f"{index_path}/meta").first()["n_shards"]
             )
+            tree = "assignments" if kind == "sharded_ivf" else "entries"
             return max(
                 SIM.index_layout_stats(
-                    spark, f"{index_path}/shard={s:05d}", "assignments"
+                    spark, f"{index_path}/shard={s:05d}", tree
                 )["max_files_per_dir"]
                 for s in range(n_sh)
             )
@@ -265,6 +269,10 @@ def start_ann_index_ingest(
         if kind == "sharded_ivf":
             stats = SIM.sharded_ivf_index_stats(
                 SIM.load_sharded_ivf_index(spark, index_path)
+            )
+        elif kind == "sharded_ivfpq":
+            stats = SIM.sharded_ivfpq_index_stats(
+                SIM.load_sharded_ivfpq_index(spark, index_path)[0]
             )
         elif kind == "lsh":
             stats = SIM.lsh_index_stats(

@@ -194,6 +194,9 @@ HEADLINE = [
     # Each sets its own r14 baseline in BASELINE.md.
     "ivfpq_ann",
     "ivfpq_ann_persisted",
+    # sharded IVF-PQ contract face: three builds (flat + 1-shard +
+    # 2-shard), degeneration/shard-independence/twin/roundtrip checks
+    "sharded_ivfpq_ann",
 ]
 
 # Benched since r1 — the frozen cross-round comparison basket (see §3 above).

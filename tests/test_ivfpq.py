@@ -329,3 +329,107 @@ def test_ivfpq_malformed_and_wrong_width_inputs(spark, sf_dir):
         queries, raw_idx, k=3, n_probe=8, normalize=False, scorer="hof"
     )
     assert out.count() == 9
+
+
+def test_sharded_ivfpq_degenerations(spark, sf_dir):
+    """The composition's two exactness anchors: 1 shard reproduces the
+    flat ivfpq row for row (ADC and rerank), and a probe budget covering
+    every list returns the SAME ADC rows at 2 shards as flat — the
+    shared corpus-trained codebook makes full-budget ADC distances
+    shard-independent."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        build_sharded_ivfpq_index,
+        sharded_ivfpq_ann_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    flat = build_ivfpq_index(emb, n_lists=6, m=4, pq_k=16)
+    one = build_sharded_ivfpq_index(emb, n_shards=1, n_lists=6, m=4, pq_k=16)
+    two = build_sharded_ivfpq_index(emb, n_shards=2, n_lists=6, m=4, pq_k=16)
+
+    f_adc = sorted(map(tuple, ivfpq_ann_topk(
+        queries, flat, k=5, n_probe=4, scorer="hof").collect()))
+    s_adc = sorted(map(tuple, sharded_ivfpq_ann_topk(
+        queries, one, k=5, n_probe=4, scorer="hof").collect()))
+    assert f_adc == s_adc
+    f_rr = sorted(map(tuple, ivfpq_ann_topk(
+        queries, flat, k=5, n_probe=4, rerank=15, scorer="hof").collect()))
+    s_rr = sorted(map(tuple, sharded_ivfpq_ann_topk(
+        queries, one, k=5, n_probe=4, rerank=15, scorer="hof").collect()))
+    assert f_rr == s_rr
+
+    full_flat = sorted(map(tuple, ivfpq_ann_topk(
+        queries, flat, k=5, n_probe=6, scorer="hof").collect()))
+    full_two = sorted(map(tuple, sharded_ivfpq_ann_topk(
+        queries, two, k=5, n_probe=12, scorer="hof").collect()))
+    assert full_flat == full_two
+
+
+def test_sharded_ivfpq_persisted_lifecycle(spark, sf_dir, tmp_path):
+    """Persist/load round trip, hash-routed appends with replay
+    idempotence, compaction layout + result parity, and planted-twin
+    recovery — the sharded composition gets the full maintenance story."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        append_to_sharded_ivfpq_index,
+        build_sharded_ivfpq_index,
+        compact_sharded_ivfpq_index,
+        load_sharded_ivfpq_index,
+        persist_sharded_ivfpq_index,
+        sharded_ivfpq_ann_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = build_sharded_ivfpq_index(base, n_shards=2, n_lists=6, m=4, pq_k=16)
+    inline = sorted(map(tuple, sharded_ivfpq_ann_topk(
+        queries, idx, k=5, n_probe=6, scorer="hof").collect()))
+    root = str(tmp_path / "sivfpq")
+    persist_sharded_ivfpq_index(idx, root, m=4, pq_k=16)
+    loaded, params = load_sharded_ivfpq_index(spark, root)
+    assert params["m"] == 4 and params["normalize"] is True
+    persisted = sorted(map(tuple, sharded_ivfpq_ann_topk(
+        queries, loaded, k=5, n_probe=6, scorer="hof", **params).collect()))
+    assert persisted == inline
+
+    appended = append_to_sharded_ivfpq_index(spark, root, batch, dedupe=True)
+    assert appended == batch.count()
+    assert append_to_sharded_ivfpq_index(spark, root, batch, dedupe=True) == 0
+    # routed correctly: every appended row lives in its hash shard
+    for s in range(2):
+        entries = load_sharded_ivfpq_index(spark, root)[0][1][s][1]
+        bad = entries.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)) != s
+        ).count()
+        assert bad == 0
+
+    before = sorted(map(tuple, sharded_ivfpq_ann_topk(
+        queries, load_sharded_ivfpq_index(spark, root)[0],
+        k=5, n_probe=6, scorer="hof", **params).collect()))
+    compact_sharded_ivfpq_index(spark, root)
+    for s in range(2):
+        assert all(
+            sum(1 for f in files if f.endswith(".parquet")) <= 1
+            for _, _, files in os.walk(
+                os.path.join(root, f"shard={s:05d}", "entries")
+            )
+        )
+    after = sorted(map(tuple, sharded_ivfpq_ann_topk(
+        queries, load_sharded_ivfpq_index(spark, root)[0],
+        k=5, n_probe=6, scorer="hof", **params).collect()))
+    assert before == after
+
+    twins = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    hits = sharded_ivfpq_ann_topk(
+        twins, load_sharded_ivfpq_index(spark, root)[0],
+        k=1, n_probe=1, rerank=8, scorer="hof", **params,
+    )
+    assert hits.filter(
+        (F.col("rank") == 1)
+        & (F.col("neighbor_id") == F.col("query_id") - 1_000_000)
+        & (F.col("cosine") > 0.999999)
+    ).count() == 10

@@ -219,3 +219,51 @@ def test_repair_index_rebuild_heals_torn_swap(spark, sf_dir, tmp_path):
     fsio.rename(root, f"{root}__retired")
     with pytest.raises(ValueError, match="restore it manually"):
         repair_index_rebuild(spark, root)
+
+
+def test_apply_plan_sharded_ivfpq_rebuild_keeps_codes(spark, sf_dir, tmp_path):
+    """Sharded IVF-PQ per-shard rebuild: only the drifted shard's IVF is
+    re-clustered; every surviving row's PQ codes are VERBATIM the
+    pre-rebuild codes (the shared codebook is never retrained per shard)
+    and the other shard is untouched."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.similarity import (
+        append_to_sharded_ivfpq_index,
+        build_sharded_ivfpq_index,
+        load_sharded_ivfpq_index,
+        persist_sharded_ivfpq_index,
+        sharded_ivfpq_ann_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "x_sivfpq")
+    persist_sharded_ivfpq_index(
+        build_sharded_ivfpq_index(emb, n_shards=2, n_lists=8, m=4, pq_k=16),
+        root, m=4, pq_k=16,
+    )
+    drift = _drift_batch(spark, 600, id_offset=5_000_000).filter(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)) == 1
+    )
+    append_to_sharded_ivfpq_index(spark, root, drift)
+    codes_before = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in load_sharded_ivfpq_index(spark, root)[0][1][1][1]
+        .select("vec_id", "codes").collect()
+    }
+    kw = dict(skew_threshold=4.0, min_rows_for_rebuild=10, max_files_per_dir=50)
+    rep = {r["shard"]: r for r in apply_maintenance_plan(spark, root, **kw).collect()}
+    assert rep[1]["executed"] == "rebuilt" and rep[0]["executed"] == "none"
+    rep2 = {r["shard"]: r for r in apply_maintenance_plan(spark, root, **kw).collect()}
+    assert all(r["action"] == "append_ok" for r in rep2.values()), {
+        s: (r["action"], r["skew"]) for s, r in rep2.items()
+    }
+    (pqc, shards), params = load_sharded_ivfpq_index(spark, root)
+    codes_after = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in shards[1][1].select("vec_id", "codes").collect()
+    }
+    assert codes_after == codes_before  # frozen codes, re-clustered lists
+    out = sharded_ivfpq_ann_topk(
+        emb.filter(F.col("vec_id") < 3), (pqc, shards),
+        k=3, n_probe=6, scorer="hof", **params,
+    )
+    assert out.count() == 9
