@@ -3831,7 +3831,11 @@ def sharded_ivfpq_ann_topk(
     Degenerations (test-pinned): 1 shard ≡ :func:`ivfpq_ann_topk` row for
     row; a probe budget covering every list returns the SAME rows at any
     shard count (the shared codebook makes full-budget ADC distances
-    shard-independent)."""
+    shard-independent). Note the flat path's twin-at-n_probe=1 guarantee
+    does NOT shard: the GLOBAL budget ranks centroids across shards, so
+    another shard's centroid can outrank the twin's source list at small
+    budgets — recovery becomes probabilistic until the budget covers the
+    source's list (certain at full budget)."""
     pq_centroids, shards = index
     if not shards:
         raise ValueError("sharded_ivfpq_ann_topk: empty shard list")

@@ -5667,8 +5667,11 @@ def q_sharded_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
       list returns the SAME ADC rows at 2 shards as flat — the codebook
       is trained on the whole corpus once, so codes and distances never
       depend on the hash split;
-    - planted-twin exactness through the sharded path (ADC top-1 at
-      n_probe=1, cosine ≈ 1 after rerank);
+    - planted-twin exactness through the sharded path at the FULL probe
+      budget (the global budget at small n_probe can rank another
+      shard's centroid above the twin's source list — a property of
+      cross-shard ranking, not an error; with every list probed, ADC
+      minimality makes top-1 recovery provable);
     - persisted round trip (per-shard standalone ivfpq trees + top-level
       manifest) reproduces the in-memory partial-probe rows;
     - every shard honors one-data-file-per-list-directory."""
@@ -5698,7 +5701,7 @@ def q_sharded_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
     twin_ok = SIM.sharded_ivfpq_ann_topk(
-        twins, two, k=1, n_probe=1, rerank=8, scorer="hof"
+        twins, two, k=1, n_probe=12, rerank=8, scorer="hof"
     ).filter(
         (F.col("rank") == 1)
         & (F.col("neighbor_id") == F.col("query_id") - 1_000_000)

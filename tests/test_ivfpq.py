@@ -421,12 +421,17 @@ def test_sharded_ivfpq_persisted_lifecycle(spark, sf_dir, tmp_path):
         k=5, n_probe=6, scorer="hof", **params).collect()))
     assert before == after
 
+    # twins probe the FULL budget (2 shards × 6 lists): unlike the flat
+    # path, the GLOBAL budget at n_probe=1 can rank another shard's
+    # centroid above the twin's source list (measured: 8/10 at
+    # n_probe=1) — with every list probed, ADC minimality makes top-1
+    # recovery provable again
     twins = emb.filter(F.col("vec_id") < 10).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
     hits = sharded_ivfpq_ann_topk(
         twins, load_sharded_ivfpq_index(spark, root)[0],
-        k=1, n_probe=1, rerank=8, scorer="hof", **params,
+        k=1, n_probe=12, rerank=8, scorer="hof", **params,
     )
     assert hits.filter(
         (F.col("rank") == 1)
