@@ -3196,9 +3196,21 @@ def repair_pq_index(spark: SparkSession, path: str) -> bool:
 def _unit_vec(col: Column) -> Column:
     """x / ||x||₂ as a left-to-right HOF expression (SQL-replayable, same
     summation-order discipline as :func:`cosine_similarity`); zero-norm
-    vectors pass through unchanged."""
+    vectors pass through unchanged. The norm is BOUND ONCE per row
+    (``bind_once`` — Catalyst re-evaluates expressions referenced inside
+    HOF lambda bodies once per ELEMENT, so a bare reference would make
+    normalization O(dim²)/row: measured as the dominant cost of the
+    2M × 768 IVF-PQ build before binding — each of the three PQ passes
+    re-ran a 768-element aggregate 768× per row)."""
+    from .dedup import bind_once
+
     n = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
-    return F.when(n > 0.0, F.transform(col, lambda x: x / n)).otherwise(col)
+    return bind_once(
+        n,
+        lambda nn: F.when(
+            nn > 0.0, F.transform(col, lambda x: x / nn)
+        ).otherwise(col),
+    )
 
 
 def _pq_codes_as_array(codes: DataFrame, id_col: str) -> DataFrame:
