@@ -5390,6 +5390,28 @@ ORDER BY query_id, rank
 """
 
 
+def q_pq_ann_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``pq_ann`` pipeline executed through the Arrow exact-int64
+    assign kernel (r14 — ``similarity._pq_assign_arrow``): identical
+    parameters, identical oracle. The kernel swaps the interpreted HOF
+    argmin for one vectorized numpy int64 pass per Arrow batch — the
+    big-build path (the 2M × 768-dim corpus-encode pass is HOF's
+    measured bottleneck) — and this face is the driver-attested proof
+    that the swap is BIT-identical: same seeding, training, encoding and
+    ADC rows, hash-matched against the very same DuckDB replay the HOF
+    face pins (suite parity tests in tests/test_pq_arrow.py cover ties
+    and null vectors the sf data lacks)."""
+    from ..operators.similarity import pq_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq_ann_topk(
+        emb.filter(F.col("vec_id") < 10), emb,
+        k_neighbors=5, m=4, k=16, hash_fn="md5",
+        assign_kernel="arrow",
+    )
+    return out.orderBy("query_id", "rank")
+
+
 def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (r14 — ``similarity.build_ivfpq_index`` /
     ``ivfpq_ann_topk``): PQ codes inside the IVF lists, the FAISS IVFPQ
@@ -6945,6 +6967,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jpeg_progressive": q_jpeg_progressive,
     "main_content": q_main_content,
     "pq_ann": q_pq_ann,
+    # r14: the Arrow assign kernel run through the same oracle — the
+    # driver-attested bit-parity face
+    "pq_ann_arrow": q_pq_ann_arrow,
     "hard_negatives": q_hard_negatives,
     # r5: HTML -> text extraction (the WARC -> c4_clean bridge)
     "html_extract": q_html_extract,
@@ -7292,6 +7317,9 @@ ORACLES: dict[str, str] = {
     "main_content": MAIN_CONTENT_ORACLE,
     "image_phash_pairs": IMAGE_PHASH_PAIRS_ORACLE,
     "pq_ann": PQ_ANN_ORACLE,
+    # the SAME replay verbatim: the arrow kernel's contract is
+    # bit-identity with the HOF path
+    "pq_ann_arrow": PQ_ANN_ORACLE,
     "hard_negatives": HARD_NEGATIVES_ORACLE,
     "html_extract": HTML_EXTRACT_ORACLE,
     "url_dedup": URL_DEDUP_ORACLE,
@@ -7353,6 +7381,7 @@ _R14_PRIORITY = [
     'ivfpq_ann',
     'sharded_ivfpq_ann',
     'ivfpq_ann_persisted',
+    'pq_ann_arrow',
     'bm25_search',
     'bpe_tokenize',
     'c4_clean',

@@ -154,6 +154,11 @@ HEADLINE = [
     # (sub, code) join) and hard-negative mining (bounded overfetch +
     # anti-join exclusion over the brute path)
     "pq_ann",
+    # r14: the same pipeline through the Arrow exact-int64 assign kernel
+    # (bit-identical results; sets its own r14 baseline — at sf-scale the
+    # mapInArrow worker round-trip costs what the interpreted HOF saves,
+    # the win is at big-corpus encode passes, measured in SCALE.md)
+    "pq_ann_arrow",
     "hard_negatives",
     # round-7 addition: fixed-point quality-classifier training (10
     # full-batch GD iterations, each one logits + one gradient

@@ -584,6 +584,49 @@ def main() -> None:
             )
             shutil.rmtree(pq_root, ignore_errors=True)
             out.append(rec)
+        elif mode == "pqassign":
+            # HOF-vs-Arrow assign kernel A/B (SCALE.md r14): time the
+            # corpus-encode pass — the dominant big-build cost at high
+            # dim — against ONE frozen codebook, both kernels in the
+            # same process over the SAME localCheckpointed slices (the
+            # slice/explode cost is identical by construction, so the
+            # delta is purely the argmin execution strategy). Checksums
+            # over (code, d2) are the at-scale parity evidence the
+            # pq_ann_arrow face pins at sf-scale.
+            m_auto = SIM.auto_pq_m(dim)
+            cents, _ = SIM.pq_index(emb, m="auto", lloyd_iters=0)
+            cents = cents.localCheckpoint(eager=True)
+            slices = SIM._pq_subslices(
+                emb, "vec_id", "embedding", m_auto, 20, "cid"
+            ).localCheckpoint(eager=True)
+            rec = {"n": n, "dim": dim, "m_auto": m_auto,
+                   "slice_rows": n * m_auto}
+            for kernel in ("hof", "arrow"):
+                times = []
+                sums = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    row = (
+                        SIM._pq_assign(slices, cents, "cid", kernel=kernel)
+                        .agg(
+                            F.sum("code").alias("sc"),
+                            F.sum("d2").alias("sd"),
+                            F.count(F.lit(1)).alias("cnt"),
+                        )
+                        .collect()[0]
+                    )
+                    times.append(time.perf_counter() - t0)
+                    sums = (row["sc"], row["sd"], row["cnt"])
+                rec[f"assign_{kernel}_s"] = round(min(times), 1)
+                rec[f"checksum_{kernel}"] = list(sums)
+                print(json.dumps({"partial": kernel, **rec}), flush=True)
+            rec["kernel_speedup"] = round(
+                rec["assign_hof_s"] / max(rec["assign_arrow_s"], 1e-9), 1
+            )
+            rec["checksums_match"] = (
+                rec["checksum_hof"] == rec["checksum_arrow"]
+            )
+            out.append(rec)
         elif mode == "skewknee":
             # the rebuild-trigger evidence (SCALE.md r14): drift a frozen-
             # centroid index with a tight cluster in steps, measure skew vs
