@@ -2769,14 +2769,17 @@ def _pq_assign(
     bit-identical (code, d2) (parity-tested, and the ``pq_ann_arrow``
     face hash-matches the HOF face's DuckDB oracle):
 
-    - ``'hof'`` (default): Catalyst higher-order-function expressions.
-      Plan is plain SQL — replayable in DuckDB, no Python workers — but
-      the argmin is interpreted per element (k × d_sub ops/row).
-    - ``'arrow'``: :func:`_pq_assign_arrow` — one vectorized numpy
+    - ``'hof'`` (this private helper's default): Catalyst higher-order-
+      function expressions. Plan is plain SQL — replayable in DuckDB, no
+      Python workers — but the argmin is interpreted per element
+      (k × d_sub ops/row). The reference implementation and the oracle
+      discipline's pedagogical path (the ``pq_ann`` face pins it).
+    - ``'arrow'`` (the PUBLIC default on every builder/append/query
+      entry point): :func:`_pq_assign_arrow` — one vectorized numpy
       int64 argmin per Arrow batch via ``mapInArrow``. The build-scale
-      path: the corpus-encode pass at 2M × 768-dim drops from ~16 min
-      (interpreted HOF) to numpy-batch speed; use it for big builds,
-      keep ``'hof'`` where the plan itself must stay SQL-expressible.
+      path: the corpus-encode pass at 2M × 768-dim drops from
+      interpreted-HOF minutes to numpy-batch speed (pqassign probe,
+      SCALE.md r14).
     """
     if kernel == "arrow":
         return _pq_assign_arrow(slices, cents, id_name)
@@ -2961,7 +2964,7 @@ def pq_index(
     scale_bits: int = 20,
     hash_fn: str = "xx",
     lloyd_iters: int = 1,
-    assign_kernel: str = "hof",
+    assign_kernel: str = "arrow",
 ) -> tuple[DataFrame, DataFrame]:
     """Product-quantization index (Jégou et al., TPAMI'11): cut each
     vector into ``m`` subspaces, k-means each subspace independently
@@ -2991,9 +2994,11 @@ def pq_index(
     balance). At 768-dim that is m=48: the ADC scan reads 48 ints per
     vector instead of 768 floats.
 
-    ``assign_kernel`` ('hof' | 'arrow') selects the argmin execution
-    path for training and encoding — bit-identical results either way
-    (see :func:`_pq_assign`); 'arrow' is the big-build fast path.
+    ``assign_kernel`` ('arrow' default | 'hof') selects the argmin
+    execution path for training and encoding — bit-identical results
+    either way (see :func:`_pq_assign`, parity-tested and face-attested
+    against the same DuckDB oracle); 'hof' keeps the whole plan in
+    Catalyst expressions.
     """
     m = _resolve_pq_m(m, corpus, vec_col)
     slices = _pq_subslices(corpus, corpus_id, vec_col, m, scale_bits, "cid")
@@ -3061,7 +3066,7 @@ def pq_ann_topk(
     scale_bits: int = 20,
     hash_fn: str = "xx",
     index: tuple[DataFrame, DataFrame] | None = None,
-    assign_kernel: str = "hof",
+    assign_kernel: str = "arrow",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) PQ top-k: per query, one (m × k) integer
     distance table against the trained centroids; every corpus vector is
@@ -3242,7 +3247,7 @@ def append_to_pq_index(
     corpus_id: str | None = None,
     vec_col: str | None = None,
     dedupe: bool = False,
-    assign_kernel: str = "hof",
+    assign_kernel: str = "arrow",
 ) -> int:
     """Append a batch of new vectors to a persisted :func:`persist_pq_index`
     tree WITHOUT retraining: encode the increment against the FROZEN
@@ -3381,7 +3386,7 @@ def build_ivfpq_index(
     lloyd_iters: int = 1,
     normalize: bool = True,
     centroid_budget_bytes: int = IVF_CENTROID_BUDGET_BYTES,
-    assign_kernel: str = "hof",
+    assign_kernel: str = "arrow",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """IVF-PQ index: an IVF coarse quantizer (:func:`build_ivf_index` —
     same seeding, Lloyd refinement, clamp and budget guard) whose
@@ -3773,7 +3778,7 @@ def append_to_ivfpq_index(
     vec_col: str | None = None,
     dedupe: bool = False,
     centroid_budget_bytes: int = IVF_CENTROID_BUDGET_BYTES,
-    assign_kernel: str = "hof",
+    assign_kernel: str = "arrow",
 ) -> int:
     """Append a batch to a persisted IVF-PQ tree without retraining
     EITHER quantizer: assign against the frozen IVF centroids
@@ -3905,7 +3910,7 @@ def build_sharded_ivfpq_index(
     centroid_budget_bytes: int = IVF_CENTROID_BUDGET_BYTES,
     materialize: bool | str = "auto",
     scratch_dir: str | None = None,
-    assign_kernel: str = "hof",
+    assign_kernel: str = "arrow",
 ) -> tuple[DataFrame, list[tuple[DataFrame, DataFrame]]]:
     """Sharded IVF-PQ: :func:`build_sharded_ivf_index`'s hash split and
     per-shard in-budget IVF builds (same ``materialize``/``scratch_dir``

@@ -5302,13 +5302,20 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-exact oracled: integer units, floored integer centroid means
     and exact BIGINT squared-L2 (ties to the smaller index) let DuckDB
     replay seeding, training, encoding and ADC scoring verbatim — the
-    pagerank/bpe discipline applied to vector search."""
+    pagerank/bpe discipline applied to vector search.
+
+    ``assign_kernel='hof'`` is PINNED here (the public default is the
+    bit-identical Arrow kernel since r14): this face attests the
+    interpreted Catalyst-expression path — the reference
+    implementation whose plan IS the SQL the oracle replays — while
+    ``pq_ann_arrow`` attests the kernel the builders default to."""
     from ..operators.similarity import pq_ann_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = pq_ann_topk(
         emb.filter(F.col("vec_id") < 10), emb,
         k_neighbors=5, m=4, k=16, hash_fn="md5",
+        assign_kernel="hof",
     )
     return out.orderBy("query_id", "rank")
 

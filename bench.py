@@ -155,9 +155,9 @@ HEADLINE = [
     # anti-join exclusion over the brute path)
     "pq_ann",
     # r14: the same pipeline through the Arrow exact-int64 assign kernel
-    # (bit-identical results; sets its own r14 baseline — at sf-scale the
-    # mapInArrow worker round-trip costs what the interpreted HOF saves,
-    # the win is at big-corpus encode passes, measured in SCALE.md)
+    # (bit-identical results; sets its own r14 baseline — measured 1.75x
+    # faster than the pinned-HOF pq_ann face already at sf0.1's 2k
+    # vectors; the big-corpus encode-pass delta is in SCALE.md)
     "pq_ann_arrow",
     "hard_negatives",
     # round-7 addition: fixed-point quality-classifier training (10

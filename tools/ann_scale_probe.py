@@ -610,7 +610,11 @@ def main() -> None:
                         SIM._pq_assign(slices, cents, "cid", kernel=kernel)
                         .agg(
                             F.sum("code").alias("sc"),
-                            F.sum("d2").alias("sd"),
+                            # d2 ~ dim * 2^(2*scale_bits) per row at raw
+                            # (unnormalized) value scale — a plain sum
+                            # overflows BIGINT past ~10k rows at 768-dim,
+                            # so the parity checksum folds mod 2^31 first
+                            F.sum(F.col("d2") % F.lit(1 << 31)).alias("sd"),
                             F.count(F.lit(1)).alias("cnt"),
                         )
                         .collect()[0]
