@@ -945,6 +945,47 @@ def load_ivf_index(
     return centroids, assignments
 
 
+def materialize_index(index, *, eager: bool = False):
+    """Pin a freshly BUILT in-memory index so repeated query actions reuse
+    the computed build instead of replaying its lineage (optimization guide
+    §5: cache/localCheckpoint exactly when an intermediate is reused and
+    recomputing it costs more than holding it).
+
+    A ``build_*_index`` result is lazy DataFrames: every ``.collect()`` of a
+    ``*_ann_topk`` over it re-runs the WHOLE build — seeding, Lloyd
+    step(s), the corpus-wide assign/encode pass — once per action (measured
+    on the r14 contract faces: 3–6 redundant full builds per face). This
+    helper ``localCheckpoint``s every DataFrame in the structure, so the
+    first action materializes the build once and every later action reads
+    the stored blocks. Results are bit-identical by construction — a local
+    checkpoint stores the rows the lazy plan would produce (and the builds
+    are deterministic besides).
+
+    Accepts any built index shape and preserves it:
+
+    - ``(centroids, assignments)`` — :func:`build_ivf_index` /
+      :func:`pq_index` pairs;
+    - ``(ivf_centroids, pq_centroids, entries)`` —
+      :func:`build_ivfpq_index` triples;
+    - a LIST of such tuples — the sharded builds;
+    - ``(pq_centroids, [(ivf_centroids, entries), ...])`` — the
+      shared-codebook :func:`build_sharded_ivfpq_index` shape (tuples and
+      lists are recursed structurally; DataFrames are the leaves).
+
+    Use it between build and repeated querying in a session (persisted
+    indexes don't need it — their lineage is already a parquet read).
+    ``eager=True`` materializes immediately; the default defers to the
+    first action. NOT for corpora that dwarf executor storage: local
+    checkpoints live in the block manager (memory, spilling to local
+    disk) — at that scale persist the index instead, which is the
+    documented build-once/query-many path anyway."""
+    if isinstance(index, list):
+        return [materialize_index(t, eager=eager) for t in index]
+    if isinstance(index, tuple):
+        return tuple(materialize_index(t, eager=eager) for t in index)
+    return index.localCheckpoint(eager=eager)
+
+
 def append_to_ivf_index(
     spark: SparkSession,
     path: str,

@@ -4744,14 +4744,20 @@ def q_ivf_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
+    # r14 optimization (guide §1.2/§5): the index-free ivf_ann_topk call
+    # rebuilt the SAME deterministic index the persist branch builds again
+    # below — two full builds, with the inline one replayed per action.
+    # Build once, pin it, query the in-memory pair and persist that same
+    # build. ivf_ann_topk(index=built) is definitionally the same plan the
+    # index-free call constructs internally (same n_lists=8, same default
+    # kmeans_iters=1, same scorer), so the inline rows are bit-identical.
+    built = SIM.materialize_index(SIM.build_ivf_index(emb, n_lists=8))
     inline = SIM.ivf_ann_topk(
-        queries, emb, k=5, n_lists=8, n_probe=6, scorer="hof"
+        queries, emb, k=5, n_probe=6, index=built, scorer="hof"
     )
     root = tempfile.mkdtemp(prefix="ivf_q_idx_")
     try:
-        SIM.persist_ivf_index(
-            SIM.build_ivf_index(emb, n_lists=8), root, mode="overwrite"
-        )
+        SIM.persist_ivf_index(built, root, mode="overwrite")
         loaded = SIM.load_ivf_index(spark, root)
         persisted = SIM.ivf_ann_topk(
             queries, emb, k=5, n_probe=6, index=loaded, scorer="hof"
@@ -4805,7 +4811,13 @@ def q_sharded_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    idx = SIM.build_sharded_ivf_index(emb, n_shards=2, n_lists=6)
+    # r14 optimization (guide §5): the 2-shard build feeds three actions
+    # (full-budget collect, memory-roundtrip collect, persist write) — pin
+    # it once instead of replaying both per-shard builds per action (see
+    # materialize_index; bit-identical, the build is deterministic).
+    idx = SIM.materialize_index(
+        SIM.build_sharded_ivf_index(emb, n_shards=2, n_lists=6)
+    )
     key = ["query_id", "neighbor_id", "rank"]
     full = SIM.sharded_ivf_ann_topk(queries, idx, k=5, n_probe=12, scorer="hof")
     brute = SIM.brute_force_topk(queries, emb, k=5)
@@ -5097,12 +5109,20 @@ def q_pq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.filter(F.col("vec_id") % 2 == 1)
     n_batch = batch.count()
     queries = emb.filter(F.col("vec_id") < 5)
+    # r14 optimization (guide §1.2/§5): the index-free pq_ann_topk call
+    # trained the SAME deterministic codebook the persist branch trains
+    # again below — two full trainings. Train once, pin it, query through
+    # index= (identical plan and rows — same m=4 and the same k/scale_bits/
+    # hash_fn/kernel defaults) and persist that same build.
+    built = SIM.materialize_index(SIM.pq_index(emb, m=4))
     inline = sorted(
-        map(tuple, SIM.pq_ann_topk(queries, emb, k_neighbors=3, m=4).collect())
+        map(tuple, SIM.pq_ann_topk(
+            queries, emb, k_neighbors=3, m=4, index=built
+        ).collect())
     )
     root = tempfile.mkdtemp(prefix="pq_q_idx_")
     try:
-        SIM.persist_pq_index(SIM.pq_index(emb, m=4), root, m=4, mode="overwrite")
+        SIM.persist_pq_index(built, root, m=4, mode="overwrite")
         idx, params = SIM.load_pq_index(spark, root)
         persisted = sorted(
             map(tuple, SIM.pq_ann_topk(
@@ -5591,7 +5611,15 @@ def q_ivfpq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins = emb.filter(F.col("vec_id") < n_twins).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
-    idx = SIM.build_ivfpq_index(emb, n_lists=8, m=4, pq_k=16)
+    # r14 optimization (guide §5): the built index feeds FOUR actions below
+    # (two twin counts, the inline collect, the persist write) — without the
+    # pin each one replays the whole build (IVF seeding + assign pass + PQ
+    # Lloyd chain + codes join). materialize_index computes it once;
+    # bit-identical rows by construction (deterministic build, and a local
+    # checkpoint only stores what the lazy plan would produce).
+    idx = SIM.materialize_index(
+        SIM.build_ivfpq_index(emb, n_lists=8, m=4, pq_k=16)
+    )
     adc_top1 = SIM.ivfpq_ann_topk(twins, idx, k=1, n_probe=1, scorer="hof")
     twin_adc_ok = adc_top1.filter(
         (F.col("rank") == 1)
@@ -5711,9 +5739,19 @@ def q_sharded_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
 
-    flat = SIM.build_ivfpq_index(emb, n_lists=6, m=4, pq_k=16)
-    one = SIM.build_sharded_ivfpq_index(emb, n_shards=1, n_lists=6, m=4, pq_k=16)
-    two = SIM.build_sharded_ivfpq_index(emb, n_shards=2, n_lists=6, m=4, pq_k=16)
+    # r14 optimization (guide §5): `flat` feeds three actions and `two`
+    # four (full-budget, twin, memory-roundtrip, persist) — pin each build
+    # once instead of replaying it per action (see materialize_index;
+    # results bit-identical, the builds are deterministic).
+    flat = SIM.materialize_index(
+        SIM.build_ivfpq_index(emb, n_lists=6, m=4, pq_k=16)
+    )
+    one = SIM.materialize_index(
+        SIM.build_sharded_ivfpq_index(emb, n_shards=1, n_lists=6, m=4, pq_k=16)
+    )
+    two = SIM.materialize_index(
+        SIM.build_sharded_ivfpq_index(emb, n_shards=2, n_lists=6, m=4, pq_k=16)
+    )
     f_adc = sorted(map(tuple, SIM.ivfpq_ann_topk(
         queries, flat, k=5, n_probe=4, scorer="hof").collect()))
     s_adc = sorted(map(tuple, SIM.sharded_ivfpq_ann_topk(
@@ -6887,10 +6925,23 @@ def q_sharded_build_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     scratch_root = tempfile.mkdtemp(prefix="sivf_mat_q_")
     try:
-        direct = SIM.build_sharded_ivf_index(emb, n_shards=3, n_lists=6)
-        mat = SIM.build_sharded_ivf_index(
+        # r14 optimization (guide §5): each build below feeds 7 actions
+        # (six per-shard parity collects + one query collect) — pin both
+        # builds once instead of replaying 3 per-shard builds per action.
+        # The probe-reuse PLAN check keeps the raw (un-checkpointed) build:
+        # its ExistingRDD census counts exactly the probe checkpoint's
+        # scans, a property of the standard index shape — checkpointed
+        # shard tables would add their own ExistingRDD nodes and the pin
+        # would stop measuring what it pins. Same operator, same contract:
+        # the collected rows come from the materialized twins, which are
+        # bit-identical by construction.
+        mat_raw = SIM.build_sharded_ivf_index(
             emb, n_shards=3, n_lists=6, scratch_dir=f"{scratch_root}/split"
         )
+        direct = SIM.materialize_index(
+            SIM.build_sharded_ivf_index(emb, n_shards=3, n_lists=6)
+        )
+        mat = SIM.materialize_index(mat_raw)
         parity = True
         for (ca, aa), (cb, ab) in zip(direct, mat):
             parity = parity and sorted(map(tuple, ca.collect())) == sorted(
@@ -6906,11 +6957,14 @@ def q_sharded_build_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         queries = emb.filter(F.col("vec_id") < 8)
         key = ["query_id", "neighbor_id", "rank"]
+        plan = (
+            SIM.sharded_ivf_ann_topk(queries, mat_raw, k=4, n_probe=5, scorer="hof")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        probe_pinned = plan.count("ExistingRDD") == 3 and plan.count("row_number") < 4
         out_mat = SIM.sharded_ivf_ann_topk(
             queries, mat, k=4, n_probe=5, scorer="hof"
         )
-        plan = out_mat._jdf.queryExecution().executedPlan().toString()
-        probe_pinned = plan.count("ExistingRDD") == 3 and plan.count("row_number") < 4
         r_mat = sorted(map(tuple, out_mat.select(*key).collect()))
         r_dir = sorted(map(tuple, SIM.sharded_ivf_ann_topk(
             queries, direct, k=4, n_probe=5, scorer="hof"
