@@ -885,8 +885,11 @@ def persist_ivf_index(
       probe wrote 32 tasks × 1414 dirs ≈ 45k tiny files; SCALE.md); with
       it each list's rows arrive at exactly one task — one file per
       directory.
-    - ``{path}/meta`` — a one-row JSON manifest (written through Spark, so
-      the helper works on any Hadoop filesystem, not just local disk)
+    - ``{path}/meta`` — a one-row JSON manifest (written driver-side via
+      :mod:`..sources.fsio`, which resolves the same Hadoop FileSystem as
+      Spark's own writers — a distributed write for a 200-byte manifest
+      is one whole Spark job of fixed overhead; the layout stays the
+      ``part-*.json`` + ``_SUCCESS`` tree ``spark.read.json`` expects)
       recording n_lists and the id/vector column names for load-time
       validation.
 
@@ -918,7 +921,7 @@ def persist_ivf_index(
         format="ivf", version=1, n_lists=n_lists,
         corpus_id=id_col, vec_col=v_col,
     )
-    spark.createDataFrame([meta]).coalesce(1).write.mode(mode).json(f"{path}/meta")
+    fsio.write_json_dir(f"{path}/meta", meta.asDict(), mode=mode, spark=spark)
 
 
 def load_ivf_index(
@@ -933,7 +936,7 @@ def load_ivf_index(
     ``index=``. Pass ``corpus_id``/``vec_col`` to rename the stored
     columns to what your query call uses (defaults keep the stored
     names, which the manifest records from build time)."""
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "ivf":
         raise ValueError(f"load_ivf_index: {path}/meta is not an IVF index manifest")
     centroids = spark.read.parquet(f"{path}/centroids")
@@ -1028,7 +1031,7 @@ def append_to_ivf_index(
     re-running the same batch is idempotent — the streaming-ingest replay
     discipline (``streaming/ingest.py``) applied to index maintenance.
     """
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "ivf":
         raise ValueError(f"append_to_ivf_index: {path}/meta is not an IVF index manifest")
     stored_id, stored_vec = meta["corpus_id"], meta["vec_col"]
@@ -1166,7 +1169,7 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     """
     if repair_ivf_index(spark, path):
         return  # the finished swap IS the compacted tree
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "ivf":
         raise ValueError(f"compact_ivf_index: {path}/meta is not an IVF index manifest")
     asg, tmp, old = _swap_triplet(path, "assignments")
@@ -1383,7 +1386,7 @@ def persist_lsh_index(
         format="lsh", version=1, n_planes=n_planes, n_tables=n_tables,
         seed=seed, prefix_bits=p, id_col=id_col, vec_col=v_col,
     )
-    spark.createDataFrame([meta]).coalesce(1).write.mode(mode).json(f"{path}/meta")
+    fsio.write_json_dir(f"{path}/meta", meta.asDict(), mode=mode, spark=spark)
 
 
 def load_lsh_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
@@ -1393,7 +1396,7 @@ def load_lsh_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     the exact ``{"n_planes", "n_tables", "seed"}`` the index was built
     with — splat them into the query call so the query side hashes into
     identical buckets: ``lsh_ann_topk(q, corpus, index=idx, **params)``."""
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "lsh":
         raise ValueError(f"load_lsh_index: {path}/meta is not an LSH index manifest")
     index = spark.read.parquet(f"{path}/buckets")
@@ -1440,7 +1443,7 @@ def append_to_lsh_index(
     (an id-column-pruned scan) so a replayed append is a no-op — the
     exactly-once discipline for retried maintenance jobs.
     """
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "lsh":
         raise ValueError(f"append_to_lsh_index: {path}/meta is not an LSH index manifest")
     stored_id, stored_vec = meta["id_col"], meta["vec_col"]
@@ -1496,7 +1499,7 @@ def compact_lsh_index(spark: SparkSession, path: str) -> None:
     interleave."""
     if repair_lsh_index(spark, path):
         return
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "lsh":
         raise ValueError(f"compact_lsh_index: {path}/meta is not an LSH index manifest")
     p, n_tables = int(meta["prefix_bits"]), int(meta["n_tables"])
@@ -1901,7 +1904,7 @@ def persist_sharded_ivf_index(
     for s, pair in enumerate(index):
         persist_ivf_index(pair, f"{path}/shard={s:05d}", mode=mode)
     meta = Row(format="sharded_ivf", version=1, n_shards=len(index))
-    spark.createDataFrame([meta]).coalesce(1).write.mode(mode).json(f"{path}/meta")
+    fsio.write_json_dir(f"{path}/meta", meta.asDict(), mode=mode, spark=spark)
 
 
 def load_sharded_ivf_index(
@@ -1915,7 +1918,7 @@ def load_sharded_ivf_index(
     list :func:`sharded_ivf_ann_topk` takes. Every shard named by the
     top-level manifest must load (a missing shard raises via the
     per-shard manifest read — never a silently smaller index)."""
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "sharded_ivf":
         raise ValueError(
             f"load_sharded_ivf_index: {path}/meta is not a sharded IVF manifest"
@@ -1944,7 +1947,7 @@ def append_to_sharded_ivf_index(
     appended. ``dedupe=True`` is delegated per shard — the anti-join scans
     only the ONE shard a routed id could already live in, so the replay
     cost stays O(batch + one shard's ids), not O(corpus)."""
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "sharded_ivf":
         raise ValueError(
             f"append_to_sharded_ivf_index: {path}/meta is not a sharded IVF manifest"
@@ -1952,7 +1955,7 @@ def append_to_sharded_ivf_index(
     n_shards = int(meta["n_shards"])
     # the shard manifests record the stored id column; routing needs the
     # CALLER's id column name
-    shard0 = spark.read.json(f"{path}/shard=00000/meta").first()
+    shard0 = fsio.read_json_dir(f"{path}/shard=00000/meta", spark=spark)
     id_in = corpus_id or shard0["corpus_id"]
     # pin the batch ONCE before the per-shard loop: each shard's filter
     # re-evaluates new_vectors, so a non-deterministic batch could route
@@ -1976,7 +1979,7 @@ def append_to_sharded_ivf_index(
 def compact_sharded_ivf_index(spark: SparkSession, path: str) -> None:
     """Per-shard :func:`compact_ivf_index` over a persisted sharded tree
     (each shard's swap is independent and independently repairable)."""
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "sharded_ivf":
         raise ValueError(
             f"compact_sharded_ivf_index: {path}/meta is not a sharded IVF manifest"
@@ -1991,7 +1994,7 @@ def repair_sharded_ivf_index(spark: SparkSession, path: str) -> bool:
     renames. Returns True when at least one shard was repaired. Every
     shard is visited (a multi-shard compaction can tear more than one
     swap if the maintenance job died mid-loop)."""
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "sharded_ivf":
         raise ValueError(
             f"repair_sharded_ivf_index: {path}/meta is not a sharded IVF manifest"
@@ -2255,7 +2258,7 @@ def _rebuild_ivf_like(spark: SparkSession, live: str, kind: str) -> None:
     sizing from the CURRENT row count — the drifted corpus is usually
     bigger than the one the frozen centroids were sized for, which is
     half of why it skewed."""
-    meta = spark.read.json(f"{live}/meta").first()
+    meta = fsio.read_json_dir(f"{live}/meta", spark=spark)
     rebuilt = f"{live}__rebuilt"
     fsio.delete(rebuilt, spark=spark)  # uncommitted residue
     if kind == "ivf":
@@ -2297,7 +2300,7 @@ def _rebuild_ivfpq_shard_frozen_codes(spark: SparkSession, live: str) -> None:
     one-ADC-table-per-query contract. (A FLAT ivfpq rebuild retrains
     both quantizers — there is no sharing to preserve and the drifted
     distribution deserves fresh codes; see :func:`_rebuild_ivf_like`.)"""
-    meta = spark.read.json(f"{live}/meta").first()
+    meta = fsio.read_json_dir(f"{live}/meta", spark=spark)
     rebuilt = f"{live}__rebuilt"
     fsio.delete(rebuilt, spark=spark)
     entries = spark.read.parquet(f"{live}/entries")
@@ -2327,7 +2330,7 @@ def _rebuild_lsh(spark: SparkSession, live: str) -> None:
     (:func:`auto_planes`, floored at the stored count). Queries keep
     working unchanged because they splat ``load_lsh_index``'s params,
     which the rebuilt manifest updates."""
-    meta = spark.read.json(f"{live}/meta").first()
+    meta = fsio.read_json_dir(f"{live}/meta", spark=spark)
     buckets = spark.read.parquet(f"{live}/buckets")
     if "cv" not in buckets.columns:
         raise ValueError(
@@ -2371,7 +2374,7 @@ def _gauge_rows(spark: SparkSession, path: str, kind: str) -> DataFrame:
         # PQ has no occupancy gauge (ADC reads every code row by design);
         # synthesize the occupancy columns as healthy so only the layout
         # rule can fire
-        meta = spark.read.json(f"{path}/meta").first()
+        meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
         n = spark.read.parquet(f"{path}/codes").count() // int(meta["m"])
         stats = spark.createDataFrame(
             [(int(n), 0, 0.0)], "n_rows long, null_rows long, skew double"
@@ -2445,7 +2448,7 @@ def apply_maintenance_plan(
     streaming sink intentionally executes only the compact rule live and
     surfaces rebuild_due to a callback (``on_rebuild_due``)."""
     repair_index_rebuild(spark, path)
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] not in (
         "ivf", "lsh", "pq", "ivfpq", "sharded_ivf", "sharded_ivfpq"
     ):
@@ -3253,7 +3256,7 @@ def persist_pq_index(
         format="pq", version=1, m=m, k=k, scale_bits=scale_bits,
         hash_fn=hash_fn, corpus_id=id_col, vec_col=vec_col,
     )
-    spark.createDataFrame([meta]).coalesce(1).write.mode(mode).json(f"{path}/meta")
+    fsio.write_json_dir(f"{path}/meta", meta.asDict(), mode=mode, spark=spark)
 
 
 def load_pq_index(
@@ -3266,7 +3269,7 @@ def load_pq_index(
     params)``: splat ``params`` into :func:`pq_ann_topk` alongside
     ``index=`` so the query slicing uses EXACTLY the stored training
     parameters — ``pq_ann_topk(q, corpus, index=idx, **params)``."""
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "pq":
         raise ValueError(f"load_pq_index: {path}/meta is not a PQ index manifest")
     centroids = spark.read.parquet(f"{path}/centroids")
@@ -3299,7 +3302,7 @@ def append_to_pq_index(
     ``dedupe=True`` replay idempotence as :func:`append_to_ivf_index`;
     codebook drift under corpus growth shows up as rising ADC distances,
     and the cure is a rebuild, exactly as with IVF centroids."""
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "pq":
         raise ValueError(f"append_to_pq_index: {path}/meta is not a PQ index manifest")
     stored_id = meta["corpus_id"]
@@ -3342,7 +3345,7 @@ def compact_pq_index(spark: SparkSession, path: str) -> None:
     :func:`compact_ivf_index`."""
     if repair_pq_index(spark, path):
         return
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "pq":
         raise ValueError(f"compact_pq_index: {path}/meta is not a PQ index manifest")
     live, tmp, old = _swap_triplet(path, "codes")
@@ -3777,7 +3780,7 @@ def persist_ivfpq_index(
         scale_bits=scale_bits, hash_fn=hash_fn, normalize=bool(normalize),
         corpus_id=id_col, vec_col=v_col,
     )
-    spark.createDataFrame([meta]).coalesce(1).write.mode(mode).json(f"{path}/meta")
+    fsio.write_json_dir(f"{path}/meta", meta.asDict(), mode=mode, spark=spark)
 
 
 def load_ivfpq_index(
@@ -3791,7 +3794,7 @@ def load_ivfpq_index(
     pq_centroids, entries), params)`` — splat ``params`` into
     :func:`ivfpq_ann_topk` alongside ``index=`` so the query slicing uses
     exactly the stored training parameters."""
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "ivfpq":
         raise ValueError(
             f"load_ivfpq_index: {path}/meta is not an IVF-PQ index manifest"
@@ -3832,7 +3835,7 @@ def append_to_ivfpq_index(
     same economics and drift story as :func:`append_to_ivf_index` /
     :func:`append_to_pq_index` — both of whose gauges this family reads
     (``ivf_index_stats(entries)``)."""
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "ivfpq":
         raise ValueError(
             f"append_to_ivfpq_index: {path}/meta is not an IVF-PQ index manifest"
@@ -3897,7 +3900,7 @@ def compact_ivfpq_index(spark: SparkSession, path: str) -> None:
     repair via :func:`repair_ivfpq_index`) as :func:`compact_ivf_index`."""
     if repair_ivfpq_index(spark, path):
         return
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "ivfpq":
         raise ValueError(
             f"compact_ivfpq_index: {path}/meta is not an IVF-PQ index manifest"
@@ -4188,7 +4191,7 @@ def persist_sharded_ivfpq_index(
         m=m, pq_k=pq_k, scale_bits=scale_bits, hash_fn=hash_fn,
         normalize=bool(normalize),
     )
-    spark.createDataFrame([meta]).coalesce(1).write.mode(mode).json(f"{path}/meta")
+    fsio.write_json_dir(f"{path}/meta", meta.asDict(), mode=mode, spark=spark)
 
 
 def load_sharded_ivfpq_index(
@@ -4202,7 +4205,7 @@ def load_sharded_ivfpq_index(
     ``((pq_centroids, shard_list), params)`` — splat ``params`` into
     :func:`sharded_ivfpq_ann_topk`. The shared codebook is read from
     shard 0's copy (every shard stores identical values)."""
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "sharded_ivfpq":
         raise ValueError(
             f"load_sharded_ivfpq_index: {path}/meta is not a sharded "
@@ -4240,14 +4243,14 @@ def append_to_sharded_ivfpq_index(
     frozen centroids and encodes against the (shared, per-shard-stored)
     frozen codebook. Same batch-pin and per-shard-scoped ``dedupe``
     economics as :func:`append_to_sharded_ivf_index`."""
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "sharded_ivfpq":
         raise ValueError(
             f"append_to_sharded_ivfpq_index: {path}/meta is not a sharded "
             "IVF-PQ manifest"
         )
     n_shards = int(meta["n_shards"])
-    shard0 = spark.read.json(f"{path}/shard=00000/meta").first()
+    shard0 = fsio.read_json_dir(f"{path}/shard=00000/meta", spark=spark)
     id_in = corpus_id or shard0["corpus_id"]
     if n_shards > 1:
         new_vectors = new_vectors.localCheckpoint(eager=True)
@@ -4266,7 +4269,7 @@ def append_to_sharded_ivfpq_index(
 def compact_sharded_ivfpq_index(spark: SparkSession, path: str) -> None:
     """Per-shard :func:`compact_ivfpq_index` over a persisted sharded
     IVF-PQ tree."""
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "sharded_ivfpq":
         raise ValueError(
             f"compact_sharded_ivfpq_index: {path}/meta is not a sharded "
@@ -4279,7 +4282,7 @@ def compact_sharded_ivfpq_index(spark: SparkSession, path: str) -> None:
 def repair_sharded_ivfpq_index(spark: SparkSession, path: str) -> bool:
     """Per-shard :func:`repair_ivfpq_index` (every shard visited — a
     maintenance job dying mid-loop can tear more than one swap)."""
-    meta = spark.read.json(f"{path}/meta").first()
+    meta = fsio.read_json_dir(f"{path}/meta", spark=spark)
     if meta is None or meta["format"] != "sharded_ivfpq":
         raise ValueError(
             f"repair_sharded_ivfpq_index: {path}/meta is not a sharded "

@@ -29,6 +29,7 @@ readers/writers.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import SparkSession
@@ -182,6 +183,75 @@ def create_text_exclusive(
     finally:
         out.close()
     return True
+
+
+def write_json_dir(
+    path: str,
+    record: dict,
+    mode: str = "error",
+    spark: SparkSession | None = None,
+) -> None:
+    """Write a ONE-record JSON-lines "directory dataset" — the exact layout
+    ``df.coalesce(1).write.json(path)`` produces (``part-00000*.json`` +
+    ``_SUCCESS``) — without running a Spark job. Index manifests are a few
+    hundred bytes; a distributed write for them is pure fixed overhead
+    (one job + committer listing/renames per call, and the matching
+    ``spark.read.json`` pays TWO jobs: schema inference + fetch). The tree
+    stays readable by ``spark.read.json`` and by every pre-existing index
+    (both directions are JSON lines), and the same scheme dispatch as the
+    rest of this module keeps it working on any Hadoop filesystem.
+
+    ``mode`` mirrors ``DataFrameWriter.mode``: ``error``/``errorifexists``
+    refuses an existing ``path``, ``overwrite`` replaces it, ``ignore``
+    returns silently when present, ``append`` adds another part file.
+    """
+    if mode in ("error", "errorifexists"):
+        if exists(path, spark=spark):
+            raise OSError(
+                f"write_json_dir: destination already exists: {path} "
+                "(PATH_ALREADY_EXISTS; pass mode='overwrite' to replace)"
+            )
+    elif mode == "ignore":
+        if exists(path, spark=spark):
+            return
+    elif mode == "overwrite":
+        delete(path, spark=spark)
+    elif mode != "append":
+        raise ValueError(f"write_json_dir: unsupported mode {mode!r}")
+    n_parts = sum(
+        1 for n in list_names(path, spark=spark) if not n.startswith(("_", "."))
+    )
+    part = urljoin(path, f"part-{n_parts:05d}.json")
+    write_text_atomic(part, json.dumps(record) + "\n", spark=spark)
+    write_text_atomic(urljoin(path, "_SUCCESS"), "", spark=spark)
+
+
+def read_json_dir(path: str, spark: SparkSession | None = None) -> dict | None:
+    """First record of a JSON-lines directory dataset (a
+    :func:`write_json_dir` tree, or one written by
+    ``df.write.json(path)``) — the no-Spark-job twin of
+    ``spark.read.json(path).first()``. Returns the record as a dict
+    (``rec["field"]`` access, exactly how every manifest consumer reads
+    its Row today), or None when data files exist but hold no records —
+    the same shape ``.first()`` gives on an empty dataset. A missing
+    directory raises with ``PATH_NOT_FOUND`` in the message (matching
+    Spark's error class for a missing read path)."""
+    names = sorted(
+        n for n in list_names(path, spark=spark) if not n.startswith(("_", "."))
+    )
+    if not names:
+        if not exists(path, spark=spark):
+            raise FileNotFoundError(
+                f"[PATH_NOT_FOUND] read_json_dir: path does not exist: {path}"
+            )
+        raise ValueError(f"read_json_dir: no data files under {path}")
+    for name in names:
+        text = read_text(urljoin(path, name), spark=spark) or ""
+        for line in text.splitlines():
+            line = line.strip()
+            if line:
+                return json.loads(line)
+    return None
 
 
 def rename(src: str, dst: str, spark: SparkSession | None = None) -> None:

@@ -194,7 +194,7 @@ def start_ann_index_ingest(
     ``takeover=True`` — the caller's assertion that the old topology is
     STOPPED, not a way to run two at once."""
     spark = vectors.sparkSession
-    meta = spark.read.json(f"{index_path}/meta").first()
+    meta = fsio.read_json_dir(f"{index_path}/meta", spark=spark)
     if meta is None or meta["format"] not in (
         "ivf", "lsh", "pq", "ivfpq", "sharded_ivf", "sharded_ivfpq"
     ):
@@ -243,7 +243,7 @@ def start_ann_index_ingest(
     def max_files_per_dir() -> int:
         if kind in ("sharded_ivf", "sharded_ivfpq"):
             n_sh = int(
-                spark.read.json(f"{index_path}/meta").first()["n_shards"]
+                fsio.read_json_dir(f"{index_path}/meta", spark=spark)["n_shards"]
             )
             tree = "assignments" if kind == "sharded_ivf" else "entries"
             return max(

@@ -90,6 +90,70 @@ class TestFsioPrimitives:
             assert fsio.read_text(p, spark=spark) == "first"
 
 
+class TestJsonDirDataset:
+    """write_json_dir/read_json_dir — the no-Spark-job manifest I/O the
+    ANN index families use. The layout contract is the load-bearing part:
+    both functions must stay interchangeable with Spark's own JSON
+    directory reader/writer, or pre-existing indexes (Spark-written) and
+    new indexes (fsio-written) stop being mutually readable."""
+
+    REC = {"format": "ivf", "version": 1, "n_lists": 16,
+           "corpus_id": "id", "vec_col": "vec"}
+
+    def test_roundtrip_and_spark_cross_compat(self, spark, tmp_path):
+        import pytest
+
+        for mk in (str, _uri):  # local branch, then Hadoop branch
+            tag = "l" if mk is str else "h"
+            p = mk(tmp_path / f"meta_{tag}")
+            fsio.write_json_dir(p, self.REC, spark=spark)
+            # our reader
+            assert fsio.read_json_dir(p, spark=spark) == self.REC
+            # Spark's reader sees the identical record (old load paths)
+            row = spark.read.json(p).first()
+            assert {k: row[k] for k in self.REC} == self.REC
+            # layout is the coalesce(1).write.json shape incl. _SUCCESS
+            names = sorted(fsio.list_names(p, spark=spark))
+            assert names[0] == "_SUCCESS"
+            assert len(names) == 2 and names[1].startswith("part-")
+            # mode='error' refuses an existing tree, like DataFrameWriter
+            with pytest.raises(OSError, match="PATH_ALREADY_EXISTS"):
+                fsio.write_json_dir(p, self.REC, spark=spark)
+
+    def test_reads_spark_written_tree(self, spark, tmp_path):
+        """Backward compat: a manifest written by Spark itself (every
+        index persisted before this round) must read through the new
+        driver-side path with identical values."""
+        from pyspark.sql import Row
+
+        p = str(tmp_path / "sparkmeta")
+        spark.createDataFrame([Row(**self.REC)]).coalesce(1) \
+            .write.json(p)
+        got = fsio.read_json_dir(p, spark=spark)
+        assert {k: got[k] for k in self.REC} == self.REC
+
+    def test_modes(self, spark, tmp_path):
+        p = str(tmp_path / "meta")
+        fsio.write_json_dir(p, {"v": 1}, spark=spark)
+        fsio.write_json_dir(p, {"v": 2}, mode="ignore", spark=spark)
+        assert fsio.read_json_dir(p, spark=spark) == {"v": 1}
+        fsio.write_json_dir(p, {"v": 3}, mode="overwrite", spark=spark)
+        assert fsio.read_json_dir(p, spark=spark) == {"v": 3}
+        # append adds a second part; read returns the FIRST record,
+        # matching spark.read.json(path).first() on a multi-part tree
+        fsio.write_json_dir(p, {"v": 4}, mode="append", spark=spark)
+        names = [n for n in fsio.list_names(p, spark=spark)
+                 if n.startswith("part-")]
+        assert len(names) == 2
+        assert fsio.read_json_dir(p, spark=spark) == {"v": 3}
+
+    def test_missing_dir_raises_path_not_found(self, spark, tmp_path):
+        import pytest
+
+        with pytest.raises(FileNotFoundError, match="PATH_NOT_FOUND"):
+            fsio.read_json_dir(str(tmp_path / "absent"), spark=spark)
+
+
 class TestBookmarksOverFileUri:
     def test_advance_load_roundtrip(self, spark, tmp_path):
         bmdir = _uri(tmp_path / "bm")
