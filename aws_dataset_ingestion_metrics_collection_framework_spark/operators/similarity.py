@@ -1656,19 +1656,34 @@ def build_sharded_ivf_index(
         ]
     else:
         parts = [corpus.filter(shard_of == s) for s in range(n_shards)]
-    shards: list[tuple[DataFrame, DataFrame]] = []
-    for part in parts:
-        shards.append(
-            build_ivf_index(
-                part,
-                corpus_id=corpus_id,
-                vec_col=vec_col,
-                n_lists=n_lists,
-                kmeans_iters=kmeans_iters,
-                centroid_budget_bytes=centroid_budget_bytes,
-            )
+
+    def _one(part: DataFrame) -> tuple[DataFrame, DataFrame]:
+        return build_ivf_index(
+            part,
+            corpus_id=corpus_id,
+            vec_col=vec_col,
+            n_lists=n_lists,
+            kmeans_iters=kmeans_iters,
+            centroid_budget_bytes=centroid_budget_bytes,
         )
-    return shards
+
+    if n_shards == 1:
+        return [_one(parts[0])]
+    # r14 optimization (guide §2.6): the per-shard builds are independent
+    # — each one's construction runs its own driver-side jobs (ref-dim
+    # first(), seed/Lloyd centroid collects, optional 'auto' count), and
+    # running them from a small thread pool overlaps those jobs instead of
+    # serializing n_shards × per-shard latency on the driver (shard
+    # results are positionally ordered, and each build is deterministic
+    # on its VALUES, so the output is bit-identical to the sequential
+    # loop — the ordering parity the materialized/direct twin test pins).
+    # 2-4 builds in flight fill the scheduler without fighting over
+    # executors; deeper pools add driver memory (one centroid matrix per
+    # in-flight build) for no extra overlap.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(n_shards, 4)) as pool:
+        return list(pool.map(_one, parts))
 
 
 def _shard_probes(

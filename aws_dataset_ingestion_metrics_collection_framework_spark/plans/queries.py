@@ -52,6 +52,33 @@ from ..operators.business import business_metrics_distributed
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+
+def _par(*thunks):
+    """Run independent Spark ACTIONS concurrently from driver threads
+    (optimization guide §2.6: actions are only sequential because driver
+    code calls them sequentially — submitting independent actions together
+    lets the next job's tasks back-fill workers freed by the previous
+    job's tail, and overlaps the per-action driver planning/submission
+    latency, which the job census of the multi-action contract faces
+    measured at ~half their wall time: sharded_ivfpq_ann ran 198 jobs
+    summing 22.8 s of task time inside a 49 s first-run wall).
+
+    Each thunk must be an independent action (no thunk consumes another's
+    output), so execution order cannot change any computed value; results
+    return in thunk order. Spark's scheduler is FIFO across driver
+    threads, py4j is thread-safe, and concurrent first-computation of a
+    shared lazy localCheckpoint is block-locked by the BlockManager —
+    still, faces materialize shared builds eagerly BEFORE fanning out so
+    no build is raced. Pool size is capped: 2-4 in-flight jobs fill the
+    tail without fighting for executors (guide §2.6)."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(thunks), 6)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
 # --------------------------------------------------------------------------
 # Shared SQL texts (run verbatim on Spark AND DuckDB — the reference's
 # BusinessMetric surface is arbitrary SQL, ref:glue/business_metrics.py:39)
@@ -4751,22 +4778,25 @@ def q_ivf_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build. ivf_ann_topk(index=built) is definitionally the same plan the
     # index-free call constructs internally (same n_lists=8, same default
     # kmeans_iters=1, same scorer), so the inline rows are bit-identical.
-    built = SIM.materialize_index(SIM.build_ivf_index(emb, n_lists=8))
-    inline = SIM.ivf_ann_topk(
-        queries, emb, k=5, n_probe=6, index=built, scorer="hof"
-    )
+    built = SIM.materialize_index(SIM.build_ivf_index(emb, n_lists=8), eager=True)
     root = tempfile.mkdtemp(prefix="ivf_q_idx_")
     try:
-        SIM.persist_ivf_index(built, root, mode="overwrite")
-        loaded = SIM.load_ivf_index(spark, root)
-        persisted = SIM.ivf_ann_topk(
-            queries, emb, k=5, n_probe=6, index=loaded, scorer="hof"
-        )
         # k·|queries| rows — compare driver-side (exceptAll over the
         # window+dedup ANN plans trips a Catalyst attribute-binding
         # INTERNAL_ERROR in Spark 4.1; the result set is tiny by contract)
         key = ["query_id", "neighbor_id", "cosine", "rank"]
-        got_i = sorted(map(tuple, inline.select(*key).collect()))
+        # r14 opt pass 2 (guide §2.6): the inline query collect and the
+        # persist write are independent actions over the pinned build.
+        got_i, _ = _par(
+            lambda: sorted(map(tuple, SIM.ivf_ann_topk(
+                queries, emb, k=5, n_probe=6, index=built, scorer="hof"
+            ).select(*key).collect())),
+            lambda: SIM.persist_ivf_index(built, root, mode="overwrite"),
+        )
+        loaded = SIM.load_ivf_index(spark, root)
+        persisted = SIM.ivf_ann_topk(
+            queries, emb, k=5, n_probe=6, index=loaded, scorer="hof"
+        )
         got_p = sorted(map(tuple, persisted.select(*key).collect()))
         n_diff = 0 if got_i == got_p else 1
         one_file_per_dir = all(
@@ -4816,22 +4846,31 @@ def q_sharded_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it once instead of replaying both per-shard builds per action (see
     # materialize_index; bit-identical, the build is deterministic).
     idx = SIM.materialize_index(
-        SIM.build_sharded_ivf_index(emb, n_shards=2, n_lists=6)
+        SIM.build_sharded_ivf_index(emb, n_shards=2, n_lists=6), eager=True
     )
     key = ["query_id", "neighbor_id", "rank"]
-    full = SIM.sharded_ivf_ann_topk(queries, idx, k=5, n_probe=12, scorer="hof")
-    brute = SIM.brute_force_topk(queries, emb, k=5)
-    got_full = sorted(map(tuple, full.select(*key).collect()))
-    got_brute = sorted(map(tuple, brute.select(*key).collect()))
-    exact_ok = got_full == got_brute
-    n_queries = len({t[0] for t in got_brute})
     root = tempfile.mkdtemp(prefix="sivf_q_idx_")
     try:
-        SIM.persist_sharded_ivf_index(idx, root, mode="overwrite")
+        # r14 opt pass 2 (guide §2.6): the full-budget collect, the brute
+        # baseline, the persist write and the in-memory partial-probe
+        # collect are all independent actions over the pinned build — fan
+        # them out; same rows.
+        got_full, got_brute, _, got_m = _par(
+            lambda: sorted(map(tuple, SIM.sharded_ivf_ann_topk(
+                queries, idx, k=5, n_probe=12, scorer="hof"
+            ).select(*key).collect())),
+            lambda: sorted(map(tuple, SIM.brute_force_topk(
+                queries, emb, k=5
+            ).select(*key).collect())),
+            lambda: SIM.persist_sharded_ivf_index(idx, root, mode="overwrite"),
+            lambda: sorted(map(tuple, SIM.sharded_ivf_ann_topk(
+                queries, idx, k=5, n_probe=8, scorer="hof"
+            ).select(*key).collect())),
+        )
+        exact_ok = got_full == got_brute
+        n_queries = len({t[0] for t in got_brute})
         loaded = SIM.load_sharded_ivf_index(spark, root)
-        mem = SIM.sharded_ivf_ann_topk(queries, idx, k=5, n_probe=8, scorer="hof")
         per = SIM.sharded_ivf_ann_topk(queries, loaded, k=5, n_probe=8, scorer="hof")
-        got_m = sorted(map(tuple, mem.select(*key).collect()))
         got_p = sorted(map(tuple, per.select(*key).collect()))
         persisted_ok = got_m == got_p
         one_file_per_dir = all(
@@ -4884,48 +4923,36 @@ def q_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % 2 == 0)
     batch = emb.filter(F.col("vec_id") % 2 == 1)
-    n_base, n_batch = base.count(), batch.count()
+    # r14 optimization (guide §2.3/§1.2): the three driver-side counts
+    # (base, batch, twins) were three separate count jobs over the same
+    # tiny scan — one aggregate pass computes all three (same ints).
+    cnt = emb.agg(
+        F.count(F.when(F.col("vec_id") % 2 == 0, 1)).alias("n_base"),
+        F.count(F.when(F.col("vec_id") % 2 == 1, 1)).alias("n_batch"),
+        F.count(
+            F.when((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 6), 1)
+        ).alias("n_twins"),
+    ).first()
+    n_base, n_batch, n_twins = cnt["n_base"], cnt["n_batch"], cnt["n_twins"]
     root = tempfile.mkdtemp(prefix="ivf_maint_q_")
     try:
+        # r14 optimization (guide §5): pin the build before persisting —
+        # persist_ivf_index runs two writes over the build lineage
+        # (centroids, assignments); unpinned, each replays the build.
         SIM.persist_ivf_index(
-            SIM.build_ivf_index(base, n_lists=8), root, mode="overwrite"
+            SIM.materialize_index(SIM.build_ivf_index(base, n_lists=8), eager=True),
+            root, mode="overwrite",
         )
         twins = base.filter(F.col("vec_id") < 6).select(
             (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
         )
-        n_twins = twins.count()
         appended = SIM.append_to_ivf_index(spark, root, batch, dedupe=True)
         replayed = SIM.append_to_ivf_index(spark, root, batch, dedupe=True)
         SIM.append_to_ivf_index(spark, root, twins)
 
         centroids, assignments = SIM.load_ivf_index(spark, root)
-        got = {
-            (r["vec_id"], r["list_id"])
-            for r in assignments.filter(
-                (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 1_000_000)
-            ).collect()
-        }
-        expect = {
-            (r["cid"], r["list_id"])
-            for r in SIM._assign_to_lists(
-                batch.select(
-                    F.col("vec_id").alias("cid"),
-                    F.col("embedding").cast("array<double>").alias("v"),
-                ),
-                centroids,
-            ).collect()
-        }
-        parity_ok = got == expect
-
-        q_twin = base.filter(F.col("vec_id") < 6)
-        hits = SIM.ivf_ann_topk(
-            q_twin, emb, k=1, n_probe=8,
-            index=(centroids, assignments), scorer="hof",
-        ).collect()
-        twin_ok = len(hits) == n_twins and all(
-            r["neighbor_id"] == r["query_id"] + 1_000_000 and r["cosine"] > 0.999999
-            for r in hits
-        )
+        queries = base.filter(F.col("vec_id") < 10)
+        key = ["query_id", "neighbor_id", "cosine", "rank"]
 
         def max_files_per_dir():
             worst = 0
@@ -4934,21 +4961,45 @@ def q_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             return worst
 
         grew = max_files_per_dir() > 1
-        queries = base.filter(F.col("vec_id") < 10)
-        key = ["query_id", "neighbor_id", "cosine", "rank"]
-        before = sorted(map(tuple, SIM.ivf_ann_topk(
-            queries, emb, k=5, n_probe=6,
-            index=SIM.load_ivf_index(spark, root), scorer="hof",
-        ).select(*key).collect()))
+        # r14 opt pass 2 (guide §2.6): the four checks below are all
+        # read-only over the loaded tree — fan them out; same rows.
+        got_rows, expect_rows, hits, before = _par(
+            lambda: assignments.filter(
+                (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 1_000_000)
+            ).collect(),
+            lambda: SIM._assign_to_lists(
+                batch.select(
+                    F.col("vec_id").alias("cid"),
+                    F.col("embedding").cast("array<double>").alias("v"),
+                ),
+                centroids,
+            ).collect(),
+            lambda: SIM.ivf_ann_topk(
+                base.filter(F.col("vec_id") < 6), emb, k=1, n_probe=8,
+                index=(centroids, assignments), scorer="hof",
+            ).collect(),
+            lambda: sorted(map(tuple, SIM.ivf_ann_topk(
+                queries, emb, k=5, n_probe=6,
+                index=(centroids, assignments), scorer="hof",
+            ).select(*key).collect())),
+        )
+        got = {(r["vec_id"], r["list_id"]) for r in got_rows}
+        expect = {(r["cid"], r["list_id"]) for r in expect_rows}
+        parity_ok = got == expect
+        twin_ok = len(hits) == n_twins and all(
+            r["neighbor_id"] == r["query_id"] + 1_000_000 and r["cosine"] > 0.999999
+            for r in hits
+        )
         SIM.compact_ivf_index(spark, root)
         compact_ok = max_files_per_dir() == 1
-        after = sorted(map(tuple, SIM.ivf_ann_topk(
-            queries, emb, k=5, n_probe=6,
-            index=SIM.load_ivf_index(spark, root), scorer="hof",
-        ).select(*key).collect()))
-        stats = SIM.ivf_index_stats(
-            SIM.load_ivf_index(spark, root)[1]
-        ).first()
+        after_idx = SIM.load_ivf_index(spark, root)
+        after, stats = _par(
+            lambda: sorted(map(tuple, SIM.ivf_ann_topk(
+                queries, emb, k=5, n_probe=6,
+                index=after_idx, scorer="hof",
+            ).select(*key).collect())),
+            lambda: SIM.ivf_index_stats(after_idx[1]).first(),
+        )
         stats_ok = stats["n_rows"] == n_base + n_batch + n_twins
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -4999,13 +5050,25 @@ def q_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % 2 == 0)
     batch = emb.filter(F.col("vec_id") % 2 == 1)
-    n_batch = batch.count()
+    # r14 optimization (guide §1.2): n_twins was a separate count job;
+    # fold it into one tiny aggregate (same int).
+    n_twins = emb.agg(
+        F.count(
+            F.when((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 6), 1)
+        ).alias("n")
+    ).first()["n"]
     root = tempfile.mkdtemp(prefix="lsh_maint_q_")
     kw = dict(corpus_id="vec_id", vec_col="embedding")
     try:
-        bucketed = SIM.bucketize_tables(
-            base, id_col="vec_id", id_name="neighbor_id",
-            vec_col="embedding", keep_vec="cv", n_tables=4, n_planes=4,
+        # r14 optimization (guide §5): pin the bucketize — persist runs a
+        # count (prefix sizing) AND a write over its lineage; unpinned,
+        # each replays the bucketize matmul.
+        bucketed = SIM.materialize_index(
+            SIM.bucketize_tables(
+                base, id_col="vec_id", id_name="neighbor_id",
+                vec_col="embedding", keep_vec="cv", n_tables=4, n_planes=4,
+            ),
+            eager=True,
         )
         SIM.persist_lsh_index(
             bucketed, root, n_planes=4, n_tables=4, seed=7, mode="overwrite"
@@ -5013,38 +5076,13 @@ def q_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         twins = base.filter(F.col("vec_id") < 6).select(
             (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
         )
-        n_twins = twins.count()
         appended = SIM.append_to_lsh_index(spark, root, batch, dedupe=True, **kw)
         replayed = SIM.append_to_lsh_index(spark, root, batch, dedupe=True, **kw)
         SIM.append_to_lsh_index(spark, root, twins, **kw)
 
         idx, params = SIM.load_lsh_index(spark, root)
-        got = {
-            (r["neighbor_id"], r["tbl"], r["bucket"])
-            for r in idx.filter(
-                (F.col("neighbor_id") % 2 == 1)
-                & (F.col("neighbor_id") < 1_000_000)
-            ).collect()
-        }
-        expect = {
-            (r["neighbor_id"], r["tbl"], r["bucket"])
-            for r in SIM.bucketize_tables(
-                batch, id_col="vec_id", id_name="neighbor_id",
-                vec_col="embedding", n_tables=4, n_planes=4,
-            ).withColumn(
-                "bucket", F.lpad(F.col("bucket").cast("string"), 4, "0")
-            ).collect()
-        }
-        parity_ok = got == expect
-
-        q_twin = base.filter(F.col("vec_id") < 6)
-        hits = SIM.lsh_ann_topk(
-            q_twin, emb, k=1, index=idx, scorer="hof", **params
-        ).collect()
-        twin_ok = len(hits) == n_twins and all(
-            r["neighbor_id"] == r["query_id"] + 1_000_000 and r["cosine"] > 0.999999
-            for r in hits
-        )
+        queries = base.filter(F.col("vec_id") < 10)
+        key = ["query_id", "neighbor_id", "cosine", "rank"]
 
         def max_files_per_dir():
             worst = 0
@@ -5053,11 +5091,34 @@ def q_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             return worst
 
         grew = max_files_per_dir() > 1
-        queries = base.filter(F.col("vec_id") < 10)
-        key = ["query_id", "neighbor_id", "cosine", "rank"]
-        before = sorted(map(tuple, SIM.lsh_ann_topk(
-            queries, emb, k=5, index=idx, scorer="hof", **params
-        ).select(*key).collect()))
+        # r14 opt pass 2 (guide §2.6): the four checks are read-only over
+        # the loaded tree — fan them out; same rows.
+        got_rows, expect_rows, hits, before = _par(
+            lambda: idx.filter(
+                (F.col("neighbor_id") % 2 == 1)
+                & (F.col("neighbor_id") < 1_000_000)
+            ).collect(),
+            lambda: SIM.bucketize_tables(
+                batch, id_col="vec_id", id_name="neighbor_id",
+                vec_col="embedding", n_tables=4, n_planes=4,
+            ).withColumn(
+                "bucket", F.lpad(F.col("bucket").cast("string"), 4, "0")
+            ).collect(),
+            lambda: SIM.lsh_ann_topk(
+                base.filter(F.col("vec_id") < 6), emb, k=1,
+                index=idx, scorer="hof", **params
+            ).collect(),
+            lambda: sorted(map(tuple, SIM.lsh_ann_topk(
+                queries, emb, k=5, index=idx, scorer="hof", **params
+            ).select(*key).collect())),
+        )
+        got = {(r["neighbor_id"], r["tbl"], r["bucket"]) for r in got_rows}
+        expect = {(r["neighbor_id"], r["tbl"], r["bucket"]) for r in expect_rows}
+        parity_ok = got == expect
+        twin_ok = len(hits) == n_twins and all(
+            r["neighbor_id"] == r["query_id"] + 1_000_000 and r["cosine"] > 0.999999
+            for r in hits
+        )
         SIM.compact_lsh_index(spark, root)
         compact_ok = max_files_per_dir() == 1
         idx2, params2 = SIM.load_lsh_index(spark, root)
@@ -5107,74 +5168,90 @@ def q_pq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % 2 == 0)
     batch = emb.filter(F.col("vec_id") % 2 == 1)
-    n_batch = batch.count()
     queries = emb.filter(F.col("vec_id") < 5)
+
     # r14 optimization (guide §1.2/§5): the index-free pq_ann_topk call
     # trained the SAME deterministic codebook the persist branch trains
     # again below — two full trainings. Train once, pin it, query through
     # index= (identical plan and rows — same m=4 and the same k/scale_bits/
-    # hash_fn/kernel defaults) and persist that same build.
-    built = SIM.materialize_index(SIM.pq_index(emb, m=4))
-    inline = sorted(
-        map(tuple, SIM.pq_ann_topk(
-            queries, emb, k_neighbors=3, m=4, index=built
-        ).collect())
-    )
-    root = tempfile.mkdtemp(prefix="pq_q_idx_")
-    try:
-        SIM.persist_pq_index(built, root, m=4, mode="overwrite")
-        idx, params = SIM.load_pq_index(spark, root)
-        persisted = sorted(
-            map(tuple, SIM.pq_ann_topk(
-                queries, emb, k_neighbors=3, index=idx, **params
-            ).collect())
-        )
-        roundtrip_ok = persisted == inline
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    # hash_fn/kernel defaults) and persist that same build. r14 opt pass 2
+    # (guide §2.6): the roundtrip block and the maintenance block share
+    # nothing (separate builds, separate tmp trees) — run them as two
+    # concurrent driver threads and fan independent actions out with _par.
+    def roundtrip_block():
+        built = SIM.materialize_index(SIM.pq_index(emb, m=4), eager=True)
+        root = tempfile.mkdtemp(prefix="pq_q_idx_")
+        try:
+            inline, _ = _par(
+                lambda: sorted(
+                    map(tuple, SIM.pq_ann_topk(
+                        queries, emb, k_neighbors=3, m=4, index=built
+                    ).collect())
+                ),
+                lambda: SIM.persist_pq_index(built, root, m=4, mode="overwrite"),
+            )
+            idx, params = SIM.load_pq_index(spark, root)
+            persisted = sorted(
+                map(tuple, SIM.pq_ann_topk(
+                    queries, emb, k_neighbors=3, index=idx, **params
+                ).collect())
+            )
+            return persisted == inline
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
 
-    root = tempfile.mkdtemp(prefix="pq_q_maint_")
-    try:
-        SIM.persist_pq_index(SIM.pq_index(base, m=4), root, m=4, mode="overwrite")
-        appended = SIM.append_to_pq_index(spark, root, batch, dedupe=True)
-        replayed = SIM.append_to_pq_index(spark, root, batch, dedupe=True)
-        (centroids, codes), params = SIM.load_pq_index(spark, root)
-        got = {
-            (r["vec_id"], r["sub"], r["code"])
-            for r in codes.filter(F.col("vec_id") % 2 == 1).collect()
-        }
-        slices = SIM._pq_subslices(
-            batch.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("_v")),
-            "cid", "_v", 4, 20, "cid",
-        )
-        expect = {
-            (r["cid"], r["sub"], r["code"])
-            for r in SIM._pq_assign(slices, centroids, "cid").collect()
-        }
-        parity_ok = got == expect
-        before = sorted(
-            map(tuple, SIM.pq_ann_topk(
-                queries, emb, k_neighbors=3,
-                index=SIM.load_pq_index(spark, root)[0], **params,
-            ).collect())
-        )
-        SIM.compact_pq_index(spark, root)
-        one_file_per_dir = all(
-            sum(1 for f in files if f.endswith(".parquet")) <= 1
-            for _, _, files in os.walk(os.path.join(root, "codes"))
-        )
-        after = sorted(
-            map(tuple, SIM.pq_ann_topk(
-                queries, emb, k_neighbors=3,
-                index=SIM.load_pq_index(spark, root)[0], **params,
-            ).collect())
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    def maintenance_block():
+        root = tempfile.mkdtemp(prefix="pq_q_maint_")
+        try:
+            SIM.persist_pq_index(
+                SIM.materialize_index(SIM.pq_index(base, m=4), eager=True),
+                root, m=4, mode="overwrite",
+            )
+            appended = SIM.append_to_pq_index(spark, root, batch, dedupe=True)
+            replayed = SIM.append_to_pq_index(spark, root, batch, dedupe=True)
+            (centroids, codes), params = SIM.load_pq_index(spark, root)
+            slices = SIM._pq_subslices(
+                batch.select(
+                    F.col("vec_id").alias("cid"), F.col("embedding").alias("_v")
+                ),
+                "cid", "_v", 4, 20, "cid",
+            )
+            got_rows, expect_rows, before = _par(
+                lambda: codes.filter(F.col("vec_id") % 2 == 1).collect(),
+                lambda: SIM._pq_assign(slices, centroids, "cid").collect(),
+                lambda: sorted(
+                    map(tuple, SIM.pq_ann_topk(
+                        queries, emb, k_neighbors=3,
+                        index=SIM.load_pq_index(spark, root)[0], **params,
+                    ).collect())
+                ),
+            )
+            got = {(r["vec_id"], r["sub"], r["code"]) for r in got_rows}
+            expect = {(r["cid"], r["sub"], r["code"]) for r in expect_rows}
+            parity_ok = got == expect
+            SIM.compact_pq_index(spark, root)
+            one_file_per_dir = all(
+                sum(1 for f in files if f.endswith(".parquet")) <= 1
+                for _, _, files in os.walk(os.path.join(root, "codes"))
+            )
+            after = sorted(
+                map(tuple, SIM.pq_ann_topk(
+                    queries, emb, k_neighbors=3,
+                    index=SIM.load_pq_index(spark, root)[0], **params,
+                ).collect())
+            )
+            return appended, replayed, parity_ok, one_file_per_dir, before == after
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    (
+        roundtrip_ok,
+        (appended, replayed, parity_ok, one_file_per_dir, results_stable),
+    ) = _par(roundtrip_block, maintenance_block)
     return spark.createDataFrame(
         [(
             bool(roundtrip_ok), int(appended), int(replayed),
-            bool(parity_ok), bool(one_file_per_dir), before == after,
+            bool(parity_ok), bool(one_file_per_dir), bool(results_stable),
         )],
         "persisted_equals_inline boolean, appended int, replayed int, "
         "append_parity boolean, compact_restores_layout boolean, "
@@ -5203,25 +5280,37 @@ def q_lsh_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    inline = SIM.lsh_ann_topk(
-        queries, emb, k=5, n_planes=4, n_tables=8, scorer="hof"
-    )
     root = tempfile.mkdtemp(prefix="lsh_q_idx_")
     try:
-        bucketed = SIM.bucketize_tables(
-            emb, id_col="vec_id", id_name="neighbor_id",
-            vec_col="embedding", keep_vec="cv", n_tables=8, n_planes=4,
-        )
-        SIM.persist_lsh_index(
-            bucketed, root, n_planes=4, n_tables=8, seed=7, mode="overwrite"
+        key = ["query_id", "neighbor_id", "cosine", "rank"]
+
+        # r14 opt pass 2 (guide §2.6/§5): the inline query collect and the
+        # build-and-persist chain are independent — run them concurrently;
+        # the bucketize is pinned because persist_lsh_index runs a count
+        # (prefix sizing) AND a write over its lineage.
+        def persist_chain():
+            bucketed = SIM.materialize_index(
+                SIM.bucketize_tables(
+                    emb, id_col="vec_id", id_name="neighbor_id",
+                    vec_col="embedding", keep_vec="cv", n_tables=8, n_planes=4,
+                ),
+                eager=True,
+            )
+            SIM.persist_lsh_index(
+                bucketed, root, n_planes=4, n_tables=8, seed=7, mode="overwrite"
+            )
+
+        got_i, _ = _par(
+            lambda: sorted(map(tuple, SIM.lsh_ann_topk(
+                queries, emb, k=5, n_planes=4, n_tables=8, scorer="hof"
+            ).select(*key).collect())),
+            persist_chain,
         )
         idx, params = SIM.load_lsh_index(spark, root)
         prefix_present = any(c.startswith("_bpfx") for c in idx.columns)
         persisted = SIM.lsh_ann_topk(
             queries, emb, k=5, index=idx, scorer="hof", **params
         )
-        key = ["query_id", "neighbor_id", "cosine", "rank"]
-        got_i = sorted(map(tuple, inline.select(*key).collect()))
         got_p = sorted(map(tuple, persisted.select(*key).collect()))
         n_diff = 0 if got_i == got_p else 1
         n_queries = len({t[0] for t in got_i})
@@ -5617,80 +5706,111 @@ def q_ivfpq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lloyd chain + codes join). materialize_index computes it once;
     # bit-identical rows by construction (deterministic build, and a local
     # checkpoint only stores what the lazy plan would produce).
-    idx = SIM.materialize_index(
-        SIM.build_ivfpq_index(emb, n_lists=8, m=4, pq_k=16)
-    )
-    adc_top1 = SIM.ivfpq_ann_topk(twins, idx, k=1, n_probe=1, scorer="hof")
-    twin_adc_ok = adc_top1.filter(
-        (F.col("rank") == 1)
-        & (F.col("neighbor_id") == F.col("query_id") - 1_000_000)
-    ).count() == n_twins
-    rr_top1 = SIM.ivfpq_ann_topk(
-        twins, idx, k=1, n_probe=1, rerank=8, scorer="hof"
-    )
-    twin_rerank_ok = rr_top1.filter(
-        (F.col("rank") == 1)
-        & (F.col("neighbor_id") == F.col("query_id") - 1_000_000)
-        & (F.col("cosine") > 0.999999)
-    ).count() == n_twins
-
+    # r14 opt pass 2 (guide §2.6): the roundtrip block and the maintenance
+    # block share nothing (separate builds, separate tmp trees) — run them
+    # as two concurrent driver threads, and fan the independent actions
+    # inside each block out with _par. Same actions, same rows.
     queries = emb.filter(F.col("vec_id") < 5)
-    inline = sorted(
-        map(tuple, SIM.ivfpq_ann_topk(
-            queries, idx, k=5, n_probe=6, scorer="hof"
-        ).collect())
-    )
-    root = tempfile.mkdtemp(prefix="ivfpq_q_idx_")
-    try:
-        SIM.persist_ivfpq_index(idx, root, m=4, pq_k=16, mode="overwrite")
-        loaded, params = SIM.load_ivfpq_index(spark, root)
-        persisted = sorted(
-            map(tuple, SIM.ivfpq_ann_topk(
-                queries, loaded, k=5, n_probe=6, scorer="hof", **params
-            ).collect())
-        )
-        roundtrip_ok = persisted == inline
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
 
-    root = tempfile.mkdtemp(prefix="ivfpq_q_maint_")
-    try:
-        SIM.persist_ivfpq_index(
-            SIM.build_ivfpq_index(base, n_lists=8, m=4, pq_k=16),
-            root, m=4, pq_k=16, mode="overwrite",
+    def roundtrip_block():
+        idx = SIM.materialize_index(
+            SIM.build_ivfpq_index(emb, n_lists=8, m=4, pq_k=16), eager=True
         )
-        appended = SIM.append_to_ivfpq_index(spark, root, batch, dedupe=True)
-        replayed = SIM.append_to_ivfpq_index(spark, root, batch, dedupe=True)
-        (_, _, entries), params = SIM.load_ivfpq_index(spark, root)
-        appended_complete = entries.filter(
-            (F.col("vec_id") % 2 == 1)
-            & (F.col("list_id").isNotNull())
-            & (F.col("codes").isNotNull())
-        ).count() == appended
-        before = sorted(
-            map(tuple, SIM.ivfpq_ann_topk(
-                queries, SIM.load_ivfpq_index(spark, root)[0],
-                k=5, n_probe=6, scorer="hof", **params,
-            ).collect())
-        )
-        SIM.compact_ivfpq_index(spark, root)
-        one_file_per_dir = all(
-            sum(1 for f in files if f.endswith(".parquet")) <= 1
-            for _, _, files in os.walk(os.path.join(root, "entries"))
-        )
-        after = sorted(
-            map(tuple, SIM.ivfpq_ann_topk(
-                queries, SIM.load_ivfpq_index(spark, root)[0],
-                k=5, n_probe=6, scorer="hof", **params,
-            ).collect())
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+
+        def twin_adc_n():
+            return SIM.ivfpq_ann_topk(
+                twins, idx, k=1, n_probe=1, scorer="hof"
+            ).filter(
+                (F.col("rank") == 1)
+                & (F.col("neighbor_id") == F.col("query_id") - 1_000_000)
+            ).count()
+
+        def twin_rr_n():
+            return SIM.ivfpq_ann_topk(
+                twins, idx, k=1, n_probe=1, rerank=8, scorer="hof"
+            ).filter(
+                (F.col("rank") == 1)
+                & (F.col("neighbor_id") == F.col("query_id") - 1_000_000)
+                & (F.col("cosine") > 0.999999)
+            ).count()
+
+        def inline_rows():
+            return sorted(
+                map(tuple, SIM.ivfpq_ann_topk(
+                    queries, idx, k=5, n_probe=6, scorer="hof"
+                ).collect())
+            )
+
+        root = tempfile.mkdtemp(prefix="ivfpq_q_idx_")
+        try:
+            adc_n, rr_n, inline, _ = _par(
+                twin_adc_n, twin_rr_n, inline_rows,
+                lambda: SIM.persist_ivfpq_index(
+                    idx, root, m=4, pq_k=16, mode="overwrite"
+                ),
+            )
+            loaded, params = SIM.load_ivfpq_index(spark, root)
+            persisted = sorted(
+                map(tuple, SIM.ivfpq_ann_topk(
+                    queries, loaded, k=5, n_probe=6, scorer="hof", **params
+                ).collect())
+            )
+            roundtrip_ok = persisted == inline
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        return adc_n == n_twins, rr_n == n_twins, roundtrip_ok
+
+    def maintenance_block():
+        root = tempfile.mkdtemp(prefix="ivfpq_q_maint_")
+        try:
+            SIM.persist_ivfpq_index(
+                SIM.materialize_index(
+                    SIM.build_ivfpq_index(base, n_lists=8, m=4, pq_k=16),
+                    eager=True,
+                ),
+                root, m=4, pq_k=16, mode="overwrite",
+            )
+            appended = SIM.append_to_ivfpq_index(spark, root, batch, dedupe=True)
+            replayed = SIM.append_to_ivfpq_index(spark, root, batch, dedupe=True)
+            (_, _, entries), params = SIM.load_ivfpq_index(spark, root)
+            appended_complete_n, before = _par(
+                lambda: entries.filter(
+                    (F.col("vec_id") % 2 == 1)
+                    & (F.col("list_id").isNotNull())
+                    & (F.col("codes").isNotNull())
+                ).count(),
+                lambda: sorted(
+                    map(tuple, SIM.ivfpq_ann_topk(
+                        queries, SIM.load_ivfpq_index(spark, root)[0],
+                        k=5, n_probe=6, scorer="hof", **params,
+                    ).collect())
+                ),
+            )
+            appended_complete = appended_complete_n == appended
+            SIM.compact_ivfpq_index(spark, root)
+            one_file_per_dir = all(
+                sum(1 for f in files if f.endswith(".parquet")) <= 1
+                for _, _, files in os.walk(os.path.join(root, "entries"))
+            )
+            after = sorted(
+                map(tuple, SIM.ivfpq_ann_topk(
+                    queries, SIM.load_ivfpq_index(spark, root)[0],
+                    k=5, n_probe=6, scorer="hof", **params,
+                ).collect())
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        return appended, replayed, appended_complete, one_file_per_dir, before == after
+
+    (
+        (twin_adc_ok, twin_rerank_ok, roundtrip_ok),
+        (appended, replayed, appended_complete, one_file_per_dir, results_stable),
+    ) = _par(roundtrip_block, maintenance_block)
     return spark.createDataFrame(
         [(
             bool(twin_adc_ok), bool(twin_rerank_ok), bool(roundtrip_ok),
             int(appended), int(replayed), bool(appended_complete),
-            bool(one_file_per_dir), before == after,
+            bool(one_file_per_dir), bool(results_stable),
         )],
         "twin_adc_top1 boolean, twin_rerank_top1 boolean, "
         "persisted_equals_inline boolean, appended int, replayed int, "
@@ -5742,41 +5862,55 @@ def q_sharded_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r14 optimization (guide §5): `flat` feeds three actions and `two`
     # four (full-budget, twin, memory-roundtrip, persist) — pin each build
     # once instead of replaying it per action (see materialize_index;
-    # results bit-identical, the builds are deterministic).
-    flat = SIM.materialize_index(
-        SIM.build_ivfpq_index(emb, n_lists=6, m=4, pq_k=16)
+    # results bit-identical, the builds are deterministic). r14 opt pass 2
+    # (guide §2.6): the three builds are independent, and so are the six
+    # check actions over the pinned builds — materialize eagerly in
+    # parallel, then fan the checks out (_par; same actions, same rows).
+    flat, one, two = _par(
+        lambda: SIM.materialize_index(
+            SIM.build_ivfpq_index(emb, n_lists=6, m=4, pq_k=16), eager=True
+        ),
+        lambda: SIM.materialize_index(
+            SIM.build_sharded_ivfpq_index(
+                emb, n_shards=1, n_lists=6, m=4, pq_k=16
+            ),
+            eager=True,
+        ),
+        lambda: SIM.materialize_index(
+            SIM.build_sharded_ivfpq_index(
+                emb, n_shards=2, n_lists=6, m=4, pq_k=16
+            ),
+            eager=True,
+        ),
     )
-    one = SIM.materialize_index(
-        SIM.build_sharded_ivfpq_index(emb, n_shards=1, n_lists=6, m=4, pq_k=16)
-    )
-    two = SIM.materialize_index(
-        SIM.build_sharded_ivfpq_index(emb, n_shards=2, n_lists=6, m=4, pq_k=16)
-    )
-    f_adc = sorted(map(tuple, SIM.ivfpq_ann_topk(
-        queries, flat, k=5, n_probe=4, scorer="hof").collect()))
-    s_adc = sorted(map(tuple, SIM.sharded_ivfpq_ann_topk(
-        queries, one, k=5, n_probe=4, scorer="hof").collect()))
-    flat_degeneration = f_adc == s_adc
-    full_flat = sorted(map(tuple, SIM.ivfpq_ann_topk(
-        queries, flat, k=5, n_probe=6, scorer="hof").collect()))
-    full_two = sorted(map(tuple, SIM.sharded_ivfpq_ann_topk(
-        queries, two, k=5, n_probe=12, scorer="hof").collect()))
-    shard_independent = full_flat == full_two
 
     n_twins = 10
     twins = emb.filter(F.col("vec_id") < n_twins).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
-    twin_ok = SIM.sharded_ivfpq_ann_topk(
-        twins, two, k=1, n_probe=12, rerank=8, scorer="hof"
-    ).filter(
-        (F.col("rank") == 1)
-        & (F.col("neighbor_id") == F.col("query_id") - 1_000_000)
-        & (F.col("cosine") > 0.999999)
-    ).count() == n_twins
+    f_adc, s_adc, full_flat, full_two, n_twin_hits, mem = _par(
+        lambda: sorted(map(tuple, SIM.ivfpq_ann_topk(
+            queries, flat, k=5, n_probe=4, scorer="hof").collect())),
+        lambda: sorted(map(tuple, SIM.sharded_ivfpq_ann_topk(
+            queries, one, k=5, n_probe=4, scorer="hof").collect())),
+        lambda: sorted(map(tuple, SIM.ivfpq_ann_topk(
+            queries, flat, k=5, n_probe=6, scorer="hof").collect())),
+        lambda: sorted(map(tuple, SIM.sharded_ivfpq_ann_topk(
+            queries, two, k=5, n_probe=12, scorer="hof").collect())),
+        lambda: SIM.sharded_ivfpq_ann_topk(
+            twins, two, k=1, n_probe=12, rerank=8, scorer="hof"
+        ).filter(
+            (F.col("rank") == 1)
+            & (F.col("neighbor_id") == F.col("query_id") - 1_000_000)
+            & (F.col("cosine") > 0.999999)
+        ).count(),
+        lambda: sorted(map(tuple, SIM.sharded_ivfpq_ann_topk(
+            queries, two, k=5, n_probe=6, scorer="hof").collect())),
+    )
+    flat_degeneration = f_adc == s_adc
+    shard_independent = full_flat == full_two
+    twin_ok = n_twin_hits == n_twins
 
-    mem = sorted(map(tuple, SIM.sharded_ivfpq_ann_topk(
-        queries, two, k=5, n_probe=6, scorer="hof").collect()))
     root = tempfile.mkdtemp(prefix="sivfpq_q_")
     try:
         SIM.persist_sharded_ivfpq_index(two, root, m=4, pq_k=16, mode="overwrite")
@@ -6935,21 +7069,37 @@ def q_sharded_build_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         # would stop measuring what it pins. Same operator, same contract:
         # the collected rows come from the materialized twins, which are
         # bit-identical by construction.
-        mat_raw = SIM.build_sharded_ivf_index(
-            emb, n_shards=3, n_lists=6, scratch_dir=f"{scratch_root}/split"
-        )
-        direct = SIM.materialize_index(
-            SIM.build_sharded_ivf_index(emb, n_shards=3, n_lists=6)
-        )
-        mat = SIM.materialize_index(mat_raw)
-        parity = True
-        for (ca, aa), (cb, ab) in zip(direct, mat):
-            parity = parity and sorted(map(tuple, ca.collect())) == sorted(
-                map(tuple, cb.collect())
+        # r14 opt pass 2 (guide §2.6): the materialized-split build and the
+        # direct build are independent — build and pin them in parallel;
+        # then fan out the 12 parity collects and the two query collects.
+        # Same actions, same rows.
+        def build_mat():
+            raw = SIM.build_sharded_ivf_index(
+                emb, n_shards=3, n_lists=6, scratch_dir=f"{scratch_root}/split"
             )
-            parity = parity and sorted(
-                (r["vec_id"], r["list_id"]) for r in aa.collect()
-            ) == sorted((r["vec_id"], r["list_id"]) for r in ab.collect())
+            return raw, SIM.materialize_index(raw, eager=True)
+
+        (mat_raw, mat), direct = _par(
+            build_mat,
+            lambda: SIM.materialize_index(
+                SIM.build_sharded_ivf_index(emb, n_shards=3, n_lists=6),
+                eager=True,
+            ),
+        )
+        cent_thunks = []
+        asg_thunks = []
+        for (ca, aa), (cb, ab) in zip(direct, mat):
+            cent_thunks.append(
+                (lambda df=ca: sorted(map(tuple, df.collect())),
+                 lambda df=cb: sorted(map(tuple, df.collect())))
+            )
+            asg_thunks.append(
+                (lambda df=aa: sorted((r["vec_id"], r["list_id"]) for r in df.collect()),
+                 lambda df=ab: sorted((r["vec_id"], r["list_id"]) for r in df.collect()))
+            )
+        flat_thunks = [t for pair in cent_thunks + asg_thunks for t in pair]
+        results = _par(*flat_thunks)
+        parity = all(results[i] == results[i + 1] for i in range(0, len(results), 2))
         split_dirs = sorted(
             n for n in os.listdir(f"{scratch_root}/split") if n.startswith("_shard=")
         )
@@ -6962,14 +7112,15 @@ def q_sharded_build_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
             ._jdf.queryExecution().executedPlan().toString()
         )
         probe_pinned = plan.count("ExistingRDD") == 3 and plan.count("row_number") < 4
-        out_mat = SIM.sharded_ivf_ann_topk(
-            queries, mat, k=4, n_probe=5, scorer="hof"
+        r_mat, r_dir, n_queries = _par(
+            lambda: sorted(map(tuple, SIM.sharded_ivf_ann_topk(
+                queries, mat, k=4, n_probe=5, scorer="hof"
+            ).select(*key).collect())),
+            lambda: sorted(map(tuple, SIM.sharded_ivf_ann_topk(
+                queries, direct, k=4, n_probe=5, scorer="hof"
+            ).select(*key).collect())),
+            lambda: queries.count(),
         )
-        r_mat = sorted(map(tuple, out_mat.select(*key).collect()))
-        r_dir = sorted(map(tuple, SIM.sharded_ivf_ann_topk(
-            queries, direct, k=4, n_probe=5, scorer="hof"
-        ).select(*key).collect()))
-        n_queries = queries.count()
     finally:
         shutil.rmtree(scratch_root, ignore_errors=True)
     return spark.createDataFrame(
