@@ -3590,9 +3590,31 @@ def _pq_query_dtab(
     return q_slim.join(per_query, "query_id")
 
 
+_PQ_SHAPE_MEMO: "weakref.WeakKeyDictionary" = None  # built on first use
+
+
 def _pq_shape(pq_centroids: DataFrame) -> tuple[int, int, int]:
     """(m, pq_k, sub_width) read off a codebook table — m × pq_k tiny
-    rows, one job."""
+    rows, one job.
+
+    Memoized per codebook DataFrame OBJECT (r14, guide §1.2: don't
+    recompute what you already know — the contract faces issue several
+    ``ivfpq_ann_topk`` calls against the same pinned codebook and each
+    paid this job again). A DataFrame is an immutable plan, so identity
+    implies an identical shape; distinct objects over the same data just
+    miss the memo and pay the one job, never a wrong answer. WeakKey so
+    the memo never outlives the codebook object."""
+    global _PQ_SHAPE_MEMO
+    if _PQ_SHAPE_MEMO is None:
+        import weakref
+
+        _PQ_SHAPE_MEMO = weakref.WeakKeyDictionary()
+    try:
+        hit = _PQ_SHAPE_MEMO.get(pq_centroids)
+    except TypeError:  # unhashable/unweakrefable wrapper: just compute
+        hit = None
+    if hit is not None:
+        return hit
     row = pq_centroids.agg(
         (F.max("sub") + 1).cast("int").alias("m"),
         (F.max("idx") + 1).cast("int").alias("k"),
@@ -3600,7 +3622,12 @@ def _pq_shape(pq_centroids: DataFrame) -> tuple[int, int, int]:
     ).first()
     if row is None or row["m"] is None:
         raise ValueError("ivfpq: empty PQ codebook table")
-    return int(row["m"]), int(row["k"]), int(row["w"])
+    shape = (int(row["m"]), int(row["k"]), int(row["w"]))
+    try:
+        _PQ_SHAPE_MEMO[pq_centroids] = shape
+    except TypeError:
+        pass
+    return shape
 
 
 def ivfpq_ann_topk(
