@@ -3499,31 +3499,50 @@ def build_ivfpq_index(
     IVF-PQ index, and the streaming sink (``streaming/ann_ingest.py``)
     maintains it under kind ``'ivfpq'``.
     """
-    ivf_centroids, assignments = build_ivf_index(
-        corpus,
-        corpus_id=corpus_id,
-        vec_col=vec_col,
-        n_lists=n_lists,
-        kmeans_iters=kmeans_iters,
-        centroid_budget_bytes=centroid_budget_bytes,
-        hash_fn=hash_fn,
-    )
     to_encode = corpus
     if normalize:
         to_encode = corpus.withColumn(
             vec_col, _unit_vec(F.col(vec_col).cast("array<double>"))
         )
-    pq_centroids, codes = pq_index(
-        to_encode,
-        corpus_id=corpus_id,
-        vec_col=vec_col,
-        m=m,
-        k=pq_k,
-        scale_bits=scale_bits,
-        hash_fn=hash_fn,
-        lloyd_iters=lloyd_iters,
-        assign_kernel=assign_kernel,
-    )
+
+    # r14 optimization (guide §2.6): the two trainings are INDEPENDENT —
+    # the coarse quantizer clusters raw vectors, the codebook clusters
+    # (normalized) subslices; only `entries` joins their outputs. Each
+    # training's construction runs its own driver-side jobs (ref-dim
+    # first(), seed/Lloyd centroid collects), so running them from two
+    # driver threads overlaps those jobs instead of serializing the two
+    # chains. Deterministic either way — the join composes the same two
+    # results.
+    def _ivf():
+        return build_ivf_index(
+            corpus,
+            corpus_id=corpus_id,
+            vec_col=vec_col,
+            n_lists=n_lists,
+            kmeans_iters=kmeans_iters,
+            centroid_budget_bytes=centroid_budget_bytes,
+            hash_fn=hash_fn,
+        )
+
+    def _pq():
+        return pq_index(
+            to_encode,
+            corpus_id=corpus_id,
+            vec_col=vec_col,
+            m=m,
+            k=pq_k,
+            scale_bits=scale_bits,
+            hash_fn=hash_fn,
+            lloyd_iters=lloyd_iters,
+            assign_kernel=assign_kernel,
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ivf_f, pq_f = pool.submit(_ivf), pool.submit(_pq)
+        ivf_centroids, assignments = ivf_f.result()
+        pq_centroids, codes = pq_f.result()
     entries = assignments.join(
         _pq_codes_as_array(codes, corpus_id), corpus_id, "left"
     ).select(corpus_id, vec_col, "list_id", "codes")
@@ -4023,18 +4042,35 @@ def build_sharded_ivfpq_index(
         to_encode = corpus.withColumn(
             vec_col, _unit_vec(F.col(vec_col).cast("array<double>"))
         )
-    pq_centroids, codes = pq_index(
-        to_encode, corpus_id=corpus_id, vec_col=vec_col,
-        m=m, k=pq_k, scale_bits=scale_bits, hash_fn=hash_fn,
-        lloyd_iters=lloyd_iters, assign_kernel=assign_kernel,
-    )
+
+    # r14 optimization (guide §2.6): same independence as
+    # build_ivfpq_index — the shared codebook trains on values, the
+    # sharded IVF build on the hash split; overlap the two chains'
+    # driver-side construction jobs from two threads (the per-shard
+    # builds inside build_sharded_ivf_index additionally parallelize
+    # themselves). Deterministic composition, same entries.
+    def _pq():
+        return pq_index(
+            to_encode, corpus_id=corpus_id, vec_col=vec_col,
+            m=m, k=pq_k, scale_bits=scale_bits, hash_fn=hash_fn,
+            lloyd_iters=lloyd_iters, assign_kernel=assign_kernel,
+        )
+
+    def _shards():
+        return build_sharded_ivf_index(
+            corpus, corpus_id=corpus_id, vec_col=vec_col, n_shards=n_shards,
+            n_lists=n_lists, kmeans_iters=kmeans_iters,
+            centroid_budget_bytes=centroid_budget_bytes,
+            materialize=materialize, scratch_dir=scratch_dir,
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        pq_f, sh_f = pool.submit(_pq), pool.submit(_shards)
+        pq_centroids, codes = pq_f.result()
+        shards = sh_f.result()
     codes_arr = _pq_codes_as_array(codes, corpus_id)
-    shards = build_sharded_ivf_index(
-        corpus, corpus_id=corpus_id, vec_col=vec_col, n_shards=n_shards,
-        n_lists=n_lists, kmeans_iters=kmeans_iters,
-        centroid_budget_bytes=centroid_budget_bytes,
-        materialize=materialize, scratch_dir=scratch_dir,
-    )
     out = []
     for cents, asg in shards:
         entries = asg.join(codes_arr, corpus_id, "left").select(
