@@ -1916,8 +1916,18 @@ def persist_sharded_ivf_index(
     if not index:
         raise ValueError("persist_sharded_ivf_index: empty shard list")
     spark = index[0][0].sparkSession
-    for s, pair in enumerate(index):
-        persist_ivf_index(pair, f"{path}/shard={s:05d}", mode=mode)
+    # r14 optimization (guide §2.6): per-shard trees are disjoint
+    # directories — write them concurrently from a small thread pool so
+    # one shard's write tail back-fills with the next shard's jobs (the
+    # top-level manifest still lands LAST, so a reader can never see a
+    # complete manifest over an incomplete shard set).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(index), 4)) as pool:
+        list(pool.map(
+            lambda sp: persist_ivf_index(sp[1], f"{path}/shard={sp[0]:05d}", mode=mode),
+            enumerate(index),
+        ))
     meta = Row(format="sharded_ivf", version=1, n_shards=len(index))
     fsio.write_json_dir(f"{path}/meta", meta.asDict(), mode=mode, spark=spark)
 
@@ -4258,12 +4268,22 @@ def persist_sharded_ivfpq_index(
     if not shards:
         raise ValueError("persist_sharded_ivfpq_index: empty shard list")
     spark = pq_centroids.sparkSession
-    for s, (cents, entries) in enumerate(shards):
+
+    # r14 optimization (guide §2.6): per-shard trees are disjoint
+    # directories — write them concurrently (manifest still lands LAST,
+    # so a reader can never see a complete manifest over a partial tree).
+    def _one(sp):
+        s, (cents, entries) = sp
         persist_ivfpq_index(
             (cents, pq_centroids, entries), f"{path}/shard={s:05d}",
             m=m, pq_k=pq_k, scale_bits=scale_bits, hash_fn=hash_fn,
             normalize=normalize, mode=mode,
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(shards), 4)) as pool:
+        list(pool.map(_one, enumerate(shards)))
     meta = Row(
         format="sharded_ivfpq", version=1, n_shards=len(shards),
         m=m, pq_k=pq_k, scale_bits=scale_bits, hash_fn=hash_fn,
