@@ -60,6 +60,27 @@ MEASUREMENT METHODOLOGY (r5 — closes the drift thread open since r2):
    recorded value is the post-wait sample actually in effect at
    launch). Workers are sequential, so between-query samples measure
    the HOST, not this bench (each worker's JVM has exited).
+
+6. **Bounded gate sleep + partial-output flush (r15 — VERDICT r14 ask
+   #1).** The r14 per-query re-gate could in the worst case sleep
+   300 s (start gate) + 70 queries x 60 s ≈ 75 minutes on a busy host
+   — past any outer timeout — and the one-line JSON printed only at
+   suite end, so a timeout mid-suite lost EVERY completed measurement
+   (BENCH_r14.json: rc 124, empty tail). Two fixes, both
+   methodology-neutral (query set, worker protocol, min-of-N timing
+   unchanged):
+   (a) the per-query re-gates now draw from a single SUITE-WIDE budget
+       $BENCH_QUERY_LOAD_BUDGET (default 120 s total, on top of the
+       still-per-suite 300 s start gate); once it is spent, workers
+       launch immediately and the recorded `loadavg_before` carries
+       the contamination evidence instead of a sleep. Hygiene never
+       outranks producing the contract output.
+   (b) the runner installs SIGTERM/SIGINT handlers that kill the
+       in-flight worker and FLUSH the one-line JSON with the queries
+       completed so far, tagged `"partial": true` — so an outer
+       `timeout` yields a usable partial artifact instead of nothing.
+       A worker failure likewise flushes the partial line before
+       exiting non-zero.
 """
 
 from __future__ import annotations
@@ -271,7 +292,20 @@ def _load1() -> float:
         return -1.0
 
 
+def _wait_for_quiet(gate: float, budget: float, step: float, load_fn=_load1, sleep_fn=time.sleep) -> float:
+    """Sleep in `step`-second increments while load_fn() > gate, up to
+    `budget` seconds total.  Returns the seconds actually slept.  The
+    injectable load_fn/sleep_fn exist for unit tests (§6a)."""
+    waited = 0.0
+    while load_fn() > gate >= 0 and waited < budget:
+        sleep_fn(min(step, budget - waited))
+        waited += min(step, budget - waited)
+    return waited
+
+
 def main() -> None:
+    import signal
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     verbose = os.environ.get("BENCH_VERBOSE") == "1"
@@ -282,36 +316,82 @@ def main() -> None:
     # load gate (see methodology §4): wait for a quiet window, then tag
     gate = float(os.environ.get("BENCH_LOAD_GATE", "1.0"))
     wait_budget = float(os.environ.get("BENCH_LOAD_WAIT", "300"))
-    waited = 0.0
-    while _load1() > gate >= 0 and waited < wait_budget:
-        if verbose:
-            print(f"# load {_load1()} > gate {gate}; waiting...", file=sys.stderr)
-        time.sleep(15)
-        waited += 15
+    waited = _wait_for_quiet(gate, wait_budget, 15.0)
+    if verbose and waited:
+        print(f"# start gate: waited {waited}s for quiet window", file=sys.stderr)
     loadavg_start = _load1()
 
     timings: dict[str, float] = {}
     load_before: dict[str, float] = {}
+    # §6a: one shared re-gate budget for the whole suite, not 60 s/query
     q_wait = float(os.environ.get("BENCH_QUERY_LOAD_WAIT", "60"))
+    q_budget = float(os.environ.get("BENCH_QUERY_LOAD_BUDGET", "120"))
+
+    def _emit(partial: bool) -> None:
+        total = round(sum(timings.values()), 3)
+        r1_subset = round(sum(timings[n] for n in R1_SUBSET if n in timings), 3)
+        payload = {
+            "metric": "headline-suite wall time",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "loadavg_before": load_before,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "repeat": repeat,
+            "isolation": "subprocess-per-query" if isolate else "shared-session",
+            "r1_subset_sec": r1_subset,
+            "loadavg_start": loadavg_start,
+            "loadavg_end": _load1(),
+            "load_gate": gate,
+            "load_wait_s": waited,
+            "load_contaminated": bool(loadavg_start > gate >= 0),
+        }
+        if partial:
+            payload["partial"] = True
+        print(json.dumps(payload), flush=True)
+
+    # §6b: an outer timeout (SIGTERM) or ^C must yield a usable partial
+    # artifact, not an empty tail.  The handler kills the in-flight
+    # worker, flushes the one-line JSON with the completed queries, and
+    # exits non-zero so the caller still sees the interruption.
+    current: list = [None]  # in-flight worker Popen, if any
+
+    def _on_signal(signum, frame):  # pragma: no cover - exercised via subprocess test
+        proc = current[0]
+        if proc is not None and proc.poll() is None:
+            try:  # workers run in their own session: kill the JVM child too
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
+        _emit(partial=True)
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
     if isolate:
         for name in only:
-            # per-query re-gate (§5): give a mid-suite load transient a
-            # short window to drain, then record whatever is in effect
-            qw = 0.0
-            while _load1() > gate >= 0 and qw < q_wait:
-                time.sleep(10)
-                qw += 10
+            # per-query re-gate (§5/§6a): give a mid-suite load transient
+            # a short window to drain — bounded per query AND suite-wide —
+            # then record whatever load is in effect at launch
+            q_budget -= _wait_for_quiet(gate, min(q_wait, q_budget), 10.0)
             load_before[name] = _load1()
-            proc = subprocess.run(
+            proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--worker", name],
-                capture_output=True,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
                 text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
+                start_new_session=True,
             )
+            current[0] = proc
+            out, err = proc.communicate()
+            current[0] = None
             if proc.returncode != 0:
-                print(f"# worker {name} FAILED:\n{proc.stderr[-2000:]}", file=sys.stderr)
+                print(f"# worker {name} FAILED:\n{err[-2000:]}", file=sys.stderr)
+                _emit(partial=True)
                 raise SystemExit(1)
-            rec = json.loads(proc.stdout.strip().splitlines()[-1])
+            rec = json.loads(out.strip().splitlines()[-1])
             timings[name] = rec["sec"]
             if verbose:
                 print(f"# {name}: {rec['sec']}s ({rec['rows']} rows)", file=sys.stderr)
@@ -323,28 +403,7 @@ def main() -> None:
             if verbose:
                 print(f"# {name}: {timings[name]}s ({nrows} rows)", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
-    r1_subset = round(sum(timings[n] for n in R1_SUBSET if n in timings), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "loadavg_before": load_before,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "repeat": repeat,
-                "isolation": "subprocess-per-query" if isolate else "shared-session",
-                "r1_subset_sec": r1_subset,
-                "loadavg_start": loadavg_start,
-                "loadavg_end": _load1(),
-                "load_gate": gate,
-                "load_wait_s": waited,
-                "load_contaminated": bool(loadavg_start > gate >= 0),
-            }
-        )
-    )
+    _emit(partial=False)
 
 
 if __name__ == "__main__":
