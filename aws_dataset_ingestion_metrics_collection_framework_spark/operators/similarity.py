@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 import random
 import re
+import weakref
 
 import numpy as np
 import pandas as pd
@@ -3549,10 +3550,17 @@ def build_ivfpq_index(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        ivf_f, pq_f = pool.submit(_ivf), pool.submit(_pq)
+    # No `with` block: its __exit__ would re-join the threads, blocking a
+    # failed build on the still-running sibling training (minutes at scale).
+    pool = ThreadPoolExecutor(max_workers=2)
+    ivf_f, pq_f = pool.submit(_ivf), pool.submit(_pq)
+    try:
         ivf_centroids, assignments = ivf_f.result()
         pq_centroids, codes = pq_f.result()
+    except BaseException:
+        pool.shutdown(wait=False, cancel_futures=True)
+        raise
+    pool.shutdown(wait=True)
     entries = assignments.join(
         _pq_codes_as_array(codes, corpus_id), corpus_id, "left"
     ).select(corpus_id, vec_col, "list_id", "codes")
@@ -3619,7 +3627,9 @@ def _pq_query_dtab(
     return q_slim.join(per_query, "query_id")
 
 
-_PQ_SHAPE_MEMO: "weakref.WeakKeyDictionary" = None  # built on first use
+# Built at import (not lazily) so concurrent _par threads can never race a
+# check-then-assign on the module global and drop each other's entries.
+_PQ_SHAPE_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _pq_shape(pq_centroids: DataFrame) -> tuple[int, int, int]:
@@ -3633,11 +3643,6 @@ def _pq_shape(pq_centroids: DataFrame) -> tuple[int, int, int]:
     implies an identical shape; distinct objects over the same data just
     miss the memo and pay the one job, never a wrong answer. WeakKey so
     the memo never outlives the codebook object."""
-    global _PQ_SHAPE_MEMO
-    if _PQ_SHAPE_MEMO is None:
-        import weakref
-
-        _PQ_SHAPE_MEMO = weakref.WeakKeyDictionary()
     try:
         hit = _PQ_SHAPE_MEMO.get(pq_centroids)
     except TypeError:  # unhashable/unweakrefable wrapper: just compute
@@ -4076,10 +4081,17 @@ def build_sharded_ivfpq_index(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        pq_f, sh_f = pool.submit(_pq), pool.submit(_shards)
+    # No `with` block: its __exit__ would re-join the threads, blocking a
+    # failed build on the still-running sibling training (minutes at scale).
+    pool = ThreadPoolExecutor(max_workers=2)
+    pq_f, sh_f = pool.submit(_pq), pool.submit(_shards)
+    try:
         pq_centroids, codes = pq_f.result()
         shards = sh_f.result()
+    except BaseException:
+        pool.shutdown(wait=False, cancel_futures=True)
+        raise
+    pool.shutdown(wait=True)
     codes_arr = _pq_codes_as_array(codes, corpus_id)
     out = []
     for cents, asg in shards:

@@ -69,8 +69,12 @@ def _par(*thunks):
     threads, py4j is thread-safe, and concurrent first-computation of a
     shared lazy localCheckpoint is block-locked by the BlockManager —
     still, faces materialize shared builds eagerly BEFORE fanning out so
-    no build is raced. Pool size is capped: 2-4 in-flight jobs fill the
-    tail without fighting for executors (guide §2.6)."""
+    no build is raced. Pool size is capped at 6 in-flight jobs: enough to
+    fill the tail without fighting for executors (guide §2.6). NOTE:
+    nested pools multiply — a thunk that itself calls a parallel builder
+    (e.g. build_sharded_ivfpq_index: a 2-pool whose shard branch opens a
+    4-pool) can put cap x inner-cap jobs in flight; keep fan-outs shallow
+    and don't stack _par inside _par."""
     if len(thunks) == 1:
         return [thunks[0]()]
     from concurrent.futures import ThreadPoolExecutor

@@ -39,14 +39,22 @@ def test_pq_shape_memo_identity_and_correctness(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents, _codes = SIM.pq_index(emb, m=4, k=16)
     cents = cents.localCheckpoint()
-    first = SIM._pq_shape(cents)
-    assert first[0] == 4 and first[1] == 16 and first[0] * first[2] == 64
-    # memo hit: same object is cached now
-    assert SIM._PQ_SHAPE_MEMO is not None and cents in SIM._PQ_SHAPE_MEMO
-    assert SIM._pq_shape(cents) == first
-    # distinct object over identical data: misses the memo, same shape
-    cents2, _ = SIM.pq_index(emb, m=4, k=16)
-    assert SIM._pq_shape(cents2) == first
+    # hermetic: snapshot/restore the module-level memo so this test neither
+    # sees nor leaks cross-test state (ADVICE r14)
+    saved = dict(SIM._PQ_SHAPE_MEMO)
+    SIM._PQ_SHAPE_MEMO.clear()
+    try:
+        first = SIM._pq_shape(cents)
+        assert first[0] == 4 and first[1] == 16 and first[0] * first[2] == 64
+        # memo hit: same object is cached now
+        assert cents in SIM._PQ_SHAPE_MEMO
+        assert SIM._pq_shape(cents) == first
+        # distinct object over identical data: misses the memo, same shape
+        cents2, _ = SIM.pq_index(emb, m=4, k=16)
+        assert SIM._pq_shape(cents2) == first
+    finally:
+        SIM._PQ_SHAPE_MEMO.clear()
+        SIM._PQ_SHAPE_MEMO.update(saved)
 
 
 def test_par_helper_order_and_values():
