@@ -59,6 +59,45 @@ def _merge_fold(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _merge_replay(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Replay ALL trained merges over a word, rank order, as ONE
+    constant-depth expression: an outer fold over a merges array literal
+    whose step is the same greedy left-to-right fold as ``_merge_fold``
+    (with the pair taken from the lambda variable instead of literals).
+
+    Equivalent to chaining ``_merge_fold`` once per merge — pinned by
+    tests/test_bpe.py::test_apply_paths_agree and the byte-parity suite —
+    but the chained form built a num_merges-deep lambda tree whose
+    Catalyst analysis dominated the face wall time (guide §7.3); this
+    form is depth-2 regardless of merge count."""
+    syms = _chars_with_eow(word)
+    if not merges:
+        return syms
+    mlit = F.array(
+        *[
+            F.struct(F.lit(l).alias("l"), F.lit(r).alias("r"))
+            for l, r in merges
+        ]
+    )
+    return F.aggregate(
+        mlit,
+        syms,
+        lambda acc, m: F.aggregate(
+            acc,
+            F.array().cast("array<string>"),
+            lambda a, s: F.when(
+                (F.size(a) > 0)
+                & (F.element_at(a, -1) == m["l"])
+                & (s == m["r"]),
+                F.concat(
+                    F.slice(a, 1, F.size(a) - 1),
+                    F.array(F.concat(m["l"], m["r"])),
+                ),
+            ).otherwise(F.concat(a, F.array(s))),
+        ),
+    )
+
+
 def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
     """The one corpus-sized pass: (word, count) vocabulary."""
     from .dedup import tokenize
@@ -72,11 +111,18 @@ def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
 
 def _train_merges_local(
     words: list[tuple[str, int]], num_merges: int
-) -> list[tuple[str, str]]:
+) -> tuple[list[tuple[str, str]], dict[str, list[str]]]:
     """The merge loop over a DRIVER-LOCAL (word, count) vocabulary —
     byte-identical semantics to the distributed iterations (same pair
     stats, same (count desc, pair asc) total-order argmax, same n >= 2
-    stop, same greedy left-to-right fold)."""
+    stop, same greedy left-to-right fold).
+
+    Returns (merges, final_syms): the loop maintains every word's final
+    symbol sequence anyway, so it is returned alongside the merges —
+    re-deriving it distributed as a chain of ``num_merges`` fold
+    expressions cost ~1.5-2 s of pure driver planning per action at
+    bench scale (r15, guide §7.3: Catalyst analysis of the 30-deep
+    lambda tree, zero task time)."""
     vocab = [(list(w) + [EOW], c) for w, c in words]
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -101,7 +147,8 @@ def _train_merges_local(
                 else:
                     out.append(s)
             vocab[idx] = (out, c)
-    return merges
+    final_syms = {w: syms for (syms, _c), (w, _cnt) in zip(vocab, words)}
+    return merges, final_syms
 
 
 def train_bpe(
@@ -137,13 +184,22 @@ def train_bpe(
     n_vocab = vocab.count()
     if n_vocab <= driver_vocab_threshold:
         rows = vocab.select("word", "cnt").collect()
-        merges = _train_merges_local(
-            [(r["word"], int(r["cnt"])) for r in rows], num_merges
+        pairs = [(r["word"], int(r["cnt"])) for r in rows]
+        merges, final_syms = _train_merges_local(pairs, num_merges)
+        # The trainer already holds every word's final symbols: ship them
+        # back as a local relation instead of re-deriving them with a
+        # num_merges-deep fold-expression chain whose Catalyst analysis
+        # cost ~1.5-2 s of driver time PER ACTION at bench scale (r15,
+        # guide §7.3 "planning time itself can become the bottleneck").
+        # Bounded driver data: the vocabulary was already collected above.
+        table = df.sparkSession.createDataFrame(
+            [(w, c, final_syms[w]) for w, c in pairs],
+            "word string, cnt long, syms array<string>",
         )
-        syms = _chars_with_eow(F.col("word"))
-        for left, right in merges:
-            syms = _merge_fold(syms, left, right)
-        return merges, vocab.withColumn("syms", syms)
+        # A local relation has no size stats, so the apply-time join would
+        # plan as a shuffle; this path is bounded by driver_vocab_threshold
+        # rows, so broadcasting is safe by construction (guide §3.1).
+        return merges, F.broadcast(table)
 
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -203,15 +259,13 @@ def apply_bpe(
     if vocab_df is not None:
         table = vocab_df.select("word", F.col("syms").alias("pieces"))
         seen = words.join(table, "word", "left")
-        replay = _chars_with_eow(F.col("word"))
-        for left, right in merges:
-            replay = _merge_fold(replay, left, right)
         return seen.select(
             id_col,
             "word_idx",
-            F.coalesce("pieces", replay).alias("pieces"),
+            F.coalesce("pieces", _merge_replay(F.col("word"), merges)).alias(
+                "pieces"
+            ),
         )
-    replay = _chars_with_eow(F.col("word"))
-    for left, right in merges:
-        replay = _merge_fold(replay, left, right)
-    return words.select(id_col, "word_idx", replay.alias("pieces"))
+    return words.select(
+        id_col, "word_idx", _merge_replay(F.col("word"), merges).alias("pieces")
+    )

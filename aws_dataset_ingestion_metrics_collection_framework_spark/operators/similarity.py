@@ -299,6 +299,38 @@ def bucketize_tables(
 # (out of this operator's scope, documented in build_ivf_index).
 IVF_CENTROID_BUDGET_BYTES = 256 << 20
 
+# r15 (guide §1.2, same precedent as _PQ_SHAPE_MEMO): the ANN contract faces
+# run several assign/probe calls against the SAME pinned centroid table, and
+# each call re-collected it as its own one-job probe (census: 12 collects at
+# _assign_to_lists per ivf_index_maintenance run). A DataFrame is an
+# immutable plan, so object identity implies identical rows; distinct
+# objects miss and recompute — never a stale/wrong matrix. Values memoized
+# AFTER normalization and are never mutated by the consumers.
+_CENTROID_MATRIX_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _centroid_matrix(cents: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(list_ids, row-normalized centroid matrix) for the numpy assign
+    kernel — collected once per centroid-table OBJECT per run."""
+    try:
+        hit = _CENTROID_MATRIX_MEMO.get(cents)
+    except TypeError:  # unhashable/unweakrefable wrapper: just compute
+        hit = None
+    if hit is not None:
+        return hit
+    rows = cents.orderBy("list_id").collect()
+    lids = np.array([r["list_id"] for r in rows], dtype="int64")
+    mat = np.array([r["centroid"] for r in rows], dtype="float64")
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    cn = mat / norms[:, None]
+    val = (lids, cn)
+    try:
+        _CENTROID_MATRIX_MEMO[cents] = val
+    except TypeError:
+        pass
+    return val
+
 
 def _assign_to_lists(c: DataFrame, cents: DataFrame) -> DataFrame:
     """The IVF assign kernel, shared by :func:`build_ivf_index` and
@@ -316,14 +348,9 @@ def _assign_to_lists(c: DataFrame, cents: DataFrame) -> DataFrame:
     same clamp that bounds the broadcast row). Map-only, zero
     shuffle. Ties break toward the LARGEST list_id — parity with
     the struct-max the HOF formulation used."""
-    rows = cents.orderBy("list_id").collect()
-    lids = np.array([r["list_id"] for r in rows], dtype="int64")
-    mat = np.array([r["centroid"] for r in rows], dtype="float64")
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    cn = mat / norms[:, None]
+    lids, cn = _centroid_matrix(cents)
 
-    dim = mat.shape[1]
+    dim = cn.shape[1]
 
     @F.pandas_udf("int")
     def best_list(vs: pd.Series) -> pd.Series:
@@ -574,13 +601,8 @@ def ivf_ann_topk(
                     "scorer='hof' (broadcast-row probing, no driver "
                     "matrix)."
                 )
-        rows = centroids.orderBy("list_id").collect()
-        lids = np.array([r["list_id"] for r in rows], dtype="int64")
-        mat = np.array([r["centroid"] for r in rows], dtype="float64")
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        cn = mat / norms[:, None]
-        cdim = mat.shape[1]
+        lids, cn = _centroid_matrix(centroids)
+        cdim = cn.shape[1]
 
         @F.pandas_udf("array<int>")
         def top_lists(vs: pd.Series) -> pd.Series:
@@ -1720,13 +1742,8 @@ def _shard_probes(
                     "per-shard budget — rebuild with more shards, or "
                     "score with scorer='hof'."
                 )
-        rows = centroids.orderBy("list_id").collect()
-        lids = np.array([r["list_id"] for r in rows], dtype="int64")
-        mat = np.array([r["centroid"] for r in rows], dtype="float64")
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        cn = mat / norms[:, None]
-        cdim = mat.shape[1]
+        lids, cn = _centroid_matrix(centroids)
+        cdim = cn.shape[1]
 
         @F.pandas_udf("array<struct<ccos: double, list_id: int>>")
         def top_lists(vs: pd.Series) -> pd.Series:
@@ -2880,33 +2897,23 @@ def _pq_assign(
     )
 
 
-def _pq_assign_arrow(slices: DataFrame, cents: DataFrame, id_name: str) -> DataFrame:
-    """Arrow exact-int64 twin of the HOF assign path (see
-    :func:`_pq_assign`): the same integer squared-L2 argmin with the same
-    smaller-index tie rule, computed as ONE vectorized numpy pass per
-    Arrow RecordBatch instead of an interpreted expression per element.
+# Same WeakKey precedent as _CENTROID_MATRIX_MEMO: the validated dense
+# codebook block for the Arrow assign kernel, collected once per codebook
+# OBJECT per run (the persisted/maintenance faces encode several batches
+# against the same pinned codebook).
+_PQ_CODEBOOK_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
-    Bit-parity argument (and why it holds exactly, not approximately):
 
-    - the quantized slices are int64 and numpy int64 arithmetic is the
-      same two's-complement domain as the JVM's BIGINT, so ``(x−c)²``
-      sums are bit-identical, not float-close;
-    - centroid rows are laid out sorted by idx, and ``argmin`` returns
-      the FIRST minimum — exactly array_min's (d2, idx) lexicographic
-      tie rule;
-    - a null svec mirrors the HOF result shape for null vectors
-      (code 0 — the all-null-d2 tie collapses to the smallest index —
-      with a null d2).
-
-    The centroid table is tiny by construction (m × k rows; 48 × 16 at
-    768-dim) and rides to executors inside the task closure as one dense
-    (m, k, d_sub) int64 block — the closure analogue of the HOF path's
-    one-row broadcast. List values cross as flat Arrow int64 buffers
-    (``mapInArrow``), so no per-row Python objects exist even at
-    96M slice rows (2M × m=48).
-    """
-    import pyarrow as pa
-
+def _pq_codebook_matrix(cents: DataFrame) -> tuple[int, int, int, np.ndarray]:
+    """(m, k, d_sub, dense int64 (m,k,d_sub) block) off a PQ codebook
+    table, fully validated; memoized per codebook object (immutable plan
+    ⇒ identity implies identical rows; consumers never mutate the block)."""
+    try:
+        hit = _PQ_CODEBOOK_MEMO.get(cents)
+    except TypeError:
+        hit = None
+    if hit is not None:
+        return hit
     crows = cents.select("sub", "idx", "cvec").collect()
     if not crows:
         raise ValueError("_pq_assign_arrow: empty centroid table")
@@ -2934,6 +2941,42 @@ def _pq_assign_arrow(slices: DataFrame, cents: DataFrame, id_name: str) -> DataF
                     f"{len(cv)} != {d_sub}"
                 )
             cmat[s, i, :] = cv
+    val = (m, k, d_sub, cmat)
+    try:
+        _PQ_CODEBOOK_MEMO[cents] = val
+    except TypeError:
+        pass
+    return val
+
+
+def _pq_assign_arrow(slices: DataFrame, cents: DataFrame, id_name: str) -> DataFrame:
+    """Arrow exact-int64 twin of the HOF assign path (see
+    :func:`_pq_assign`): the same integer squared-L2 argmin with the same
+    smaller-index tie rule, computed as ONE vectorized numpy pass per
+    Arrow RecordBatch instead of an interpreted expression per element.
+
+    Bit-parity argument (and why it holds exactly, not approximately):
+
+    - the quantized slices are int64 and numpy int64 arithmetic is the
+      same two's-complement domain as the JVM's BIGINT, so ``(x−c)²``
+      sums are bit-identical, not float-close;
+    - centroid rows are laid out sorted by idx, and ``argmin`` returns
+      the FIRST minimum — exactly array_min's (d2, idx) lexicographic
+      tie rule;
+    - a null svec mirrors the HOF result shape for null vectors
+      (code 0 — the all-null-d2 tie collapses to the smallest index —
+      with a null d2).
+
+    The centroid table is tiny by construction (m × k rows; 48 × 16 at
+    768-dim) and rides to executors inside the task closure as one dense
+    (m, k, d_sub) int64 block — the closure analogue of the HOF path's
+    one-row broadcast. List values cross as flat Arrow int64 buffers
+    (``mapInArrow``), so no per-row Python objects exist even at
+    96M slice rows (2M × m=48).
+    """
+    import pyarrow as pa
+
+    m, k, d_sub, cmat = _pq_codebook_matrix(cents)
 
     out_schema = T.StructType(
         list(slices.schema.fields)
@@ -3819,13 +3862,15 @@ def persist_ivfpq_index(
     """
     ivf_centroids, pq_centroids, entries = index
     spark = ivf_centroids.sparkSession
-    mk = pq_centroids.agg(
-        (F.max("sub") + 1).alias("m"), (F.max("idx") + 1).alias("k")
-    ).first()
-    if mk["m"] != m or mk["k"] != pq_k:
+    # _pq_shape instead of a bespoke agg: same (max sub+1, max idx+1)
+    # values, and the WeakKey memo makes the probe free when the codebook
+    # object was already shape-probed by a query/encode in this run (r15,
+    # guide §1.2 — the persisted faces pay this probe up to 11x per run)
+    got_m, got_k, _w = _pq_shape(pq_centroids)
+    if got_m != m or got_k != pq_k:
         raise ValueError(
             f"persist_ivfpq_index: manifest params (m={m}, pq_k={pq_k}) "
-            f"disagree with the built codebook (m={mk['m']}, k={mk['k']}) "
+            f"disagree with the built codebook (m={got_m}, k={got_k}) "
             "— pass the values build_ivfpq_index was called with"
         )
     if "codes" not in entries.columns or "list_id" not in entries.columns:

@@ -5220,13 +5220,15 @@ def q_pq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "cid", "_v", 4, 20, "cid",
             )
+            # r15: reuse the load above — the `before` thunk used to re-load
+            # the identical tree (second manifest read + parquet defs)
             got_rows, expect_rows, before = _par(
                 lambda: codes.filter(F.col("vec_id") % 2 == 1).collect(),
                 lambda: SIM._pq_assign(slices, centroids, "cid").collect(),
                 lambda: sorted(
                     map(tuple, SIM.pq_ann_topk(
                         queries, emb, k_neighbors=3,
-                        index=SIM.load_pq_index(spark, root)[0], **params,
+                        index=(centroids, codes), **params,
                     ).collect())
                 ),
             )
@@ -5776,7 +5778,11 @@ def q_ivfpq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             appended = SIM.append_to_ivfpq_index(spark, root, batch, dedupe=True)
             replayed = SIM.append_to_ivfpq_index(spark, root, batch, dedupe=True)
-            (_, _, entries), params = SIM.load_ivfpq_index(spark, root)
+            # r15: ONE load feeds both read-only checks below — the `before`
+            # thunk used to re-load the identical tree (second manifest read
+            # + parquet defs) for no reason (guide §1.2)
+            loaded, params = SIM.load_ivfpq_index(spark, root)
+            entries = loaded[2]
             appended_complete_n, before = _par(
                 lambda: entries.filter(
                     (F.col("vec_id") % 2 == 1)
@@ -5785,7 +5791,7 @@ def q_ivfpq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).count(),
                 lambda: sorted(
                     map(tuple, SIM.ivfpq_ann_topk(
-                        queries, SIM.load_ivfpq_index(spark, root)[0],
+                        queries, loaded,
                         k=5, n_probe=6, scorer="hof", **params,
                     ).collect())
                 ),
@@ -5892,32 +5898,38 @@ def q_sharded_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins = emb.filter(F.col("vec_id") < n_twins).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
-    f_adc, s_adc, full_flat, full_two, n_twin_hits, mem = _par(
-        lambda: sorted(map(tuple, SIM.ivfpq_ann_topk(
-            queries, flat, k=5, n_probe=4, scorer="hof").collect())),
-        lambda: sorted(map(tuple, SIM.sharded_ivfpq_ann_topk(
-            queries, one, k=5, n_probe=4, scorer="hof").collect())),
-        lambda: sorted(map(tuple, SIM.ivfpq_ann_topk(
-            queries, flat, k=5, n_probe=6, scorer="hof").collect())),
-        lambda: sorted(map(tuple, SIM.sharded_ivfpq_ann_topk(
-            queries, two, k=5, n_probe=12, scorer="hof").collect())),
-        lambda: SIM.sharded_ivfpq_ann_topk(
-            twins, two, k=1, n_probe=12, rerank=8, scorer="hof"
-        ).filter(
-            (F.col("rank") == 1)
-            & (F.col("neighbor_id") == F.col("query_id") - 1_000_000)
-            & (F.col("cosine") > 0.999999)
-        ).count(),
-        lambda: sorted(map(tuple, SIM.sharded_ivfpq_ann_topk(
-            queries, two, k=5, n_probe=6, scorer="hof").collect())),
-    )
-    flat_degeneration = f_adc == s_adc
-    shard_independent = full_flat == full_two
-    twin_ok = n_twin_hits == n_twins
-
     root = tempfile.mkdtemp(prefix="sivfpq_q_")
     try:
-        SIM.persist_sharded_ivfpq_index(two, root, m=4, pq_k=16, mode="overwrite")
+        # r15 (guide §2.6): the persist only reads the pinned `two` build,
+        # exactly like the six read-only checks — run it in the same
+        # fan-out instead of as a serial tail (same writes, same rows;
+        # the persisted tree is only read after the fan-out joins).
+        f_adc, s_adc, full_flat, full_two, n_twin_hits, mem, _ = _par(
+            lambda: sorted(map(tuple, SIM.ivfpq_ann_topk(
+                queries, flat, k=5, n_probe=4, scorer="hof").collect())),
+            lambda: sorted(map(tuple, SIM.sharded_ivfpq_ann_topk(
+                queries, one, k=5, n_probe=4, scorer="hof").collect())),
+            lambda: sorted(map(tuple, SIM.ivfpq_ann_topk(
+                queries, flat, k=5, n_probe=6, scorer="hof").collect())),
+            lambda: sorted(map(tuple, SIM.sharded_ivfpq_ann_topk(
+                queries, two, k=5, n_probe=12, scorer="hof").collect())),
+            lambda: SIM.sharded_ivfpq_ann_topk(
+                twins, two, k=1, n_probe=12, rerank=8, scorer="hof"
+            ).filter(
+                (F.col("rank") == 1)
+                & (F.col("neighbor_id") == F.col("query_id") - 1_000_000)
+                & (F.col("cosine") > 0.999999)
+            ).count(),
+            lambda: sorted(map(tuple, SIM.sharded_ivfpq_ann_topk(
+                queries, two, k=5, n_probe=6, scorer="hof").collect())),
+            lambda: SIM.persist_sharded_ivfpq_index(
+                two, root, m=4, pq_k=16, mode="overwrite"
+            ),
+        )
+        flat_degeneration = f_adc == s_adc
+        shard_independent = full_flat == full_two
+        twin_ok = n_twin_hits == n_twins
+
         loaded, params = SIM.load_sharded_ivfpq_index(spark, root)
         per = sorted(map(tuple, SIM.sharded_ivfpq_ann_topk(
             queries, loaded, k=5, n_probe=6, scorer="hof", **params

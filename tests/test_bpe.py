@@ -109,3 +109,29 @@ def test_merge_reduces_piece_count(spark):
     assert merges[0] == ("a", "a")
     syms = vocab.collect()[0]["syms"]
     assert len(syms) < 5  # 'aaaa'+EOW folded into fewer pieces
+
+
+def test_merge_replay_equals_chained_folds(spark):
+    """r15 pin: the constant-depth `_merge_replay` (one fold over a merges
+    array literal) must be row-identical to chaining `_merge_fold` once per
+    merge — including self-merging pairs (a,a), merges that consume earlier
+    merge output (aa,a), and EOW-adjacent pairs."""
+    merges = [("a", "a"), ("aa", "a"), ("b", "a"), ("ba", B.EOW), ("c", "aa")]
+    words = ["aaaa", "aaa", "ba", "caa", "abcabc", "", "aabaa", "cba"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+
+    chained = B._chars_with_eow(F.col("word"))
+    for left, right in merges:
+        chained = B._merge_fold(chained, left, right)
+
+    got = df.select(
+        "word",
+        B._merge_replay(F.col("word"), merges).alias("one"),
+        chained.alias("many"),
+    ).collect()
+    for r in got:
+        assert list(r["one"]) == list(r["many"]), r["word"]
+    # empty merge list degenerates to plain chars+EOW
+    base = df.select(B._merge_replay(F.col("word"), []).alias("p")).collect()
+    ref = df.select(B._chars_with_eow(F.col("word")).alias("p")).collect()
+    assert [list(r["p"]) for r in base] == [list(r["p"]) for r in ref]

@@ -81,3 +81,63 @@ def test_sigterm_flushes_partial_one_line_json():
     assert payload["queries"] == {}
     assert payload["unit"] == "sec"
     assert "loadavg_start" in payload
+
+
+def test_centroid_matrix_memo_identity_and_correctness(spark, sf_dir):
+    """r15 pin (same contract as the r14 _pq_shape memo): _centroid_matrix
+    memoizes per centroid-table OBJECT; a distinct object over identical
+    data recomputes and agrees — identity changes job count, never values."""
+    import numpy as np
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    saved = dict(SIM._CENTROID_MATRIX_MEMO)
+    SIM._CENTROID_MATRIX_MEMO.clear()
+    try:
+        cents, _ = SIM.build_ivf_index(emb, n_lists=4)
+        cents = cents.localCheckpoint()
+        lids1, cn1 = SIM._centroid_matrix(cents)
+        assert cents in SIM._CENTROID_MATRIX_MEMO
+        lids2, cn2 = SIM._centroid_matrix(cents)
+        assert lids1 is lids2 and cn1 is cn2  # memo hit: same objects
+        # distinct object over the same rows: misses, same values
+        fresh = cents.select("list_id", "centroid")
+        lids3, cn3 = SIM._centroid_matrix(fresh)
+        assert np.array_equal(lids1, lids3) and np.array_equal(cn1, cn3)
+        # rows are row-normalized (the kernels consume cn directly)
+        norms = np.linalg.norm(cn1, axis=1)
+        assert np.allclose(norms[norms > 0], 1.0)
+    finally:
+        SIM._CENTROID_MATRIX_MEMO.clear()
+        SIM._CENTROID_MATRIX_MEMO.update(saved)
+
+
+def test_pq_codebook_matrix_memo_identity_and_correctness(spark, sf_dir):
+    """r15 pin: _pq_codebook_matrix memoizes the validated dense codebook
+    block per object; a distinct object recomputes and agrees."""
+    import numpy as np
+
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators import (
+        similarity as SIM,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    saved = dict(SIM._PQ_CODEBOOK_MEMO)
+    SIM._PQ_CODEBOOK_MEMO.clear()
+    try:
+        cents, _codes = SIM.pq_index(emb, m=4, k=16)
+        cents = cents.localCheckpoint()
+        m1, k1, d1, cmat1 = SIM._pq_codebook_matrix(cents)
+        assert (m1, k1) == (4, 16) and cmat1.shape == (4, 16, d1)
+        assert cents in SIM._PQ_CODEBOOK_MEMO
+        assert SIM._pq_codebook_matrix(cents)[3] is cmat1  # memo hit
+        fresh = cents.select("sub", "idx", "cvec")
+        m2, k2, d2, cmat2 = SIM._pq_codebook_matrix(fresh)
+        assert (m1, k1, d1) == (m2, k2, d2)
+        assert np.array_equal(cmat1, cmat2)
+    finally:
+        SIM._PQ_CODEBOOK_MEMO.clear()
+        SIM._PQ_CODEBOOK_MEMO.update(saved)

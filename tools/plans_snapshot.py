@@ -1,8 +1,9 @@
-"""Snapshot `.explain("formatted")` for declared queries into plans/r14/.
+"""Snapshot `.explain("formatted")` for declared queries into
+plans/$PLANS_ROUND/ (default r15).
 
-Usage: python tools/plans_snapshot.py <suffix> [query ...]
+Usage: [PLANS_ROUND=rNN] python tools/plans_snapshot.py <suffix> [query ...]
 
-Writes plans/r14/<query>_<suffix>.txt for each query (default: every
+Writes plans/<round>/<query>_<suffix>.txt for each query (default: every
 bench.py HEADLINE entry). Contract faces that return a literal verdict
 row explain as a LocalTableScan — those are covered separately by
 tools/plan_dump.py over their inner pipelines; this tool still records
@@ -29,7 +30,7 @@ def main() -> None:
     suffix = sys.argv[1]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "plans", "r14")
+                           "plans", os.environ.get("PLANS_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
 
     from aws_dataset_ingestion_metrics_collection_framework_spark import get_spark
