@@ -86,24 +86,35 @@ def connected_components(
     )
 
     for _ in range(max_iter):
+        # Carry each vertex's OLD label through the union (`_old` is
+        # non-null on exactly the one comp row per id, null on neighbor
+        # rows; min() skips nulls), so the convergence check below is a
+        # filter over the just-checkpointed blocks — no join of two stored
+        # tables per round, one job instead of a shuffle-join job.
         neighbor_min = (
             sym.join(comp, sym["src"] == comp["id"])
-            .select(F.col("dst").alias("id"), "component")
+            .select(
+                F.col("dst").alias("id"),
+                "component",
+                F.lit(None).cast(comp.schema["component"].dataType).alias("_old"),
+            )
         )
         new_comp = (
-            comp.unionByName(neighbor_min)
+            comp.select("id", "component", F.col("component").alias("_old"))
+            .unionByName(neighbor_min)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("_old").alias("_old"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_comp.alias("n")
-            .join(comp.alias("c"), "id")
-            .filter(F.col("n.component") != F.col("c.component"))
+            new_comp.filter(F.col("component") != F.col("_old"))
             .limit(1)
             .count()
         )
-        comp = new_comp
+        comp = new_comp.select("id", "component")
         if changed == 0:
             return (
                 vertices.select(F.col(id_col).alias("id"))

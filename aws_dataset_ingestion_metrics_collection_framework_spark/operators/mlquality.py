@@ -250,8 +250,18 @@ def fit_linear_quality_exact(
         .repartition(F.col(id_col))
         .localCheckpoint(eager=False)
     )
-    y = labeled.select(
-        F.col(id_col), (F.col(label_col).cast("long") * one).alias("_yu")
+    # One slim (id, label-units) table, stored once: the distributed loop
+    # joins it every iteration and the final scores projection reads the
+    # label back out of it — without the pin each of those consumers
+    # re-scans the corpus parquet per use (iters + 1 scans at scale).
+    # Same id-hash partitioning as feats so the per-iteration joins reuse
+    # the exchange.
+    y = (
+        labeled.select(
+            F.col(id_col), (F.col(label_col).cast("long") * one).alias("_yu")
+        )
+        .repartition(F.col(id_col))
+        .localCheckpoint(eager=False)
     )
 
     spark = labeled.sparkSession
@@ -270,14 +280,17 @@ def fit_linear_quality_exact(
     w_df = F.broadcast(spark.createDataFrame(
         [(j, w) for j, w in enumerate(weights)], "j int, w long"
     ))
+    # Read the label back from the stored y table ((_yu != 0) ⇔ label=1 —
+    # _yu is exactly label·2^scale_bits) instead of re-scanning the corpus:
+    # the whole projection now runs over the two pinned slim tables.
     scores = (
         feats.join(w_df, "j")
         .groupBy(id_col)
         .agg(F.sum(F.col("x") * F.col("w")).alias("logit_units"))
-        .join(labeled.select(id_col, label_col), id_col)
+        .join(y, id_col)
         .select(
             id_col,
-            F.col(label_col).cast("int").alias("label"),
+            (F.col("_yu") != 0).cast("int").alias("label"),
             "logit_units",
             (F.col("logit_units") > 0).cast("int").alias("pred"),
         )

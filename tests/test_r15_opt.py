@@ -141,3 +141,45 @@ def test_pq_codebook_matrix_memo_identity_and_correctness(spark, sf_dir):
     finally:
         SIM._PQ_CODEBOOK_MEMO.clear()
         SIM._PQ_CODEBOOK_MEMO.update(saved)
+
+
+def test_hash_to_min_multi_round_chain_and_schema(spark):
+    """r15 pin for the folded convergence check (the `_old` carry): a
+    diameter-4 chain forces several rounds with partially-converged labels
+    (vertex 1 stabilizes immediately; 5 keeps changing) — early termination
+    or an `_old` column leaking into the result would fail here."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators.graph import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], ["id_a", "id_b"]
+    )
+    out = connected_components(vertices, edges, id_col="doc_id")
+    assert out.columns == ["id", "component"]
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7}
+
+
+def test_quality_exact_label_roundtrip_through_y(spark):
+    """r15 pin: `scores` reads the label back from the pinned y table
+    ((_yu != 0) ⇔ label) instead of re-scanning the corpus — labels in the
+    output must round-trip exactly for mixed 0/1 labels."""
+    from aws_dataset_ingestion_metrics_collection_framework_spark.operators import (
+        mlquality as ML,
+    )
+
+    rows = [
+        (1, "aa bb cc", 1.0),
+        (2, "dd ee", 0.0),
+        (3, "aa bb", 1.0),
+        (4, "ff", 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    _, scores = ML.fit_linear_quality_exact(
+        df, "doc_id", "text", "label", dim=8, iters=2
+    )
+    got = {r["doc_id"]: r["label"] for r in scores.collect()}
+    assert got == {1: 1, 2: 0, 3: 1, 4: 0}
+    assert scores.columns == ["doc_id", "label", "logit_units", "pred"]
