@@ -292,6 +292,30 @@ def _load1() -> float:
         return -1.0
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu line,
+    or None off-Linux.  Hypervisor steal does NOT show up in loadavg (a
+    throttled task is still 'running'), so `loadavg_before` alone cannot
+    distinguish a genuinely slow query from a host whose CPU is being
+    taken by the hypervisor — measured on this host: untouched faces
+    inflating 1.3-2x while 1-min load read < 0.2 (r15, 'Host
+    interference' in OPTIMIZATION_r15.md)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError):
+        return None
+
+
+def _steal_pct(t0, t1) -> float | None:
+    """Percent of ALL cpu ticks (incl. idle) stolen between two
+    _cpu_ticks() samples; None when unavailable or no time passed."""
+    if not t0 or not t1 or t1[1] <= t0[1]:
+        return None
+    return round(100.0 * (t1[0] - t0[0]) / (t1[1] - t0[1]), 1)
+
+
 def _wait_for_quiet(gate: float, budget: float, step: float, load_fn=_load1, sleep_fn=time.sleep) -> float:
     """Sleep in `step`-second increments while load_fn() > gate, up to
     `budget` seconds total.  Returns the seconds actually slept.  The
@@ -323,6 +347,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     load_before: dict[str, float] = {}
+    steal_during: dict[str, float] = {}
     # §6a: one shared re-gate budget for the whole suite, not 60 s/query
     q_wait = float(os.environ.get("BENCH_QUERY_LOAD_WAIT", "60"))
     q_budget = float(os.environ.get("BENCH_QUERY_LOAD_BUDGET", "120"))
@@ -336,6 +361,11 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "loadavg_before": load_before,
+            # r15 addition: % of all cpu ticks the hypervisor stole while
+            # each worker ran (None-valued entries omitted).  Steal is
+            # invisible to loadavg; this column is what lets a reader
+            # separate "host was throttled" from "query got slower".
+            "cpu_steal_pct": steal_during,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "repeat": repeat,
             "isolation": "subprocess-per-query" if isolate else "shared-session",
@@ -376,6 +406,7 @@ def main() -> None:
             # then record whatever load is in effect at launch
             q_budget -= _wait_for_quiet(gate, min(q_wait, q_budget), 10.0)
             load_before[name] = _load1()
+            ticks0 = _cpu_ticks()
             proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--worker", name],
                 stdout=subprocess.PIPE,
@@ -387,6 +418,9 @@ def main() -> None:
             current[0] = proc
             out, err = proc.communicate()
             current[0] = None
+            steal = _steal_pct(ticks0, _cpu_ticks())
+            if steal is not None:
+                steal_during[name] = steal
             if proc.returncode != 0:
                 print(f"# worker {name} FAILED:\n{err[-2000:]}", file=sys.stderr)
                 _emit(partial=True)

@@ -83,6 +83,29 @@ def test_sigterm_flushes_partial_one_line_json():
     assert "loadavg_start" in payload
 
 
+def test_steal_pct_math_and_none_paths():
+    # % of all ticks stolen between two samples; None when a sample is
+    # missing (off-Linux) or no time passed between them.
+    assert bench._steal_pct((100, 1000), (150, 2000)) == 5.0
+    assert bench._steal_pct((0, 1000), (0, 2000)) == 0.0
+    assert bench._steal_pct(None, (0, 2000)) is None
+    assert bench._steal_pct((0, 1000), None) is None
+    assert bench._steal_pct((0, 1000), (0, 1000)) is None  # zero elapsed
+
+
+def test_cpu_ticks_shape_on_linux():
+    # On Linux /proc/stat exists: the sample must be (steal, total) ints
+    # with steal <= total; elsewhere the helper degrades to None.
+    t = bench._cpu_ticks()
+    if os.path.exists("/proc/stat"):
+        assert t is not None
+        steal, total = t
+        assert isinstance(steal, int) and isinstance(total, int)
+        assert 0 <= steal <= total
+    else:  # pragma: no cover - non-Linux CI
+        assert t is None
+
+
 def test_centroid_matrix_memo_identity_and_correctness(spark, sf_dir):
     """r15 pin (same contract as the r14 _pq_shape memo): _centroid_matrix
     memoizes per centroid-table OBJECT; a distinct object over identical
